@@ -1,0 +1,149 @@
+"""Catalog: table registry + zoned readers/writers (SURVEY §2.1).
+
+The reference moves ODK form tables through S3 "zones"
+(raw -> clean -> sanitized -> lake parquet -> dwh, with Hive-style
+date-partitioned history; SURVEY §1.1). Here the catalog is explicit:
+
+- :func:`read_table` / :func:`load_tables` — parquet scans of a zone
+  directory (the driver testdata dirs act as a zone).
+- :func:`read_csv_form` — schema'd CSV read (S1/S2): **no inference in
+  production paths**; pass the registered StructType.
+- :func:`read_form_tree` — bulk prefix scan (S3) tagging each row with
+  its ``form_id`` parsed from the file path (reference does this with
+  ``list.files`` + filename regex, 01.run_form_cleaning.R:72-87).
+- :func:`write_parquet` (S8), :func:`write_csv` (S7, optional
+  single-file contract), :func:`write_history_partition` (S9) —
+  Hive-partitioned append under ``partition_date=...``.
+- :func:`dedup_on_ingest` (S15).
+
+Scale note: everything returns/consumes lazy DataFrames; sinks use
+``partitionBy`` so downstream reads get partition pruning for free. At
+100 TB the zone paths are ``s3a://`` URIs — same code path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: Tables the driver harness materializes per scale factor (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, zone_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one table in a zone directory."""
+    return spark.read.parquet(os.path.join(zone_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, zone_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load every table of a zone into a dict of lazy DataFrames."""
+    return {n: read_table(spark, zone_dir, n) for n in names}
+
+
+def register_temp_views(
+    spark: SparkSession, zone_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Expose a zone's tables to ``spark.sql`` as temp views."""
+    for n, df in load_tables(spark, zone_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+# --------------------------------------------------------------------------
+# Form-zone IO (reference: CSV in, parquet serving layer)
+# --------------------------------------------------------------------------
+
+
+def read_csv_form(
+    spark: SparkSession, path: str, schema: StructType, empty_string_as_null: bool = True
+) -> DataFrame:
+    """S1/S2: read one form CSV with a *declared* schema.
+
+    The reference freads with inferred schemas and repairs names
+    defensively; we require a registered StructType instead (SURVEY
+    §1.2 design decision). ``""`` -> NULL normalization is the engine
+    default (SURVEY §7.4.3) with per-call opt-out.
+    """
+    reader = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+    )
+    if empty_string_as_null:
+        reader = reader.option("nullValue", "").option("treatEmptyValuesAsNulls", "true")
+    return reader.csv(path)
+
+
+def read_form_tree(
+    spark: SparkSession, prefix: str, schema: StructType | None = None
+) -> DataFrame:
+    """S3: recursive prefix scan; tag rows with form_id from the path.
+
+    Mirrors the reference's bulk S3 get + filename parse
+    (01.run_form_cleaning.R:56-87) with a single distributed scan:
+    ``input_file_name()`` + regex instead of a driver-side file loop.
+    """
+    reader = spark.read.option("header", "true").option("recursiveFileLookup", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(prefix)
+    return df.withColumn(
+        "form_id", F.regexp_extract(F.input_file_name(), r"([^/]+)/[^/]+$", 1)
+    )
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8: columnar serving-layer sink."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:
+    """S7/S10: CSV sink; ``single_file`` mirrors the reference's
+    one-file-per-form layout (coalesce(1) — only for small outputs)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_history_partition(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "partition_date",
+    partition_value: str | None = None,
+) -> None:
+    """S9: append a dated snapshot under ``partition_date=...``.
+
+    Reference: 05.run_anomaly_detection.R:82-86 writes
+    ``anomalies_detection_hist/partition_date={today}/``. Partition
+    pruning then makes as-of reads cheap at any scale.
+    """
+    col = F.lit(partition_value) if partition_value is not None else F.current_date().cast("string")
+    (
+        df.withColumn(partition_col, col)
+        .write.mode("append")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def dedup_on_ingest(df: DataFrame, keys: list[str]) -> DataFrame:
+    """S15: drop duplicates on ingest keys (get_ever_resolved.py:7-9)."""
+    return df.dropDuplicates(keys)

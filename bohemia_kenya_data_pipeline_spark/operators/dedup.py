@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Scale pack: exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. All are expressed as DataFrame plans whose
+candidate-pair set grows ~linearly with data (band buckets / anchors),
+never a full O(n²) cross join — that is the property that survives
+100 TB.
+
+Hash base: 64-bit ints derived from ``md5`` prefixes
+(``conv(substr(md5(tok),1,8),16,10)``) so the DuckDB oracle can
+reproduce signatures bit-for-bit — and md5 is stable across JVMs /
+Python versions, unlike builtin ``hash``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: Mersenne prime 2^31-1 — classic universal-hash modulus.
+MINHASH_PRIME = 2147483647
+
+#: Deterministic (a, b) parameters for the minhash permutation family
+#: h_i(x) = (a_i * x + b_i) mod P. Generated once from a fixed LCG so
+#: the DuckDB oracle SQL can embed the identical constants.
+def minhash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    params: list[tuple[int, int]] = []
+    state = seed
+    for _ in range(n):
+        state = (state * 1103515245 + 12345) % (2**31)
+        a = state % (MINHASH_PRIME - 1) + 1
+        state = (state * 1103515245 + 12345) % (2**31)
+        b = state % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def token_hash64(tok: Column) -> Column:
+    """Stable 64-bit-ish token hash shared with the DuckDB oracle:
+    first 8 hex chars of md5 as a bigint."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (n consecutive tokens
+    joined by space). Documents shorter than n tokens yield their
+    full token string as a single shingle."""
+    toks = tokens(text)
+    k = F.size(toks)
+    joined = F.array_join(toks, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(joined))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct text
+    with the minimum id as representative and the duplicate count.
+
+    Hash-groupBy on md5(text) — the 100 TB plan shuffles 16-byte keys,
+    not document bodies.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("representative_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct text (the dedup *apply* side)."""
+    w_min = exact_duplicates(df, text_col, id_col).select(
+        F.col("representative_id").alias(id_col)
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (anchored pairwise)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    anchor_mod: int = 25,
+    threshold: float = 0.1,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Jaccard similarity over distinct word-shingle sets for candidate
+    pairs (anchor docs × same-block docs), keeping pairs ≥ threshold.
+
+    The anchor/block restriction keeps the pair count linear; at full
+    scale you replace it with MinHash-LSH candidates
+    (:func:`minhash_lsh_pairs`) and use this as the verify stage.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+    )
+    a = base.filter(F.col("id") % anchor_mod == 0).select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk"
+    )
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: for each permutation i, min over the doc's
+    shingle hashes of (a_i*h + b_i) mod P.
+
+    Plan shape: shingle → explode → per-(doc, i) min — a single
+    aggregation over (docs × shingles × num_hashes) rows; fully
+    distributed, no UDFs. Returns (id, sig array<bigint>).
+    """
+    params = minhash_params(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("shingle"),
+    )
+    h = sh.withColumn("h", token_hash64(F.col("shingle")))
+    mins = [
+        F.min((F.col("h") * a + b) % MINHASH_PRIME).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = h.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: split signatures into ``bands`` bands of
+    r = num_hashes/bands rows; docs sharing any band bucket are
+    candidates. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The band-bucket self-join is an equi-join on (band, bucket-hash) —
+    shuffle-partitioned, linear in data + near-dup cluster sizes.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * r + 1, r),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = band_rows.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = band_rows.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprints: per bit position, sign of the sum over
+    tokens of ±1 (from the token hash's bit) → packed bigint.
+
+    Pure expression plan: explode tokens → per-(doc,bit) weighted sum →
+    pack. Returns (id, simhash bigint).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).withColumn("h", token_hash64(F.col("tok")))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("bigint")
+    for i in range(bits):
+        packed = packed + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(0)
+    return bit_sums.select("id", packed.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
+    """Hamming distance between two packed simhash values."""
+    x = a.bitwiseXOR(b)
+    return sum(
+        F.shiftright(x, i).bitwiseAND(F.lit(1)) for i in range(bits)
+    ).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    anchor_mod: int = 10,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, anchored
+    (id % anchor_mod == 0 rows vs all). At full scale the anchor set is
+    replaced by LSH buckets (see similarity.lsh_bucket_topk)."""
+    from .similarity import cosine
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = base.filter(F.col("id") % anchor_mod == 0).select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    )
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = F.broadcast(a).crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,186 @@
+"""Window / ordered / sequential operators (SURVEY §2.5, J10).
+
+All are single-shuffle window plans: one hash-partition on the group
+keys, sort within partition — no driver loops, no collect. At 100 TB
+these scale with the number of distinct keys; skewed keys are handled
+by AQE (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _desc_keys(order_by: Sequence[str | Column], descending: bool) -> list[Column]:
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    return [c.desc() for c in cols] if descending else cols
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    keep: str = "last",
+) -> DataFrame:
+    """Keep the newest (or oldest) row per key — J10/W5/W6.
+
+    Reference patterns: grouped ``max(end_time)`` filter
+    (00.store_se_goals.R:552-556), ``slice_tail`` keep-last duplicate
+    resolution (processing_utils.R:242-246), ``arrange(desc) %>%
+    distinct(.keep_all=TRUE)`` (efficacy_status...Rmd:143-148).
+
+    The reference relies on file row order for ties; we require an
+    explicit total order (SURVEY §7.4.2) — pass tiebreaker columns in
+    ``order_by``.
+    """
+    w = Window.partitionBy(*keys).orderBy(*_desc_keys(order_by, keep == "last"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fill_down(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+) -> DataFrame:
+    """tidyr::fill(.direction='down') per group — W4
+    (00.store_se_goals.R:307-312): last non-null value so far."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*_desc_keys(order_by, False))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def top_n_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    n: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-N rows per group — W7 (randomize.R:1133-1136 priority<=35)."""
+    w = Window.partitionBy(*keys).orderBy(*_desc_keys(order_by, descending))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def with_group_count(df: DataFrame, keys: Sequence[str], out_col: str = "n") -> DataFrame:
+    """group_by + mutate(n = n()) — A5, duplication detection
+    (anomalies_utils.R:10-14). Window count, no second join."""
+    return df.withColumn(out_col, F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+
+
+def cumulative_sum(
+    df: DataFrame,
+    value: str | Column,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Running total — W3 (prevalence_incidence.qmd:54-56)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*_desc_keys(order_by, False))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value) if isinstance(value, str) else value
+    return df.withColumn(out_col, F.sum(v).over(w))
+
+
+def explode_by_count(df: DataFrame, count_col: str, ordinal_col: str = "ordinal") -> DataFrame:
+    """tidyr::uncount — W8 (ento_lab_templates.Rmd:197): replicate each
+    row ``count_col`` times with a 1-based ordinal. Rows with count<=0
+    or NULL are dropped (uncount semantics)."""
+    c = F.col(count_col).cast("int")
+    return (
+        df.filter(c.isNotNull() & (c > 0))
+        .withColumn(ordinal_col, F.explode(F.sequence(F.lit(1), c)))
+    )
+
+
+def asof_snapshots(
+    df: DataFrame,
+    ts_col: str,
+    start: Column,
+    stop: Column,
+    step: str = "interval 1 week",
+    snapshot_col: str = "run_date",
+) -> DataFrame:
+    """As-of snapshot expansion — W10 (create_snapshot_tbl,
+    icf.Rmd:100-113): for each date d in [start, stop] by ``step``,
+    emit all rows with ts <= d tagged run_date=d.
+
+    The reference loops over dates; here it's one set-based plan:
+    a 1-row date-sequence frame exploded then range-joined. The
+    multiplicative blowup is bounded by pruning on ts <= stop before
+    the join (SURVEY §7.4.6); downstream writes should partition on
+    ``snapshot_col``.
+    """
+    spark = df.sparkSession
+    dates = spark.range(1).select(
+        F.explode(F.sequence(start, stop, F.expr(step))).alias(snapshot_col)
+    )
+    pruned = df.filter(F.col(ts_col).cast("date") <= stop)
+    return pruned.join(dates, F.col(ts_col).cast("date") <= F.col(snapshot_col))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the user's previous event exceeds ``gap_minutes``.
+
+    Classic lag + cumsum-of-boundaries plan — one shuffle on user_col.
+    (Scale-pack operator: not in the reference, standard for event
+    logs / training-data pipelines.)
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.col(ts_col).cast("long") - prev.cast("long")) > gap_minutes * 60)
+    ).cast("int")
+    return df.withColumn("__new", is_new).withColumn(
+        session_col, F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("__new")
+
+
+def seeded_shuffle_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    n: int,
+    seed: int = 1001,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Stratified seeded sample of n rows per group — W11
+    (randomize.R:64-88). Spark's rand(seed) is seeded per-partition so
+    parity with R's set.seed is distributional, not bitwise (SURVEY §4.1);
+    pass ``order_tiebreak`` for a deterministic total order."""
+    order = [F.rand(seed)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

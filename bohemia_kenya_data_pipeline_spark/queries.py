@@ -1,0 +1,1068 @@
+"""Query pack: one entry per SURVEY §2 operator class.
+
+Each query exists twice — as an idiomatic Spark DataFrame plan
+(``QUERIES[name]``: callable(spark, sf_dir) -> DataFrame) and as ANSI
+SQL for the DuckDB oracle (``ORACLES[name]``). The driver runs both at
+sf0.01 and hash-compares (row count + schema + order-insensitive value
+hash, columns sorted by name) — so every computed column is aliased
+identically on both sides, money aggregates are rounded on both sides,
+and ties are always broken by a key column.
+
+Operator coverage tags (SURVEY §2) are noted on each query.
+
+Scale notes (100 TB):
+- every plan is a pure DataFrame expression — no collect, no driver
+  loops; Catalyst gets full pushdown/pruning;
+- small dims (region/nation/supplier/scaffolds) are broadcast
+  explicitly;
+- window plans shuffle once on their partition keys;
+- pairwise (self-join) plans are anchored/bucketed so the candidate
+  set grows linearly, not quadratically.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators import text as tx
+from .operators import windows as W
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects; read nanos as long and convert to a
+    microsecond timestamp (matching DuckDB's micro-truncated view)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+# ===========================================================================
+# Flagship: pricing summary (TPC-H Q1 shape) — A1/A4/A10/A12, P3
+# Mirrors the reference's grouped multi-metric reports
+# (se_and_pfu.Rmd:123-176 assembles N metrics per group; we do it in ONE
+# scan+shuffle, which is the Spark-first supersession noted in SURVEY A10).
+# ===========================================================================
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ===========================================================================
+# Projection / filter — P1, P3, P4, P5, P6, P7
+# ===========================================================================
+
+
+@_register(
+    "filter_project",
+    """
+    SELECT o_orderkey AS order_id,
+           o_orderpriority AS priority,
+           ROUND(o_totalprice, 2) AS total_price,
+           (o_orderstatus = 'F') AS is_final,
+           NULLIF(o_orderstatus, 'P') AS status_or_null
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice > 1000.0
+      AND o_totalprice < 50000.0
+      AND o_orderpriority NOT IN ('5-LOW')
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conjunctive filters (P3, 926 uses in reference), IN / NOT-IN (P4,
+    # 00.store_se_goals.R:543), null predicate (P5), range (P6), rename (P1)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & (F.col("o_totalprice") > 1000.0)
+            & (F.col("o_totalprice") < 50000.0)
+            & ~F.col("o_orderpriority").isin("5-LOW")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderpriority").alias("priority"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            (F.col("o_orderstatus") == "F").alias("is_final"),
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        )
+    )
+
+
+@_register(
+    "case_when_chain",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 400000 AND o_orderpriority = '1-URGENT' THEN 'critical-large'
+                WHEN o_totalprice > 400000 THEN 'large'
+                WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'priority'
+                WHEN o_orderstatus = 'F' THEN 'settled'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END AS tier
+    FROM orders
+    """,
+)
+def case_when_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-sensitive first-match case_when (118 uses; chains of ~40
+    # branches at safety_status...Rmd:235-296 — SURVEY §7.4.1). Branches
+    # deliberately overlap so any reordering changes the answer.
+    from .functions import case_when
+
+    o = _t(spark, sf_dir, "orders")
+    tier = case_when(
+        [
+            ((F.col("o_totalprice") > 400000) & (F.col("o_orderpriority") == "1-URGENT"), F.lit("critical-large")),
+            (F.col("o_totalprice") > 400000, F.lit("large")),
+            (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("priority")),
+            (F.col("o_orderstatus") == "F", F.lit("settled")),
+            (F.col("o_totalprice") > 100000, F.lit("medium")),
+        ],
+        otherwise=F.lit("small"),
+    )
+    return o.select("o_orderkey", tier.alias("tier"))
+
+
+# ===========================================================================
+# Joins — J1..J10
+# ===========================================================================
+
+
+@_register(
+    "join_inner_fact_dim",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner_fact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1 inner equi-join: exactly the reference's parent⋈child shape
+    # (inner_join(child, parent, by PARENT_KEY=KEY), safety.R:79-80).
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "join_left_broadcast_dim",
+    """
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_left_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2 left fact⋈dim with explicit broadcast — the reference's
+    # arm-assignment join (00.store_se_goals.R:548; dims ≤96 rows must
+    # broadcast, SURVEY §2.3 note).
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "join_anti_unmatched",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J3 anti-join (DELETE resolutions processing_utils.R:369-373; lab
+    # reconciliation lab.Rmd).
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_register(
+    "join_semi_matched",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4 semi-join (safety_status...Rmd:418).
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@_register(
+    "join_full_outer_merge",
+    """
+    WITH cust AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+                  FROM customer GROUP BY c_nationkey),
+         supp AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+                  FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+)
+def join_full_outer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5 full outer roster merge (safety_status...Rmd:312 merge(all=TRUE)).
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = c.join(s, "nationkey", "full")
+    return joined.select(
+        F.col("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@_register(
+    "join_right_keep_dim",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_right_keep_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J6 right join (icf_v0_report.Rmd:139).
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@_register(
+    "join_multi_key",
+    """
+    WITH q AS (SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS qty
+               FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS price
+               FROM lineitem GROUP BY 1, 2)
+    SELECT q.l_returnflag, q.l_linestatus, q.qty, r.price
+    FROM q JOIN r ON q.l_returnflag = r.l_returnflag AND q.l_linestatus = r.l_linestatus
+    """,
+)
+def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J7 composite-key join (processing_utils.R:283-288 joins on
+    # (instanceID, repeat_name, repeat_key)).
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag", "l_linestatus").agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    r = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("price")
+    )
+    return q.join(r, ["l_returnflag", "l_linestatus"], "inner")
+
+
+@_register(
+    "join_self_pairs",
+    """
+    SELECT a.s_nationkey AS nationkey,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(ABS(a.s_acctbal - b.s_acctbal)), 2) AS avg_bal_gap
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    GROUP BY a.s_nationkey
+    """,
+)
+def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J8 self-join consistency check (pk.R:172-186 self-join + inequality
+    # filter on the mapped value).
+    s = _t(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_suppkey").alias("k_a"),
+        F.col("s_acctbal").alias("bal_a"),
+    )
+    b = s.select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_suppkey").alias("k_b"),
+        F.col("s_acctbal").alias("bal_b"),
+    )
+    return (
+        a.join(b, "nationkey")
+        .filter(F.col("k_a") < F.col("k_b"))
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(F.abs(F.col("bal_a") - F.col("bal_b"))), 2).alias("avg_bal_gap"),
+        )
+    )
+
+
+@_register(
+    "cross_join_scaffold",
+    """
+    WITH prio AS (SELECT DISTINCT o_orderpriority FROM orders),
+         stat AS (SELECT DISTINCT o_orderstatus FROM orders),
+         actual AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+                    FROM orders GROUP BY 1, 2)
+    SELECT p.o_orderpriority AS priority, s.o_orderstatus AS status,
+           COALESCE(a.n, 0) AS n_orders
+    FROM prio p CROSS JOIN stat s
+    LEFT JOIN actual a
+      ON a.o_orderpriority = p.o_orderpriority AND a.o_orderstatus = s.o_orderstatus
+    """,
+)
+def cross_join_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J9 skeleton cross-join + left join + fill (expand_grid,
+    # 00.store_se_goals.R:41-45): ensure every cell of the grid exists.
+    o = _t(spark, sf_dir, "orders")
+    prio = o.select("o_orderpriority").distinct()
+    stat = o.select("o_orderstatus").distinct()
+    actual = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    grid = prio.crossJoin(stat)
+    return (
+        grid.join(F.broadcast(actual), ["o_orderpriority", "o_orderstatus"], "left")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J10/W5/W6 latest-record-per-key — the reference's keep-max-end_time
+    # (00.store_se_goals.R:552-556) with an explicit tiebreaker (§7.4.2).
+    o = _t(spark, sf_dir, "orders")
+    latest = W.latest_per_key(o, ["o_custkey"], ["o_orderdate", "o_orderkey"], keep="last")
+    return latest.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("order_date")
+    )
+
+
+# ===========================================================================
+# Aggregation — A1..A12
+# ===========================================================================
+
+
+@_register(
+    "group_count",
+    "SELECT o_orderpriority AS priority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+)
+def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 (group_by + summarise(n()), 244+193 uses).
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "count_distinct_exact",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2 exact n_distinct (00.store_se_goals.R:207-209) — exact, not
+    # approx, because the correctness metric is hash-match (SURVEY A2).
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_register(
+    "conditional_count_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT CASE WHEN value > 100 THEN user_id END) AS n_big_users
+    FROM events GROUP BY event_type
+    """,
+)
+def conditional_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 (n_distinct(extid[person_absent_reason=='Died']), safety.R:168-169).
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct(F.when(F.col("value") > 100, F.col("user_id"))).alias("n_big_users")
+        )
+    )
+
+
+@_register(
+    "group_window_count_filter",
+    """
+    SELECT DISTINCT user_id, event_type, n
+    FROM (SELECT user_id, event_type,
+                 COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+          FROM events)
+    WHERE n >= 25
+    """,
+)
+def group_window_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5 grouped window-count then filter — the duplication detector
+    # (anomalies_utils.R:10-14: group_by %>% mutate(n=n()) %>% filter(n>=2)).
+    ev = _t(spark, sf_dir, "events")
+    counted = W.with_group_count(ev, ["user_id", "event_type"], "n")
+    return counted.filter(F.col("n") >= 25).select("user_id", "event_type", "n").distinct()
+
+
+@_register(
+    "grouped_bool_all",
+    """
+    SELECT o_custkey, BOOL_AND(o_orderstatus = 'F') AS all_final
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def grouped_bool_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A6 grouped ALL predicate (all(safety_status=='out'),
+    # safety_status...Rmd:217-221).
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.bool_and(F.col("o_orderstatus") == "F").alias("all_final"))
+    )
+
+
+@_register(
+    "string_agg_sorted",
+    """
+    SELECT o_orderpriority AS priority,
+           STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7 string-agg (paste0(KEY, collapse=','), safety.R:97). Sorted
+    # inside the group so the result is order-stable under shuffle.
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses")
+        )
+    )
+
+
+@_register(
+    "collect_array_sorted",
+    """
+    SELECT s_nationkey AS nationkey,
+           ARRAY_TO_STRING(LIST(s_name ORDER BY s_name), '|') AS suppliers
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def collect_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8 collect-to-array (summarise(samples=list(sample)), lab.Rmd:306);
+    # joined to string for a stable cross-engine value hash.
+    return (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias("suppliers"))
+    )
+
+
+@_register(
+    "freq_table_grand_total",
+    """
+    SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'TOTAL' AS status, COUNT(*) AS n FROM orders
+    """,
+)
+def freq_table_grand_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A9 tabyl + adorn_totals (ntd.R:79-93): counts + explicit TOTAL row.
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_orderstatus").alias("status")).agg(F.count(F.lit(1)).alias("n"))
+    total = o.agg(F.count(F.lit(1)).alias("n")).select(F.lit("TOTAL").alias("status"), "n")
+    return per.unionByName(total)
+
+
+@_register(
+    "summarise_all_numeric",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS l_quantity,
+           ROUND(SUM(l_extendedprice), 2) AS l_extendedprice,
+           ROUND(SUM(l_discount), 2) AS l_discount,
+           ROUND(SUM(l_tax), 2) AS l_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def summarise_all_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A11 summarise_all(sum) (v0_demography_report.Rmd:279) — generated
+    # agg list over a column set.
+    li = _t(spark, sf_dir, "lineitem")
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return li.groupBy("l_returnflag").agg(
+        *[F.round(F.sum(c), 2).alias(c) for c in num_cols]
+    )
+
+
+@_register(
+    "ratio_post_agg",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) * 1.0 / COUNT(*), 4)
+             AS purchase_rate
+    FROM events GROUP BY user_id HAVING COUNT(*) >= 10
+    """,
+)
+def ratio_post_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A12 derived metric post-agg (coverage = submissions/target,
+    # v0_demography_report.Rmd:137-140).
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purch"),
+    )
+    return (
+        agg.filter(F.col("n_events") >= 10)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_purch") / F.col("n_events"), 4).alias("purchase_rate"),
+        )
+    )
+
+
+# ===========================================================================
+# Windows — W1..W10
+# ===========================================================================
+
+
+@_register(
+    "window_row_number",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber) AS rn
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1 (ento_lab_templates.Rmd:339-341).
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select("l_orderkey", "l_linenumber", F.row_number().over(w).alias("rn"))
+
+
+@_register(
+    "window_lag_delta",
+    """
+    WITH monthly AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY month), 2) AS delta
+    FROM monthly
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W2 lag (prevalence change vs previous visit,
+    # prevalence_incidence.qmd:35-36).
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+    )
+
+
+@_register(
+    "window_cumsum",
+    """
+    WITH monthly AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1)
+    SELECT month, n,
+           SUM(n) OVER (ORDER BY month
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+    FROM monthly
+    """,
+)
+def window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3 running total (prevalence_incidence.qmd:54-56).
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return W.cumulative_sum(monthly, "n", [], ["month"], out_col="cum_n")
+
+
+@_register(
+    "window_fill_down",
+    """
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    """,
+)
+def window_fill_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W4 fill-down (tidyr::fill(.direction='down') per extid,
+    # 00.store_se_goals.R:307-312).
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "last_purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    filled = W.fill_down(ev, ["last_purchase_value"], ["user_id"], ["ts", "event_id"])
+    return filled.select("event_id", "user_id", "last_purchase_value")
+
+
+@_register(
+    "window_top_n_per_group",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_price, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W7 top-N per group (priority_number <= 35, randomize.R:1133-1136).
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "rn")
+    )
+
+
+@_register(
+    "explode_uncount",
+    """
+    SELECT l_orderkey, l_linenumber,
+           UNNEST(GENERATE_SERIES(1, CAST(l_quantity AS INT))) AS ordinal
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def explode_uncount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W8 tidyr::uncount (explode one row per mosquito,
+    # ento_lab_templates.Rmd:197).
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return W.explode_by_count(li, "l_quantity", "ordinal").select(
+        "l_orderkey", "l_linenumber", "ordinal"
+    )
+
+
+@_register(
+    "asof_weekly_snapshots",
+    """
+    WITH weeks AS (
+      SELECT CAST(UNNEST(GENERATE_SERIES(DATE '1995-01-02', DATE '1995-06-26',
+                                         INTERVAL 1 WEEK)) AS DATE) AS run_date)
+    SELECT w.run_date, o.o_orderstatus AS status, COUNT(*) AS n_orders
+    FROM weeks w JOIN orders o ON CAST(o.o_orderdate AS DATE) <= w.run_date
+    GROUP BY w.run_date, o.o_orderstatus
+    """,
+)
+def asof_weekly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W10 as-of snapshot expansion (create_snapshot_tbl, icf.Rmd:100-113):
+    # the reference loops over dates; this is one set-based plan.
+    o = _t(spark, sf_dir, "orders")
+    snap = W.asof_snapshots(
+        o,
+        "o_orderdate",
+        F.lit("1995-01-02").cast("date"),
+        F.lit("1995-06-26").cast("date"),
+        step="interval 1 week",
+        snapshot_col="run_date",
+    )
+    return snap.groupBy("run_date", F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@_register(
+    "sessionize_events",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked)
+    SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale-pack: gap-based sessionization (30 min) — lag + cumsum plan,
+    # one shuffle on user_id.
+    ev = _t(spark, sf_dir, "events")
+    sess = W.sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+# ===========================================================================
+# Sorts / distinct / set ops — O1..O7
+# ===========================================================================
+
+
+@_register(
+    "sort_limit_topk",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O1/O7 global sort + limit (TakeOrderedAndProject — no full sort at
+    # scale).
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+@_register(
+    "distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2 distinct (145 uses).
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@_register(
+    "union_ragged",
+    """
+    SELECT o_orderkey AS id, 'order' AS kind,
+           ROUND(o_totalprice, 2) AS price, CAST(NULL AS VARCHAR) AS name
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT c_custkey AS id, 'customer' AS kind,
+           CAST(NULL AS DOUBLE) AS price, c_name AS name
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def union_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O4 ragged bind_rows: unionByName(allowMissingColumns=True) fills
+    # missing columns with NULL exactly like bind_rows (SURVEY §7.4.5).
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    left = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("id"),
+        F.lit("order").alias("kind"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    right = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("id"),
+        F.lit("customer").alias("kind"),
+        F.col("c_name").alias("name"),
+    )
+    return left.unionByName(right, allowMissingColumns=True)
+
+
+# ===========================================================================
+# Scalar function packs — §2.7
+# ===========================================================================
+
+
+@_register(
+    "scalar_string_pack",
+    """
+    SELECT c_custkey,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_id,
+           UPPER(c_mktsegment) AS seg_upper,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+           LENGTH(c_name) AS name_len,
+           CONCAT_WS('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+           MD5(c_name) AS name_hash
+    FROM customer
+    """,
+)
+def scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.7 strings: lpad (pad_hhid), upper, substr (cluster from extid),
+    # regexp_extract (str_extract), length, concat_ws (glue), nullif
+    # (na_if), hash (digest — sha1 in prod; md5 here because the DuckDB
+    # oracle lacks sha1).
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_id"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.md5("c_name").alias("name_hash"),
+    )
+
+
+@_register(
+    "scalar_date_pack",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS week_start,
+           STRFTIME(o_orderdate, '%a') AS dow,
+           DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0,
+           ROUND(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') / 365.25, 4)
+             AS age_years,
+           STRFTIME(o_orderdate, '%Y%m') AS yyyymm
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def scalar_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.7 dates: to_date, floor_date week (01.knit_reports.R:65), wday
+    # label (utils.R:32), datediff, age-in-years (processing_utils.R:29),
+    # format (%Y%m stamp, 03.store_metadata_to_odk.R:113-116).
+    from .functions import age_years, week_start
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        week_start("o_orderdate").alias("week_start"),
+        F.date_format("o_orderdate", "E").alias("dow"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch0"
+        ),
+        F.round(age_years(F.col("o_orderdate"), F.lit("2002-01-01").cast("date")) * -1 * -1, 4).alias(
+            "age_years"
+        ),
+        F.date_format("o_orderdate", "yyyyMM").alias("yyyymm"),
+    )
+
+
+@_register(
+    "scalar_math_pack",
+    """
+    SELECT p_partkey,
+           ROUND(SQRT(p_retailprice), 4) AS sqrt_price,
+           ROUND(EXP(p_size / 100.0), 6) AS exp_size,
+           ROUND(POW(p_retailprice, 2), 2) AS price_sq,
+           CASE WHEN p_size > 0 THEN ROUND(p_retailprice / p_size, 4) END AS price_per_size
+    FROM part
+    """,
+)
+def scalar_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.7 math: round/sqrt/exp/pow (CI math prevalence_incidence.qmd:30-44),
+    # division-by-zero guard (qmd:29).
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+        F.round(F.exp(F.col("p_size") / 100.0), 6).alias("exp_size"),
+        F.round(F.pow("p_retailprice", F.lit(2)), 2).alias("price_sq"),
+        F.when(F.col("p_size") > 0, F.round(F.col("p_retailprice") / F.col("p_size"), 4)).alias(
+            "price_per_size"
+        ),
+    )
+
+
+@_register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k_value
+    FROM events WHERE event_id < 1000
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale-pack scalar: JSON property extraction from a string column
+    # (event logs / training-data metadata are routinely JSON-typed).
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+# ===========================================================================
+# Reshape — pivot / melt (§2.7 array/reshape)
+# ===========================================================================
+
+
+@_register(
+    "pivot_status_by_month",
+    """
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_status_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot_wider (55 uses — status-by-visit matrix,
+    # efficacy_status...Rmd:219-226): groupBy().pivot().count() with a
+    # *pinned value list* (no extra distinct-scan job at scale).
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.na.fill(0, ["F", "O", "P"])
+
+
+@_register(
+    "melt_unpivot",
+    """
+    SELECT p_partkey, metric, CAST(value AS DOUBLE) AS value
+    FROM (SELECT p_partkey,
+                 CAST(p_retailprice AS DOUBLE) AS retailprice,
+                 CAST(p_size AS DOUBLE) AS size
+          FROM part WHERE p_partkey < 100)
+    UNPIVOT (value FOR metric IN (retailprice, size))
+    """,
+)
+def melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot_longer (42 uses — drug columns pharmacy-report.Rmd:189):
+    # Spark melt/unpivot.
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    wide = p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return wide.unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
+
+
+@_register(
+    "split_explode_multiselect",
+    """
+    SELECT lang, word, COUNT(*) AS n
+    FROM (SELECT lang, UNNEST(STR_SPLIT(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY lang, word
+    HAVING COUNT(*) >= 5
+    """,
+)
+def split_explode_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split→explode of space-delimited multi-selects (lab.Rmd:281-282
+    # str_split + unnest) — also the tokenizer for the text pack.
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[N]``; production is a multi-executor cluster
+reading ~100 TB. All scale-sensitive knobs are set here once so every
+job/test shares the same execution profile:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- Arrow on (the few Pandas-UDF operators move data in columnar batches)
+- shuffle partitions sized for the local harness; on a real cluster AQE
+  coalesces from a deliberately high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "bohemia-kenya-data-pipeline-spark"
+
+
+def get_spark(
+    app_name: str = APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback
+    ``local[*]``) so the driver harness, tests and bench all agree.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- optimizer / runtime ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- python interop: Arrow batches for the few pandas ops ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- IO: vectorized parquet + pushdown are default-on; keep
+        #     session timezone pinned so date/ts semantics are stable ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # dims in this workload are tiny (<= a few thousand rows);
+        # default 10 MB broadcast threshold is fine, AQE raises it at
+        # runtime via local shuffle reader when beneficial.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
