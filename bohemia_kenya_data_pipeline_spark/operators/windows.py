@@ -145,15 +145,18 @@ def sessionize(
     ts_col: str,
     gap_minutes: int = 30,
     session_col: str = "session_id",
+    order_tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time
     since the user's previous event exceeds ``gap_minutes``.
 
     Classic lag + cumsum-of-boundaries plan — one shuffle on user_col.
+    Pass ``order_tiebreakers`` (e.g. the event id) so the plan stays
+    deterministic when a user has duplicate timestamps.
     (Scale-pack operator: not in the reference, standard for event
     logs / training-data pipelines.)
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_tiebreakers)
     prev = F.lag(F.col(ts_col)).over(w)
     is_new = (
         prev.isNull()

@@ -59,7 +59,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond timestamp (matching DuckDB's micro-truncated view)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer division: epoch-nanos (~1.7e18) exceed double's 53-bit exact
+    # range, so `/ 1000` would round ~12% of rows to a different micro
+    # than DuckDB's exact truncation.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # ===========================================================================
@@ -241,14 +244,21 @@ def join_left_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def join_anti_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J3 anti-join (DELETE resolutions processing_utils.R:369-373; lab
-    # reconciliation lab.Rmd).
+    # reconciliation lab.Rmd). Anti-joins against the *urgent* subset so
+    # the result is non-empty (every customer has some order in the
+    # testdata — an unrestricted anti-join would pass vacuously).
     c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
 
 
 @_register(
@@ -496,15 +506,16 @@ def conditional_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT user_id, event_type,
                  COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
           FROM events)
-    WHERE n >= 25
+    WHERE n >= 15
     """,
 )
 def group_window_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A5 grouped window-count then filter — the duplication detector
     # (anomalies_utils.R:10-14: group_by %>% mutate(n=n()) %>% filter(n>=2)).
+    # Threshold 15 yields ~273 rows at sf0.01 (25 was vacuously empty).
     ev = _t(spark, sf_dir, "events")
     counted = W.with_group_count(ev, ["user_id", "event_type"], "n")
-    return counted.filter(F.col("n") >= 25).select("user_id", "event_type", "n").distinct()
+    return counted.filter(F.col("n") >= 15).select("user_id", "event_type", "n").distinct()
 
 
 @_register(
@@ -683,8 +694,9 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n
       FROM orders GROUP BY 1)
     SELECT month, n,
-           SUM(n) OVER (ORDER BY month
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+           CAST(SUM(n) OVER (ORDER BY month
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_n
     FROM monthly
     """,
 )
@@ -788,15 +800,16 @@ def asof_weekly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     """
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM marked)
     SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
     FROM sessions GROUP BY user_id, session_id
@@ -804,9 +817,10 @@ def asof_weekly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale-pack: gap-based sessionization (30 min) — lag + cumsum plan,
-    # one shuffle on user_id.
+    # one shuffle on user_id. event_id tiebreaker keeps the plan
+    # deterministic under duplicate (user_id, ts) pairs.
     ev = _t(spark, sf_dir, "events")
-    sess = W.sessionize(ev, "user_id", "ts", gap_minutes=30)
+    sess = W.sessionize(ev, "user_id", "ts", gap_minutes=30, order_tiebreakers=["event_id"])
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("session_value"),
@@ -943,7 +957,7 @@ def scalar_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_epoch0"
         ),
-        F.round(age_years(F.col("o_orderdate"), F.lit("2002-01-01").cast("date")) * -1 * -1, 4).alias(
+        F.round(age_years(F.col("o_orderdate"), F.lit("2002-01-01").cast("date")), 4).alias(
             "age_years"
         ),
         F.date_format("o_orderdate", "yyyyMM").alias("yyyymm"),
