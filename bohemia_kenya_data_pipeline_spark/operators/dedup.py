@@ -93,31 +93,37 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
 
 def ngram_jaccard_pairs(
     df: DataFrame,
+    candidates: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str | None = None,
-    anchor_mod: int = 25,
     threshold: float = 0.1,
     shingle_n: int = 1,
+    num_hashes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
-    """Jaccard similarity over distinct word-shingle sets for candidate
-    pairs (anchor docs × same-block docs), keeping pairs ≥ threshold.
+    """Jaccard similarity over distinct word-shingle sets — the
+    *verify* stage of generate→verify near-dup.
 
-    The anchor/block restriction keeps the pair count linear; at full
-    scale you replace it with MinHash-LSH candidates
-    (:func:`minhash_lsh_pairs`) and use this as the verify stage.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    ``candidates`` is an (id_a, id_b) DataFrame of pairs worth
+    scoring; by default it is :func:`minhash_lsh_pairs` over the same
+    input, so the candidate set grows linearly with data + near-dup
+    cluster size (never O(n²)). The shingle sets are attached with two
+    shuffle-partitioned equi-joins on doc id — the 100 TB plan.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    base = df.select(
+    if candidates is None:
+        candidates = minhash_lsh_pairs(
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        )
+    sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
     )
-    a = base.filter(F.col("id") % anchor_mod == 0).select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk"
+    pairs = (
+        candidates.select("id_a", "id_b")
+        .join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
-    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
-    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -153,7 +159,10 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("shingle"),
     )
-    h = sh.withColumn("h", token_hash64(F.col("shingle")))
+    # reduce mod P *before* the multiply: keeps a*h < 2^62 so the
+    # arithmetic is exact int64 in any engine (incl. the DuckDB oracle,
+    # which errors on overflow instead of wrapping).
+    h = sh.withColumn("h", token_hash64(F.col("shingle")) % MINHASH_PRIME)
     mins = [
         F.min((F.col("h") * a + b) % MINHASH_PRIME).alias(f"s{i}")
         for i, (a, b) in enumerate(params)
@@ -266,23 +275,32 @@ def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    anchor_mod: int = 10,
     threshold: float = 0.3,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ threshold, anchored
-    (id % anchor_mod == 0 rows vs all). At full scale the anchor set is
-    replaced by LSH buckets (see similarity.lsh_bucket_topk)."""
-    from .similarity import cosine
+    """Near-duplicate pairs by embedding cosine ≥ threshold, with
+    multi-table sign-LSH candidate generation: each side hashes into
+    ``n_tables`` independent 2^n_planes-bucket tables; candidates are
+    the distinct union of per-table bucket-join matches — candidate
+    recall 1-(1-p^k)^L (p = 1-θ/π) instead of single-table p^k, at
+    join volume ~ L·n²/2^k per bucket skew. Never a full cross join."""
+    from .similarity import cosine, lsh_table_buckets, random_hyperplanes
 
+    planes = random_hyperplanes(dim, n_planes * n_tables, seed)
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("tb", F.explode(lsh_table_buckets(F.col("v"), planes, n_tables)))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "tb")
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "tb")
+    pairs = (
+        a.join(b, "tb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = base.filter(F.col("id") % anchor_mod == 0).select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a")
-    )
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    pairs = F.broadcast(a).crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
         .filter(F.col("cosine") >= threshold)

@@ -98,6 +98,27 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_table_buckets(vec: Column, planes: list[list[float]], n_tables: int) -> Column:
+    """Multi-table sign-LSH (OR-construction): split ``planes`` into
+    ``n_tables`` groups of k planes; returns array<struct<tbl,bucket>>
+    — one bucket per table. Explode + equi-join on (tbl, bucket) gives
+    candidate recall 1-(1-p^k)^L instead of single-table p^k, at L×
+    the (still linear) join volume. This is the knob that makes
+    sign-LSH usable for real near-dup recall at scale."""
+    if len(planes) % n_tables:
+        raise ValueError("len(planes) must be divisible by n_tables")
+    k = len(planes) // n_tables
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(vec, planes[t * k : (t + 1) * k]).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -105,30 +126,36 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: sign-LSH bucket both sides, equi-join on the
-    bucket, rank within. The 100 TB path — candidate generation is a
-    shuffle-partitioned equi-join (≈ n/2^planes candidates per query),
-    not a cross join. Recall is tuned with n_planes (fewer planes →
-    bigger buckets → higher recall).
+    """Approximate top-k: multi-table sign-LSH (``n_tables`` tables ×
+    ``n_planes`` planes each), candidates = distinct union of per-table
+    bucket equi-join matches, exact cosine + rank within candidates.
 
-    Returns (query_id, neighbor_id, score, rank) — rank within bucket
+    The 100 TB path — candidate generation is a shuffle-partitioned
+    equi-join on (tbl, bucket) (≈ L·n/2^k candidates per query), never
+    a cross join. Candidate recall = 1-(1-p^k)^L where
+    p = 1-θ/π; k=4, L=8 gives ~0.98 for cosine ≥ 0.8 neighbors.
+
+    Returns (query_id, neighbor_id, score, rank) — rank within
     candidates only.
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
+    planes = random_hyperplanes(dim, n_planes * n_tables, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    ).withColumn("tb", F.explode(lsh_table_buckets(F.col("qv"), planes, n_tables)))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
-    scored = (
-        q.join(c, "bucket")
+    ).withColumn("tb", F.explode(lsh_table_buckets(F.col("cv"), planes, n_tables)))
+    cand = (
+        q.join(c, "tb")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cand.withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 4))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1080,3 +1080,362 @@ def split_explode_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+# ===========================================================================
+# LLM-data-pipeline pack: dedup / similarity / text over documents and
+# embeddings. Every operator family gets a DuckDB oracle; the hash base
+# (md5 prefixes) and the LCG-derived minhash/hyperplane constants were
+# chosen so the oracle can reproduce signatures bit-for-bit.
+# ===========================================================================
+
+#: DuckDB fragment: whitespace tokens of a text column (matches text.tokens).
+_SQL_TOKS = "list_filter(string_split_regex(trim({c}), '\\s+'), t -> t <> '')"
+
+#: DuckDB fragment: word-bigram shingles over token list `w`
+#: (matches dedup.shingles with n=2).
+_SQL_SHINGLES2 = (
+    "CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+
+#: DuckDB fragment: stable 32-bit token hash (matches dedup.token_hash64).
+_SQL_HASH64 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+def _minhash_sig_sql(num_hashes: int) -> str:
+    """CTE chain computing minhash signature columns s0..s{n-1} per doc."""
+    params = dd.minhash_params(num_hashes)
+    mins = ",\n           ".join(
+        f"MIN((hm * {a} + {b}) % {dd.MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+    w AS (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS w FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES2})) AS shingle FROM w),
+    h AS (SELECT doc_id, {_SQL_HASH64.format(x='shingle')} % {dd.MINHASH_PRIME} AS hm FROM sh),
+    sig AS (SELECT doc_id,
+           {mins}
+           FROM h GROUP BY doc_id)"""
+
+
+def _lsh_pairs_sql(num_hashes: int, bands: int) -> str:
+    """CTE chain (incl. signature CTEs) ending in cand(id_a, id_b)."""
+    r = num_hashes // bands
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(s{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""{_minhash_sig_sql(num_hashes)},
+    bands AS (
+      {band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id)"""
+
+
+@_register(
+    "exact_duplicates",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS representative_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dedup via content-hash groupBy — shuffles 16-byte md5 keys,
+    # never document bodies.
+    return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "minhash_signatures",
+    "WITH " + _minhash_sig_sql(8) + "\n    SELECT * FROM sig",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash signatures (8 perms, word-bigram shingles): explode →
+    # single agg, no UDF; LCG constants shared with the oracle.
+    sig = dd.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8)
+    return sig.select(
+        F.col("id").alias("doc_id"), *[F.col("sig")[i].alias(f"s{i}") for i in range(8)]
+    )
+
+
+@_register(
+    "minhash_lsh_pairs",
+    "WITH " + _lsh_pairs_sql(16, 4) + "\n    SELECT * FROM cand",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH candidate pairs: banded equi-join on (band, md5-bucket) —
+    # linear in data + cluster size; THE scalable near-dup generator.
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), num_hashes=16, bands=4)
+
+
+@_register(
+    "ngram_jaccard_verify",
+    "WITH "
+    + _lsh_pairs_sql(16, 4)
+    + f""",
+    sets AS (SELECT doc_id, list_distinct({_SQL_SHINGLES2}) AS sh FROM w),
+    scored AS (
+      SELECT id_a, id_b,
+             ROUND(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                        THEN len(list_intersect(sa.sh, sb.sh))
+                             / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                        ELSE 0 END, 4) AS jaccard
+      FROM cand
+      JOIN sets sa ON sa.doc_id = cand.id_a
+      JOIN sets sb ON sb.doc_id = cand.id_b)
+    SELECT * FROM scored WHERE jaccard >= 0.1
+    """,
+)
+def ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # generate→verify: exact bigram Jaccard over the LSH candidate set
+    # (two id equi-joins attach the shingle sets — the 100 TB plan).
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.1, shingle_n=2
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    packed = " + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))
+    return f"""
+    WITH w AS (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS w FROM documents),
+    tk AS (SELECT doc_id, unnest(w) AS tok FROM w),
+    h AS (SELECT doc_id, {_SQL_HASH64.format(x='tok')} AS h FROM tk),
+    b AS (SELECT doc_id,
+           {sums}
+           FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM b
+    """
+
+
+@_register("simhash_docs", _simhash_sql(32))
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash fingerprints: per-bit weighted sums packed to bigint —
+    # 32 agg columns per doc, pure expressions.
+    sh = dd.simhash(_t(spark, sf_dir, "documents"), bits=32)
+    return sh.select(F.col("id").alias("doc_id"), "simhash")
+
+
+@_register(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qv, cv), 4) AS score
+          FROM q, c WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact brute-force ANN baseline: broadcast(small query set) ×
+    # corpus, one window shuffle on query_id. Labeled exact baseline —
+    # the scale path is lsh_topk.
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk(emb, queries, k=5)
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_sql(p)}) > 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+#: 8 tables × 4 planes (OR-construction) — shared with the oracle.
+_N_PLANES, _N_TABLES = 4, 8
+_PLANES_32_64 = sim.random_hyperplanes(64, _N_PLANES * _N_TABLES)
+
+
+def _table_buckets_sql(src: str, vec_expr: str, id_as: str, id_col: str = "vec_id") -> str:
+    """UNION ALL of one bucket row per (row, table) — the SQL mirror of
+    similarity.lsh_table_buckets + explode."""
+    selects = "\n      UNION ALL\n      ".join(
+        f"SELECT {id_col} AS {id_as}, {vec_expr} AS v, {t} AS tbl, "
+        f"{_bucket_sql(vec_expr, _PLANES_32_64[t * _N_PLANES:(t + 1) * _N_PLANES])} AS bucket "
+        f"FROM {src}"
+        for t in range(_N_TABLES)
+    )
+    return selects
+
+
+@_register(
+    "lsh_topk",
+    f"""
+    WITH qt AS (
+      {_table_buckets_sql("(SELECT * FROM embeddings WHERE vec_id % 50 = 0)",
+                          "embedding::DOUBLE[]", "query_id")}),
+    ct AS (
+      {_table_buckets_sql("embeddings", "embedding::DOUBLE[]", "neighbor_id")}),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM qt JOIN ct USING (tbl, bucket)
+      WHERE query_id <> neighbor_id),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]), 4) AS score
+          FROM cand
+          JOIN embeddings q ON q.vec_id = cand.query_id
+          JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+    r AS (SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate ANN: multi-table sign-LSH (8×4 OR-construction) —
+    # candidates from (tbl, bucket) equi-joins, no cross join.
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.lsh_topk(emb, queries, k=5, n_planes=_N_PLANES, n_tables=_N_TABLES, dim=64)
+
+
+@_register(
+    "embedding_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tb AS (
+      {_table_buckets_sql("embeddings", "embedding::DOUBLE[]", "vec_id")}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM tb a JOIN tb b USING (tbl, bucket)
+      WHERE a.vec_id < b.vec_id),
+    scored AS (
+      SELECT id_a, id_b, ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+      FROM cand
+      JOIN e ea ON ea.vec_id = cand.id_a
+      JOIN e eb ON eb.vec_id = cand.id_b)
+    SELECT * FROM scored WHERE cosine >= 0.3
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding near-dup pairs via multi-table sign-LSH bucket
+    # equi-join (the rewrite of the old O(n²) anchored crossJoin).
+    return dd.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+_SQL_STOP_EN = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+
+
+@_register(
+    "quality_features",
+    f"""
+    WITH w AS (SELECT doc_id, text, {_SQL_TOKS.format(c='text')} AS w FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_calc,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CASE WHEN len(w) > 0 THEN
+             ROUND(length(regexp_replace(text, '\\s+', '', 'g')) / len(w), 4) END
+             AS avg_token_len,
+           CASE WHEN len(list_distinct(w)) > 0 THEN
+             ROUND(len(list_intersect(list_distinct(w), {_SQL_STOP_EN}))
+                   / len(list_distinct(w)), 4) END AS stopword_ratio,
+           ROUND(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           CASE WHEN len(w) > 0 THEN
+             ROUND(len(list_distinct(w)) / len(w), 4) END AS uniq_token_ratio
+    FROM w
+    """,
+)
+def quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pretraining-data quality heuristics — pure Column expressions.
+    d = tx.quality_features(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "n_chars_calc", "n_tokens", "avg_token_len",
+        "stopword_ratio", "punct_ratio", "uniq_token_ratio",
+    )
+
+
+def _lang_sql() -> str:
+    toks = "list_distinct(" + _SQL_TOKS.format(c="lower(text)") + ")"
+    scores = ",\n           ".join(
+        "len(list_intersect(toks, [{words}])) AS s_{lang}".format(
+            words=", ".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in tx.LANG_PROFILES.items()
+    )
+    langs = list(tx.LANG_PROFILES)
+    m = "GREATEST(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    first_max = " ".join(f"WHEN s_{la} = m THEN '{la}'" for la in langs)
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+           {scores}
+           FROM t),
+    g AS (SELECT *, {m} AS m FROM s)
+    SELECT doc_id, lang,
+           CASE WHEN m = 0 THEN 'und' {first_max} END AS lang_pred
+    FROM g
+    """
+
+
+@_register("detect_language", _lang_sql())
+def detect_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heuristic stopword-profile language ID; earliest-language
+    # tie-break mirrored by the oracle's first-match CASE.
+    d = tx.detect_language(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "lang", "lang_pred")
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_TOKS.format(c='lower(text)')} AS w FROM documents)
+    SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp
+    FROM w
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Canonical fingerprint: md5 of sorted distinct lowercase token set.
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+@_register(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS.format(c='text')}) AS INTEGER) AS n_ws_tokens,
+           CAST(len({_SQL_TOKS.format(c=chr(34) + 'spaced' + chr(34))}) AS INTEGER)
+             AS n_bpe_tokens
+    FROM (SELECT doc_id, text,
+                 regexp_replace(text, '([^\\w\\s])', ' \\1 ', 'g') AS "spaced"
+          FROM documents)
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whitespace + BPE-ish (punctuation-split) token counting.
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_ws_tokens"),
+        F.size(tx.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+    )
