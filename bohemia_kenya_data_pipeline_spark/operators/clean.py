@@ -1,0 +1,376 @@
+"""Resolution-file engine (C1-C11): apply human-entered corrections
+(DELETE / SET rows from a tracking sheet) to form tables, plus the
+sanitation pack (PII drop/hash, jitter, standardization).
+
+Reference semantics (cited file:line are in /root/reference/):
+
+- C1 batch DELETE with parent→child cascade —
+  pipeline-cleaning/R/processing_utils.R:335-400
+- C2 batch SET: keep-last dedup of SETs (:242-246) → pivot_wider
+  (:255-264) → left join (:278-296) → per-column typed coalesce
+  (:305-318)
+- C3 DELETE-before-SET composition — :403-429
+- C4 cascade expansion via a source→cascade_to mapping + value
+  recoding — :512-552
+- C5 PII denylist drop — :49-118; C6 sha1 of id columns — :120-144
+- C7 seeded location jitter — :156-178
+- C9 ad-hoc row nullification — :559-626
+- C10 standardize case/typos/dob — :180-209; C11 corrected age — :23-38
+
+Spark-first design notes (100 TB):
+- The resolution sheet is human-entered (≤ thousands of rows): it is
+  always broadcast; applying corrections costs one broadcast-hash
+  anti-join (DELETE) + one broadcast-hash left join (SET) per table —
+  no shuffle of the data side at all.
+- Keep-last needs a total order; the reference relies on sheet row
+  order (slice_tail), we require an explicit ``order_col``.
+- Typed coalesce: the data column's *declared schema type* always
+  wins (Spark schemas are typed, unlike R tibbles, so the reference's
+  "left side unless all-NA" dance collapses to a cast).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Repeat-key parsing (shared by C1/C2 repeat paths)
+# ---------------------------------------------------------------------------
+
+
+def with_repeat_parts(df: DataFrame, key_col: str = "KEY") -> DataFrame:
+    """Parse ``.../<repeat_name>[<k>]`` from the tail of a child KEY
+    into ``repeat_name`` (string) and ``repeat_key`` (int) columns —
+    processing_utils.R:272-275 (str_split on [ / ]).
+    """
+    base = F.element_at(F.split(F.col(key_col), "/"), -1)
+    # try_cast: a KEY without a [k] suffix extracts '' — must become
+    # NULL, not an ANSI cast abort.
+    return df.withColumn(
+        "repeat_name", F.regexp_extract(base, r"^([^\[]+)", 1)
+    ).withColumn("repeat_key", F.regexp_extract(base, r"\[(\d+)\]", 1).try_cast("int"))
+
+
+def _is_main(col: Column) -> Column:
+    """RepeatName '' or NULL ⇒ the resolution row targets the main table."""
+    return col.isNull() | (col == "")
+
+
+# ---------------------------------------------------------------------------
+# C1 — batch DELETE (anti-join; parent deletes cascade to children)
+# ---------------------------------------------------------------------------
+
+
+def apply_deletes(
+    data: DataFrame,
+    resolution: DataFrame,
+    form_id: str,
+    repeat_name: str | None = None,
+) -> DataFrame:
+    """Drop rows named by DELETE resolutions — processing_utils.R:335-400.
+
+    Main table: anti-join on instanceID. Repeat table: anti-join on
+    (form_id, repeat_name, repeat_key, PARENT_KEY) for repeat-level
+    deletes, THEN drop all children of deleted parents (the cascade).
+    Both joins broadcast the (tiny) resolution side.
+    """
+    dels = resolution.filter(F.col("Operation") == "DELETE")
+    if repeat_name is None:
+        to_delete = dels.filter(_is_main(F.col("RepeatName"))).select("instanceID")
+        return data.join(
+            F.broadcast(to_delete), data["instanceID"] == to_delete["instanceID"], "left_anti"
+        )
+
+    staged = with_repeat_parts(data).withColumn("form_id", F.lit(form_id))
+    to_delete_rep = dels.filter(~_is_main(F.col("RepeatName"))).select(
+        F.col("Form").alias("form_id"),
+        F.col("RepeatName").alias("repeat_name"),
+        F.col("RepeatKey").cast("int").alias("repeat_key"),
+        F.col("instanceID").alias("PARENT_KEY"),
+    )
+    to_delete_parent = dels.filter(_is_main(F.col("RepeatName"))).select(
+        F.col("instanceID").alias("PARENT_KEY")
+    )
+    out = staged.join(
+        F.broadcast(to_delete_rep),
+        ["form_id", "repeat_name", "repeat_key", "PARENT_KEY"],
+        "left_anti",
+    ).join(F.broadcast(to_delete_parent), "PARENT_KEY", "left_anti")
+    return out.drop("repeat_name", "repeat_key", "form_id")
+
+
+# ---------------------------------------------------------------------------
+# C2 — batch SET (keep-last → pivot → typed coalesce)
+# ---------------------------------------------------------------------------
+
+
+def apply_sets(
+    data: DataFrame,
+    resolution: DataFrame,
+    repeat_name: str | None = None,
+    order_col: str = "resolution_order",
+) -> DataFrame:
+    """Apply SET resolutions — processing_utils.R:237-332.
+
+    1. keep-last per (instanceID, Column, RepeatName, RepeatKey) by
+       ``order_col`` (the reference keeps sheet row order; we demand an
+       explicit ordering column for determinism under shuffle);
+    2. pivot the long (Column, Set To) rows to one row per target;
+    3. broadcast left-join onto the data (main: instanceID; repeat:
+       PARENT_KEY=instanceID + repeat coordinates);
+    4. per target column: ``coalesce(cast(new, <declared type>), old)``.
+
+    Only columns present in ``data`` are applied (any_of semantics).
+    """
+    sets = resolution.filter(F.col("Operation") == "SET")
+    if repeat_name is None:
+        sets = sets.filter(_is_main(F.col("RepeatName")))
+    else:
+        sets = sets.filter(F.col("RepeatName") == repeat_name)
+
+    # resolution sheets are tiny: distinct target columns is driver
+    # metadata (like a schema), not a data-scale collect.
+    target_cols = [
+        r["Column"]
+        for r in sets.select("Column").distinct().collect()
+        if r["Column"] in data.columns
+    ]
+    if not target_cols:
+        return data
+
+    w = Window.partitionBy("instanceID", "Column", "RepeatName", "RepeatKey").orderBy(
+        F.col(order_col).desc()
+    )
+    last = sets.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    pvt = (
+        last.groupBy(
+            "instanceID",
+            F.col("RepeatName").alias("repeat_name"),
+            F.col("RepeatKey").cast("int").alias("repeat_key"),
+        )
+        .pivot("Column", target_cols)
+        .agg(F.first("Set To"))
+    )
+
+    if repeat_name is None:
+        d = data.alias("d")
+        p = pvt.drop("repeat_name", "repeat_key").alias("p")
+        joined = d.join(
+            F.broadcast(p), F.col("d.instanceID") == F.col("p.instanceID"), "left"
+        )
+    else:
+        d = with_repeat_parts(data).alias("d")
+        p = pvt.withColumnRenamed("instanceID", "PARENT_KEY").alias("p")
+        joined = d.join(
+            F.broadcast(p),
+            (F.col("d.PARENT_KEY") == F.col("p.PARENT_KEY"))
+            & (F.col("d.repeat_name") == F.col("p.repeat_name"))
+            & (F.col("d.repeat_key") == F.col("p.repeat_key")),
+            "left",
+        )
+
+    exprs = []
+    for c in data.columns:
+        if c in target_cols:
+            typ = data.schema[c].dataType
+            # try_cast, not cast: a malformed human-entered value must
+            # degrade to NULL -> coalesce keeps the old value (matches
+            # R's as.numeric->NA->coalesce), not abort the job under
+            # ANSI mode.
+            exprs.append(
+                F.coalesce(F.col(f"p.`{c}`").try_cast(typ), F.col(f"d.`{c}`")).alias(c)
+            )
+        else:
+            exprs.append(F.col(f"d.`{c}`").alias(c))
+    return joined.select(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# C3 — DELETE before SET (google_sheets_fix)
+# ---------------------------------------------------------------------------
+
+
+def google_sheets_fix(
+    data: DataFrame,
+    resolution: DataFrame,
+    form_id: str,
+    repeat_name: str | None = None,
+    order_col: str = "resolution_order",
+) -> DataFrame:
+    """C3: DELETE supersedes SET — deletion first, then SET on the
+    survivors (processing_utils.R:403-429)."""
+    res = resolution.filter(F.col("Form") == form_id)
+    deleted = apply_deletes(data, res, form_id, repeat_name)
+    return apply_sets(deleted, res, repeat_name, order_col)
+
+
+# ---------------------------------------------------------------------------
+# C4 — cascade expansion of the resolution file
+# ---------------------------------------------------------------------------
+
+#: source column → dependent columns that must receive the same SET
+#: (processing_utils.R:515-527).
+DEFAULT_CASCADE_MAPPING: list[tuple[str, str]] = [
+    ("dob", "dob_select"),
+    ("dob", "dob_string"),
+    ("extid", "extid_calculate"),
+    ("hhid", "hhid_calculate"),
+    ("hhid", "hh_qr"),
+    ("person_absent_reason", "person_absent"),
+    ("person_absent_reason", "person_unenrolled_migrated"),
+    ("person_absent_reason", "person_out_absent"),
+    ("person_absent_reason", "out"),
+    ("person_absent_reason", "migrated_status"),
+]
+
+#: (set_to, column, form) → recoded value for the efficacy-absence
+#: fan-out (processing_utils.R:539-545).
+EFFICACY_ABSENT_RECODE: dict[str, str] = {
+    "person_absent": "1",
+    "person_unenrolled_migrated": "0",
+    "person_out_absent": "1",
+    "out": "1",
+    "migrated_status": "0",
+}
+
+
+def expand_resolution(
+    resolution: DataFrame,
+    mapping: Sequence[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """C4: fan a SET on a source column out to its dependent columns
+    via the mapping, recoding 'Absent' for the efficacy flags; union
+    the expansion under the original rows (processing_utils.R:512-552).
+    """
+    spark = resolution.sparkSession
+    mapping = list(mapping if mapping is not None else DEFAULT_CASCADE_MAPPING)
+    map_df = spark.createDataFrame(mapping, ["source", "cascade_to"])
+    expanded = (
+        resolution.filter(F.col("Operation") == "SET")
+        .join(F.broadcast(map_df), F.col("Column") == F.col("source"), "inner")
+        .withColumn("Column", F.col("cascade_to"))
+        .drop("source", "cascade_to")
+    )
+    recode = F.col("Set To")
+    for col, val in EFFICACY_ABSENT_RECODE.items():
+        recode = F.when(
+            (F.col("Set To") == "Absent") & (F.col("Column") == col) & (F.col("Form") == "efficacy"),
+            F.lit(val),
+        ).otherwise(recode)
+    expanded = expanded.withColumn("Set To", recode).select(*resolution.columns)
+    return resolution.unionByName(expanded)
+
+
+# ---------------------------------------------------------------------------
+# C5/C6 — PII drop + hash
+# ---------------------------------------------------------------------------
+
+#: Identity columns sha1-hashed during sanitation
+#: (processing_utils.R:120-144).
+DEFAULT_HASH_COLS: list[str] = [
+    "KEY", "PARENT_KEY", "instanceID", "extid", "hhid", "wid", "fa_id",
+    "device_id", "DeviceID", "SubmitterID", "pk_id", "sample",
+    "dbs_barcode", "hh_qr", "extid_calculate", "hhid_calculate",
+]
+
+
+def drop_pii(df: DataFrame, denylist: Sequence[str]) -> DataFrame:
+    """C5: drop every denylisted column that exists (any_of semantics,
+    processing_utils.R:49-118 — the fixed 60+ name denylist is a
+    per-deployment config, passed in)."""
+    present = [c for c in denylist if c in df.columns]
+    return df.drop(*present)
+
+
+def hash_pii(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """C6: sha1 the identity columns that exist
+    (processing_utils.R:120-144, across(any_of(...), sha1) — built-in
+    ``sha1``, no UDF)."""
+    cols = DEFAULT_HASH_COLS if cols is None else list(cols)
+    out = df
+    for c in cols:
+        if c in df.columns:
+            out = out.withColumn(c, F.sha1(F.col(c).cast("string")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C7 — seeded location jitter
+# ---------------------------------------------------------------------------
+
+
+def jitter_locations(
+    df: DataFrame,
+    group_col: str = "hhid",
+    lat_col: str = "Latitude",
+    lon_col: str = "Longitude",
+    radius_deg: float = 0.01,
+    seed: int = 1001,
+) -> DataFrame:
+    """C7: displace every row of a household by one deterministic
+    random offset (processing_utils.R:156-178: set.seed(1001), one
+    runif angle/radius per hhid).
+
+    Parity is distributional, not bitwise (R's RNG differs); the group
+    offset is derived from a hash of the group key + seed, so it is
+    deterministic per group, independent of partitioning.
+    """
+    u1 = (F.abs(F.hash(F.col(group_col), F.lit(seed))) % 100000) / 100000.0
+    u2 = (F.abs(F.hash(F.col(group_col), F.lit(seed + 1))) % 100000) / 100000.0
+    angle = u1 * 2.0 * 3.141592653589793
+    radius = F.sqrt(u2) * radius_deg
+    return df.withColumn(lat_col, F.col(lat_col) + radius * F.sin(angle)).withColumn(
+        lon_col, F.col(lon_col) + radius * F.cos(angle)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C9 — ad-hoc row nullification
+# ---------------------------------------------------------------------------
+
+
+def nullify_rows(
+    df: DataFrame,
+    key_col: str,
+    keys: Sequence[str],
+    keep_cols: Sequence[str],
+) -> DataFrame:
+    """C9: for rows whose key is listed, blank every column outside
+    ``keep_cols`` (processing_utils.R:559-626 — exception-list rows
+    are kept but scrubbed, then unioned back; here a single pass of
+    ``when`` per column, no union needed)."""
+    hit = F.col(key_col).isin(list(keys))
+    out = df
+    for c in df.columns:
+        if c not in keep_cols:
+            out = out.withColumn(c, F.when(hit, F.lit(None)).otherwise(F.col(c)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C10/C11 — standardization + corrected age
+# ---------------------------------------------------------------------------
+
+
+def standardize_strings(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """C10 (case part): upper + squish (collapse inner whitespace,
+    trim) — processing_utils.R:183."""
+    out = df
+    for c in cols:
+        if c in df.columns:
+            out = out.withColumn(c, F.upper(F.trim(F.regexp_replace(F.col(c), r"\s+", " "))))
+    return out
+
+
+def fix_typos(df: DataFrame, col: str, fixes: dict[str, str]) -> DataFrame:
+    """C10 (typo part): exact-string recode map (NGUZ0→NGUZO,
+    processing_utils.R:202-204)."""
+    if col not in df.columns:
+        return df
+    expr = F.col(col)
+    for wrong, right in fixes.items():
+        expr = F.when(F.col(col) == wrong, F.lit(right)).otherwise(expr)
+    return df.withColumn(col, expr)

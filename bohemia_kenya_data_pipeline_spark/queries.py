@@ -1439,3 +1439,173 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.token_count("text").alias("n_ws_tokens"),
         F.size(tx.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
     )
+
+
+# ===========================================================================
+# Resolution engine (C1-C4) exercised over the TPC-H-ish tables:
+# orders as the "main form" (instanceID = o_orderkey), lineitem as its
+# repeat child (KEY = <orderkey>/lineitem[<linenumber>]).
+# ===========================================================================
+
+from .operators import clean as cl  # noqa: E402
+
+
+def _orders_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").withColumn(
+        "instanceID", F.col("o_orderkey").cast("string")
+    )
+
+
+@_register(
+    "resolution_delete_set",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 97 = 0
+                THEN 'FIX-' || CAST(o_orderkey % 3 AS VARCHAR)
+                ELSE o_orderpriority END AS o_orderpriority,
+           CASE WHEN o_custkey % 97 = 0 THEN 9999.5 ELSE o_totalprice END
+             AS o_totalprice
+    FROM orders WHERE o_orderkey % 100 <> 0
+    """,
+)
+def resolution_delete_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C1+C2+C3 on a main table: DELETE supersedes SET; duplicate SETs
+    # keep-last; '9999.5' string cast to the double column's type
+    # (processing_utils.R:237-429 semantics).
+    o = _orders_form(spark, sf_dir)
+    s = F.lit
+    dels = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        s("orders").alias("Form"), F.col("instanceID"),
+        s(None).cast("string").alias("Column"), s(None).cast("string").alias("Set To"),
+        s("DELETE").alias("Operation"), s("").alias("RepeatName"),
+        s(0).alias("RepeatKey"), s(0).alias("resolution_order"),
+    )
+    tgt = o.filter(F.col("o_custkey") % 97 == 0)
+    set_prelim = tgt.select(
+        s("orders").alias("Form"), F.col("instanceID"),
+        s("o_orderpriority").alias("Column"), s("FIX-PRELIM").alias("Set To"),
+        s("SET").alias("Operation"), s("").alias("RepeatName"),
+        s(0).alias("RepeatKey"), s(1).alias("resolution_order"),
+    )
+    set_final = tgt.select(
+        s("orders").alias("Form"), F.col("instanceID"),
+        s("o_orderpriority").alias("Column"),
+        F.concat(s("FIX-"), (F.col("o_orderkey") % 3).cast("string")).alias("Set To"),
+        s("SET").alias("Operation"), s("").alias("RepeatName"),
+        s(0).alias("RepeatKey"), s(2).alias("resolution_order"),
+    )
+    set_price = tgt.select(
+        s("orders").alias("Form"), F.col("instanceID"),
+        s("o_totalprice").alias("Column"), s("9999.5").alias("Set To"),
+        s("SET").alias("Operation"), s("").alias("RepeatName"),
+        s(0).alias("RepeatKey"), s(1).alias("resolution_order"),
+    )
+    res = dels.unionByName(set_prelim).unionByName(set_final).unionByName(set_price)
+    fixed = cl.google_sheets_fix(o, res, "orders")
+    return fixed.select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@_register(
+    "resolution_repeat_cascade",
+    """
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE (l_orderkey + l_linenumber) % 83 <> 0
+      AND l_orderkey % 100 <> 0
+    GROUP BY 1
+    """,
+)
+def resolution_repeat_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C1 repeat path: repeat-level DELETEs on (form, repeat_name,
+    # repeat_key, PARENT_KEY) + parent DELETE cascade to children
+    # (processing_utils.R:335-400).
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("PARENT_KEY", F.col("l_orderkey").cast("string"))
+        .withColumn(
+            "KEY",
+            F.concat(
+                F.col("l_orderkey").cast("string"), F.lit("/lineitem["),
+                F.col("l_linenumber").cast("string"), F.lit("]"),
+            ),
+        )
+    )
+    s = F.lit
+    rep_dels = li.filter((F.col("l_orderkey") + F.col("l_linenumber")) % 83 == 0).select(
+        s("orders").alias("Form"), F.col("PARENT_KEY").alias("instanceID"),
+        s(None).cast("string").alias("Column"), s(None).cast("string").alias("Set To"),
+        s("DELETE").alias("Operation"), s("lineitem").alias("RepeatName"),
+        F.col("l_linenumber").alias("RepeatKey"), s(0).alias("resolution_order"),
+    )
+    par_dels = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            s("orders").alias("Form"), F.col("o_orderkey").cast("string").alias("instanceID"),
+            s(None).cast("string").alias("Column"), s(None).cast("string").alias("Set To"),
+            s("DELETE").alias("Operation"), s("").alias("RepeatName"),
+            s(0).alias("RepeatKey"), s(0).alias("resolution_order"),
+        )
+    )
+    res = rep_dels.unionByName(par_dels)
+    kept = cl.apply_deletes(li, res, "orders", repeat_name="lineitem")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@_register(
+    "resolution_expand",
+    """
+    WITH res AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'efficacy' ELSE 'safety' END AS "Form",
+             CAST(o_orderkey AS VARCHAR) AS "instanceID",
+             CASE WHEN o_orderkey % 4 = 0 THEN 'dob'
+                  WHEN o_orderkey % 4 = 1 THEN 'hhid'
+                  WHEN o_orderkey % 4 = 2 THEN 'person_absent_reason'
+                  ELSE 'o_orderpriority' END AS "Column",
+             CASE WHEN o_orderkey % 3 = 0 THEN 'Absent' ELSE '2020-01-01' END AS "Set To",
+             'SET' AS "Operation", '' AS "RepeatName", 0 AS "RepeatKey"
+      FROM orders WHERE o_orderkey % 250 = 0),
+    mapping(source, cascade_to) AS (VALUES
+      ('dob','dob_select'), ('dob','dob_string'), ('extid','extid_calculate'),
+      ('hhid','hhid_calculate'), ('hhid','hh_qr'),
+      ('person_absent_reason','person_absent'),
+      ('person_absent_reason','person_unenrolled_migrated'),
+      ('person_absent_reason','person_out_absent'),
+      ('person_absent_reason','out'),
+      ('person_absent_reason','migrated_status')),
+    exp AS (
+      SELECT "Form", "instanceID", cascade_to AS "Column",
+             CASE WHEN "Set To" = 'Absent' AND "Form" = 'efficacy'
+                       AND cascade_to IN ('person_absent', 'person_out_absent', 'out')
+                  THEN '1'
+                  WHEN "Set To" = 'Absent' AND "Form" = 'efficacy'
+                       AND cascade_to IN ('person_unenrolled_migrated', 'migrated_status')
+                  THEN '0'
+                  ELSE "Set To" END AS "Set To",
+             "Operation", "RepeatName", "RepeatKey"
+      FROM res JOIN mapping ON res."Column" = mapping.source)
+    SELECT * FROM res UNION ALL SELECT * FROM exp
+    """,
+)
+def resolution_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4 cascade expansion: SETs on dob/hhid/person_absent_reason fan
+    # out to dependent columns; efficacy 'Absent' recoded to flag
+    # values (processing_utils.R:512-552).
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 250 == 0)
+    k = F.col("o_orderkey")
+    res = o.select(
+        F.when(k % 2 == 0, "efficacy").otherwise("safety").alias("Form"),
+        k.cast("string").alias("instanceID"),
+        F.when(k % 4 == 0, "dob")
+        .when(k % 4 == 1, "hhid")
+        .when(k % 4 == 2, "person_absent_reason")
+        .otherwise("o_orderpriority")
+        .alias("Column"),
+        F.when(k % 3 == 0, "Absent").otherwise("2020-01-01").alias("Set To"),
+        F.lit("SET").alias("Operation"),
+        F.lit("").alias("RepeatName"),
+        F.lit(0).alias("RepeatKey"),
+    )
+    return cl.expand_resolution(res)

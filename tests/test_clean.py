@@ -1,0 +1,173 @@
+"""Golden tests for the resolution/sanitation engine (C1-C11) on
+ODK-shaped fixtures (FIXTURES.md schemas): keep-last SET semantics,
+typed coalesce, DELETE-before-SET, parent->child cascade, repeat-key
+parsing, PII drop/hash, jitter determinism, nullification."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import clean as cl
+
+RES_COLS = [
+    "Form", "instanceID", "Column", "Set To", "Operation",
+    "RepeatName", "RepeatKey", "resolution_order",
+]
+
+
+_RES_SCHEMA = (
+    "`Form` string, `instanceID` string, `Column` string, `Set To` string, "
+    "`Operation` string, `RepeatName` string, `RepeatKey` int, "
+    "`resolution_order` int"
+)
+
+
+def _resolution(spark, rows):
+    return spark.createDataFrame(rows, _RES_SCHEMA)
+
+
+def _main(spark):
+    return spark.createDataFrame(
+        [
+            ("uuid:a", "uuid:a", "00001", "NGUZ0", 30.0),
+            ("uuid:b", "uuid:b", "00002", "nguzo", 40.0),
+            ("uuid:c", "uuid:c", "00003", "KIJIJI", 50.0),
+        ],
+        ["instanceID", "KEY", "hhid", "village", "age"],
+    )
+
+
+def _repeat(spark):
+    return spark.createDataFrame(
+        [
+            ("uuid:a", "uuid:a/repeat_individual[1]", "00001-01", 10.0),
+            ("uuid:a", "uuid:a/repeat_individual[2]", "00001-02", 20.0),
+            ("uuid:b", "uuid:b/repeat_individual[1]", "00002-01", 30.0),
+            ("uuid:c", "uuid:c/repeat_individual[1]", "00003-01", 40.0),
+        ],
+        ["PARENT_KEY", "KEY", "extid", "age"],
+    )
+
+
+def test_repeat_key_parsing(spark):
+    parts = cl.with_repeat_parts(_repeat(spark)).select(
+        "KEY", "repeat_name", "repeat_key"
+    ).collect()
+    by_key = {r.KEY: (r.repeat_name, r.repeat_key) for r in parts}
+    assert by_key["uuid:a/repeat_individual[2]"] == ("repeat_individual", 2)
+
+
+def test_set_keep_last_and_typed_coalesce(spark):
+    # two SETs on the same cell -> later resolution_order wins; numeric
+    # string cast to the column's double type; untouched rows keep old.
+    res = _resolution(
+        spark,
+        [
+            ("f", "uuid:a", "age", "77", "SET", "", 0, 1),
+            ("f", "uuid:a", "age", "88.5", "SET", "", 0, 2),
+            ("f", "uuid:b", "village", "FIXED", "SET", "", 0, 1),
+        ],
+    )
+    out = {r.instanceID: r for r in cl.apply_sets(_main(spark), res).collect()}
+    assert out["uuid:a"].age == 88.5
+    assert out["uuid:a"].village == "NGUZ0"
+    assert out["uuid:b"].village == "FIXED"
+    assert out["uuid:c"].age == 50.0
+
+
+def test_delete_before_set(spark):
+    # DELETE supersedes SET on the same instance (processing_utils.R:403-429)
+    res = _resolution(
+        spark,
+        [
+            ("f", "uuid:a", None, None, "DELETE", "", 0, 1),
+            ("f", "uuid:a", "village", "GHOST", "SET", "", 0, 2),
+            ("f", "uuid:b", "village", "KEPT", "SET", "", 0, 1),
+        ],
+    )
+    rows = cl.google_sheets_fix(_main(spark), res, "f").collect()
+    ids = {r.instanceID for r in rows}
+    assert ids == {"uuid:b", "uuid:c"}
+    assert {r.village for r in rows if r.instanceID == "uuid:b"} == {"KEPT"}
+
+
+def test_parent_delete_cascades_to_repeat(spark):
+    # parent DELETE removes all its children; repeat-level DELETE
+    # removes exactly one ordinal (processing_utils.R:335-400)
+    res = _resolution(
+        spark,
+        [
+            ("f", "uuid:b", None, None, "DELETE", "", 0, 1),
+            ("f", "uuid:a", None, None, "DELETE", "repeat_individual", 2, 1),
+        ],
+    )
+    kept = cl.apply_deletes(_repeat(spark), res, "f", repeat_name="repeat_individual")
+    keys = {r.KEY for r in kept.collect()}
+    assert keys == {"uuid:a/repeat_individual[1]", "uuid:c/repeat_individual[1]"}
+
+
+def test_set_on_repeat_rows(spark):
+    # SET addressed by (instanceID=PARENT_KEY, RepeatName, RepeatKey)
+    res = _resolution(
+        spark,
+        [("f", "uuid:a", "age", "99", "SET", "repeat_individual", 2, 1)],
+    )
+    out = {
+        r.KEY: r.age
+        for r in cl.apply_sets(_repeat(spark), res, repeat_name="repeat_individual").collect()
+    }
+    assert out["uuid:a/repeat_individual[2]"] == 99.0
+    assert out["uuid:a/repeat_individual[1]"] == 10.0
+
+
+def test_expand_resolution_recode(spark):
+    res = _resolution(
+        spark,
+        [("efficacy", "uuid:a", "person_absent_reason", "Absent", "SET", "", 0, 1)],
+    )
+    out = cl.expand_resolution(res)
+    got = {(r["Column"], r["Set To"]) for r in out.collect()}
+    assert ("person_absent", "1") in got
+    assert ("migrated_status", "0") in got
+    assert ("person_absent_reason", "Absent") in got  # original kept
+    assert out.count() == 1 + 5  # 1 original + 5 cascade targets
+
+
+def test_pii_drop_and_hash(spark):
+    df = _repeat(spark)
+    dropped = cl.drop_pii(df, ["extid", "not_here"])
+    assert "extid" not in dropped.columns
+    hashed = cl.hash_pii(df, ["extid"])
+    vals = [r.extid for r in hashed.collect()]
+    assert all(len(v) == 40 for v in vals)  # sha1 hex
+
+
+def test_jitter_same_group_same_offset(spark):
+    df = spark.createDataFrame(
+        [("00001", 1.0, 36.0), ("00001", 1.5, 36.5), ("00002", 2.0, 37.0)],
+        ["hhid", "Latitude", "Longitude"],
+    )
+    out = cl.jitter_locations(df).collect()
+    off = {(r.hhid, round(r.Latitude - lat, 9)) for r, lat in zip(out, [1.0, 1.5, 2.0])}
+    # both rows of hhid 00001 moved by the identical offset
+    assert len({o for h, o in off if h == "00001"}) == 1
+    # jitter bounded by the radius
+    assert all(abs(o) <= 0.01 for _, o in off)
+
+
+def test_nullify_rows(spark):
+    out = cl.nullify_rows(_main(spark), "instanceID", ["uuid:b"], ["instanceID", "KEY"])
+    row = {r.instanceID: r for r in out.collect()}
+    assert row["uuid:b"].village is None and row["uuid:b"].age is None
+    assert row["uuid:b"].KEY == "uuid:b"
+    assert row["uuid:a"].village == "NGUZ0"
+
+
+def test_standardize_and_typos(spark):
+    df = spark.createDataFrame([(" nguz0  town ",)], ["village"])
+    out = cl.fix_typos(
+        cl.standardize_strings(df, ["village"]), "village", {"NGUZ0 TOWN": "NGUZO TOWN"}
+    )
+    assert out.collect()[0].village == "NGUZO TOWN"
