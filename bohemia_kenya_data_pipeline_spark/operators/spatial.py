@@ -1,0 +1,226 @@
+"""Spatial operators (J11/J12 + C8): haversine distance, ray-casting
+point-in-polygon with a buffered fallback, cluster assignment, and
+nearest-facility join.
+
+Reference (in /root/reference/):
+- cluster reassignment, strict then 50 m buffer —
+  pipeline-cleaning/R/processing_utils.R:434-508 (sp::over +
+  rgeos::gBuffer over UTM-projected points)
+- anomaly geo check — pipeline-cleaning/R/anomalies_utils.R:75-91
+- nearest health facility — pipeline-analysis/distance_analyses/
+  hh_to_hf.qmd:62-64 (st_distance matrix + per-row argmin)
+
+Spark-first design (100 TB):
+- Polygon sets are tiny (96 trial clusters): they are embedded as a
+  *literal* array-of-structs column, so point-in-polygon is a pure
+  map-side expression — zero shuffle, whole-stage codegen, no UDF.
+- Ray casting + point-to-segment distance are higher-order-function
+  folds (``aggregate``/``transform``) over the vertex arrays — JVM
+  expressions, not Python.
+- Nearest-neighbor broadcasts the (small) facility side; the result
+  is one window shuffle on the point id. For facility sets too large
+  to broadcast, grid-bucket both sides first (same pattern as the
+  similarity LSH join).
+- The buffered fallback uses a local equirectangular projection
+  around each point (exact enough at 50 m scales) instead of a UTM
+  reprojection round-trip.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6371000.0
+#: meters per degree of latitude (WGS84 mean)
+M_PER_DEG_LAT = 110574.0
+M_PER_DEG_LON_EQ = 111320.0
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (pure Column expression)."""
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# Polygon literals + ray casting
+# ---------------------------------------------------------------------------
+
+
+def polygon_literal(polygons: Sequence[tuple[int, Sequence[tuple[float, float]]]]) -> Column:
+    """Embed a small polygon set as a literal
+    array<struct<pid,verts:array<struct<lon,lat>>>> column. Driver-side
+    metadata (≤ a few hundred polygons), evaluated map-side."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(pid).alias("pid"),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(float(lon)).alias("lon"), F.lit(float(lat)).alias("lat")
+                        )
+                        for lon, lat in verts
+                    ]
+                ).alias("verts"),
+            )
+            for pid, verts in polygons
+        ]
+    )
+
+
+def _edges(verts: Column) -> Column:
+    """Close the ring and pair consecutive vertices:
+    [v1..vn] -> [(v1,v2), ..., (vn,v1)]."""
+    nxt = F.concat(F.slice(verts, 2, F.size(verts) - 1), F.slice(verts, 1, 1))
+    return F.arrays_zip(verts.alias("a"), nxt.alias("b"))
+
+
+def point_in_polygon(lon: Column, lat: Column, verts: Column) -> Column:
+    """Ray-casting test (odd number of edge crossings of the +x ray)
+    as an ``aggregate`` fold over the closed edge list — no UDF."""
+    def cross(acc: Column, e: Column) -> Column:
+        y1, y2 = e["a"]["lat"], e["b"]["lat"]
+        x1, x2 = e["a"]["lon"], e["b"]["lon"]
+        crosses = ((y1 > lat) != (y2 > lat)) & (
+            lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        )
+        return F.when(crosses, ~acc).otherwise(acc)
+
+    return F.aggregate(_edges(verts), F.lit(False), cross)
+
+
+def point_to_polygon_m(lon: Column, lat: Column, verts: Column) -> Column:
+    """Min distance (meters) from a point to a polygon boundary: fold
+    of point-to-segment distances in a local equirectangular frame
+    (exact enough for ≤100 m buffers)."""
+    mlon = F.lit(M_PER_DEG_LON_EQ) * F.cos(F.radians(lat))
+    mlat = F.lit(M_PER_DEG_LAT)
+
+    def seg_dist(e: Column) -> Column:
+        ax = (e["a"]["lon"] - lon) * mlon
+        ay = (e["a"]["lat"] - lat) * mlat
+        bx = (e["b"]["lon"] - lon) * mlon
+        by = (e["b"]["lat"] - lat) * mlat
+        dx, dy = bx - ax, by - ay
+        seg_len2 = dx * dx + dy * dy
+        t_raw = F.when(seg_len2 > 0, -(ax * dx + ay * dy) / seg_len2).otherwise(F.lit(0.0))
+        t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        px, py = ax + t * dx, ay + t * dy
+        return F.sqrt(px * px + py * py)
+
+    return F.aggregate(
+        _edges(verts),
+        F.lit(float("inf")),
+        lambda acc, e: F.least(acc, seg_dist(e)),
+    )
+
+
+def assign_clusters(
+    points: DataFrame,
+    polygons: Sequence[tuple[int, Sequence[tuple[float, float]]]],
+    lon_col: str = "Longitude",
+    lat_col: str = "Latitude",
+    buffer_m: float = 50.0,
+) -> DataFrame:
+    """C8/J11: tag each point with its containing cluster; points not
+    strictly inside any polygon fall back to the nearest polygon
+    within ``buffer_m`` (processing_utils.R:456-495 semantics:
+    old_cluster_correct = coalesce(strict, buffered),
+    geo_not_in_cluster = no buffered match either).
+
+    Zero-shuffle plan: the polygon set rides along as a literal; both
+    matches are folds over it. Ties (overlapping polygons) resolve to
+    the smallest pid for determinism.
+    """
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    polys = polygon_literal(polygons)
+
+    strict = F.aggregate(
+        polys,
+        F.lit(None).cast("int"),
+        lambda acc, p: F.when(
+            point_in_polygon(lon, lat, p["verts"]) & (acc.isNull() | (p["pid"] < acc)),
+            p["pid"],
+        ).otherwise(acc),
+    )
+    # nearest boundary within buffer among non-containing polygons
+    best = F.aggregate(
+        polys,
+        F.struct(
+            F.lit(None).cast("int").alias("pid"),
+            F.lit(float("inf")).alias("d"),
+        ),
+        lambda acc, p: F.when(
+            point_to_polygon_m(lon, lat, p["verts"]) < acc["d"],
+            F.struct(
+                p["pid"].alias("pid"),
+                point_to_polygon_m(lon, lat, p["verts"]).alias("d"),
+            ),
+        ).otherwise(acc),
+    )
+    buffered = F.when(best["d"] <= buffer_m, best["pid"])
+    return points.withColumn(
+        "geo_cluster_num", F.coalesce(strict, buffered)
+    ).withColumn("geo_not_in_cluster", strict.isNull() & buffered.isNull())
+
+
+# ---------------------------------------------------------------------------
+# J12 — nearest neighbor
+# ---------------------------------------------------------------------------
+
+
+def nearest_neighbor(
+    points: DataFrame,
+    facilities: DataFrame,
+    point_id: str = "id",
+    facility_id: str = "hf_id",
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+    fac_lat: str = "lat",
+    fac_lon: str = "lon",
+    round_m: int = 1,
+) -> DataFrame:
+    """Nearest facility per point (hh_to_hf.qmd:62-64: st_distance
+    matrix + row argmin). Broadcast(facilities) × points — map-side
+    nested loop, then one window shuffle on the point id. Distance is
+    rounded before ranking so results are reproducible across engines.
+
+    Returns (point_id, facility_id, dist_m).
+    """
+    p = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col(point_lat).alias("_plat"),
+        F.col(point_lon).alias("_plon"),
+    )
+    f = facilities.select(
+        F.col(facility_id).alias("_fid"),
+        F.col(fac_lat).alias("_flat"),
+        F.col(fac_lon).alias("_flon"),
+    )
+    scored = p.crossJoin(F.broadcast(f)).withColumn(
+        "dist_m",
+        F.round(
+            haversine_m(F.col("_plat"), F.col("_plon"), F.col("_flat"), F.col("_flon")),
+            round_m,
+        ),
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col("dist_m"), F.col("_fid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_pid").alias(point_id),
+            F.col("_fid").alias(facility_id),
+            "dist_m",
+        )
+    )

@@ -1609,3 +1609,127 @@ def resolution_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("RepeatKey"),
     )
     return cl.expand_resolution(res)
+
+
+# ===========================================================================
+# Spatial pack (J11/J12 + C8) over synthetic lattice coordinates
+# derived from customer/supplier keys (integer arithmetic, so both
+# engines build bit-identical inputs).
+# ===========================================================================
+
+from .operators import spatial as sp  # noqa: E402
+
+
+def _cust_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("id"),
+        (F.lit(-5.0) + ((k % 4995) + 0.5) / 999.0).alias("lat"),
+        (F.lit(38.0) + (((k * 7) % 4995) + 0.5) / 999.0).alias("lon"),
+    )
+
+
+#: 25 disjoint 0.8° square "clusters" on a 5×5 grid.
+_RECTS = [
+    (
+        i,
+        [
+            (38.0 + i // 5, -5.0 + i % 5),
+            (38.0 + i // 5 + 0.8, -5.0 + i % 5),
+            (38.0 + i // 5 + 0.8, -5.0 + i % 5 + 0.8),
+            (38.0 + i // 5, -5.0 + i % 5 + 0.8),
+        ],
+    )
+    for i in range(25)
+]
+
+
+@_register(
+    "spatial_nearest_hf",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             -4.0 + (c_custkey % 999) / 1000.0 AS lat,
+             39.0 + ((c_custkey * 7) % 999) / 1000.0 AS lon
+      FROM customer),
+    hf AS (
+      SELECT s_suppkey AS hf_id,
+             -4.0 + ((s_suppkey * s_suppkey) % 97) / 100.0 AS lat,
+             39.0 + ((s_suppkey * 13) % 89) / 100.0 AS lon
+      FROM supplier),
+    d AS (
+      SELECT id, hf_id,
+             ROUND(2 * 6371000.0 * asin(sqrt(
+               sin(radians(hf.lat - pts.lat) / 2) * sin(radians(hf.lat - pts.lat) / 2)
+               + cos(radians(pts.lat)) * cos(radians(hf.lat))
+                 * sin(radians(hf.lon - pts.lon) / 2) * sin(radians(hf.lon - pts.lon) / 2)
+             )), 1) AS dist_m
+      FROM pts, hf)
+    SELECT id, hf_id, dist_m
+    FROM (SELECT id, hf_id, dist_m,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist_m, hf_id) AS rn
+          FROM d)
+    WHERE rn = 1
+    """,
+)
+def spatial_nearest_hf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J12 nearest facility: broadcast(small hf dim) x points + one
+    # window shuffle (hh_to_hf.qmd:62-64 st_distance + argmin).
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    hf = s.select(
+        k.alias("hf_id"),
+        (F.lit(-4.0) + ((k * k) % 97) / 100.0).alias("lat"),
+        (F.lit(39.0) + ((k * 13) % 89) / 100.0).alias("lon"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    pts = c.select(
+        ck.alias("id"),
+        (F.lit(-4.0) + (ck % 999) / 1000.0).alias("lat"),
+        (F.lit(39.0) + ((ck * 7) % 999) / 1000.0).alias("lon"),
+    )
+    return sp.nearest_neighbor(pts, hf)
+
+
+@_register(
+    "spatial_cluster_assign",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             -5.0 + ((c_custkey % 4995) + 0.5) / 999.0 AS lat,
+             38.0 + (((c_custkey * 7) % 4995) + 0.5) / 999.0 AS lon
+      FROM customer),
+    rects AS (
+      SELECT CAST(i AS INTEGER) AS pid,
+             -5.0 + CAST(i % 5 AS DOUBLE) AS lat0,
+             38.0 + CAST(i // 5 AS DOUBLE) AS lon0
+      FROM range(25) t(i)),
+    strict AS (
+      SELECT id, MIN(pid) AS s
+      FROM pts JOIN rects
+        ON lat > lat0 AND lat < lat0 + 0.8 AND lon > lon0 AND lon < lon0 + 0.8
+      GROUP BY id),
+    dists AS (
+      SELECT id, pid,
+             sqrt(pow(greatest(lon0 - lon, lon - lon0 - 0.8, 0) * 111320.0
+                      * cos(radians(lat)), 2)
+                + pow(greatest(lat0 - lat, lat - lat0 - 0.8, 0) * 110574.0, 2)) AS d
+      FROM pts, rects),
+    buf AS (
+      SELECT id, pid AS b FROM (
+        SELECT id, pid, d,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, pid) AS rn
+        FROM dists) WHERE rn = 1 AND d <= 50.0)
+    SELECT p.id, CAST(COALESCE(s, b) AS INTEGER) AS geo_cluster_num,
+           (s IS NULL AND b IS NULL) AS geo_not_in_cluster
+    FROM pts p LEFT JOIN strict USING (id) LEFT JOIN buf USING (id)
+    """,
+)
+def spatial_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J11+C8: strict point-in-polygon, then 50 m buffered fallback
+    # (processing_utils.R:456-495) — zero-shuffle literal-polygon fold.
+    pts = _cust_points(spark, sf_dir)
+    out = sp.assign_clusters(pts, _RECTS, lon_col="lon", lat_col="lat", buffer_m=50.0)
+    return out.select("id", "geo_cluster_num", "geo_not_in_cluster")

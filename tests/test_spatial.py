@@ -1,0 +1,68 @@
+"""Golden tests for the spatial pack: general (non-rectangular)
+ray-casting, buffered fallback, and nearest-neighbor — shapes the
+rect-based oracle queries can't exercise."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import spatial as sp
+
+#: right triangle (0,0)-(1,0)-(0,1) as pid 7
+TRIANGLE = [(7, [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)])]
+
+
+def test_ray_cast_triangle(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, 0.2, 0.2),   # inside
+            (2, 0.6, 0.6),   # outside (beyond hypotenuse)
+            (3, 0.49, 0.49), # inside, near hypotenuse
+            (4, 1.5, 0.5),   # far outside
+        ],
+        ["id", "Longitude", "Latitude"],
+    )
+    out = {r.id: r for r in sp.assign_clusters(pts, TRIANGLE, buffer_m=0.0).collect()}
+    assert out[1].geo_cluster_num == 7
+    assert out[2].geo_cluster_num is None
+    assert out[3].geo_cluster_num == 7
+    assert out[4].geo_not_in_cluster
+
+
+def test_buffer_fallback(spark):
+    # ~30 m west of the triangle's left edge (1 deg lon ~ 111 km at
+    # the equator): strict miss, buffered hit at 50 m, miss at 10 m.
+    lon_30m = -30.0 / (sp.M_PER_DEG_LON_EQ)
+    pts = spark.createDataFrame([(1, lon_30m, 0.5)], ["id", "Longitude", "Latitude"])
+    hit = sp.assign_clusters(pts, TRIANGLE, buffer_m=50.0).collect()[0]
+    assert hit.geo_cluster_num == 7 and not hit.geo_not_in_cluster
+    miss = sp.assign_clusters(pts, TRIANGLE, buffer_m=10.0).collect()[0]
+    assert miss.geo_cluster_num is None and miss.geo_not_in_cluster
+
+
+def test_overlapping_polygons_min_pid(spark):
+    two = [
+        (9, [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]),
+        (3, [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)]),
+    ]
+    pts = spark.createDataFrame([(1, 1.5, 1.5)], ["id", "Longitude", "Latitude"])
+    out = sp.assign_clusters(pts, two).collect()[0]
+    assert out.geo_cluster_num == 3  # overlap -> smallest pid wins
+
+
+def test_haversine_known_distance(spark):
+    # Nairobi (-1.286, 36.817) to Mombasa (-4.044, 39.668) ~ 440 km
+    df = spark.range(1).select(
+        sp.haversine_m(F.lit(-1.286), F.lit(36.817), F.lit(-4.044), F.lit(39.668)).alias("d")
+    )
+    d = df.collect()[0].d
+    assert 430_000 < d < 450_000
+
+
+def test_nearest_neighbor_picks_closest(spark):
+    pts = spark.createDataFrame([(1, 0.0, 0.0), (2, 0.0, 1.0)], ["id", "lat", "lon"])
+    hf = spark.createDataFrame(
+        [(10, 0.0, 0.1), (20, 0.0, 0.9)], ["hf_id", "lat", "lon"]
+    )
+    out = {r.id: r.hf_id for r in sp.nearest_neighbor(pts, hf).collect()}
+    assert out == {1: 10, 2: 20}
