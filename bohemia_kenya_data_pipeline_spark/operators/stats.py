@@ -1,0 +1,125 @@
+"""Epi-analysis operators: the RDT incident-case state machine (W9 —
+the one genuine grouped-map UDF in the reference) and the
+prevalence/incidence CI expressions.
+
+Reference (in /root/reference/):
+- RDT flowchart: pipeline-analysis/data_prep/evaluate_rdts.R:82-135
+  (ordered per-extid loop; incident_case[i] depends on the *computed*
+  incident_case[i-1] — a true recurrence, not a window)
+- rates + CIs: pipeline-analysis/prevalence_incidence/
+  prevalence_incidence.qmd:22-47
+
+Spark-first design (100 TB):
+- ``applyInPandas`` per extid: one shuffle on extid; groups are ≤7
+  visit rows, so skew is structurally impossible. The pandas loop
+  touches only the group — Arrow batches amortize the Python hop.
+- The rate/CI math is pure Column expressions (qnorm(0.975) embedded
+  as a literal, like the reference's constant).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, DoubleType, StructField, StructType,
+)
+
+#: qnorm(0.975) — the reference's CI constant.
+Z975 = 1.959963984540054
+
+
+def evaluate_rdts(
+    df: DataFrame,
+    extid_col: str = "extid",
+    visit_col: str = "visit_number",
+    date_col: str = "todays_date",
+    pan_col: str = "pan_result",
+    pf_col: str = "pf_result",
+    coartem_col: str = "child_took_coartem",
+) -> DataFrame:
+    """W9: classify each visit as incident case / not / unknown per
+    the RDT flowchart (evaluate_rdts.R:82-135), adding
+    days_since_prev_visit, days_at_risk, incident_case.
+
+    pan/pf results are one of 'Positive'/'Negative'/'' (never NULL).
+    Rows are processed per extid in visit_number order; enrollment
+    (first row) is incident iff either RDT is Positive.
+    """
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("days_since_prev_visit", DoubleType()),
+            StructField("days_at_risk", DoubleType()),
+            StructField("incident_case", BooleanType()),
+        ]
+    )
+
+    def classify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(visit_col).reset_index(drop=True)
+        n = len(pdf)
+        days_prev = [None] * n
+        days_risk = [None] * n
+        incident: list[bool | None] = [None] * n
+        pan, pf = pdf[pan_col], pdf[pf_col]
+        coartem, vnum, dates = pdf[coartem_col], pdf[visit_col], pdf[date_col]
+        incident[0] = bool(pan[0] == "Positive" or pf[0] == "Positive")
+        for i in range(1, n):
+            days_prev[i] = float((dates[i] - dates[i - 1]).days)
+            days_risk[i] = days_prev[i] - 14.0 * (coartem[i - 1] == "yes")
+            if pan[i] == "Positive":
+                incident[i] = True
+            elif pf[i] == "Negative":
+                incident[i] = False
+            elif pf[i] == "Positive":
+                if vnum[i] != vnum[i - 1] + 1:
+                    incident[i] = True  # skipped the previous visit
+                elif incident[i - 1] is not None and not incident[i - 1]:
+                    incident[i] = True  # known clear last visit
+                elif pf[i - 1] != "Positive":
+                    incident[i] = True
+                elif coartem[i - 1] == "yes":
+                    incident[i] = False  # treated ongoing infection
+                else:
+                    incident[i] = True
+            # else: pan blank/Negative and pf blank -> unknown (None)
+        pdf["days_since_prev_visit"] = pd.array(days_prev, dtype="Float64")
+        pdf["days_at_risk"] = pd.array(days_risk, dtype="Float64")
+        pdf["incident_case"] = pd.array(incident, dtype="boolean")
+        return pdf
+
+    return df.groupBy(extid_col).applyInPandas(classify, schema=out_schema)
+
+
+def incidence_rates(
+    evaluated: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Prevalence + incidence-rate rollup with Wald CIs
+    (prevalence_incidence.qmd:25-36) over evaluate_rdts output.
+
+    One shuffle on the group keys; all math is post-agg expressions.
+    """
+    group_cols = group_cols or ["assignment", "visit_number"]
+    g = evaluated.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("Children"),
+        F.sum(F.when(F.col("incident_case"), 1).otherwise(0)).alias("Cases"),
+        (F.sum(F.coalesce(F.col("days_at_risk"), F.lit(0.0))) / 365.25).alias(
+            "Child_years_at_risk"
+        ),
+    )
+    prev = F.col("Cases") / F.col("Children")
+    cyr = F.col("Child_years_at_risk")
+    inc = F.when(cyr > 0, F.col("Cases") / cyr)
+    se = F.sqrt(inc / cyr)
+    return g.select(
+        *group_cols,
+        "Children",
+        "Cases",
+        F.round(prev, 6).alias("Prevalence"),
+        F.round(F.when(cyr > 0, cyr), 6).alias("Child_years_at_risk"),
+        F.round(inc, 6).alias("Incidence"),
+        F.round(inc - Z975 * se, 6).alias("Incidence_lwr"),
+        F.round(inc + Z975 * se, 6).alias("Incidence_upr"),
+    )

@@ -1733,3 +1733,150 @@ def spatial_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _cust_points(spark, sf_dir)
     out = sp.assign_clusters(pts, _RECTS, lon_col="lon", lat_col="lat", buffer_m=50.0)
     return out.select("id", "geo_cluster_num", "geo_not_in_cluster")
+
+
+# ===========================================================================
+# W9 — RDT incident-case state machine (applyInPandas) with a
+# recursive-CTE DuckDB oracle: a true per-group recurrence
+# (incident_case[i] depends on the computed incident_case[i-1]).
+# Synthetic cohort derived from orders (integer arithmetic both sides).
+# ===========================================================================
+
+from .operators import stats as st  # noqa: E402
+
+#: shared cohort CTEs (Spark mirror in _rdt_cohort)
+_RDT_COHORT_SQL = """
+    base AS (
+      SELECT o_custkey AS extid, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    filt AS (SELECT * FROM base WHERE rn <= 7),
+    cohort AS (
+      SELECT extid, o_orderkey,
+        CAST(SUM(1 + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY extid ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS visit_number,
+        CASE WHEN o_orderkey % 7 = 0 THEN 'Positive'
+             WHEN o_orderkey % 7 IN (1, 2, 3) THEN 'Negative'
+             ELSE '' END AS pan_result,
+        CASE WHEN o_orderkey % 11 = 0 THEN 'Positive'
+             WHEN o_orderkey % 11 IN (1, 2, 3, 4) THEN 'Negative'
+             ELSE '' END AS pf_result,
+        CASE WHEN o_orderkey % 3 = 0 THEN 'yes' ELSE 'no' END AS child_took_coartem,
+        CAST(o_orderdate AS DATE) AS todays_date
+      FROM filt),
+    lagged AS (
+      SELECT *, LAG(pan_result) OVER w AS prev_pan,
+             LAG(pf_result) OVER w AS prev_pf,
+             LAG(child_took_coartem) OVER w AS prev_coartem,
+             LAG(visit_number) OVER w AS prev_vn,
+             LAG(todays_date) OVER w AS prev_date,
+             ROW_NUMBER() OVER w AS idx
+      FROM cohort WINDOW w AS (PARTITION BY extid ORDER BY visit_number)),
+    rec AS (
+      SELECT extid, idx, visit_number,
+             CAST(NULL AS DOUBLE) AS days_since_prev_visit,
+             CAST(NULL AS DOUBLE) AS days_at_risk,
+             (pan_result = 'Positive' OR pf_result = 'Positive') AS incident_case
+      FROM lagged WHERE idx = 1
+      UNION ALL
+      SELECT l.extid, l.idx, l.visit_number,
+             CAST(date_diff('day', l.prev_date, l.todays_date) AS DOUBLE),
+             CAST(date_diff('day', l.prev_date, l.todays_date) AS DOUBLE)
+               - 14.0 * (CASE WHEN l.prev_coartem = 'yes' THEN 1 ELSE 0 END),
+             CASE WHEN l.pan_result = 'Positive' THEN TRUE
+                  WHEN l.pf_result = 'Negative' THEN FALSE
+                  WHEN l.pf_result = 'Positive' THEN
+                    CASE WHEN l.visit_number <> l.prev_vn + 1 THEN TRUE
+                         WHEN r.incident_case IS NOT NULL
+                              AND NOT r.incident_case THEN TRUE
+                         WHEN l.prev_pf <> 'Positive' THEN TRUE
+                         WHEN l.prev_coartem = 'yes' THEN FALSE
+                         ELSE TRUE END
+                  ELSE NULL END
+      FROM lagged l JOIN rec r ON l.extid = r.extid AND l.idx = r.idx + 1)
+"""
+
+
+def _rdt_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    filt = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .select(
+            F.col("o_custkey").alias("extid"), "o_orderkey", "o_orderdate"
+        )
+    )
+    w2 = (
+        Window.partitionBy("extid")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k = F.col("o_orderkey")
+    return filt.select(
+        "extid",
+        "o_orderkey",
+        F.sum(F.lit(1) + F.when(k % 5 == 0, 1).otherwise(0)).over(w2).cast("int").alias(
+            "visit_number"
+        ),
+        F.when(k % 7 == 0, "Positive")
+        .when((k % 7).isin(1, 2, 3), "Negative")
+        .otherwise("")
+        .alias("pan_result"),
+        F.when(k % 11 == 0, "Positive")
+        .when((k % 11).isin(1, 2, 3, 4), "Negative")
+        .otherwise("")
+        .alias("pf_result"),
+        F.when(k % 3 == 0, "yes").otherwise("no").alias("child_took_coartem"),
+        F.col("o_orderdate").cast("date").alias("todays_date"),
+    )
+
+
+@_register(
+    "rdt_state_machine",
+    "WITH RECURSIVE " + _RDT_COHORT_SQL + """
+    SELECT extid, visit_number, days_since_prev_visit, days_at_risk, incident_case
+    FROM rec
+    """,
+)
+def rdt_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W9: applyInPandas per-extid ordered scan (evaluate_rdts.R:82-135);
+    # the oracle re-derives the recurrence as a recursive CTE.
+    evaluated = st.evaluate_rdts(_rdt_cohort(spark, sf_dir))
+    return evaluated.select(
+        "extid", "visit_number", "days_since_prev_visit", "days_at_risk", "incident_case"
+    )
+
+
+@_register(
+    "rdt_incidence_rates",
+    "WITH RECURSIVE " + _RDT_COHORT_SQL + """
+    SELECT extid % 2 AS assignment,
+           COUNT(*) AS Children,
+           CAST(SUM(CASE WHEN incident_case THEN 1 ELSE 0 END) AS BIGINT) AS Cases,
+           ROUND(CAST(SUM(CASE WHEN incident_case THEN 1 ELSE 0 END) AS BIGINT)
+                 / COUNT(*), 6) AS Prevalence,
+           ROUND(CASE WHEN SUM(COALESCE(days_at_risk, 0)) / 365.25 > 0
+                      THEN SUM(COALESCE(days_at_risk, 0)) / 365.25 END, 6)
+             AS Child_years_at_risk,
+           ROUND(CASE WHEN SUM(COALESCE(days_at_risk, 0)) / 365.25 > 0
+                      THEN CAST(SUM(CASE WHEN incident_case THEN 1 ELSE 0 END) AS BIGINT)
+                           / (SUM(COALESCE(days_at_risk, 0)) / 365.25) END, 6)
+             AS Incidence
+    FROM rec GROUP BY 1
+    """,
+)
+def rdt_incidence_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Prevalence/incidence rollup with the qnorm constant embedded
+    # (prevalence_incidence.qmd:25-36); CIs dropped from the oracle
+    # projection to keep the cross-engine compare on the core rates.
+    evaluated = st.evaluate_rdts(_rdt_cohort(spark, sf_dir)).withColumn(
+        "assignment", F.col("extid") % 2
+    )
+    rates = st.incidence_rates(evaluated, ["assignment"])
+    return rates.select(
+        "assignment", "Children", "Cases", "Prevalence",
+        "Child_years_at_risk", "Incidence",
+    )
