@@ -1,0 +1,172 @@
+"""Anomaly-detector combinators + the consolidation job (the
+reference's data-quality surface), plus the ingest hygiene operators
+P8/P9/P10.
+
+Reference (in /root/reference/):
+- detector combinators — pipeline-cleaning/R/anomalies_utils.R:2-57
+  (detect_duplication, detect_threshold); concrete detectors in
+  pipeline-cleaning/R/anomalies_detector/*.R (e.g. safety.R:94-104
+  duplication, :168-169 conditional distinct, :204 accuracy
+  threshold)
+- consolidation — 05.run_anomaly_detection.R:50-104: union all
+  detector outputs, all-string + ''-for-NULL, resolution_id =
+  '{form_id}__{KEY}__{anomalies_id}', resolution_status='to_do',
+  then a (form_id, anomalies_id) count summary with snapshot_date
+- P8 column-name normalization — processing_utils.R:42-45 (keep the
+  last '-'-segment of the ODK group path)
+- P9 drop fully-empty columns — processing_utils.R:147-150
+  (janitor::remove_empty 'cols')
+- P10 drop rows with NULL key — anomalies_detector/pk.R:98
+
+Spark-first (100 TB): each detector is DataFrame→DataFrame returning
+the fixed anomaly schema; union is ``unionByName``; the duplication
+detector is one window shuffle; consolidation adds no extra shuffle.
+P9 is the only two-pass operator (one agg over the data to find the
+empty columns — the count is metadata-sized).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: fixed output schema of every detector
+ANOMALY_COLS = ["KEY", "form_id", "anomalies_id", "anomalies_description"]
+
+
+def detect_duplication(
+    df: DataFrame,
+    col: str,
+    form_id: str,
+    anomalies_id: str,
+    threshold: int = 2,
+    key: str = "KEY",
+) -> DataFrame:
+    """Rows whose ``col`` value occurs >= threshold times
+    (anomalies_utils.R:2-25: group_by %>% mutate(n=n()) %>% filter).
+    One window shuffle on ``col``; NULL values never flag."""
+    w = Window.partitionBy(col)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("n") >= threshold)
+        .select(
+            F.col(key).alias("KEY"),
+            F.lit(form_id).alias("form_id"),
+            F.lit(anomalies_id).alias("anomalies_id"),
+            F.format_string(f"{col}:%s duplicated %s times", F.col(col), F.col("n")).alias(
+                "anomalies_description"
+            ),
+        )
+    )
+
+
+def detect_threshold(
+    df: DataFrame,
+    col: str,
+    form_id: str,
+    anomalies_id: str,
+    description: str,
+    threshold: float,
+    direction: str = "more",
+    key: str = "KEY",
+) -> DataFrame:
+    """Rows breaching a threshold (anomalies_utils.R:28-57; e.g. GPS
+    Accuracy > 15, safety.R:204). Pure filter — pushes to the scan."""
+    cond = F.col(col) > threshold if direction == "more" else F.col(col) < threshold
+    return df.filter(cond).select(
+        F.col(key).alias("KEY"),
+        F.lit(form_id).alias("form_id"),
+        F.lit(anomalies_id).alias("anomalies_id"),
+        F.lit(description).alias("anomalies_description"),
+    )
+
+
+def detect_missing(
+    df: DataFrame,
+    col: str,
+    form_id: str,
+    anomalies_id: str,
+    description: str,
+    key: str = "KEY",
+) -> DataFrame:
+    """Rows with a NULL/empty required value (pattern of
+    anomalies_detector/safety.R:214 is.na(geo_cluster_num))."""
+    return df.filter(F.col(col).isNull() | (F.col(col).cast("string") == "")).select(
+        F.col(key).alias("KEY"),
+        F.lit(form_id).alias("form_id"),
+        F.lit(anomalies_id).alias("anomalies_id"),
+        F.lit(description).alias("anomalies_description"),
+    )
+
+
+def consolidate(detections: Sequence[DataFrame]) -> DataFrame:
+    """Union detector outputs into the anomalies_detection contract
+    (05.run_anomaly_detection.R:52-65): all-string columns, NULL→'',
+    resolution_id = form__KEY__anomaly, resolution_status='to_do'."""
+    if not detections:
+        raise ValueError("no detections to consolidate")
+    out = detections[0]
+    for d in detections[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    for c in out.columns:
+        out = out.withColumn(c, F.coalesce(F.col(c).cast("string"), F.lit("")))
+    out = out.withColumn(
+        "resolution_id",
+        F.format_string("%s__%s__%s", F.col("form_id"), F.col("KEY"), F.col("anomalies_id")),
+    ).withColumn("resolution_status", F.lit("to_do"))
+    if "anomalies_reports_to_wid" not in out.columns:
+        out = out.withColumn("anomalies_reports_to_wid", F.lit(""))
+    return out.select(
+        "resolution_id", "KEY", "form_id", "anomalies_id",
+        "anomalies_description", "resolution_status", "anomalies_reports_to_wid",
+    )
+
+
+def summary_rollup(final: DataFrame) -> DataFrame:
+    """A13: per-(form_id, anomalies_id) counts + snapshot_date
+    (05.run_anomaly_detection.R:91-96), the 'faster query' table."""
+    return (
+        final.groupBy("form_id", "anomalies_id")
+        .agg(F.count(F.lit(1)).alias("anomalies_count"))
+        .withColumn("snapshot_date", F.current_date())
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 / P9 / P10 — ingest hygiene
+# ---------------------------------------------------------------------------
+
+
+def normalize_column_names(df: DataFrame) -> DataFrame:
+    """P8: ODK exports name columns with the full group path
+    ('group-subgroup-field'); keep the last '-'-segment
+    (processing_utils.R:42-45). Collisions keep the first occurrence
+    suffix-free and disambiguate later ones with _2, _3…"""
+    new_names: list[str] = []
+    seen: dict[str, int] = {}
+    for c in df.columns:
+        base = c.split("-")[-1]
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        new_names.append(base if n == 0 else f"{base}_{n + 1}")
+    return df.toDF(*new_names)
+
+
+def drop_empty_columns(df: DataFrame) -> DataFrame:
+    """P9: drop columns that are entirely NULL (janitor::remove_empty,
+    processing_utils.R:147-150). Two-pass: one count-agg (metadata
+    sized), then a select."""
+    counts = df.agg(
+        *[F.count(F.col(f"`{c}`")).alias(c) for c in df.columns]
+    ).collect()[0]
+    keep = [c for c in df.columns if counts[c] > 0]
+    return df.select(*[F.col(f"`{c}`") for c in keep])
+
+
+def drop_na_keys(df: DataFrame, subset: Sequence[str]) -> DataFrame:
+    """P10: drop rows with NULL in any key column
+    (tidyr::drop_na(pk_id), anomalies_detector/pk.R:98)."""
+    return df.na.drop(subset=list(subset))

@@ -1880,3 +1880,89 @@ def rdt_incidence_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "assignment", "Children", "Cases", "Prevalence",
         "Child_years_at_risk", "Incidence",
     )
+
+
+# ===========================================================================
+# Anomaly detection pipeline (detectors -> consolidation -> summary),
+# composed per 05.run_anomaly_detection.R:50-104.
+# ===========================================================================
+
+from .operators import quality as ql  # noqa: E402
+
+_ANOMALY_FINAL_SQL = """
+    det AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS "KEY", 'orders' AS form_id,
+             'dup_custkey' AS anomalies_id,
+             'o_custkey:' || CAST(o_custkey AS VARCHAR) || ' duplicated '
+               || CAST(n AS VARCHAR) || ' times' AS anomalies_description
+      FROM (SELECT *, COUNT(*) OVER (PARTITION BY o_custkey) AS n
+            FROM orders WHERE o_custkey IS NOT NULL)
+      WHERE n >= 18
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), 'orders', 'high_total',
+             'order total suspiciously high'
+      FROM orders WHERE o_totalprice > 490000.0
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), 'orders', 'low_total',
+             'order total suspiciously low'
+      FROM orders WHERE o_totalprice < 6000.0),
+    final AS (
+      SELECT form_id || '__' || "KEY" || '__' || anomalies_id AS resolution_id,
+             "KEY", form_id, anomalies_id, anomalies_description,
+             'to_do' AS resolution_status, '' AS anomalies_reports_to_wid
+      FROM det)
+"""
+
+
+def _anomaly_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    dup = ql.detect_duplication(
+        o, "o_custkey", "orders", "dup_custkey", threshold=18, key="o_orderkey"
+    )
+    hi = ql.detect_threshold(
+        o, "o_totalprice", "orders", "high_total",
+        "order total suspiciously high", 490000.0, "more", key="o_orderkey",
+    )
+    lo = ql.detect_threshold(
+        o, "o_totalprice", "orders", "low_total",
+        "order total suspiciously low", 6000.0, "less", key="o_orderkey",
+    )
+    return ql.consolidate([dup, hi, lo])
+
+
+@_register(
+    "anomalies_detection",
+    "WITH " + _ANOMALY_FINAL_SQL + "\n    SELECT * FROM final",
+)
+def anomalies_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # detector union -> resolution_id contract
+    # (05.run_anomaly_detection.R:52-65).
+    return _anomaly_final(spark, sf_dir)
+
+
+@_register(
+    "anomalies_summary",
+    "WITH " + _ANOMALY_FINAL_SQL + """
+    SELECT form_id, anomalies_id, COUNT(*) AS anomalies_count,
+           CURRENT_DATE AS snapshot_date
+    FROM final GROUP BY 1, 2
+    """,
+)
+def anomalies_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A13 summary rollup 'for faster query'
+    # (05.run_anomaly_detection.R:91-96).
+    return ql.summary_rollup(_anomaly_final(spark, sf_dir))
+
+
+@_register(
+    "drop_na_keys",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+    """,
+)
+def drop_na_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P10 drop rows with NULL keys (pk.R:98 drop_na).
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    return ql.drop_na_keys(o, ["o_custkey", "o_orderpriority"])

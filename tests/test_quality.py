@@ -1,0 +1,47 @@
+"""Golden tests for quality.py: P8 name normalization (incl.
+collisions), P9 empty-column drop, ragged detector consolidation."""
+
+from __future__ import annotations
+
+from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+
+def test_normalize_column_names_keeps_last_segment(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3)], ["group_a-sub-hhid", "group_b-extid", "plain"]
+    )
+    assert ql.normalize_column_names(df).columns == ["hhid", "extid", "plain"]
+
+
+def test_normalize_column_names_disambiguates_collisions(spark):
+    df = spark.createDataFrame([(1, 2)], ["a-x", "b-x"])
+    assert ql.normalize_column_names(df).columns == ["x", "x_2"]
+
+
+def test_drop_empty_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, None)],
+        "id int, all_null string, partial string",
+    )
+    out = ql.drop_empty_columns(df)
+    assert out.columns == ["id", "partial"]
+    assert out.count() == 2
+
+
+def test_consolidate_ragged_union_and_contract(spark):
+    d1 = spark.createDataFrame(
+        [("k1", "f", "a1", "desc1", "w9")],
+        "KEY string, form_id string, anomalies_id string, "
+        "anomalies_description string, anomalies_reports_to_wid string",
+    )
+    d2 = spark.createDataFrame(
+        [("k2", "f", "a2", "desc2")],
+        "KEY string, form_id string, anomalies_id string, anomalies_description string",
+    )
+    out = ql.consolidate([d1, d2])
+    rows = {r.resolution_id: r for r in out.collect()}
+    assert set(rows) == {"f__k1__a1", "f__k2__a2"}
+    # missing column NULL-filled then ''-normalized
+    assert rows["f__k2__a2"].anomalies_reports_to_wid == ""
+    assert rows["f__k1__a1"].anomalies_reports_to_wid == "w9"
+    assert all(r.resolution_status == "to_do" for r in rows.values())
