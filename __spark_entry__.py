@@ -8,6 +8,7 @@ bohemia_kenya_data_pipeline_spark/queries.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,8 +17,12 @@ from bohemia_kenya_data_pipeline_spark.queries import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (pricing summary, TPC-H Q1 shape) on sf0.001."""
-    return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query: the goals-cascade warehouse build
+    (00.store_se_goals.R shape — skeleton cross-join + fill-down +
+    anti-joins + distinct rollup). Defaults to sf0.001 per the smoke
+    contract; honors SPARK_GRAFT_SF_DIR."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    return QUERIES["goals_cascade"](spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

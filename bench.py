@@ -27,6 +27,10 @@ from bohemia_kenya_data_pipeline_spark.session import get_spark  # noqa: E402
 #: joins, windows, sessionize, pivot, as-of expansion, dedup pack,
 #: similarity pack, text pack).
 HEADLINE = [
+    "goals_cascade",
+    "resolution_delete_set",
+    "rdt_state_machine",
+    "spatial_cluster_assign",
     "pricing_summary",
     "join_inner_fact_dim",
     "join_left_broadcast_dim",

@@ -58,10 +58,15 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
 
 def polygon_literal(polygons: Sequence[tuple[int, Sequence[tuple[float, float]]]]) -> Column:
     """Embed a small polygon set as a literal
-    array<struct<pid,verts:array<struct<lon,lat>>>> column. Driver-side
-    metadata (≤ a few hundred polygons), evaluated map-side."""
-    return F.array(
-        *[
+    array<struct<pid,verts,minlon,maxlon,minlat,maxlat>> column —
+    driver-side metadata (≤ a few hundred polygons), evaluated
+    map-side. The precomputed bounding box is the per-point pruning
+    index: candidate selection is 4 comparisons instead of a ray-cast."""
+    entries = []
+    for pid, verts in polygons:
+        lons = [float(lon) for lon, _ in verts]
+        lats = [float(lat) for _, lat in verts]
+        entries.append(
             F.struct(
                 F.lit(pid).alias("pid"),
                 F.array(
@@ -72,10 +77,13 @@ def polygon_literal(polygons: Sequence[tuple[int, Sequence[tuple[float, float]]]
                         for lon, lat in verts
                     ]
                 ).alias("verts"),
+                F.lit(min(lons)).alias("minlon"),
+                F.lit(max(lons)).alias("maxlon"),
+                F.lit(min(lats)).alias("minlat"),
+                F.lit(max(lats)).alias("maxlat"),
             )
-            for pid, verts in polygons
-        ]
-    )
+        )
+    return F.array(*entries)
 
 
 def _edges(verts: Column) -> Column:
@@ -145,33 +153,62 @@ def assign_clusters(
     lon, lat = F.col(lon_col), F.col(lat_col)
     polys = polygon_literal(polygons)
 
-    strict = F.aggregate(
+    # 1) bbox prune: 4 comparisons per polygon cut the candidate set
+    #    to the 0-2 polygons whose (buffer-padded) box contains the
+    #    point — the expensive folds below then run on ~1 element,
+    #    not the whole polygon set.
+    pad_lat = buffer_m / M_PER_DEG_LAT + 1e-9
+    pad_lon = (buffer_m / M_PER_DEG_LON_EQ) / F.greatest(
+        F.cos(F.radians(lat)), F.lit(0.01)
+    ) + 1e-9
+    cand = F.filter(
         polys,
-        F.lit(None).cast("int"),
-        lambda acc, p: F.when(
-            point_in_polygon(lon, lat, p["verts"]) & (acc.isNull() | (p["pid"] < acc)),
-            p["pid"],
-        ).otherwise(acc),
+        lambda p: (lon >= p["minlon"] - pad_lon)
+        & (lon <= p["maxlon"] + pad_lon)
+        & (lat >= p["minlat"] - pad_lat)
+        & (lat <= p["maxlat"] + pad_lat),
     )
-    # nearest boundary within buffer among non-containing polygons
-    best = F.aggregate(
-        polys,
-        F.struct(
-            F.lit(None).cast("int").alias("pid"),
-            F.lit(float("inf")).alias("d"),
+
+    # 2) evaluate inside/distance exactly ONCE per candidate
+    #    (transform materializes the per-polygon structs), then reduce
+    #    in one fold — separate strict/buffered folds would re-run the
+    #    ray-cast and segment-distance subtrees 3x.
+    per_poly = F.transform(
+        cand,
+        lambda p: F.struct(
+            p["pid"].alias("pid"),
+            point_in_polygon(lon, lat, p["verts"]).alias("inside"),
+            point_to_polygon_m(lon, lat, p["verts"]).alias("d"),
         ),
-        lambda acc, p: F.when(
-            point_to_polygon_m(lon, lat, p["verts"]) < acc["d"],
-            F.struct(
-                p["pid"].alias("pid"),
-                point_to_polygon_m(lon, lat, p["verts"]).alias("d"),
-            ),
-        ).otherwise(acc),
     )
-    buffered = F.when(best["d"] <= buffer_m, best["pid"])
-    return points.withColumn(
-        "geo_cluster_num", F.coalesce(strict, buffered)
-    ).withColumn("geo_not_in_cluster", strict.isNull() & buffered.isNull())
+    res = F.aggregate(
+        per_poly,
+        F.struct(
+            F.lit(None).cast("int").alias("strict"),
+            F.lit(None).cast("int").alias("bpid"),
+            F.lit(float("inf")).alias("bd"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                x["inside"] & (acc["strict"].isNull() | (x["pid"] < acc["strict"])),
+                x["pid"],
+            )
+            .otherwise(acc["strict"])
+            .alias("strict"),
+            F.when(x["d"] < acc["bd"], x["pid"]).otherwise(acc["bpid"]).alias("bpid"),
+            F.least(x["d"], acc["bd"]).alias("bd"),
+        ),
+    )
+    # materialize the fold once; CollapseProject keeps multi-referenced
+    # non-trivial exprs in their own Project instead of re-inlining.
+    staged = points.withColumn("_pip", res)
+    strict = F.col("_pip")["strict"]
+    buffered = F.when(F.col("_pip")["bd"] <= buffer_m, F.col("_pip")["bpid"])
+    return (
+        staged.withColumn("geo_cluster_num", F.coalesce(strict, buffered))
+        .withColumn("geo_not_in_cluster", strict.isNull() & buffered.isNull())
+        .drop("_pip")
+    )
 
 
 # ---------------------------------------------------------------------------

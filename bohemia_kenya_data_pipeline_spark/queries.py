@@ -1966,3 +1966,149 @@ def drop_na_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P10 drop rows with NULL keys (pk.R:98 drop_na).
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
     return ql.drop_na_keys(o, ["o_custkey", "o_orderpriority"])
+
+
+# ===========================================================================
+# Flagship: the goals-cascade warehouse query (00.store_se_goals.R:
+# 198-254,264-322) re-expressed over the TPC-H-ish tables — V1 goals
+# from the baseline roster, V2-V4 cascaded from visit facts with
+# departure/refusal removal, a visit×key skeleton, per-key fill-down,
+# and an n_distinct rollup. One registered query composes J2, J9, W4,
+# anti/left-join filters and exact distinct aggregation.
+# ===========================================================================
+
+from .operators import multimodal as mm  # noqa: E402
+from .operators import reshape as rs  # noqa: E402
+
+
+@_register(
+    "goals_cascade",
+    """
+    WITH dropped AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
+    base AS (
+      SELECT c.c_custkey, n.n_nationkey AS cluster
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_custkey NOT IN (SELECT c_custkey FROM dropped)),
+    v1 AS (
+      SELECT 'V1' AS visit, cluster, COUNT(DISTINCT c_custkey) AS hh_target
+      FROM base GROUP BY 2),
+    seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    facts AS (
+      SELECT 'V' || CAST(rn + 1 AS VARCHAR) AS visit, s.o_custkey AS custkey,
+             s.o_orderdate AS start_time, b.cluster
+      FROM seq s JOIN base b ON s.o_custkey = b.c_custkey
+      WHERE rn <= 3),
+    departures AS (
+      SELECT o_custkey AS custkey, MIN(o_orderdate) AS departure_time
+      FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '5-LOW'
+      GROUP BY 1),
+    refusals AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 20000.0),
+    curated AS (
+      SELECT f.visit, f.custkey, f.cluster
+      FROM facts f
+      LEFT JOIN departures d ON f.custkey = d.custkey
+      WHERE (f.start_time < d.departure_time OR d.departure_time IS NULL)
+        AND f.custkey NOT IN (SELECT custkey FROM refusals)),
+    skeleton AS (
+      SELECT v.visit, k.custkey
+      FROM (SELECT DISTINCT custkey FROM curated) k,
+           (VALUES ('V2'), ('V3'), ('V4')) v(visit)),
+    filled AS (
+      SELECT s.visit, s.custkey,
+             LAST_VALUE(c.cluster IGNORE NULLS) OVER (
+               PARTITION BY s.custkey ORDER BY s.visit
+               ROWS UNBOUNDED PRECEDING) AS cluster
+      FROM skeleton s LEFT JOIN curated c
+        ON s.visit = c.visit AND s.custkey = c.custkey),
+    cascade AS (
+      SELECT visit, cluster, COUNT(DISTINCT custkey) AS hh_target
+      FROM filled WHERE cluster IS NOT NULL GROUP BY 1, 2)
+    SELECT * FROM v1 UNION ALL SELECT * FROM cascade
+    """,
+)
+def goals_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+
+    # baseline roster minus the dropped-household list (v0_dropped)
+    dropped = c.filter(F.col("c_custkey") % 50 == 0).select("c_custkey")
+    base = (
+        c.join(dropped, "c_custkey", "left_anti")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("c_custkey", F.col("n_nationkey").alias("cluster"))
+    )
+    v1 = (
+        base.groupBy("cluster")
+        .agg(F.countDistinct("c_custkey").alias("hh_target"))
+        .select(F.lit("V1").alias("visit"), "cluster", "hh_target")
+    )
+
+    # visit facts cascaded to visit+1, capped at V4 (stop cascading)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    facts = seq.join(base, seq["o_custkey"] == base["c_custkey"]).select(
+        F.concat(F.lit("V"), (F.col("rn") + 1).cast("string")).alias("visit"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("start_time"),
+        "cluster",
+    )
+
+    # departures: facts strictly before the departure time survive
+    departures = (
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "5-LOW"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.min("o_orderdate").alias("departure_time"))
+    )
+    refusals = (
+        o.filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") < 20000.0))
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    curated = (
+        facts.join(departures, "custkey", "left")
+        .filter(
+            (F.col("start_time") < F.col("departure_time"))
+            | F.col("departure_time").isNull()
+        )
+        .join(refusals, "custkey", "left_anti")
+        .select("visit", "custkey", "cluster")
+    )
+
+    # visit×key skeleton + per-key fill-down (expand_grid + tidyr::fill)
+    skeleton = rs.scaffold(curated.select("custkey").distinct(), ["V2", "V3", "V4"], "visit")
+    filled = W.fill_down(
+        skeleton.join(curated, ["visit", "custkey"], "left"),
+        ["cluster"],
+        partition_by=["custkey"],
+        order_by=["visit"],
+    )
+    cascade = (
+        filled.filter(F.col("cluster").isNotNull())
+        .groupBy("visit", "cluster")
+        .agg(F.countDistinct("custkey").alias("hh_target"))
+    )
+    return v1.unionByName(cascade.select("visit", "cluster", "hh_target"))
+
+
+@_register(
+    "multimodal_features",
+    """
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           16 AS n_bytes,
+           CAST(('0x' || substr(md5(text), 1, 2))::BIGINT AS INTEGER) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary-column plumbing: payload = unhex(md5(text)) -> Arrow
+    # mapInPandas featurization (the slot a real media decoder plugs
+    # into; see operators/multimodal.py).
+    d = mm.attach_payload(_t(spark, sf_dir, "documents"))
+    return mm.extract_binary_features(d)
