@@ -147,3 +147,24 @@ def write_history_partition(
 def dedup_on_ingest(df: DataFrame, keys: list[str]) -> DataFrame:
     """S15: drop duplicates on ingest keys (get_ever_resolved.py:7-9)."""
     return df.dropDuplicates(keys)
+
+
+def list_files_as_table(spark: SparkSession, prefix: str) -> DataFrame:
+    """S14: a recursive file listing as a DataFrame (key, size,
+    last_modified) — the reference's aws_s3_get_catalog
+    (pipeline-reporting/R/consolidate/index.Rmd:69-84).
+
+    Uses Spark's binaryFile source metadata columns (path/length/
+    modificationTime) so the listing itself is distributed — no
+    driver-side os.walk; works identically on s3a:// prefixes.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(prefix)
+        .select(
+            F.col("path").alias("key"),
+            F.col("length").alias("size"),
+            F.col("modificationTime").alias("last_modified"),
+        )
+    )

@@ -175,12 +175,15 @@ def seeded_shuffle_sample(
     order_tiebreak: str | None = None,
 ) -> DataFrame:
     """Stratified seeded sample of n rows per group — W11
-    (randomize.R:64-88). Spark's rand(seed) is seeded per-partition so
-    parity with R's set.seed is distributional, not bitwise (SURVEY §4.1);
-    pass ``order_tiebreak`` for a deterministic total order."""
-    order = [F.rand(seed)]
+    (randomize.R:64-88). With ``order_tiebreak`` (a unique row key)
+    the shuffle order is ``hash(tiebreak, seed)`` — fully
+    deterministic regardless of partitioning, the property Spark's
+    per-partition-seeded rand(seed) cannot give. Without it, falls
+    back to rand(seed): distributional parity only (SURVEY §4.1)."""
     if order_tiebreak:
-        order.append(F.col(order_tiebreak))
+        order = [F.hash(F.col(order_tiebreak), F.lit(seed)), F.col(order_tiebreak)]
+    else:
+        order = [F.rand(seed)]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -1,0 +1,104 @@
+"""S-layer round-trip tests: schema'd CSV read with ''->NULL, form
+tree with form_id tagging, single-file CSV contract, partitioned
+history sink + pruned read, dedup-on-ingest, file listing (S14)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, StringType, StructField, StructType,
+)
+
+from bohemia_kenya_data_pipeline_spark import catalog as cat
+
+SCHEMA = StructType(
+    [
+        StructField("instanceID", StringType()),
+        StructField("hhid", StringType()),
+        StructField("age", IntegerType()),
+    ]
+)
+
+
+@pytest.fixture()
+def form_dir(tmp_path):
+    d = tmp_path / "raw-form" / "v0demography"
+    d.mkdir(parents=True)
+    (d / "v0demography.csv").write_text(
+        "instanceID,hhid,age\nuuid:a,00001,30\nuuid:b,,40\n"
+    )
+    d2 = tmp_path / "raw-form" / "safety"
+    d2.mkdir(parents=True)
+    (d2 / "safety.csv").write_text("instanceID,hhid,age\nuuid:c,00003,50\n")
+    return str(tmp_path / "raw-form")
+
+
+def test_read_csv_form_schema_and_null_normalization(spark, form_dir):
+    df = cat.read_csv_form(spark, os.path.join(form_dir, "v0demography"), SCHEMA)
+    rows = {r.instanceID: r for r in df.collect()}
+    assert df.schema == SCHEMA  # declared, not inferred
+    assert rows["uuid:b"].hhid is None  # '' -> NULL engine default
+    assert rows["uuid:a"].age == 30
+
+
+def test_read_form_tree_tags_form_id(spark, form_dir):
+    df = cat.read_form_tree(spark, form_dir, SCHEMA)
+    got = {(r.form_id, r.instanceID) for r in df.collect()}
+    assert ("v0demography", "uuid:a") in got
+    assert ("safety", "uuid:c") in got
+
+
+def test_write_csv_single_file_contract(spark, tmp_path, form_dir):
+    df = cat.read_csv_form(spark, os.path.join(form_dir, "v0demography"), SCHEMA)
+    out = str(tmp_path / "clean")
+    cat.write_csv(df, out, single_file=True)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1  # one file per form, as the reference lays out
+
+
+def test_history_partition_append_and_pruning(spark, tmp_path):
+    df = spark.createDataFrame([("k1", "f")], ["KEY", "form_id"])
+    out = str(tmp_path / "hist")
+    cat.write_history_partition(df, out, partition_value="2026-08-01")
+    cat.write_history_partition(df, out, partition_value="2026-08-02")
+    full = spark.read.parquet(out)
+    assert full.count() == 2
+    one = full.filter(F.col("partition_date") == "2026-08-01")
+    assert one.count() == 1
+    # partition filter reaches the scan (pruning, not a full read)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "partition_date" in plan
+
+
+def test_dedup_on_ingest(spark):
+    df = spark.createDataFrame(
+        [("r1", "a"), ("r1", "b"), ("r2", "c")], ["resolution_id", "v"]
+    )
+    assert cat.dedup_on_ingest(df, ["resolution_id"]).count() == 2
+
+
+def test_list_files_as_table(spark, form_dir):
+    listing = cat.list_files_as_table(spark, form_dir)
+    rows = listing.collect()
+    assert len(rows) == 2
+    assert all(r.size > 0 for r in rows)
+    assert any("v0demography.csv" in r.key for r in rows)
+
+
+def test_seeded_sample_partition_invariant(spark):
+    # W11: with a tiebreak key, the sampled set must not depend on the
+    # physical partitioning (hash-of-key order, not per-partition rand)
+    from bohemia_kenya_data_pipeline_spark.operators import windows as W
+
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("grp"), F.col("id").cast("string").alias("rid")
+    )
+    a = {(r.grp, r.rid) for r in
+         W.seeded_shuffle_sample(df, ["grp"], 5, seed=7, order_tiebreak="rid").collect()}
+    b = {(r.grp, r.rid) for r in
+         W.seeded_shuffle_sample(df.repartition(17), ["grp"], 5, seed=7,
+                                 order_tiebreak="rid").collect()}
+    assert a == b and len(a) == 50
