@@ -168,3 +168,28 @@ def list_files_as_table(spark: SparkSession, prefix: str) -> DataFrame:
             F.col("modificationTime").alias("last_modified"),
         )
     )
+
+
+def read_landed_sheet(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    dedup_keys: list[str] | None = None,
+) -> DataFrame:
+    """S5/S15: read a Google-Sheets-landed CSV (the ingestion job
+    lands the sheet as CSV; the engine never talks to the Sheets API —
+    SURVEY §2.1 design). Optionally dedup on ingest keys, as the
+    resolution-history reader does (get_ever_resolved.py:7-9)."""
+    df = read_csv_form(spark, path, schema)
+    return df.dropDuplicates(dedup_keys) if dedup_keys else df
+
+
+def export_sheet_csv(df: DataFrame, path: str, max_rows: int = 20000) -> None:
+    """S12: stage an engine result for the Sheets export job as one
+    CSV file. The reference's pygsheets writer caps worksheets at
+    20k rows (ento_populate.py:98,126) — enforce the cap here so the
+    export job never silently truncates."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"sheet export cap exceeded: {n} > {max_rows} rows")
+    write_csv(df, path, single_file=True)

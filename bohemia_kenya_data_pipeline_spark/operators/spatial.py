@@ -261,3 +261,31 @@ def nearest_neighbor(
             "dist_m",
         )
     )
+
+
+def load_polygons_csv(
+    spark, path: str
+) -> list[tuple[int, list[tuple[float, float]]]]:
+    """S6: load cluster polygons from a landed ring-vertex CSV
+    (columns: pid, seq, lon, lat) into the literal-polygon form
+    :func:`assign_clusters` consumes.
+
+    The reference ships polygons as .RData/shapefiles loaded per run
+    (processing_utils.R:467, anomalies_utils.R:71-73); the engine's
+    contract is a one-time conversion to this open tabular fixture
+    (FIXTURES.md §7). Polygon sets are driver metadata (≤ a few
+    hundred rings), so collecting here is by design.
+    """
+    rows = (
+        spark.read.option("header", "true")
+        .schema("pid INT, seq INT, lon DOUBLE, lat DOUBLE")
+        .csv(path)
+        .collect()
+    )
+    by_pid: dict[int, list[tuple[int, float, float]]] = {}
+    for r in rows:
+        by_pid.setdefault(r.pid, []).append((r.seq, r.lon, r.lat))
+    return [
+        (pid, [(lon, lat) for _, lon, lat in sorted(verts)])
+        for pid, verts in sorted(by_pid.items())
+    ]

@@ -2112,3 +2112,131 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into; see operators/multimodal.py).
     d = mm.attach_payload(_t(spark, sf_dir, "documents"))
     return mm.extract_binary_features(d)
+
+
+# ===========================================================================
+# Report query pack: composed Rmd-report shapes (SURVEY §7.2 item 7) —
+# coverage vs targets, as-of reconciliation anti-join, wide->long
+# signed stock rollup.
+# ===========================================================================
+
+
+@_register(
+    "coverage_vs_target",
+    """
+    WITH target AS (
+      SELECT n_nationkey AS cluster, COUNT(DISTINCT c_custkey) AS target
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1),
+    submitted AS (
+      SELECT n_nationkey AS cluster, COUNT(DISTINCT c_custkey) AS submitted
+      FROM customer
+      JOIN orders ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+      GROUP BY 1)
+    SELECT t.cluster, COALESCE(s.submitted, 0) AS submitted, t.target,
+           ROUND(COALESCE(s.submitted, 0) / t.target * 100, 2) AS coverage_pct
+    FROM target t LEFT JOIN submitted s ON t.cluster = s.cluster
+    """,
+)
+def coverage_vs_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A12+J2: submissions/target coverage ratio
+    # (v0_demography_report.Rmd:137-140).
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    dim = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", F.col("n_nationkey").alias("cluster")
+    )
+    target = dim.groupBy("cluster").agg(F.countDistinct("c_custkey").alias("target"))
+    d = F.col("o_orderdate").cast("date")
+    submitted = (
+        dim.join(o, dim["c_custkey"] == o["o_custkey"])
+        .filter((d >= F.lit("1995-01-01").cast("date")) & (d < F.lit("1996-01-01").cast("date")))
+        .groupBy("cluster")
+        .agg(F.countDistinct("c_custkey").alias("submitted"))
+    )
+    return target.join(submitted, "cluster", "left").select(
+        "cluster",
+        F.coalesce(F.col("submitted"), F.lit(0)).alias("submitted"),
+        "target",
+        F.round(F.coalesce(F.col("submitted"), F.lit(0)) / F.col("target") * 100, 2).alias(
+            "coverage_pct"
+        ),
+    )
+
+
+@_register(
+    "lab_reconciliation_asof",
+    """
+    WITH weeks AS (
+      SELECT CAST(UNNEST(generate_series(DATE '1995-06-01', DATE '1995-07-20',
+                                         INTERVAL 7 DAY)) AS DATE) AS run_date),
+    first_ship AS (
+      SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+      FROM lineitem GROUP BY 1)
+    SELECT w.run_date, COUNT(*) AS pending
+    FROM weeks w
+    JOIN orders o ON CAST(o.o_orderdate AS DATE) <= w.run_date
+    LEFT JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    WHERE f.first_ship IS NULL OR f.first_ship > w.run_date
+    GROUP BY 1
+    """,
+)
+def lab_reconciliation_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lab.Rmd reconciliation shape: weekly as-of snapshots (W10) x
+    # anti-join (J3) — submitted-but-not-processed counts per run_date.
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    weeks = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-06-01").cast("date"),
+                F.lit("1995-07-20").cast("date"),
+                F.expr("interval 7 days"),
+            )
+        ).alias("run_date")
+    )
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+    )
+    od = F.col("o_orderdate").cast("date")
+    pending = (
+        F.broadcast(weeks)
+        .join(o, od <= F.col("run_date"))
+        .join(first_ship, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .filter(F.col("first_ship").isNull() | (F.col("first_ship") > F.col("run_date")))
+    )
+    return pending.groupBy("run_date").agg(F.count(F.lit(1)).alias("pending"))
+
+
+@_register(
+    "pharmacy_stock_unpivot",
+    """
+    WITH long AS (
+      SELECT l_partkey % 50 AS depot, l_returnflag, 'quantity' AS metric,
+             l_quantity AS value
+      FROM lineitem
+      UNION ALL
+      SELECT l_partkey % 50, l_returnflag, 'extendedprice', l_extendedprice
+      FROM lineitem)
+    SELECT depot, metric,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN -value ELSE value END), 2)
+             AS net
+    FROM long GROUP BY 1, 2
+    """,
+)
+def pharmacy_stock_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pharmacy-report.Rmd:182-354 shape: wide drug columns -> long
+    # (unpivot) -> direction-signed stock balance per depot.
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 50).alias("depot"),
+        "l_returnflag",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+    )
+    long = li.unpivot(["depot", "l_returnflag"], ["quantity", "extendedprice"], "metric", "value")
+    signed = F.when(F.col("l_returnflag") == "R", -F.col("value")).otherwise(F.col("value"))
+    return long.groupBy("depot", "metric").agg(F.round(F.sum(signed), 2).alias("net"))

@@ -102,3 +102,33 @@ def test_seeded_sample_partition_invariant(spark):
          W.seeded_shuffle_sample(df.repartition(17), ["grp"], 5, seed=7,
                                  order_tiebreak="rid").collect()}
     assert a == b and len(a) == 50
+
+
+def test_load_polygons_csv_roundtrip(spark, tmp_path):
+    from bohemia_kenya_data_pipeline_spark.operators import spatial as sp
+
+    p = tmp_path / "polys.csv"
+    p.write_text(
+        "pid,seq,lon,lat\n"
+        "7,1,0.0,0.0\n7,2,1.0,0.0\n7,3,0.0,1.0\n"
+        "3,1,5.0,5.0\n3,2,6.0,5.0\n3,3,6.0,6.0\n3,4,5.0,6.0\n"
+    )
+    polys = sp.load_polygons_csv(spark, str(p))
+    assert [pid for pid, _ in polys] == [3, 7]
+    assert polys[1][1] == [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]
+    # loaded polygons drive the assignment end-to-end
+    pts = spark.createDataFrame([(1, 0.2, 0.2)], ["id", "Longitude", "Latitude"])
+    out = sp.assign_clusters(pts, polys).collect()[0]
+    assert out.geo_cluster_num == 7
+
+
+def test_landed_sheet_and_export_cap(spark, tmp_path):
+    p = tmp_path / "sheet.csv"
+    p.write_text("instanceID,hhid,age\nr1,00001,30\nr1,00001,30\nr2,00002,40\n")
+    df = cat.read_landed_sheet(spark, str(p), SCHEMA, dedup_keys=["instanceID"])
+    assert df.count() == 2
+    cat.export_sheet_csv(df, str(tmp_path / "out"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cap exceeded"):
+        cat.export_sheet_csv(df, str(tmp_path / "out2"), max_rows=1)
