@@ -285,15 +285,19 @@ def drop_pii(df: DataFrame, denylist: Sequence[str]) -> DataFrame:
     return df.drop(*present)
 
 
-def hash_pii(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
-    """C6: sha1 the identity columns that exist
+def hash_pii(
+    df: DataFrame, cols: Sequence[str] | None = None, algo: str = "sha1"
+) -> DataFrame:
+    """C6: hash the identity columns that exist
     (processing_utils.R:120-144, across(any_of(...), sha1) — built-in
-    ``sha1``, no UDF)."""
+    hash functions, no UDF). ``algo``: 'sha1' (reference parity) or
+    'sha256' (for deployments that need a stronger digest)."""
     cols = DEFAULT_HASH_COLS if cols is None else list(cols)
+    fn = F.sha1 if algo == "sha1" else (lambda c: F.sha2(c, 256))
     out = df
     for c in cols:
         if c in df.columns:
-            out = out.withColumn(c, F.sha1(F.col(c).cast("string")))
+            out = out.withColumn(c, fn(F.col(c).cast("string")))
     return out
 
 

@@ -2240,3 +2240,24 @@ def pharmacy_stock_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = li.unpivot(["depot", "l_returnflag"], ["quantity", "extendedprice"], "metric", "value")
     signed = F.when(F.col("l_returnflag") == "R", -F.col("value")).otherwise(F.col("value"))
     return long.groupBy("depot", "metric").agg(F.round(F.sum(signed), 2).alias("net"))
+
+
+@_register(
+    "sanitize_pii",
+    """
+    SELECT sha256(CAST(c_custkey AS VARCHAR)) AS c_custkey,
+           sha256(c_name) AS c_name,
+           c_nationkey, c_acctbal
+    FROM customer
+    """,
+)
+def sanitize_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C5+C6 sanitation path: drop the denylisted column, hash the id
+    # columns (processing_utils.R:49-144). sha256 here because the
+    # oracle lacks sha1; the operator defaults to sha1 for reference
+    # parity (golden-tested in test_clean.py).
+    c = _t(spark, sf_dir, "customer")
+    out = cl.hash_pii(
+        cl.drop_pii(c, ["c_mktsegment"]), ["c_custkey", "c_name"], algo="sha256"
+    )
+    return out.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
