@@ -1,0 +1,101 @@
+"""End-to-end cleaning-DAG golden test (SURVEY §3.2 / §5.2): a
+miniature ODK form runs raw → clean (name normalization, resolution
+fixes, standardization) → sanitized (PII drop/hash, jitter, empty-col
+drop) → anomaly detection, with row-level golden assertions at each
+zone boundary."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import clean as cl
+from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+RAW_COLS = [
+    "meta-instanceID", "group_hh-hhid", "group_hh-village",
+    "group_geo-Latitude", "group_geo-Longitude", "group_geo-Accuracy",
+    "firstname", "unused_note", "age",
+]
+
+
+def _raw(spark):
+    rows = [
+        ("uuid:a", "00001", "NGUZ0", -4.10, 39.20, 8.0, "Alice", None, "30"),
+        ("uuid:b", "00001", "nguzo", -4.10, 39.20, 22.0, "Bob", None, "40"),
+        ("uuid:c", "00002", "KIJIJI", -4.30, 39.40, 5.0, "Carol", None, "bad"),
+        ("uuid:d", "00003", "KIJIJI", -4.50, 39.60, 6.0, "Dan", None, "50"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "`meta-instanceID` string, `group_hh-hhid` string, `group_hh-village` string, "
+        "`group_geo-Latitude` double, `group_geo-Longitude` double, "
+        "`group_geo-Accuracy` double, firstname string, unused_note string, age string",
+    )
+
+
+def _resolution(spark):
+    return spark.createDataFrame(
+        [
+            ("demo", "uuid:d", None, None, "DELETE", "", 0, 1),
+            ("demo", "uuid:c", "age", "51", "SET", "", 0, 1),
+            ("demo", "uuid:c", "age", "52", "SET", "", 0, 2),
+        ],
+        "`Form` string, `instanceID` string, `Column` string, `Set To` string, "
+        "`Operation` string, `RepeatName` string, `RepeatKey` int, "
+        "`resolution_order` int",
+    )
+
+
+def test_clean_sanitize_anomalies_pipeline(spark):
+    # --- raw -> clean ---
+    raw = _raw(spark)
+    named = ql.normalize_column_names(raw)  # P8
+    assert "instanceID" in named.columns and "hhid" in named.columns
+
+    typed = named.withColumn("age", F.col("age").try_cast("double"))
+    fixed = cl.google_sheets_fix(typed, _resolution(spark), "demo")  # C1-C3
+    clean = cl.fix_typos(
+        cl.standardize_strings(fixed, ["village"]), "village", {"NGUZ0": "NGUZO"}
+    )  # C10
+    rows = {r.instanceID: r for r in clean.collect()}
+    assert set(rows) == {"uuid:a", "uuid:b", "uuid:c"}  # uuid:d deleted
+    assert rows["uuid:c"].age == 52.0  # keep-last SET, typed cast
+    assert rows["uuid:a"].age == 30.0  # untouched, CSV string -> double
+    assert rows["uuid:a"].village == "NGUZO" and rows["uuid:b"].village == "NGUZO"
+
+    # --- clean -> sanitized ---
+    dropped = cl.drop_pii(clean, ["firstname"])  # C5
+    hashed = cl.hash_pii(dropped, ["instanceID", "hhid"])  # C6
+    jittered = cl.jitter_locations(hashed, group_col="hhid")  # C7
+    sanitized = ql.drop_empty_columns(jittered)  # P9
+    assert "firstname" not in sanitized.columns
+    assert "unused_note" not in sanitized.columns  # all-NULL column dropped
+    s_rows = sanitized.collect()
+    assert all(len(r.hhid) == 40 for r in s_rows)  # sha1 hex
+    # jitter moved points but both uuid:a/uuid:b (same hhid) together
+    lat_by_hash = {}
+    for r in s_rows:
+        lat_by_hash.setdefault(r.hhid, set()).add(round(r.Latitude, 9))
+    assert all(len(v) == 1 for v in lat_by_hash.values())
+    assert all(abs(r.Latitude - -4.10) < 0.011 or abs(r.Latitude - -4.30) < 0.011
+               for r in s_rows)
+
+    # --- clean -> anomalies (detectors run on the CLEAN zone) ---
+    acc = ql.detect_threshold(
+        clean.withColumnRenamed("instanceID", "KEY"),
+        "Accuracy", "demo", "gps_accuracy", "GPS accuracy above 15m", 15.0,
+    )
+    dup = ql.detect_duplication(
+        clean.withColumnRenamed("instanceID", "KEY"), "hhid", "demo", "dup_hhid"
+    )
+    final = ql.consolidate([acc, dup])
+    got = {(r.resolution_id, r.anomalies_id) for r in final.collect()}
+    assert ("demo__uuid:b__gps_accuracy", "gps_accuracy") in got  # Accuracy 22
+    assert ("demo__uuid:a__dup_hhid", "dup_hhid") in got  # hhid 00001 x2
+    assert ("demo__uuid:b__dup_hhid", "dup_hhid") in got
+    assert len(got) == 3
+    summary = {
+        (r.form_id, r.anomalies_id): r.anomalies_count
+        for r in ql.summary_rollup(final).collect()
+    }
+    assert summary[("demo", "dup_hhid")] == 2
