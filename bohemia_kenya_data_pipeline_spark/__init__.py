@@ -7,18 +7,23 @@ data-processing capabilities of databrew/bohemia-kenya-data-pipeline
 - ``session``    — tuned SparkSession builder (AQE, Arrow, broadcast)
 - ``catalog``    — zoned table registry + readers/writers (SURVEY §2.1)
 - ``functions``  — scalar expression library (SURVEY §2.7)
+- ``jobs``       — composed zone-transition jobs: clean / sanitize /
+                   anomaly detection (SURVEY §3.2 DAG)
 - ``operators``  — composable DataFrame->DataFrame operators:
     clean      C1-C11 resolution/sanitation engine (SURVEY §2.8)
-    windows    latest-per-key, fill-down, top-N, uncount, as-of (§2.5)
-    reshape    pivot/melt/scaffold (§2.7 array/reshape)
-    quality    anomaly-detector combinators (§2.8, §3.2)
-    spatial    haversine, point-in-polygon, nearest-neighbor (J11/J12)
-    stats      prevalence/incidence CIs, RDT state machine (W9)
-    dedup      exact / MinHash-LSH / SimHash / n-gram Jaccard /
+    quality    anomaly-detector combinators + P8-P10 (§2.8, §3.2)
+    windows    latest-per-key, fill-down, top-N, uncount, as-of,
+               sessionize, seeded sampling (§2.5)
+    reshape    scaffold/pivot/melt (§2.7 array/reshape)
+    project    any_of/matches selection, bind_cols (P2/O5)
+    spatial    haversine, point-in-polygon + buffer, nearest-neighbor
+               (J11/J12/C8)
+    stats      RDT state machine (W9), prevalence/incidence CIs
+    dedup      exact / MinHash-LSH / SimHash / LSH-verified Jaccard /
                embedding near-dup (scale pack)
-    similarity cosine top-k ANN, LSH-bucketed variant (scale pack)
+    similarity cosine top-k exact baseline, multi-table LSH ANN
     text       lang-ID, quality scoring, token counts, fingerprints
-    multimodal binary-column plumbing (decode stubs)
+    multimodal binary payload + metadata, mapInPandas featurization
 """
 
 __version__ = "0.1.0"

@@ -99,3 +99,37 @@ def test_clean_sanitize_anomalies_pipeline(spark):
         for r in ql.summary_rollup(final).collect()
     }
     assert summary[("demo", "dup_hhid")] == 2
+
+
+def test_jobs_api_mirrors_inline_pipeline(spark):
+    """The jobs/ API produces the same zone outputs as the inline
+    composition above."""
+    from bohemia_kenya_data_pipeline_spark import jobs
+
+    raw = _raw(spark)
+    clean = jobs.clean_form(
+        raw.withColumn("age", F.col("age").try_cast("double")),
+        _resolution(spark),
+        "demo",
+        typo_fixes={"village": {"NGUZ0": "NGUZO"}},
+    )
+    rows = {r.instanceID: r for r in clean.collect()}
+    assert set(rows) == {"uuid:a", "uuid:b", "uuid:c"}
+    assert rows["uuid:c"].age == 52.0
+    assert rows["uuid:a"].village == "NGUZO"
+
+    sanitized = jobs.sanitize_form(clean, ["firstname"], ["instanceID", "hhid"])
+    assert "firstname" not in sanitized.columns
+    assert all(len(r.hhid) == 40 for r in sanitized.collect())
+
+    keyed = clean.withColumnRenamed("instanceID", "KEY")
+    final, summary = jobs.run_anomaly_detection(
+        [
+            lambda: ql.detect_threshold(
+                keyed, "Accuracy", "demo", "gps_accuracy", "GPS accuracy above 15m", 15.0
+            ),
+            lambda: ql.detect_duplication(keyed, "hhid", "demo", "dup_hhid"),
+        ]
+    )
+    assert final.count() == 3
+    assert {r.anomalies_count for r in summary.collect()} == {1, 2}
