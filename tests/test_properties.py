@@ -1,0 +1,106 @@
+"""Property tests (SURVEY §5.3): order-sensitive operators must be
+invariant to input row order / physical partitioning — keep-last SET
+dedup, fill-down after skeleton join, sessionization."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import clean as cl
+from bohemia_kenya_data_pipeline_spark.operators import windows as W
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def resolution_rows(draw):
+    n = draw(st.integers(2, 12))
+    rows = []
+    for i in range(n):
+        iid = f"uuid:{draw(st.integers(0, 3))}"
+        col = draw(st.sampled_from(["age", "village"]))
+        rows.append(("f", iid, col, str(draw(st.integers(0, 99))), "SET", "", 0, i))
+    return rows
+
+
+@given(rows=resolution_rows(), seed=st.integers(0, 2**16))
+@settings(**_SETTINGS)
+def test_apply_sets_keep_last_order_invariant(spark, rows, seed):
+    data = spark.createDataFrame(
+        [(f"uuid:{i}", f"uuid:{i}", "V", 1.0) for i in range(4)],
+        ["instanceID", "KEY", "village", "age"],
+    )
+    schema = (
+        "`Form` string, `instanceID` string, `Column` string, `Set To` string, "
+        "`Operation` string, `RepeatName` string, `RepeatKey` int, "
+        "`resolution_order` int"
+    )
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    out_a = cl.apply_sets(data, spark.createDataFrame(rows, schema))
+    out_b = cl.apply_sets(data, spark.createDataFrame(shuffled, schema).repartition(5))
+    assert sorted(map(tuple, out_a.collect())) == sorted(map(tuple, out_b.collect()))
+    # keep-last semantics vs a driver-side reference
+    last: dict[tuple[str, str], tuple[int, str]] = {}
+    for r in rows:
+        key = (r[1], r[2])
+        if key not in last or r[7] > last[key][0]:
+            last[key] = (r[7], r[3])
+    got = {r.instanceID: r for r in out_a.collect()}
+    for (iid, col), (_, val) in last.items():
+        if iid in got:
+            want = float(val) if col == "age" else val
+            assert getattr(got[iid], col) == want
+
+
+@given(
+    vals=st.lists(st.one_of(st.none(), st.integers(0, 9)), min_size=1, max_size=20),
+    seed=st.integers(0, 2**16),
+)
+@settings(**_SETTINGS)
+def test_fill_down_matches_forward_fill(spark, vals, seed):
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    df = spark.createDataFrame(shuffled, "grp string, seq int, v int").repartition(3)
+    out = {
+        r.seq: r.v
+        for r in W.fill_down(df, ["v"], partition_by=["grp"], order_by=["seq"]).collect()
+    }
+    # driver-side forward fill
+    cur = None
+    for i, v in enumerate(vals):
+        cur = v if v is not None else cur
+        assert out[i] == cur
+
+
+@given(
+    gaps=st.lists(st.integers(1, 120), min_size=1, max_size=25),
+    seed=st.integers(0, 2**16),
+)
+@settings(**_SETTINGS)
+def test_sessionize_order_and_partition_invariant(spark, gaps, seed):
+    # events at cumulative minute offsets; sessions split at >30 min
+    ts = []
+    t = 0
+    for g in gaps:
+        t += g
+        ts.append(t)
+    rows = [("u", i, float(t)) for i, t in enumerate(ts)]
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    df = spark.createDataFrame(shuffled, "user_id string, event_id int, minute double")
+    df = df.withColumn("ts", F.timestamp_seconds(F.col("minute") * 60))
+    out = W.sessionize(df.repartition(4), "user_id", "ts", gap_minutes=30,
+                       order_tiebreakers=["event_id"])
+    n_sessions = out.select("session_id").distinct().count()
+    expected = 1 + sum(1 for g in gaps[1:] if g > 30)
+    assert n_sessions == expected
