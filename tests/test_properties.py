@@ -104,3 +104,24 @@ def test_sessionize_order_and_partition_invariant(spark, gaps, seed):
     n_sessions = out.select("session_id").distinct().count()
     expected = 1 + sum(1 for g in gaps[1:] if g > 30)
     assert n_sessions == expected
+
+
+@given(
+    thresholds=st.lists(st.integers(0, 100), min_size=40, max_size=40),
+    xs=st.lists(st.integers(0, 100), min_size=1, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_long_case_when_chain_first_match(spark, thresholds, xs):
+    # §7.4.1: ~40-branch ordered case_when (safety_status...Rmd:235-296)
+    # generated mechanically must keep FIRST-match semantics even when
+    # branch conditions overlap arbitrarily.
+    df = spark.createDataFrame([(x,) for x in xs], "x int")
+    expr = None
+    for i, t in enumerate(thresholds):
+        cond = F.col("x") >= t
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    out = {r.x: r.branch for r in
+           df.withColumn("branch", expr.otherwise(F.lit(-1))).collect()}
+    for x in xs:
+        want = next((i for i, t in enumerate(thresholds) if x >= t), -1)
+        assert out[x] == want
