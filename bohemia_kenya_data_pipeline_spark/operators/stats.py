@@ -160,3 +160,43 @@ def incidence_rates(
         F.round(inc - Z975 * se, 6).alias("Incidence_lwr"),
         F.round(inc + Z975 * se, 6).alias("Incidence_upr"),
     )
+
+
+def irr_by_group(
+    rates: DataFrame,
+    group_col: str = "visit_number",
+    assignment_col: str = "assignment",
+    incidence_col: str = "Incidence",
+    cases_col: str = "Cases",
+) -> DataFrame:
+    """Incidence-rate ratio per group across the two arms with its
+    Wald CI (prevalence_incidence.qmd:37-44): IRR = prod(irr_factor)
+    where arm 1 contributes 1/Incidence and arm 0 contributes
+    Incidence; se = sqrt(sum(1/Cases)); bounds IRR ∓ exp(z*se).
+
+    ``prod`` has no Spark aggregate — expressed as exp(sum(ln)), the
+    SURVEY §2.7 mapping. Groups where any arm has zero cases or zero
+    incidence are dropped (log undefined; the reference assumes
+    positive rates).
+    """
+    factor = F.when(
+        F.col(assignment_col) == 1, 1.0 / F.col(incidence_col)
+    ).otherwise(F.col(incidence_col))
+    ok = (F.col(incidence_col) > 0) & (F.col(cases_col) > 0)
+    g = (
+        rates.filter(ok)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("_arms"),
+            F.exp(F.sum(F.log(factor))).alias("IRR_raw"),
+            F.sqrt(F.sum(1.0 / F.col(cases_col))).alias("_se"),
+        )
+        .filter(F.col("_arms") == 2)
+    )
+    spread = F.exp(F.lit(Z975) * F.col("_se"))
+    return g.select(
+        group_col,
+        F.round(F.col("IRR_raw"), 6).alias("IRR"),
+        F.round(F.col("IRR_raw") / spread, 6).alias("IRR_lwr"),
+        F.round(F.col("IRR_raw") * spread, 6).alias("IRR_upr"),
+    )

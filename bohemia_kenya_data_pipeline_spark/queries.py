@@ -2261,3 +2261,37 @@ def sanitize_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         cl.drop_pii(c, ["c_mktsegment"]), ["c_custkey", "c_name"], algo="sha256"
     )
     return out.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+
+
+@_register(
+    "rdt_irr",
+    "WITH RECURSIVE " + _RDT_COHORT_SQL + """,
+    rates AS (
+      SELECT visit_number, extid % 2 AS assignment,
+             CAST(SUM(CASE WHEN incident_case THEN 1 ELSE 0 END) AS BIGINT) AS Cases,
+             ROUND(CASE WHEN SUM(COALESCE(days_at_risk, 0)) / 365.25 > 0
+                        THEN CAST(SUM(CASE WHEN incident_case THEN 1 ELSE 0 END) AS BIGINT)
+                             / (SUM(COALESCE(days_at_risk, 0)) / 365.25) END, 6)
+               AS Incidence
+      FROM rec GROUP BY 1, 2),
+    irr AS (
+      SELECT visit_number, COUNT(*) AS arms,
+             exp(SUM(ln(CASE WHEN assignment = 1 THEN 1.0 / Incidence
+                             ELSE Incidence END))) AS IRR_raw,
+             sqrt(SUM(1.0 / Cases)) AS se
+      FROM rates WHERE Incidence > 0 AND Cases > 0
+      GROUP BY 1)
+    SELECT visit_number, ROUND(IRR_raw, 6) AS IRR,
+           ROUND(IRR_raw / exp(1.959963984540054 * se), 6) AS IRR_lwr,
+           ROUND(IRR_raw * exp(1.959963984540054 * se), 6) AS IRR_upr
+    FROM irr WHERE arms = 2
+    """,
+)
+def rdt_irr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IRR across arms per visit: prod via exp(sum(ln)) + Wald CI
+    # (prevalence_incidence.qmd:37-44).
+    evaluated = st.evaluate_rdts(_rdt_cohort(spark, sf_dir)).withColumn(
+        "assignment", F.col("extid") % 2
+    )
+    rates = st.incidence_rates(evaluated, ["visit_number", "assignment"])
+    return st.irr_by_group(rates)
