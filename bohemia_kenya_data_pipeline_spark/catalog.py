@@ -189,7 +189,13 @@ def export_sheet_csv(df: DataFrame, path: str, max_rows: int = 20000) -> None:
     CSV file. The reference's pygsheets writer caps worksheets at
     20k rows (ento_populate.py:98,126) — enforce the cap here so the
     export job never silently truncates."""
-    n = df.count()
-    if n > max_rows:
-        raise ValueError(f"sheet export cap exceeded: {n} > {max_rows} rows")
-    write_csv(df, path, single_file=True)
+    # pin one materialization: without persist the cap check and the
+    # write re-execute the plan and can see different rows.
+    df = df.persist()
+    try:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(f"sheet export cap exceeded: {n} > {max_rows} rows")
+        write_csv(df, path, single_file=True)
+    finally:
+        df.unpersist()

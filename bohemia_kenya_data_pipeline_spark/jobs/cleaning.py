@@ -53,7 +53,12 @@ def sanitize_form(
     drop (02.run_data_sanitation.R order)."""
     df = cl.drop_pii(clean, pii_denylist)
     df = cl.hash_pii(df, hash_cols)
-    if jitter_group and jitter_group in df.columns and "Latitude" in df.columns:
+    if (
+        jitter_group
+        and jitter_group in df.columns
+        and "Latitude" in df.columns
+        and "Longitude" in df.columns
+    ):
         df = cl.jitter_locations(df, group_col=jitter_group)
     return ql.drop_empty_columns(df)
 

@@ -41,7 +41,12 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-def with_repeat_parts(df: DataFrame, key_col: str = "KEY") -> DataFrame:
+def with_repeat_parts(
+    df: DataFrame,
+    key_col: str = "KEY",
+    name_col: str = "repeat_name",
+    ordinal_col: str = "repeat_key",
+) -> DataFrame:
     """Parse ``.../<repeat_name>[<k>]`` from the tail of a child KEY
     into ``repeat_name`` (string) and ``repeat_key`` (int) columns —
     processing_utils.R:272-275 (str_split on [ / ]).
@@ -50,13 +55,27 @@ def with_repeat_parts(df: DataFrame, key_col: str = "KEY") -> DataFrame:
     # try_cast: a KEY without a [k] suffix extracts '' — must become
     # NULL, not an ANSI cast abort.
     return df.withColumn(
-        "repeat_name", F.regexp_extract(base, r"^([^\[]+)", 1)
-    ).withColumn("repeat_key", F.regexp_extract(base, r"\[(\d+)\]", 1).try_cast("int"))
+        name_col, F.regexp_extract(base, r"^([^\[]+)", 1)
+    ).withColumn(ordinal_col, F.regexp_extract(base, r"\[(\d+)\]", 1).try_cast("int"))
 
 
 def _is_main(col: Column) -> Column:
     """RepeatName '' or NULL ⇒ the resolution row targets the main table."""
     return col.isNull() | (col == "")
+
+
+def _normalize_repeat_coords(resolution: DataFrame) -> DataFrame:
+    """Canonicalize the repeat coordinates of a resolution sheet:
+    RepeatName NULL→'' and RepeatKey to int (NULL→0). Sheets arrive
+    with both encodings (a CSV landed through read_csv_form nullifies
+    '', a literal-built frame may not) — without this, keep-last
+    windows and pivots treat them as distinct cells and the SET join
+    fans out."""
+    return resolution.withColumn(
+        "RepeatName", F.coalesce(F.col("RepeatName"), F.lit(""))
+    ).withColumn(
+        "RepeatKey", F.coalesce(F.col("RepeatKey").try_cast("int"), F.lit(0))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -77,18 +96,23 @@ def apply_deletes(
     deletes, THEN drop all children of deleted parents (the cascade).
     Both joins broadcast the (tiny) resolution side.
     """
-    dels = resolution.filter(F.col("Operation") == "DELETE")
+    # restrict to this form on EVERY path — a mixed sheet must never
+    # delete formA rows because formB recorded the same instanceID.
+    dels = resolution.filter(
+        (F.col("Operation") == "DELETE") & (F.col("Form") == form_id)
+    )
     if repeat_name is None:
         to_delete = dels.filter(_is_main(F.col("RepeatName"))).select("instanceID")
         return data.join(
             F.broadcast(to_delete), data["instanceID"] == to_delete["instanceID"], "left_anti"
         )
 
-    staged = with_repeat_parts(data).withColumn("form_id", F.lit(form_id))
+    # parse into __-prefixed temp columns so a data-side form_id /
+    # repeat_name / repeat_key column survives untouched.
+    staged = with_repeat_parts(data, name_col="__rp_name", ordinal_col="__rp_key")
     to_delete_rep = dels.filter(~_is_main(F.col("RepeatName"))).select(
-        F.col("Form").alias("form_id"),
-        F.col("RepeatName").alias("repeat_name"),
-        F.col("RepeatKey").cast("int").alias("repeat_key"),
+        F.col("RepeatName").alias("__rp_name"),
+        F.col("RepeatKey").try_cast("int").alias("__rp_key"),
         F.col("instanceID").alias("PARENT_KEY"),
     )
     to_delete_parent = dels.filter(_is_main(F.col("RepeatName"))).select(
@@ -96,10 +120,10 @@ def apply_deletes(
     )
     out = staged.join(
         F.broadcast(to_delete_rep),
-        ["form_id", "repeat_name", "repeat_key", "PARENT_KEY"],
+        ["__rp_name", "__rp_key", "PARENT_KEY"],
         "left_anti",
     ).join(F.broadcast(to_delete_parent), "PARENT_KEY", "left_anti")
-    return out.drop("repeat_name", "repeat_key", "form_id")
+    return out.drop("__rp_name", "__rp_key")
 
 
 # ---------------------------------------------------------------------------
@@ -125,7 +149,7 @@ def apply_sets(
 
     Only columns present in ``data`` are applied (any_of semantics).
     """
-    sets = resolution.filter(F.col("Operation") == "SET")
+    sets = _normalize_repeat_coords(resolution.filter(F.col("Operation") == "SET"))
     if repeat_name is None:
         sets = sets.filter(_is_main(F.col("RepeatName")))
     else:
@@ -145,30 +169,34 @@ def apply_sets(
         F.col(order_col).desc()
     )
     last = sets.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    pvt = (
-        last.groupBy(
+    # main path: one pivot row per instanceID, period — grouping by
+    # the (already-filtered-constant) repeat coords would let mixed
+    # NULL/'' encodings fan the join out.
+    group_cols = (
+        ["instanceID"]
+        if repeat_name is None
+        else [
             "instanceID",
-            F.col("RepeatName").alias("repeat_name"),
-            F.col("RepeatKey").cast("int").alias("repeat_key"),
-        )
-        .pivot("Column", target_cols)
-        .agg(F.first("Set To"))
+            F.col("RepeatName").alias("__rp_name"),
+            F.col("RepeatKey").alias("__rp_key"),
+        ]
     )
+    pvt = last.groupBy(*group_cols).pivot("Column", target_cols).agg(F.first("Set To"))
 
     if repeat_name is None:
         d = data.alias("d")
-        p = pvt.drop("repeat_name", "repeat_key").alias("p")
+        p = pvt.alias("p")
         joined = d.join(
             F.broadcast(p), F.col("d.instanceID") == F.col("p.instanceID"), "left"
         )
     else:
-        d = with_repeat_parts(data).alias("d")
+        d = with_repeat_parts(data, name_col="__rp_name", ordinal_col="__rp_key").alias("d")
         p = pvt.withColumnRenamed("instanceID", "PARENT_KEY").alias("p")
         joined = d.join(
             F.broadcast(p),
             (F.col("d.PARENT_KEY") == F.col("p.PARENT_KEY"))
-            & (F.col("d.repeat_name") == F.col("p.repeat_name"))
-            & (F.col("d.repeat_key") == F.col("p.repeat_key")),
+            & (F.col("d.__rp_name") == F.col("p.__rp_name"))
+            & (F.col("d.__rp_key") == F.col("p.__rp_key")),
             "left",
         )
 
@@ -292,6 +320,8 @@ def hash_pii(
     (processing_utils.R:120-144, across(any_of(...), sha1) — built-in
     hash functions, no UDF). ``algo``: 'sha1' (reference parity) or
     'sha256' (for deployments that need a stronger digest)."""
+    if algo not in ("sha1", "sha256"):
+        raise ValueError(f"unknown hash algo {algo!r}: use 'sha1' or 'sha256'")
     cols = DEFAULT_HASH_COLS if cols is None else list(cols)
     fn = F.sha1 if algo == "sha1" else (lambda c: F.sha2(c, 256))
     out = df

@@ -56,9 +56,12 @@ def detect_duplication(
             F.col(key).alias("KEY"),
             F.lit(form_id).alias("form_id"),
             F.lit(anomalies_id).alias("anomalies_id"),
-            F.format_string(f"{col}:%s duplicated %s times", F.col(col), F.col("n")).alias(
-                "anomalies_description"
-            ),
+            # concat, not format_string: the column NAME is data here,
+            # and a name containing '%' must not become a printf spec.
+            F.concat(
+                F.lit(f"{col}:"), F.col(col).cast("string"),
+                F.lit(" duplicated "), F.col("n").cast("string"), F.lit(" times"),
+            ).alias("anomalies_description"),
         )
     )
 
@@ -75,6 +78,8 @@ def detect_threshold(
 ) -> DataFrame:
     """Rows breaching a threshold (anomalies_utils.R:28-57; e.g. GPS
     Accuracy > 15, safety.R:204). Pure filter — pushes to the scan."""
+    if direction not in ("more", "less"):
+        raise ValueError(f"unknown direction {direction!r}: use 'more' or 'less'")
     cond = F.col(col) > threshold if direction == "more" else F.col(col) < threshold
     return df.filter(cond).select(
         F.col(key).alias("KEY"),
@@ -146,12 +151,17 @@ def normalize_column_names(df: DataFrame) -> DataFrame:
     (processing_utils.R:42-45). Collisions keep the first occurrence
     suffix-free and disambiguate later ones with _2, _3…"""
     new_names: list[str] = []
-    seen: dict[str, int] = {}
+    taken: set[str] = set()
     for c in df.columns:
         base = c.split("-")[-1]
-        n = seen.get(base, 0)
-        seen[base] = n + 1
-        new_names.append(base if n == 0 else f"{base}_{n + 1}")
+        name, k = base, 1
+        # bump the suffix until free — a naive base_2 can itself
+        # collide with a real column named base_2.
+        while name in taken:
+            k += 1
+            name = f"{base}_{k}"
+        taken.add(name)
+        new_names.append(name)
     return df.toDF(*new_names)
 
 

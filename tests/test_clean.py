@@ -171,3 +171,61 @@ def test_standardize_and_typos(spark):
         cl.standardize_strings(df, ["village"]), "village", {"NGUZ0 TOWN": "NGUZO TOWN"}
     )
     assert out.collect()[0].village == "NGUZO TOWN"
+
+
+def test_set_mixed_null_and_empty_repeat_coords_no_fanout(spark):
+    # regression: NULL vs '' RepeatName (and NULL RepeatKey) encodings
+    # for the same cell must collapse to ONE pivot row — not fan the
+    # join out into duplicate data rows.
+    res = spark.createDataFrame(
+        [
+            ("f", "uuid:a", "age", "77", "SET", None, None, 1),
+            ("f", "uuid:a", "age", "88.5", "SET", "", 0, 2),
+        ],
+        _RES_SCHEMA,
+    )
+    out = cl.apply_sets(_main(spark), res)
+    assert out.count() == 3  # no duplication
+    assert {r.age for r in out.collect() if r.instanceID == "uuid:a"} == {88.5}
+
+
+def test_delete_other_form_does_not_leak(spark):
+    # regression: a DELETE recorded for another form must not remove
+    # this form's rows sharing the instanceID.
+    res = _resolution(
+        spark,
+        [
+            ("other_form", "uuid:a", None, None, "DELETE", "", 0, 1),
+            ("f", "uuid:b", None, None, "DELETE", "", 0, 1),
+        ],
+    )
+    kept = {r.instanceID for r in cl.apply_deletes(_main(spark), res, "f").collect()}
+    assert kept == {"uuid:a", "uuid:c"}
+    # repeat path: parent cascade also form-scoped
+    kept_rep = {
+        r.KEY
+        for r in cl.apply_deletes(
+            _repeat(spark), res, "f", repeat_name="repeat_individual"
+        ).collect()
+    }
+    assert "uuid:a/repeat_individual[1]" in kept_rep  # other form's DELETE ignored
+    assert not any(k.startswith("uuid:b/") for k in kept_rep)
+
+
+def test_repeat_ops_preserve_data_side_metadata_columns(spark):
+    # regression: a data-side form_id column (e.g. from read_form_tree)
+    # must survive the repeat DELETE/SET paths untouched.
+    from pyspark.sql import functions as F
+
+    rep = _repeat(spark).withColumn("form_id", F.lit("from_ingest"))
+    res = _resolution(
+        spark, [("f", "uuid:a", None, None, "DELETE", "repeat_individual", 2, 1)]
+    )
+    out = cl.apply_deletes(rep, res, "f", repeat_name="repeat_individual")
+    assert "form_id" in out.columns
+    assert {r.form_id for r in out.collect()} == {"from_ingest"}
+    res2 = _resolution(
+        spark, [("f", "uuid:a", "age", "99", "SET", "repeat_individual", 2, 1)]
+    )
+    out2 = cl.apply_sets(rep, res2, repeat_name="repeat_individual")
+    assert {r.form_id for r in out2.collect()} == {"from_ingest"}

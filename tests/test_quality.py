@@ -45,3 +45,25 @@ def test_consolidate_ragged_union_and_contract(spark):
     assert rows["f__k2__a2"].anomalies_reports_to_wid == ""
     assert rows["f__k1__a1"].anomalies_reports_to_wid == "w9"
     assert all(r.resolution_status == "to_do" for r in rows.values())
+
+
+def test_normalize_names_collision_with_real_column(spark):
+    # regression: disambiguated 'x_2' must not collide with a real x_2
+    df = spark.createDataFrame([(1, 2, 3)], ["a-x", "b-x", "x_2"])
+    cols = ql.normalize_column_names(df).columns
+    assert len(set(cols)) == 3 and cols[0] == "x"
+
+
+def test_detect_duplication_percent_in_column_name(spark):
+    df = spark.createDataFrame([("k1", "v"), ("k2", "v")], ["KEY", "pct%done"])
+    rows = ql.detect_duplication(df, "pct%done", "f", "dup").collect()
+    assert len(rows) == 2
+    assert rows[0].anomalies_description == "pct%done:v duplicated 2 times"
+
+
+def test_detect_threshold_rejects_unknown_direction(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("k", 1.0)], ["KEY", "v"])
+    with _pytest.raises(ValueError, match="direction"):
+        ql.detect_threshold(df, "v", "f", "a", "d", 0.5, direction="greater")
