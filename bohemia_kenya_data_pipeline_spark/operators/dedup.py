@@ -313,22 +313,31 @@ def embedding_neardup_pairs(
     the distinct union of per-table bucket-join matches — candidate
     recall 1-(1-p^k)^L (p = 1-θ/π) instead of single-table p^k, at
     join volume ~ L·n²/2^k per bucket skew. Never a full cross join."""
-    from .similarity import cosine, lsh_table_buckets, random_hyperplanes
+    from .similarity import cosine_prenormed, lsh_table_buckets, norm, random_hyperplanes
 
     planes = random_hyperplanes(dim, n_planes * n_tables, seed)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("tb", F.explode(lsh_table_buckets(F.col("v"), planes, n_tables)))
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "tb")
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "tb")
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("n", norm(F.col("v")))
+        .withColumn("tb", F.explode(lsh_table_buckets(F.col("v"), planes, n_tables)))
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a"), "tb")
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n").alias("n_b"), "tb")
     pairs = (
         a.join(b, "tb")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        pairs.withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        pairs.withColumn(
+            "cosine",
+            F.round(
+                cosine_prenormed(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")), 4
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -34,6 +34,16 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(n > 0, d / n).otherwise(F.lit(0.0))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with norms staged per SIDE instead of per PAIR — in an
+    n×m scoring join the per-pair ``cosine`` re-folds each vector's
+    norm m (resp. n) times; precomputing a norm column per side cuts
+    the fold work to the dot product alone, with bit-identical values
+    (same norm expression, evaluated earlier)."""
+    n = na * nb
+    return F.when(n > 0, dot(a, b) / n).otherwise(F.lit(0.0))
+
+
 def _as_double(vec_col: str) -> Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
@@ -57,15 +67,20 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .withColumn(
+            "score",
+            F.round(
+                cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 4
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -143,19 +158,26 @@ def lsh_topk(
     candidates only.
     """
     planes = random_hyperplanes(dim, n_planes * n_tables, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("tb", F.explode(lsh_table_buckets(F.col("qv"), planes, n_tables)))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("tb", F.explode(lsh_table_buckets(F.col("cv"), planes, n_tables)))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("tb", F.explode(lsh_table_buckets(F.col("qv"), planes, n_tables)))
+    )
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        .withColumn("cn", norm(F.col("cv")))
+        .withColumn("tb", F.explode(lsh_table_buckets(F.col("cv"), planes, n_tables)))
+    )
     cand = (
         q.join(c, "tb")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    scored = cand.withColumn(
+        "score",
+        F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 4),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
