@@ -92,7 +92,13 @@ def cumulative_sum(
     order_by: Sequence[str | Column],
     out_col: str = "cumsum",
 ) -> DataFrame:
-    """Running total — W3 (prevalence_incidence.qmd:54-56)."""
+    """Running total — W3 (prevalence_incidence.qmd:54-56).
+
+    SCALE GUARD: an empty ``partition_by`` makes this a single-task
+    global window — acceptable only on already-aggregated frames
+    (e.g. ~100 monthly rows), never on raw fact data. Partition by a
+    real key (or pre-aggregate) before cumulating at scale.
+    """
     w = (
         Window.partitionBy(*partition_by)
         .orderBy(*_desc_keys(order_by, False))
