@@ -341,3 +341,53 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint into 4 bytes and
+    equi-join on (band, byte) — by pigeonhole, any pair within
+    hamming distance <= 3 of a 32-bit simhash agrees on at least one
+    of the 4 bytes, so the banded join has PERFECT recall for
+    max_hamming <= bands-1 while staying linear (no cross join).
+    Exact hamming verifies the candidates.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    sh = simhash(df, text_col, id_col, bits)
+    n_bands = 4
+    width = bits // n_bands
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a = bands.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk")
+    b = bands.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk")
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b"), bits))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

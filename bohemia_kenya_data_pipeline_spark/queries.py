@@ -2295,3 +2295,36 @@ def rdt_irr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rates = st.incidence_rates(evaluated, ["visit_number", "assignment"])
     return st.irr_by_group(rates)
+
+
+def _simhash_neardup_sql(bits: int = 32, n_bands: int = 4, max_hamming: int = 3) -> str:
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS chunk FROM sh"
+        for b in range(n_bands)
+    )
+    ham = " + ".join(f"((x >> {i}) & 1)" for i in range(bits))
+    return f"""
+    WITH sh AS ({_simhash_sql(bits)}),
+    bands AS (
+      {band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM bands a JOIN bands b USING (band, chunk)
+      WHERE a.doc_id < b.doc_id),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST((SELECT {ham} FROM (SELECT xor(sh_a, sh_b) AS x)) AS INTEGER) AS hamming
+      FROM cand)
+    SELECT * FROM scored WHERE hamming <= {max_hamming}
+    """
+
+
+@_register("simhash_neardup", _simhash_neardup_sql())
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash banded near-dup: byte-band equi-join has perfect recall
+    # for hamming <= 3 on 32-bit prints (pigeonhole), then exact
+    # hamming verify - linear candidate generation.
+    return dd.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
