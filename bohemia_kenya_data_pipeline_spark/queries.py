@@ -2328,3 +2328,18 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for hamming <= 3 on 32-bit prints (pigeonhole), then exact
     # hamming verify - linear candidate generation.
     return dd.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_apply",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The dedup APPLY side: keep the min-id representative per distinct
+    # content hash (left_semi against the winners).
+    kept = dd.drop_exact_duplicates(_t(spark, sf_dir, "documents"))
+    return kept.select("doc_id", "lang", "source")
