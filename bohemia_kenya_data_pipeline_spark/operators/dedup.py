@@ -150,7 +150,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: for each permutation i, min over the doc's
     shingle hashes of (a_i*h + b_i) mod P. Returns
-    (id, sig array<bigint>). Both plans produce identical values.
+    (id, sig array<bigint>). Both plans produce identical values —
+    PRECONDITION: ids are unique (the agg plan merges duplicate ids
+    via groupBy, the map plan emits one row per input row).
 
     ``plan='map'`` (default): per-row array fold — hash the distinct
     shingle array once into a staged column, then ``array_min`` over
@@ -359,8 +361,15 @@ def simhash_neardup_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
-    sh = simhash(df, text_col, id_col, bits)
     n_bands = 4
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds bands-1={n_bands - 1}: the banded "
+            "join would silently miss pairs (pigeonhole only covers <= bands-1)"
+        )
+    if bits % n_bands:
+        raise ValueError("bits must be divisible by the band count (4)")
+    sh = simhash(df, text_col, id_col, bits)
     width = bits // n_bands
     bands = sh.select(
         "id",

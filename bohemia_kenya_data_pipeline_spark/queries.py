@@ -1160,8 +1160,9 @@ def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WITH " + _minhash_sig_sql(8) + "\n    SELECT * FROM sig",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # MinHash signatures (8 perms, word-bigram shingles): explode →
-    # single agg, no UDF; LCG constants shared with the oracle.
+    # MinHash signatures (8 perms, word-bigram shingles): zero-shuffle
+    # map-side array fold (plan='map' default); LCG constants shared
+    # with the oracle.
     sig = dd.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8)
     return sig.select(
         F.col("id").alias("doc_id"), *[F.col("sig")[i].alias(f"s{i}") for i in range(8)]

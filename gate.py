@@ -26,10 +26,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def _norm(v):
+    """Mirror of tests/conftest._norm — keep the two in sync so the
+    gate, the pytest suite, and the driver agree on comparisons."""
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v, 9)
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
     return v
 
 
@@ -72,7 +76,8 @@ def main() -> int:
                         print(f"  first diff: {a} VS {b}")
                         break
         except Exception as ex:  # pragma: no cover - diagnostic path
-            print(f"{name}: ERROR {str(ex).splitlines()[0][:200]}", flush=True)
+            msg = (str(ex).splitlines() or ["<no message>"])[0]
+            print(f"{name}: ERROR {msg[:200]}", flush=True)
             failed.append(name)
 
     print(f"GATE: {len(names) - len(failed)}/{len(names)} green", flush=True)
