@@ -14,7 +14,7 @@ Python versions, unlike builtin ``hash``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -55,6 +55,79 @@ def shingles(text: Column | str, n: int = 3) -> Column:
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return F.when(k >= n, grams).otherwise(F.array(joined))
+
+
+# ---------------------------------------------------------------------------
+# Bucket-size guard (LSH skew hardening)
+# ---------------------------------------------------------------------------
+
+
+def _cap_buckets(
+    rows: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket_size: int | None,
+    strategy: str = "sample",
+) -> DataFrame:
+    """Bound per-bucket membership before a bucket self-join.
+
+    Every LSH pair-generator in this module is linear in data volume
+    but QUADRATIC in per-bucket membership: one pathologically hot
+    bucket (boilerplate templates put 10^5-10^6 docs in a single band
+    bucket on real pretraining corpora) turns the equi-join into
+    10^10+ candidate pairs on a single join key. AQE skew-join splits
+    the shuffle partition but not the O(c^2) pair count — the only
+    real fix is to bound c before the join.
+
+    ``strategy='sample'`` (default) keeps a deterministic
+    ``max_bucket_size``-member subset per bucket (row_number ordered
+    by id), preserving partial recall inside oversized buckets at a
+    bounded cap^2 pair cost. ``strategy='drop'`` removes oversized
+    buckets entirely (a doc still pairs via its other bands).
+
+    The window partitions by the same keys the join shuffles on, so
+    the exchange is the one the join needs anyway. ``None`` disables
+    the guard (exact semantics — the oracle-checked default).
+
+    CONTRACT: run :func:`drop_exact_duplicates` first. Exact
+    duplicates all but guarantee hot buckets (identical signature →
+    identical bucket in every band) and are caught far cheaper by the
+    hash-groupBy; the cap is for *near*-dup clusters and hash
+    collisions, not a substitute for exact dedup.
+    """
+    if max_bucket_size is None:
+        return rows
+    if max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size={max_bucket_size}: a bucket needs >= 2 members to pair"
+        )
+    if strategy not in ("sample", "drop"):
+        raise ValueError(f"unknown strategy {strategy!r}: use 'sample' or 'drop'")
+    w = Window.partitionBy(*keys)
+    counted = rows.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+    if strategy == "drop":
+        return counted.filter(F.col("_bucket_n") <= max_bucket_size).drop("_bucket_n")
+    wo = Window.partitionBy(*keys).orderBy(F.col(id_col))
+    return (
+        counted.withColumn("_bucket_rk", F.row_number().over(wo))
+        .filter(
+            (F.col("_bucket_n") <= max_bucket_size)
+            | (F.col("_bucket_rk") <= max_bucket_size)
+        )
+        .drop("_bucket_n", "_bucket_rk")
+    )
+
+
+def _bucket_stats(rows: DataFrame, keys: list[str], min_size: int) -> DataFrame:
+    """Bucket-size histogram over band rows: (keys..., n_members) for
+    buckets with at least ``min_size`` members. The log-able spill
+    report: run with ``min_size = max_bucket_size + 1`` to see exactly
+    which buckets a cap would truncate, and by how much."""
+    return (
+        rows.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= min_size)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -197,29 +270,25 @@ def minhash_signatures(
     return staged.select("id", F.array(*mins).alias("sig"))
 
 
-def minhash_lsh_pairs(
+def _minhash_band_rows(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_n: int = 2,
-    seed: int = 42,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
 ) -> DataFrame:
-    """LSH candidate pairs: split signatures into ``bands`` bands of
-    r = num_hashes/bands rows; docs sharing any band bucket are
-    candidates. Returns distinct (id_a, id_b) with id_a < id_b.
-
-    The band-bucket self-join is an equi-join on (band, bucket-hash) —
-    shuffle-partitioned, linear in data + near-dup cluster sizes.
-    """
+    """(id, band, bucket) rows: one per (doc, band), bucket = md5 of
+    the band's signature slice. Shared by the pair join and the
+    bucket-stats report so both see identical buckets."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     # agg plan: its shuffle exchange is reused across both self-join
     # sides, so signatures compute once (see minhash_signatures).
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed, plan="agg")
-    band_rows = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -241,6 +310,33 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    cap_strategy: str = "sample",
+) -> DataFrame:
+    """LSH candidate pairs: split signatures into ``bands`` bands of
+    r = num_hashes/bands rows; docs sharing any band bucket are
+    candidates. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The band-bucket self-join is an equi-join on (band, bucket-hash) —
+    shuffle-partitioned, linear in data + near-dup cluster sizes.
+
+    ``max_bucket_size`` bounds per-bucket membership before the join
+    (see :func:`_cap_buckets` — the hot-bucket guard for real corpora;
+    run :func:`drop_exact_duplicates` first as the contract). Use
+    :func:`minhash_bucket_stats` to size the cap from data.
+    """
+    band_rows = _minhash_band_rows(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
+    band_rows = _cap_buckets(band_rows, ["band", "bucket"], "id", max_bucket_size, cap_strategy)
     a = band_rows.select(F.col("id").alias("id_a"), "band", "bucket")
     b = band_rows.select(F.col("id").alias("id_b"), "band", "bucket")
     return (
@@ -249,6 +345,23 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    seed: int = 42,
+    min_size: int = 2,
+) -> DataFrame:
+    """(band, bucket, n_members) for minhash-LSH buckets with at least
+    ``min_size`` members — the spill report for sizing
+    ``max_bucket_size`` in :func:`minhash_lsh_pairs`."""
+    rows = _minhash_band_rows(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
+    return _bucket_stats(rows, ["band", "bucket"], min_size)
 
 
 # ---------------------------------------------------------------------------
@@ -308,13 +421,19 @@ def embedding_neardup_pairs(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    max_bucket_size: int | None = None,
+    cap_strategy: str = "sample",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, with
     multi-table sign-LSH candidate generation: each side hashes into
     ``n_tables`` independent 2^n_planes-bucket tables; candidates are
     the distinct union of per-table bucket-join matches — candidate
     recall 1-(1-p^k)^L (p = 1-θ/π) instead of single-table p^k, at
-    join volume ~ L·n²/2^k per bucket skew. Never a full cross join."""
+    join volume ~ L·n²/2^k per bucket skew. Never a full cross join.
+
+    ``max_bucket_size`` bounds per-(table,bucket) membership before
+    the join (see :func:`_cap_buckets`); dedup identical vectors first
+    (exact-dup embeddings land in the same bucket of every table)."""
     from .similarity import cosine_prenormed, lsh_table_buckets, norm, random_hyperplanes
 
     planes = random_hyperplanes(dim, n_planes * n_tables, seed)
@@ -326,6 +445,7 @@ def embedding_neardup_pairs(
         .withColumn("n", norm(F.col("v")))
         .withColumn("tb", F.explode(lsh_table_buckets(F.col("v"), planes, n_tables)))
     )
+    base = _cap_buckets(base, ["tb"], "id", max_bucket_size, cap_strategy)
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a"), "tb")
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n").alias("n_b"), "tb")
     pairs = (
@@ -345,33 +465,14 @@ def embedding_neardup_pairs(
     )
 
 
-def simhash_neardup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bits: int = 32,
-    max_hamming: int = 3,
-) -> DataFrame:
-    """SimHash near-dup pairs: band the fingerprint into 4 bytes and
-    equi-join on (band, byte) — by pigeonhole, any pair within
-    hamming distance <= 3 of a 32-bit simhash agrees on at least one
-    of the 4 bytes, so the banded join has PERFECT recall for
-    max_hamming <= bands-1 while staying linear (no cross join).
-    Exact hamming verifies the candidates.
-
-    Returns (id_a, id_b, hamming) with id_a < id_b.
-    """
+def _simhash_band_rows(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
+    """(id, simhash, band, chunk) rows for the 4-band simhash join."""
     n_bands = 4
-    if max_hamming > n_bands - 1:
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds bands-1={n_bands - 1}: the banded "
-            "join would silently miss pairs (pigeonhole only covers <= bands-1)"
-        )
     if bits % n_bands:
         raise ValueError("bits must be divisible by the band count (4)")
     sh = simhash(df, text_col, id_col, bits)
     width = bits // n_bands
-    bands = sh.select(
+    return sh.select(
         "id",
         "simhash",
         F.explode(
@@ -388,6 +489,39 @@ def simhash_neardup_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    cap_strategy: str = "sample",
+) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint into 4 bytes and
+    equi-join on (band, byte) — by pigeonhole, any pair within
+    hamming distance <= 3 of a 32-bit simhash agrees on at least one
+    of the 4 bytes, so the banded join has PERFECT recall for
+    max_hamming <= bands-1 while staying linear (no cross join).
+    Exact hamming verifies the candidates.
+
+    ``max_bucket_size`` bounds per-(band,chunk) membership before the
+    join (see :func:`_cap_buckets`). NOTE: a cap voids the perfect-
+    recall guarantee inside truncated buckets — dedup exact duplicates
+    first (the contract), then size the cap from
+    :func:`simhash_bucket_stats` so only pathological buckets clip.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds bands-1=3: the banded "
+            "join would silently miss pairs (pigeonhole only covers <= bands-1)"
+        )
+    bands = _simhash_band_rows(df, text_col, id_col, bits)
+    bands = _cap_buckets(bands, ["band", "chunk"], "id", max_bucket_size, cap_strategy)
     a = bands.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk")
     b = bands.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk")
     cand = (
@@ -400,3 +534,16 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    min_size: int = 2,
+) -> DataFrame:
+    """(band, chunk, n_members) for simhash bands with at least
+    ``min_size`` members — spill report for ``max_bucket_size``."""
+    rows = _simhash_band_rows(df, text_col, id_col, bits)
+    return _bucket_stats(rows, ["band", "chunk"], min_size)

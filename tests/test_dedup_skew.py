@@ -1,0 +1,100 @@
+"""Skew-hardening tests for the LSH pair-generators.
+
+The adversarial corpus (1k identical docs) is the classic LSH killer:
+identical texts share every band bucket, so the uncapped band join
+emits C(1000,2) ~= 500k candidate pairs from a single bucket. The cap
+must bound that, leave normal corpora untouched, and keep the existing
+oracle semantics when disabled (max_bucket_size=None is the default —
+those paths are covered by the driver oracle checks).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import dedup
+
+
+def _adversarial_df(spark, n_hot=200, n_normal=30):
+    """n_hot identical docs + n_normal distinct docs."""
+    hot = [(i, "the same boilerplate template text repeated everywhere") for i in range(n_hot)]
+    normal = [
+        (10_000 + i, f"unique document number {i} with distinct words alpha{i} beta{i} gamma{i}")
+        for i in range(n_normal)
+    ]
+    return spark.createDataFrame(hot + normal, ["doc_id", "text"])
+
+
+def test_minhash_cap_bounds_adversarial_pairs(spark):
+    df = _adversarial_df(spark)
+    cap = 8
+    uncapped = dedup.minhash_lsh_pairs(df).count()
+    capped = dedup.minhash_lsh_pairs(df, max_bucket_size=cap).count()
+    # 200 identical docs -> C(200,2)=19900 uncapped pairs at minimum
+    assert uncapped >= 19900
+    # sample strategy keeps cap members/bucket -> <= C(cap,2) hot pairs
+    # (+ any normal-corpus pairs, none expected among distinct docs)
+    assert capped <= cap * (cap - 1) // 2 + 10
+
+
+def test_minhash_cap_noop_on_normal_corpus(spark, docs_df=None):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, text_col="text", id_col="doc_id").collect()
+    }
+    # generous cap: no bucket on the normal corpus exceeds it
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, text_col="text", id_col="doc_id", max_bucket_size=1000
+        ).collect()
+    }
+    assert base == capped
+
+
+def test_minhash_drop_strategy_removes_hot_bucket_entirely(spark):
+    df = _adversarial_df(spark)
+    capped = dedup.minhash_lsh_pairs(df, max_bucket_size=8, cap_strategy="drop")
+    # hot docs pair only through the oversized buckets -> all dropped
+    hot_pairs = capped.filter(F.col("id_a") < 10_000).count()
+    assert hot_pairs == 0
+
+
+def test_simhash_cap_bounds_adversarial_pairs(spark):
+    df = _adversarial_df(spark)
+    cap = 8
+    capped = dedup.simhash_neardup_pairs(df, max_bucket_size=cap)
+    hot = capped.filter(F.col("id_a") < 10_000).count()
+    assert hot <= cap * (cap - 1) // 2
+
+
+def test_embedding_cap_bounds_adversarial_pairs(spark):
+    # 100 identical vectors + a few distinct ones
+    dim = 64
+    hot = [(i, [1.0] * dim) for i in range(100)]
+    normal = [(10_000 + i, [float((i * 7 + j) % 5 - 2) for j in range(dim)]) for i in range(10)]
+    df = spark.createDataFrame(hot + normal, ["vec_id", "embedding"])
+    cap = 6
+    capped = dedup.embedding_neardup_pairs(df, dim=dim, max_bucket_size=cap)
+    hot_pairs = capped.filter(F.col("id_a") < 10_000).count()
+    assert hot_pairs <= cap * (cap - 1) // 2
+
+
+def test_bucket_stats_reports_hot_bucket(spark):
+    df = _adversarial_df(spark, n_hot=50, n_normal=10)
+    stats = dedup.minhash_bucket_stats(df, min_size=40).collect()
+    # identical docs share all 4 band buckets -> 4 rows of n_members>=50
+    assert len(stats) == 4
+    assert all(r.n_members >= 50 for r in stats)
+    sim_stats = dedup.simhash_bucket_stats(df, min_size=40).collect()
+    assert len(sim_stats) >= 4
+
+
+def test_cap_validation(spark):
+    df = _adversarial_df(spark, n_hot=3, n_normal=2)
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dedup.minhash_lsh_pairs(df, max_bucket_size=1).count()
+    with pytest.raises(ValueError, match="strategy"):
+        dedup.minhash_lsh_pairs(df, max_bucket_size=4, cap_strategy="bogus").count()
