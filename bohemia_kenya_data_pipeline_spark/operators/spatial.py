@@ -263,6 +263,137 @@ def nearest_neighbor(
     )
 
 
+def nearest_neighbor_bucketed(
+    points: DataFrame,
+    facilities: DataFrame,
+    point_id: str = "id",
+    facility_id: str = "hf_id",
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+    fac_lat: str = "lat",
+    fac_lon: str = "lon",
+    round_m: int = 1,
+    cell_m: float = 5000.0,
+    lat_ref: float = 0.0,
+) -> DataFrame:
+    """J12 at scale: exact nearest facility WITHOUT broadcasting the
+    facility side — the grid-bucketed fallback the module docstring
+    promises for facility sets too large for a broadcast
+    (hh_to_hf.qmd:62-64 semantics, same output contract as
+    :func:`nearest_neighbor`).
+
+    Plan (same shape as the similarity LSH joins):
+
+    1. Bucket both sides into a fixed lon/lat grid of ``cell_m``-sized
+       cells (sized at ``lat_ref``). Facilities land in their own cell;
+       each point explodes into its 3x3 cell neighborhood — a 9x
+       fan-out of the (cheap) point keys, never of facility payloads.
+    2. Equi-join on cell → candidates; per-point argmin via a
+       map-side-combining ``min(struct(dist, fid))`` groupBy (no
+       window: partial aggregation beats a full sort at scale).
+    3. PROOF GATE: a point strictly inside its center cell is at least
+       one full cell (in meters, at its latitude) away from anything
+       outside the 3x3 block — so a candidate at distance
+       <= 0.99 * that margin is provably the GLOBAL argmin. Points
+       that can't prove it (empty neighborhood, or best candidate
+       beyond the margin) fall through.
+    4. Fallback pass for the leftovers only: broadcast the (few)
+       unresolved POINTS against the full facility table and argmin —
+       the big side streams, nothing large is broadcast. Size
+       ``cell_m`` to facility density so this pass stays small; at
+       uniform density it is the empty-neighborhood tail only.
+
+    Exactness: pass-3 acceptance is conservative (0.99 safety covers
+    the equirectangular-vs-haversine gap and the ``round_m`` rounding),
+    so accepted rows equal the broadcast variant's bit-for-bit; the
+    fallback recomputes globally. Ties resolve (dist, fid)-lexico in
+    both passes, matching :func:`nearest_neighbor`.
+    """
+    dlat = cell_m / M_PER_DEG_LAT
+    dlon = cell_m / (M_PER_DEG_LON_EQ * math.cos(math.radians(lat_ref)))
+
+    p = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col(point_lat).alias("_plat"),
+        F.col(point_lon).alias("_plon"),
+    )
+    f = facilities.select(
+        F.col(facility_id).alias("_fid"),
+        F.col(fac_lat).alias("_flat"),
+        F.col(fac_lon).alias("_flon"),
+    )
+    fc = f.select(
+        "*",
+        F.floor(F.col("_flon") / dlon).alias("cx"),
+        F.floor(F.col("_flat") / dlat).alias("cy"),
+    )
+    neighborhood = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    pc = p.select(
+        "*",
+        F.floor(F.col("_plon") / dlon).alias("_cx0"),
+        F.floor(F.col("_plat") / dlat).alias("_cy0"),
+    ).select(
+        "*",
+        F.explode(neighborhood).alias("_nb"),
+    ).select(
+        "_pid",
+        "_plat",
+        "_plon",
+        (F.col("_cx0") + F.col("_nb.dx")).alias("cx"),
+        (F.col("_cy0") + F.col("_nb.dy")).alias("cy"),
+    )
+    cand = pc.join(fc, ["cx", "cy"]).withColumn(
+        "dist_m",
+        F.round(
+            haversine_m(F.col("_plat"), F.col("_plon"), F.col("_flat"), F.col("_flon")),
+            round_m,
+        ),
+    )
+    best = cand.groupBy("_pid").agg(
+        F.min(F.struct(F.col("dist_m"), F.col("_fid"))).alias("_best"),
+        F.first("_plat").alias("_plat"),
+    )
+    # meters to the nearest edge of the 3x3 block: one full cell —
+    # cell_m vertically, cell_m * cos(lat)/cos(lat_ref) horizontally.
+    margin = F.least(
+        F.lit(cell_m),
+        F.lit(cell_m)
+        * F.cos(F.radians(F.col("_plat")))
+        / F.lit(math.cos(math.radians(lat_ref))),
+    )
+    accepted = best.filter(F.col("_best.dist_m") <= 0.99 * margin).select(
+        "_pid", F.col("_best._fid").alias("_fid"), F.col("_best.dist_m").alias("dist_m")
+    )
+    leftovers = p.join(accepted.select("_pid"), "_pid", "left_anti")
+    fallback = (
+        F.broadcast(leftovers)
+        .crossJoin(f)
+        .withColumn(
+            "dist_m",
+            F.round(
+                haversine_m(F.col("_plat"), F.col("_plon"), F.col("_flat"), F.col("_flon")),
+                round_m,
+            ),
+        )
+        .groupBy("_pid")
+        .agg(F.min(F.struct(F.col("dist_m"), F.col("_fid"))).alias("_best"))
+        .select(
+            "_pid", F.col("_best._fid").alias("_fid"), F.col("_best.dist_m").alias("dist_m")
+        )
+    )
+    return accepted.unionByName(fallback).select(
+        F.col("_pid").alias(point_id),
+        F.col("_fid").alias(facility_id),
+        "dist_m",
+    )
+
+
 def load_polygons_csv(
     spark, path: str
 ) -> list[tuple[int, list[tuple[float, float]]]]:

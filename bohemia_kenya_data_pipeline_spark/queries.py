@@ -1695,6 +1695,55 @@ def spatial_nearest_hf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "spatial_nearest_hf_bucketed",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             -4.0 + (c_custkey % 999) / 1000.0 AS lat,
+             39.0 + ((c_custkey * 7) % 999) / 1000.0 AS lon
+      FROM customer),
+    hf AS (
+      SELECT s_suppkey AS hf_id,
+             -4.0 + ((s_suppkey * s_suppkey) % 97) / 100.0 AS lat,
+             39.0 + ((s_suppkey * 13) % 89) / 100.0 AS lon
+      FROM supplier),
+    d AS (
+      SELECT id, hf_id,
+             ROUND(2 * 6371000.0 * asin(sqrt(
+               sin(radians(hf.lat - pts.lat) / 2) * sin(radians(hf.lat - pts.lat) / 2)
+               + cos(radians(pts.lat)) * cos(radians(hf.lat))
+                 * sin(radians(hf.lon - pts.lon) / 2) * sin(radians(hf.lon - pts.lon) / 2)
+             )), 1) AS dist_m
+      FROM pts, hf)
+    SELECT id, hf_id, dist_m
+    FROM (SELECT id, hf_id, dist_m,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist_m, hf_id) AS rn
+          FROM d)
+    WHERE rn = 1
+    """,
+)
+def spatial_nearest_hf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J12 at scale: grid-bucketed exact nearest neighbor — no facility
+    # broadcast; same oracle as spatial_nearest_hf (results must be
+    # identical, only the plan differs).
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    hf = s.select(
+        k.alias("hf_id"),
+        (F.lit(-4.0) + ((k * k) % 97) / 100.0).alias("lat"),
+        (F.lit(39.0) + ((k * 13) % 89) / 100.0).alias("lon"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    pts = c.select(
+        ck.alias("id"),
+        (F.lit(-4.0) + (ck % 999) / 1000.0).alias("lat"),
+        (F.lit(39.0) + ((ck * 7) % 999) / 1000.0).alias("lon"),
+    )
+    return sp.nearest_neighbor_bucketed(pts, hf, cell_m=15000.0, lat_ref=-3.5)
+
+
+@_register(
     "spatial_cluster_assign",
     """
     WITH pts AS (

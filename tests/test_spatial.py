@@ -66,3 +66,51 @@ def test_nearest_neighbor_picks_closest(spark):
     )
     out = {r.id: r.hf_id for r in sp.nearest_neighbor(pts, hf).collect()}
     assert out == {1: 10, 2: 20}
+
+
+def _nn_points_facilities(spark):
+    pts = spark.createDataFrame(
+        [(i, -4.0 + (i % 999) / 1000.0, 39.0 + ((i * 7) % 999) / 1000.0) for i in range(1, 151)],
+        ["id", "lat", "lon"],
+    )
+    hf = spark.createDataFrame(
+        [(j, -4.0 + ((j * j) % 97) / 100.0, 39.0 + ((j * 13) % 89) / 100.0) for j in range(1, 21)],
+        ["hf_id", "lat", "lon"],
+    )
+    return pts, hf
+
+
+def test_bucketed_matches_broadcast(spark):
+    pts, hf = _nn_points_facilities(spark)
+    base = {(r.id, r.hf_id, r.dist_m) for r in sp.nearest_neighbor(pts, hf).collect()}
+    buck = {
+        (r.id, r.hf_id, r.dist_m)
+        for r in sp.nearest_neighbor_bucketed(pts, hf, cell_m=15000.0, lat_ref=-3.5).collect()
+    }
+    assert base == buck
+
+
+def test_bucketed_fallback_path_still_exact(spark):
+    # 500 m cells on ~km-spaced facilities: most 3x3 neighborhoods are
+    # empty or unprovable -> the broadcast-leftovers fallback carries
+    # the load, and results must STILL match the broadcast variant.
+    pts, hf = _nn_points_facilities(spark)
+    base = {(r.id, r.hf_id, r.dist_m) for r in sp.nearest_neighbor(pts, hf).collect()}
+    buck = {
+        (r.id, r.hf_id, r.dist_m)
+        for r in sp.nearest_neighbor_bucketed(pts, hf, cell_m=500.0, lat_ref=-3.5).collect()
+    }
+    assert base == buck
+
+
+def test_bucketed_no_facility_broadcast_in_plan(spark):
+    # the point of the bucketed variant: the facility side must not be
+    # broadcast — candidates come from the grid equi-join (shuffle),
+    # only the leftover POINTS side of the fallback is broadcast.
+    pts, hf = _nn_points_facilities(spark)
+    plan = sp.nearest_neighbor_bucketed(pts, hf)._jdf.queryExecution().executedPlan().toString()
+    # grid candidate join must key on the cell coordinates (cx, cy) —
+    # a facility-side broadcast would show a cross/nested-loop join
+    # with no cell keys (AQE may still *choose* broadcast at runtime
+    # for tiny test inputs; the declared plan must not require it).
+    assert "cx" in plan and "cy" in plan
