@@ -11,22 +11,27 @@ training-data pipeline needs:
 - decode / feature-extraction runs in ``mapInPandas`` so each Python
   batch sees a bounded slice (no row-at-a-time UDF, no whole-column
   collect);
-- the actual image/audio decode is STUBBED (``decode_media``) because
-  the codec libraries are not in this container — the Spark-side
-  plumbing (schema, batching, partitioning) is real and tested, and
-  ``extract_binary_features`` shows the end-to-end shape with a
-  deterministic byte-level featurizer.
+- ``decode_media`` parses the two dependency-free container formats
+  (BMP image headers, RIFF/WAV audio) natively — no codec library
+  needed; compressed formats (JPEG/PNG/MP4…) still need a real codec
+  at deployment and return ``valid=False`` here, with the plumbing
+  (schema, batching, partitioning) unchanged when one is plugged in;
+- ``synthesize_media`` builds real BMP/WAV payloads deterministically
+  from the row id, so the synthesize→parse round trip is checkable
+  against an arithmetic oracle.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, BooleanType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 FEATURE_SCHEMA = StructType(
@@ -53,17 +58,159 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
-    """STUB: decode an image/audio/video payload to pixels/samples.
+#: columns produced by decode_media / decode_media_features
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bpp", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("valid", BooleanType()),
+    ]
+)
 
-    The codec libraries (Pillow, ffmpeg, torchaudio, …) are not
-    available in this environment; at deployment, replace this with
-    the real decoder. The Spark-side plumbing around it
-    (``extract_binary_features``) does not change.
+_NO_MEDIA = {
+    "format": None, "width": None, "height": None, "bpp": None,
+    "sample_rate": None, "n_channels": None, "n_frames": None, "valid": False,
+}
+
+
+def decode_media(payload: bytes, mime: str | None = None) -> dict:
+    """Decode a media payload's container metadata — real parsing for
+    the two dependency-free formats:
+
+    - **BMP** (``BM`` magic, BITMAPINFOHEADER): width / height / bpp.
+    - **WAV** (``RIFF``/``WAVE``): sample_rate / n_channels / n_frames
+      from a proper chunk walk (tolerates extra chunks before fmt/data).
+
+    Anything else (JPEG/PNG/MP4/… need codec libraries this container
+    lacks) returns ``valid=False`` with null fields — the deployment
+    hook is to extend this function; the Spark plumbing
+    (:func:`decode_media_features`) is format-agnostic.
     """
-    raise NotImplementedError(
-        "media decode requires codec libraries not present in this container"
+    out = dict(_NO_MEDIA)
+    if payload is None or len(payload) < 12:
+        return out
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        out.update(
+            format="bmp", width=width, height=abs(height), bpp=bpp, valid=True
+        )
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate = channels = bits = data_size = None
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"fmt " and pos + 24 <= len(payload):
+                channels, rate = struct.unpack_from("<HI", payload, pos + 10)
+                if pos + 24 + 2 <= len(payload):
+                    bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            elif cid == b"data":
+                data_size = size
+            pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+        if rate and channels and bits and data_size is not None:
+            frame_bytes = channels * (bits // 8)
+            out.update(
+                format="wav",
+                sample_rate=rate,
+                n_channels=channels,
+                n_frames=data_size // frame_bytes if frame_bytes else 0,
+                valid=True,
+            )
+        return out
+    return out
+
+
+# -- deterministic synthesizers (test/demo payloads; REAL container bytes) --
+
+
+def synth_bmp(width: int, height: int, bpp: int = 24) -> bytes:
+    """A minimal valid BMP: 54-byte header + zeroed 24-bit pixel rows
+    (each row padded to a 4-byte boundary, per the format)."""
+    row = width * (bpp // 8)
+    row_padded = (row + 3) & ~3
+    pixels = height * row_padded
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + pixels, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0, pixels, 2835, 2835, 0, 0)
     )
+    return header + b"\x00" * pixels
+
+
+def synth_wav(sample_rate: int, n_channels: int, n_frames: int, bits: int = 16) -> bytes:
+    """A minimal valid PCM WAV: RIFF + fmt + zeroed data chunk."""
+    frame_bytes = n_channels * (bits // 8)
+    data = n_frames * frame_bytes
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data)
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate,
+            sample_rate * frame_bytes, frame_bytes, bits,
+        )
+        + b"data"
+        + struct.pack("<I", data)
+        + b"\x00" * data
+    )
+
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real BMP (even ids) or WAV (odd ids) payload whose
+    parameters are pure functions of the id — so a SQL oracle can
+    predict exactly what :func:`decode_media` must parse back out:
+
+    - even id → BMP, width = id%31+1, height = id%17+1, bpp = 24
+    - odd id  → WAV, rate = 8000 + (id%4)*4000,
+      channels = (id//2)%2 + 1, frames = id%50 + 1
+    """
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                synth_bmp(int(i) % 31 + 1, int(i) % 17 + 1)
+                if int(i) % 2 == 0
+                else synth_wav(8000 + int(i) % 4 * 4000, (int(i) // 2) % 2 + 1, int(i) % 50 + 1)
+                for i in ids
+            ]
+            mimes = ["image/bmp" if int(i) % 2 == 0 else "audio/wav" for i in ids]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads, "mime": mimes})
+
+    return df.select(F.col(id_col)).mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def decode_media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched container-metadata decode via ``mapInPandas``:
+    one output row per input row, schema :data:`DECODE_SCHEMA`. The
+    per-row Python call is inherent (byte parsing IS the operator);
+    Arrow batching keeps transfer vectorized and memory bounded."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_media(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64").values)
+            yield out[[f.name for f in DECODE_SCHEMA.fields]]
+
+    return df.mapInPandas(dec, schema=DECODE_SCHEMA)
 
 
 def extract_binary_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -2164,6 +2164,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_binary_features(d)
 
 
+@_register(
+    "media_decode",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 31 + 1 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 17 + 1 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(24 AS INTEGER) END AS bpp,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST((doc_id // 2) % 2 + 1 AS INTEGER) END AS n_channels,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 50 + 1 AS INTEGER) END AS n_frames,
+           TRUE AS valid
+    FROM documents
+    """,
+)
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Real container parsing end-to-end: synthesize genuine BMP/WAV
+    # bytes from doc_id (mapInPandas), then decode_media parses the
+    # headers back; the oracle predicts every parsed field
+    # arithmetically, so any byte-layout or parsing bug hash-fails.
+    docs = _t(spark, sf_dir, "documents")
+    payloads = mm.synthesize_media(docs, id_col="doc_id")
+    return mm.decode_media_features(payloads)
+
+
 # ===========================================================================
 # Report query pack: composed Rmd-report shapes (SURVEY §7.2 item 7) —
 # coverage vs targets, as-of reconciliation anti-join, wide->long

@@ -1,0 +1,58 @@
+"""Unit tests for the dependency-free media container parsers."""
+
+from __future__ import annotations
+
+import struct
+
+from bohemia_kenya_data_pipeline_spark.operators import multimodal as mm
+
+
+def test_bmp_round_trip():
+    out = mm.decode_media(mm.synth_bmp(13, 7))
+    assert out == {
+        "format": "bmp", "width": 13, "height": 7, "bpp": 24,
+        "sample_rate": None, "n_channels": None, "n_frames": None, "valid": True,
+    }
+
+
+def test_bmp_top_down_negative_height():
+    # top-down BMPs store height negative; decoded height is magnitude
+    payload = bytearray(mm.synth_bmp(4, 5))
+    struct.pack_into("<i", payload, 22, -5)
+    out = mm.decode_media(bytes(payload))
+    assert out["height"] == 5 and out["valid"]
+
+
+def test_wav_round_trip():
+    out = mm.decode_media(mm.synth_wav(16000, 2, 123))
+    assert out["format"] == "wav"
+    assert (out["sample_rate"], out["n_channels"], out["n_frames"]) == (16000, 2, 123)
+    assert out["valid"]
+
+
+def test_wav_chunk_walk_with_extra_odd_chunk():
+    # a LIST chunk of odd size before fmt: the walker must respect
+    # RIFF word alignment to find fmt/data afterwards
+    wav = mm.synth_wav(8000, 1, 10)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # 5 bytes + pad
+    payload = wav[:12] + extra + wav[12:]
+    payload = payload[:4] + struct.pack("<I", len(payload) - 8) + payload[8:]
+    out = mm.decode_media(payload)
+    assert out["valid"] and out["n_frames"] == 10 and out["sample_rate"] == 8000
+
+
+def test_unknown_and_corrupt_payloads():
+    assert mm.decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)["valid"] is False
+    assert mm.decode_media(b"BM")["valid"] is False  # truncated BMP
+    assert mm.decode_media(None)["valid"] is False
+    # RIFF/WAVE with no fmt chunk
+    assert mm.decode_media(b"RIFF" + struct.pack("<I", 4) + b"WAVE")["valid"] is False
+
+
+def test_decode_media_features_spark(spark):
+    df = spark.range(1, 21).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r for r in mm.decode_media_features(mm.synthesize_media(df)).collect()}
+    assert len(out) == 20
+    assert out[2].format == "bmp" and out[2].width == 3 and out[2].height == 3
+    assert out[3].format == "wav" and out[3].sample_rate == 8000 + 3 % 4 * 4000
+    assert all(r.valid for r in out.values())
