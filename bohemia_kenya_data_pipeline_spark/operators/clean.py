@@ -136,6 +136,7 @@ def apply_sets(
     resolution: DataFrame,
     repeat_name: str | None = None,
     order_col: str = "resolution_order",
+    form_id: str | None = None,
 ) -> DataFrame:
     """Apply SET resolutions — processing_utils.R:237-332.
 
@@ -148,7 +149,15 @@ def apply_sets(
     4. per target column: ``coalesce(cast(new, <declared type>), old)``.
 
     Only columns present in ``data`` are applied (any_of semantics).
+
+    ``form_id`` restricts the sheet to one form, like
+    :func:`apply_deletes` does unconditionally. When ``None`` the
+    CALLER must pre-filter a mixed multi-form sheet by ``Form``
+    (:func:`google_sheets_fix` does) — otherwise SETs recorded for
+    form B hit form A rows that share an instanceID.
     """
+    if form_id is not None:
+        resolution = resolution.filter(F.col("Form") == form_id)
     sets = _normalize_repeat_coords(resolution.filter(F.col("Operation") == "SET"))
     if repeat_name is None:
         sets = sets.filter(_is_main(F.col("RepeatName")))
@@ -352,8 +361,11 @@ def jitter_locations(
     offset is derived from a hash of the group key + seed, so it is
     deterministic per group, independent of partitioning.
     """
-    u1 = (F.abs(F.hash(F.col(group_col), F.lit(seed))) % 100000) / 100000.0
-    u2 = (F.abs(F.hash(F.col(group_col), F.lit(seed + 1))) % 100000) / 100000.0
+    # pmod, not abs+%: F.abs(INT_MIN) stays negative (non-ANSI
+    # wraparound), which would make radius = sqrt(<0) = NaN for
+    # ~2^-32 of groups.
+    u1 = F.pmod(F.hash(F.col(group_col), F.lit(seed)), F.lit(100000)) / 100000.0
+    u2 = F.pmod(F.hash(F.col(group_col), F.lit(seed + 1)), F.lit(100000)) / 100000.0
     angle = u1 * 2.0 * 3.141592653589793
     radius = F.sqrt(u2) * radius_deg
     return df.withColumn(lat_col, F.col(lat_col) + radius * F.sin(angle)).withColumn(

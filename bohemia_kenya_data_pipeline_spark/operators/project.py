@@ -53,8 +53,14 @@ def bind_cols(left: DataFrame, right: DataFrame) -> DataFrame:
 
     Positional alignment is inherently order-dependent: at scale
     prefer a real key join. Kept for parity with the one reference
-    call site.
+    call site. Raises on a count mismatch — the inner join would
+    otherwise silently truncate to the shorter frame.
     """
+    n_left, n_right = left.count(), right.count()
+    if n_left != n_right:
+        raise ValueError(
+            f"bind_cols requires equal row counts, got {n_left} vs {n_right}"
+        )
     w = Window.orderBy(F.monotonically_increasing_id())
     lid = left.withColumn("__rid", F.row_number().over(w))
     rid = right.withColumn("__rid", F.row_number().over(w))

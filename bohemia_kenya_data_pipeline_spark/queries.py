@@ -480,6 +480,24 @@ def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("count_distinct_approx", None)
+def count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2 approx variant (SURVEY §7.2 item 9): HyperLogLog++ with an
+    # rsd knob — sketches merge associatively, so at 100 TB the
+    # distinct count needs no per-key exact shuffle of user_ids, just
+    # fixed-size sketch merges. No SQL oracle BY DESIGN: the estimate
+    # is implementation-defined (driver records the rows-only check);
+    # the relative-error bound is golden-tested against the exact A2.
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 @_register(
     "conditional_count_distinct",
     """

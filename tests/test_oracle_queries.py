@@ -27,6 +27,23 @@ def test_query_without_oracle_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_approx_count_distinct_error_bound(spark):
+    # rsd=0.02: assert the estimate within 5 standard errors (10%) of
+    # the exact count — a hash-match oracle is impossible by design
+    # (HLL++ estimates are implementation-defined).
+    exact = {
+        r.event_type: r.n_users
+        for r in QUERIES["count_distinct_exact"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in QUERIES["count_distinct_approx"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.10 * n, 2), (k, n, approx[k])
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
