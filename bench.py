@@ -8,6 +8,16 @@ ONE JSON line:
 Each query is fully materialized through the `noop` sink (executes the
 whole plan on the executors, no driver collect) — so the timing covers
 scan + shuffle + compute, exactly what a cluster run pays.
+
+Every entry runs TWICE: the first run pays JIT/codegen warm-up (~3 s on
+heavy plans), the second is steady state. ``queries`` (and ``value``)
+report steady-state — the number that scales to a long-lived cluster —
+and ``queries_warm`` records the first runs so regressions in either
+are attributable.
+
+``cleaning_dag_e2e`` is the composed raw→clean→sanitized(+anomalies)
+jobs/ DAG over an ODK-shaped frame derived from the events table — the
+end-to-end pipeline wall-time, not a per-operator query.
 """
 
 from __future__ import annotations
@@ -20,7 +30,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bohemia_kenya_data_pipeline_spark.queries import QUERIES  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from bohemia_kenya_data_pipeline_spark import jobs  # noqa: E402
+from bohemia_kenya_data_pipeline_spark.operators import quality as ql  # noqa: E402
+from bohemia_kenya_data_pipeline_spark.queries import QUERIES, _events  # noqa: E402
 from bohemia_kenya_data_pipeline_spark.session import get_spark  # noqa: E402
 
 #: Representative headline set: one per operator family (scan+agg,
@@ -47,6 +61,59 @@ HEADLINE = [
 ]
 
 
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _cleaning_dag_e2e(spark, sf_dir: str) -> None:
+    """Composed jobs/ DAG at benchmark scale: synthesize an ODK-shaped
+    raw form from the events table, run clean_form -> sanitize_form and
+    the anomaly detectors, materialize every zone output."""
+    ev = _events(spark, sf_dir)
+    uid, eid = F.col("user_id"), F.col("event_id")
+    raw = ev.select(
+        F.concat(F.lit("uuid:"), eid.cast("string")).alias("meta-instanceID"),
+        F.lpad(uid.cast("string"), 5, "0").alias("group_hh-hhid"),
+        F.upper(F.col("event_type")).alias("group_hh-village"),
+        (F.lit(-4.0) + F.pmod(uid, F.lit(999)) / 1000.0).alias("group_geo-Latitude"),
+        (F.lit(39.0) + F.pmod(uid * 7, F.lit(999)) / 1000.0).alias("group_geo-Longitude"),
+        F.col("value").alias("group_geo-Accuracy"),
+        F.concat(F.lit("name"), uid.cast("string")).alias("firstname"),
+        F.lit(None).cast("string").alias("unused_note"),
+        F.pmod(eid, F.lit(90)).cast("string").alias("age"),
+    )
+    i = F.col("id")
+    resolution = spark.range(200).select(
+        F.lit("bench").alias("Form"),
+        F.concat(F.lit("uuid:"), (i * 97).cast("string")).alias("instanceID"),
+        F.when(i % 2 == 0, F.lit("age")).alias("Column"),
+        F.when(i % 2 == 0, F.lit("42")).alias("Set To"),
+        F.when(i % 2 == 0, F.lit("SET")).otherwise(F.lit("DELETE")).alias("Operation"),
+        F.lit("").alias("RepeatName"),
+        F.lit(0).alias("RepeatKey"),
+        i.cast("int").alias("resolution_order"),
+    )
+    clean = jobs.clean_form(
+        raw.withColumn("age", F.col("age").try_cast("double")),
+        resolution,
+        "bench",
+        typo_fixes={"village": {"CLICK": "CLICKED"}},
+    )
+    sanitized = jobs.sanitize_form(clean, ["firstname"], ["instanceID", "hhid"])
+    keyed = clean.withColumnRenamed("instanceID", "KEY")
+    final, summary = jobs.run_anomaly_detection(
+        [
+            lambda: ql.detect_threshold(
+                keyed, "Accuracy", "bench", "gps_accuracy", "GPS accuracy above 15m", 15.0
+            ),
+            lambda: ql.detect_duplication(keyed, "hhid", "bench", "dup_hhid"),
+        ]
+    )
+    _noop(sanitized)
+    _noop(final)
+    _noop(summary)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -56,25 +123,34 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/session once so query timings measure the engine,
-    # not sessionstartup.
+    # not session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    entries: list[tuple[str, object]] = [
+        (name, QUERIES[name]) for name in HEADLINE if name in QUERIES
+    ]
+    entries.append(("cleaning_dag_e2e", _cleaning_dag_e2e))
 
-    total = round(sum(timings.values()), 3)
+    warm: dict[str, float] = {}
+    steady: dict[str, float] = {}
+    for name, fn in entries:
+        for run, out in ((0, warm), (1, steady)):
+            t0 = time.perf_counter()
+            if name == "cleaning_dag_e2e":
+                fn(spark, sf_dir)
+            else:
+                _noop(fn(spark, sf_dir))
+            out[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(steady.values()), 3)
     line = json.dumps(
         {
-            "metric": "headline_queries_total",
+            "metric": "headline_queries_total_steady",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": steady,
+            "queries_warm": warm,
+            "warm_total": round(sum(warm.values()), 3),
             "sf": sf,
         }
     )
