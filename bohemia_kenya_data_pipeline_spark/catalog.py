@@ -18,7 +18,11 @@ date-partitioned history; SURVEY §1.1). Here the catalog is explicit:
 
 Scale note: everything returns/consumes lazy DataFrames; sinks use
 ``partitionBy`` so downstream reads get partition pruning for free. At
-100 TB the zone paths are ``s3a://`` URIs — same code path.
+100 TB the zone paths are ``s3a://`` URIs — same code path, and
+``tests/test_s3a_object_store.py`` round-trips these functions through
+a moto S3 server to prove it (the suite gates on the hadoop-aws jars,
+which every real Spark-on-S3 deployment ships but this container
+cannot download; it skips here with that exact reason).
 """
 
 from __future__ import annotations
