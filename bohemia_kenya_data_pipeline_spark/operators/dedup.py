@@ -173,6 +173,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 1,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity over distinct word-shingle sets — the
     *verify* stage of generate→verify near-dup.
@@ -186,7 +187,8 @@ def ngram_jaccard_pairs(
     """
     if candidates is None:
         candidates = minhash_lsh_pairs(
-            df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, max_bucket_size=max_bucket_size,
         )
     sets = df.select(
         F.col(id_col).alias("id"),

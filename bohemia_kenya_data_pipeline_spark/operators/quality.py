@@ -168,7 +168,13 @@ def normalize_column_names(df: DataFrame) -> DataFrame:
 def drop_empty_columns(df: DataFrame) -> DataFrame:
     """P9: drop columns that are entirely NULL (janitor::remove_empty,
     processing_utils.R:147-150). Two-pass: one count-agg (metadata
-    sized), then a select."""
+    sized), then a select.
+
+    Scale note: the count-agg is a FULL extra scan of every column —
+    the reference semantics genuinely require a data pass. At 100 TB,
+    run this after PII drop / projection on the (much narrower)
+    serving columns, or replace with schema-registry nullability hints
+    when the form metadata already declares dead columns."""
     counts = df.agg(
         *[F.count(F.col(f"`{c}`")).alias(c) for c in df.columns]
     ).collect()[0]
