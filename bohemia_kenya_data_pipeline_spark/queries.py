@@ -1274,6 +1274,36 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, queries, k=5)
 
 
+@_register(
+    "ivf_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qv, cv), 4) AS score
+          FROM q, c WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN run with EXHAUSTIVE probes (n_probe = n_centroids), which
+    # must recover exact brute-force results no matter what the trained
+    # centroids are — so the exact-cosine oracle hash-checks the entire
+    # IVF path (deterministic k-means training, centroid assignment,
+    # probe selection, cid bucket join, scoring). The approximate
+    # regime (n_probe < n_centroids) is golden-tested for recall in
+    # tests/test_similarity.py — an estimate has no SQL oracle.
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8, n_iters=3)
+
+
 def _plane_sql(plane: list[float]) -> str:
     return "[" + ", ".join(repr(v) for v in plane) + "]"
 
