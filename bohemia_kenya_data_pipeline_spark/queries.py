@@ -480,6 +480,40 @@ def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("streaming_sessionize", None)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9 streaming pack, driver-executable form: run the
+    # applyInPandasWithState sessionizer over the static events dir
+    # with trigger(availableNow) to completion, return the
+    # materialized closed sessions. Genuinely non-SQL-expressible
+    # (stateful streaming) -> rows-only check by design; the
+    # batch-equivalence differential lives in tests/test_streaming.py.
+    from bohemia_kenya_data_pipeline_spark import streaming as st
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources take a DIRECTORY; glob-filter to the events
+    # table inside the zone dir
+    raw = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sessions = st.sessionize_stream(raw, gap_minutes=30, watermark="10 hours")
+    name = "q_streaming_sessionize"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 @_register("count_distinct_approx", None)
 def count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A2 approx variant (SURVEY §7.2 item 9): HyperLogLog++ with an

@@ -1,0 +1,26 @@
+"""Structured Streaming pack.
+
+The reference is batch-only (SURVEY §2.9: ODK pulls on a daily
+schedule — no streams to consume), so nothing here mirrors a reference
+operator. These are the streaming counterparts a large-scale
+training-data/event pipeline needs, built on the same semantics as the
+batch operators so each one is differentially testable: run the stream
+with ``trigger(availableNow=True)`` over a static directory and the
+result must equal the batch plan on the same data.
+
+- :func:`stream_events` — file-source ``readStream`` over an events
+  zone (schema'd, no inference — streaming requires it).
+- :func:`windowed_event_counts` — watermarked tumbling/sliding window
+  aggregation (late data beyond the watermark is dropped, state is
+  bounded — the 100 TB property).
+- :func:`sessionize_stream` — gap-based sessionization via
+  ``applyInPandasWithState``: the custom-stateful-operator pattern
+  (per-user session state with event-time timeout), emitting closed
+  sessions.
+"""
+
+from __future__ import annotations
+
+from .events import sessionize_stream, stream_events, windowed_event_counts
+
+__all__ = ["stream_events", "windowed_event_counts", "sessionize_stream"]

@@ -1,0 +1,152 @@
+"""Streaming event operators: file-source ingestion, watermarked window
+aggregation, and custom stateful sessionization.
+
+Differential contract (tested in tests/test_streaming.py): each
+operator run with ``trigger(availableNow=True)`` over a static
+directory equals its batch counterpart on the same data — streaming is
+an execution mode here, not different semantics.
+
+Scale notes:
+- watermarks bound state: a windowed agg keeps only windows newer than
+  (max event time - watermark); sessionization state times out one gap
+  after a user's last event. Without these, 100 TB of streams grows
+  executor state without bound;
+- ``applyInPandasWithState`` groups by user — the same single-shuffle
+  shape as the batch window plan, with Arrow-batched per-group state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StructField, StructType, TimestampType,
+)
+
+
+def stream_events(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-source readStream over a parquet events zone. Streaming
+    reads REQUIRE a declared schema (no inference pass over an
+    unbounded source) — same rule as the batch S1 contract."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window counts per key.
+
+    Late rows beyond ``watermark`` are dropped and their windows
+    finalized — bounded state. Emits
+    (window_start, window_end, key, n).
+    """
+    win = F.window(F.col(ts_col), window, slide or window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col(key_col),
+            "n",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = "start LONG, last LONG, n LONG"
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (``applyInPandasWithState``, event-time timeout).
+
+    Same session rule as the batch :func:`..operators.windows.
+    sessionize`: a session closes when the next event of the user is
+    more than ``gap_minutes`` later. Closed sessions emit in the batch
+    that closes them (data-driven); the final open session of each user
+    emits when the watermark passes its end + gap (timeout-driven).
+    Emits (user_id, session_start, session_end, n_events).
+
+    State per user is three longs — bounded by active users, not by
+    stream length.
+    """
+    gap_s = gap_minutes * 60
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        out: list[tuple[int, int, int, int]] = []
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            out.append((uid, start, last, n))
+            state.remove()
+        else:
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                return
+            rows = pd.concat(parts)
+            ts = (
+                rows[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+            ).sort_values()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start = last = n = None
+            for t in ts:
+                t = int(t)
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_s:
+                    out.append((uid, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+            state.update((start, last, n))
+            state.setTimeoutTimestamp((last + gap_s) * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": pd.to_datetime([o[1] for o in out], unit="s"),
+                    "session_end": pd.to_datetime([o[2] for o in out], unit="s"),
+                    "n_events": [o[3] for o in out],
+                }
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
