@@ -113,3 +113,65 @@ def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_
         best = F.when(is_better, F.lit(lang)).otherwise(best)
         best_score = F.when(is_better, s).otherwise(best_score)
     return df.withColumn(out_col, best)
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "text_norm") -> DataFrame:
+    """Pretraining-corpus text normalization: lowercase, control
+    characters → space, whitespace runs collapsed, trimmed. Pure
+    Column expressions — the standard cheap first pass before
+    tokenization/dedup (normalized text makes exact-dedup hashes and
+    shingles case/spacing-invariant)."""
+    c = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[\x00-\x1f\x7f]", " "), r"\s+", " "
+        )
+    )
+    return df.withColumn(out_col, norm)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window packing step of a training-data pipeline.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; a document
+    with n ≤ chunk_tokens tokens is one chunk; otherwise
+    ceil((n - overlap) / stride) chunks, the last one ragged. The
+    whole operator is one map-side expression (sequence → transform →
+    slice → explode): no shuffle, no Python — chunking 100 TB is a
+    scan.
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    n_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1))
+        .otherwise(F.ceil((n - F.lit(overlap)) / F.lit(stride)))
+        .cast("int")
+    )
+    entries = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice(F.col("_toks"), i * stride + 1, chunk_tokens).alias("ctoks"),
+        ),
+    )
+    return staged.select(
+        F.col(id_col), F.explode(entries).alias("_e")
+    ).select(
+        id_col,
+        F.col("_e.chunk_id").alias("chunk_id"),
+        F.array_join(F.col("_e.ctoks"), " ").alias("chunk_text"),
+        F.size(F.col("_e.ctoks")).alias("n_chunk_tokens"),
+    )

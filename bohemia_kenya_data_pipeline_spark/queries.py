@@ -1524,6 +1524,45 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus normalization: lowercase + control-char strip + whitespace
+    # collapse, all JVM-side expressions.
+    d = _t(spark, sf_dir, "documents")
+    return tx.normalize_text(d).select("doc_id", "text_norm")
+
+
+@_register(
+    "chunk_documents",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS w FROM documents),
+    c AS (SELECT doc_id, w, len(w) AS n,
+                 CASE WHEN len(w) <= 64 THEN 1
+                      ELSE CAST(ceil((len(w) - 16) / 48.0) AS BIGINT) END AS n_chunks
+          FROM w)
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_id,
+           array_to_string(w[(i*48+1):(i*48+64)], ' ') AS chunk_text,
+           CAST(len(w[(i*48+1):(i*48+64)]) AS INTEGER) AS n_chunk_tokens
+    FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Overlapping context-window chunking (64-token windows, 16-token
+    # overlap): one map-side sequence→slice→explode expression — no
+    # shuffle, chunking is a scan.
+    d = _t(spark, sf_dir, "documents")
+    return tx.chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
 # ===========================================================================
 # Resolution engine (C1-C4) exercised over the TPC-H-ish tables:
 # orders as the "main form" (instanceID = o_orderkey), lineitem as its

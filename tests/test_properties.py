@@ -125,3 +125,33 @@ def test_long_case_when_chain_first_match(spark, thresholds, xs):
     for x in xs:
         want = next((i for i, t in enumerate(thresholds) if x >= t), -1)
         assert out[x] == want
+
+
+@given(
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=2, max_value=12),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunking_reconstructs_tokens(spark, n_tokens, chunk):
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    overlap = chunk // 2
+    stride = chunk - overlap
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = sorted(
+        (r.chunk_id, r.chunk_text, r.n_chunk_tokens)
+        for r in tx.chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    )
+    # every chunk bounded; stitching chunks (dropping each successor's
+    # overlap) reconstructs the token stream exactly
+    assert all(n <= chunk for _, _, n in chunks)
+    stitched: list[str] = []
+    for cid, ctext, _ in chunks:
+        toks = ctext.split() if ctext else []
+        stitched.extend(toks if cid == 0 else toks[overlap:])
+    assert stitched == ([f"t{i}" for i in range(n_tokens)] or [])
