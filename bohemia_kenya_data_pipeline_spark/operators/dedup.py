@@ -103,18 +103,21 @@ def _cap_buckets(
         )
     if strategy not in ("sample", "drop"):
         raise ValueError(f"unknown strategy {strategy!r}: use 'sample' or 'drop'")
-    w = Window.partitionBy(*keys)
-    counted = rows.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
     if strategy == "drop":
-        return counted.filter(F.col("_bucket_n") <= max_bucket_size).drop("_bucket_n")
+        w = Window.partitionBy(*keys)
+        return (
+            rows.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
+    # sample: rank <= cap alone suffices (rank never exceeds the
+    # bucket count, so under-cap buckets pass whole) — one window, not
+    # a count plus a rank
     wo = Window.partitionBy(*keys).orderBy(F.col(id_col))
     return (
-        counted.withColumn("_bucket_rk", F.row_number().over(wo))
-        .filter(
-            (F.col("_bucket_n") <= max_bucket_size)
-            | (F.col("_bucket_rk") <= max_bucket_size)
-        )
-        .drop("_bucket_n", "_bucket_rk")
+        rows.withColumn("_bucket_rk", F.row_number().over(wo))
+        .filter(F.col("_bucket_rk") <= max_bucket_size)
+        .drop("_bucket_rk")
     )
 
 

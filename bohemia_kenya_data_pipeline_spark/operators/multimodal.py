@@ -163,13 +163,18 @@ def synth_wav(sample_rate: int, n_channels: int, n_frames: int, bits: int = 16) 
     )
 
 
-MEDIA_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("payload", BinaryType()),
-        StructField("mime", StringType()),
-    ]
-)
+def media_schema(id_col: str = "doc_id") -> StructType:
+    return StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("payload", BinaryType()),
+            StructField("mime", StringType()),
+        ]
+    )
+
+
+#: default-named instance kept for callers that reference the constant
+MEDIA_SCHEMA = media_schema()
 
 
 def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -192,25 +197,31 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 for i in ids
             ]
             mimes = ["image/bmp" if int(i) % 2 == 0 else "audio/wav" for i in ids]
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads, "mime": mimes})
+            yield pd.DataFrame({id_col: ids, "payload": payloads, "mime": mimes})
 
-    return df.select(F.col(id_col)).mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return df.select(F.col(id_col)).mapInPandas(synth, schema=media_schema(id_col))
 
 
-def decode_media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_media_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
     """Arrow-batched container-metadata decode via ``mapInPandas``:
-    one output row per input row, schema :data:`DECODE_SCHEMA`. The
-    per-row Python call is inherent (byte parsing IS the operator);
-    Arrow batching keeps transfer vectorized and memory bounded."""
+    one output row per input row, schema :data:`DECODE_SCHEMA` (with
+    its id field named ``id_col``). The per-row Python call is
+    inherent (byte parsing IS the operator); Arrow batching keeps
+    transfer vectorized and memory bounded."""
+    schema = StructType(
+        [StructField(id_col, LongType())] + DECODE_SCHEMA.fields[1:]
+    )
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [decode_media(p) for p in pdf[payload_col]]
             out = pd.DataFrame(rows)
-            out.insert(0, "doc_id", pdf["doc_id"].astype("int64").values)
-            yield out[[f.name for f in DECODE_SCHEMA.fields]]
+            out.insert(0, id_col, pdf[id_col].astype("int64").values)
+            yield out[[f.name for f in schema.fields]]
 
-    return df.mapInPandas(dec, schema=DECODE_SCHEMA)
+    return df.mapInPandas(dec, schema=schema)
 
 
 def extract_binary_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:

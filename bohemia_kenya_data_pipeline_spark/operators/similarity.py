@@ -198,24 +198,30 @@ def ivf_train_centroids(
     corpus.
     """
     base = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    seed_rows = (
-        base.withColumn("_h", F.md5(F.col("id").cast("string")))
-        .orderBy("_h")
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [list(r.v) for r in seed_rows]
-    dim = len(centroids[0])
-    for _ in range(n_iters):
-        cents = _centroid_literal(centroids)
-        assigned = base.withColumn("cid", _nearest_cid(F.col("v"), cents))
-        means = (
-            assigned.groupBy("cid")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+    # the seed pass + every Lloyd round scans `base`: persist so the
+    # corpus projection is paid once, not n_iters+1 times
+    base.persist()
+    try:
+        seed_rows = (
+            base.withColumn("_h", F.md5(F.col("id").cast("string")))
+            .orderBy("_h")
+            .limit(n_centroids)
             .collect()
         )
-        new = {r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in means}
-        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+        centroids = [list(r.v) for r in seed_rows]
+        dim = len(centroids[0])
+        for _ in range(n_iters):
+            cents = _centroid_literal(centroids)
+            assigned = base.withColumn("cid", _nearest_cid(F.col("v"), cents))
+            means = (
+                assigned.groupBy("cid")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+                .collect()
+            )
+            new = {r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in means}
+            centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    finally:
+        base.unpersist()
     return centroids
 
 

@@ -510,7 +510,9 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming_sessionize did not complete within 600s")
     return spark.table(name)
 
 

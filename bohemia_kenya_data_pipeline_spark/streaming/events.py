@@ -95,7 +95,7 @@ def sessionize_stream(
     State per user is three longs — bounded by active users, not by
     stream length.
     """
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -111,8 +111,10 @@ def sessionize_stream(
             if not parts:
                 return
             rows = pd.concat(parts)
+            # epoch MICROSECONDS — full timestamp precision, so the
+            # streaming==batch differential holds on sub-second data
             ts = (
-                rows[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+                rows[ts_col].astype("datetime64[ns]").astype("int64") // 1_000
             ).sort_values()
             if state.exists:
                 start, last, n = state.get
@@ -122,19 +124,19 @@ def sessionize_stream(
                 t = int(t)
                 if start is None:
                     start, last, n = t, t, 1
-                elif t - last > gap_s:
+                elif t - last > gap_us:
                     out.append((uid, start, last, n))
                     start, last, n = t, t, 1
                 else:
                     last, n = max(last, t), n + 1
             state.update((start, last, n))
-            state.setTimeoutTimestamp((last + gap_s) * 1000)
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
         if out:
             yield pd.DataFrame(
                 {
                     "user_id": [o[0] for o in out],
-                    "session_start": pd.to_datetime([o[1] for o in out], unit="s"),
-                    "session_end": pd.to_datetime([o[2] for o in out], unit="s"),
+                    "session_start": pd.to_datetime([o[1] for o in out], unit="us"),
+                    "session_end": pd.to_datetime([o[2] for o in out], unit="us"),
                     "n_events": [o[3] for o in out],
                 }
             )

@@ -38,8 +38,10 @@ def test_minhash_cap_bounds_adversarial_pairs(spark):
     assert capped <= cap * (cap - 1) // 2 + 10
 
 
-def test_minhash_cap_noop_on_normal_corpus(spark, docs_df=None):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+def test_minhash_cap_noop_on_normal_corpus(spark):
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     base = {
         (r.id_a, r.id_b)
         for r in dedup.minhash_lsh_pairs(docs, text_col="text", id_col="doc_id").collect()

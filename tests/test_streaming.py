@@ -18,13 +18,17 @@ SCHEMA = "user_id BIGINT, ts TIMESTAMP, event_type STRING"
 def _rows():
     rows = []
     for u in range(1, 11):
-        # session 1: 10 events 5 min apart; session 2 (after 2 h gap):
-        # 5 events 5 min apart
+        # session 1: 10 events ~5 min apart; session 2 (after 2 h gap):
+        # 5 events ~5 min apart. Sub-second offsets included so the
+        # differential catches any precision truncation in the
+        # streaming path.
         for j in range(10):
-            rows.append((u, BASE + dt.timedelta(minutes=5 * j), "click"))
+            ts = BASE + dt.timedelta(minutes=5 * j, milliseconds=(137 * (u + j)) % 1000)
+            rows.append((u, ts, "click"))
         start2 = BASE + dt.timedelta(minutes=45 + 120)
         for j in range(5):
-            rows.append((u, start2 + dt.timedelta(minutes=5 * j), "view"))
+            ts = start2 + dt.timedelta(minutes=5 * j, microseconds=(271 * (u + j)) % 1_000_000)
+            rows.append((u, ts, "view"))
     return rows
 
 
