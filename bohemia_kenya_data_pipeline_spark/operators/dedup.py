@@ -470,6 +470,89 @@ def embedding_neardup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Near-dup clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the step
+    that turns near-dup PAIRS into near-dup CLUSTERS so "keep one doc
+    per cluster" is well-defined under transitivity (a~b, b~c ⇒ one
+    survivor of {a,b,c}, even if a~c was never a candidate pair).
+
+    Min-label propagation: every node starts as its own component;
+    each round takes the min over neighbors' labels (one equi-join +
+    one groupBy per round) until a fixpoint. Converges in
+    O(component diameter) rounds — near-dup clusters are shallow
+    (template families link through hubs), so this is 3-5 rounds in
+    practice; raises if ``max_iters`` rounds don't converge rather
+    than returning silently-wrong labels. For graphs with pathological
+    diameters, swap in the large-star/small-star contraction — same
+    output contract.
+
+    Returns (id, component) for every node appearing in ``pairs``;
+    component = min reachable id.
+    """
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("component"))
+    ).persist()
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.min("component").alias("nbr_min"))
+                .withColumnRenamed("dst", "id")
+            )
+            merged = labels.join(nbr, "id", "left").select(
+                "id",
+                "component",
+                F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias("new_component"),
+            ).persist()
+            changed = merged.filter(F.col("new_component") != F.col("component")).count()
+            labels.unpersist()
+            labels = merged.select("id", F.col("new_component").alias("component")).persist()
+            merged.unpersist()
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds — "
+            "component diameter exceeds the cap; raise max_iters or use a "
+            "star-contraction variant"
+        )
+    finally:
+        edges.unpersist()
+
+
+def drop_neardup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup *apply*: keep every unpaired doc, and the min-id
+    representative of each near-dup cluster (transitively closed via
+    :func:`connected_components`)."""
+    comps = connected_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def _simhash_band_rows(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
     """(id, simhash, band, chunk) rows for the 4-band simhash join."""
     n_bands = 4

@@ -1234,6 +1234,34 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "neardup_components",
+    "WITH RECURSIVE "
+    + _lsh_pairs_sql(16, 4)
+    + """,
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairs -> clusters: min-label propagation over the LSH candidate
+    # graph (transitive closure, so keep-one-per-cluster is
+    # well-defined); oracle computes the same min-reachable-id via a
+    # recursive CTE.
+    pairs = dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), num_hashes=16, bands=4)
+    return dd.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+@_register(
     "ngram_jaccard_verify",
     "WITH "
     + _lsh_pairs_sql(16, 4)

@@ -1,0 +1,49 @@
+"""Connected-components / near-dup cluster tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from bohemia_kenya_data_pipeline_spark.operators import dedup
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["id_a", "id_b"])
+
+
+def test_chain_is_one_component(spark):
+    # 1-2-3-4-5 chain: transitivity must collapse to component 1 even
+    # though (1,5) was never a pair
+    comps = dedup.connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    got = {r.id: r.component for r in comps.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components_stay_separate(spark):
+    comps = dedup.connected_components(_pairs(spark, [(1, 2), (2, 3), (10, 11)]))
+    got = {r.id: r.component for r in comps.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_edge_direction_irrelevant(spark):
+    a = dedup.connected_components(_pairs(spark, [(2, 1), (3, 2)]))
+    b = dedup.connected_components(_pairs(spark, [(1, 2), (2, 3)]))
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_nonconvergence_raises(spark):
+    long_chain = [(i, i + 1) for i in range(1, 30)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(_pairs(spark, long_chain), max_iters=3)
+
+
+def test_drop_neardup_clusters_keeps_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)])
+    kept = sorted(
+        r.doc_id for r in dedup.drop_neardup_clusters(docs, pairs).collect()
+    )
+    # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; 4 and 7 unpaired
+    assert kept == [1, 4, 5, 7]
