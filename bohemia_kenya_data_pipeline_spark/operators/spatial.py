@@ -263,6 +263,127 @@ def nearest_neighbor(
     )
 
 
+def assign_clusters_bucketed(
+    points: DataFrame,
+    polygons: DataFrame,
+    id_col: str = "id",
+    lon_col: str = "Longitude",
+    lat_col: str = "Latitude",
+    pid_col: str = "pid",
+    seq_col: str = "seq",
+    plon_col: str = "lon",
+    plat_col: str = "lat",
+    buffer_m: float = 50.0,
+    cell_m: float = 20000.0,
+    lat_ref: float = 0.0,
+) -> DataFrame:
+    """C8/J11 at scale: cluster assignment when the polygon set is too
+    large to embed as a plan literal (:func:`assign_clusters` caps out
+    at a few hundred rings). Same output contract: ``geo_cluster_num``
+    (strict containment, min pid; else nearest boundary within
+    ``buffer_m``), ``geo_not_in_cluster``.
+
+    ``polygons`` is the tabular ring-vertex form (pid, seq, lon, lat —
+    what :func:`load_polygons_csv` reads), kept distributed:
+
+    1. per-pid payload: sorted vertex array + bbox (one groupBy over
+       vertex rows — polygon metadata, not point data);
+    2. each polygon explodes onto the grid cells its buffer-padded
+       bbox covers (pad computed at the polygon's worst latitude);
+       each point lands in its single cell — the equi-join on (cx, cy)
+       yields each (point, polygon) candidate at most once, and every
+       point within ``buffer_m`` of a polygon shares a cell with it by
+       construction;
+    3. bbox filter, then the same ray-cast/segment-distance folds as
+       the literal variant, aggregated per point (min-pid strict,
+       min-(distance, pid) buffered); a left join re-attaches points
+       with no candidates.
+
+    Costs 3 point-side shuffles (cell join, per-point agg, re-attach)
+    vs the literal plan's zero — the price of unbounded polygon sets;
+    prefer :func:`assign_clusters` below a few hundred polygons.
+    Requires a unique ``id_col`` on ``points``.
+    """
+    dlat = cell_m / M_PER_DEG_LAT
+    dlon = cell_m / (M_PER_DEG_LON_EQ * math.cos(math.radians(lat_ref)))
+
+    sv = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(seq_col).alias("seq"),
+                F.col(plon_col).alias("lon"),
+                F.col(plat_col).alias("lat"),
+            )
+        )
+    )
+    polys = polygons.groupBy(F.col(pid_col).alias("pid")).agg(
+        F.transform(sv, lambda s: F.struct(s["lon"].alias("lon"), s["lat"].alias("lat"))).alias(
+            "verts"
+        ),
+        F.min(plon_col).alias("minlon"),
+        F.max(plon_col).alias("maxlon"),
+        F.min(plat_col).alias("minlat"),
+        F.max(plat_col).alias("maxlat"),
+    )
+    cos_worst = F.greatest(
+        F.cos(F.radians(F.greatest(F.abs("minlat"), F.abs("maxlat")))), F.lit(0.01)
+    )
+    pad_lat = F.lit(buffer_m / M_PER_DEG_LAT + 1e-9)
+    pad_lon = F.lit(buffer_m) / (F.lit(M_PER_DEG_LON_EQ) * cos_worst) + 1e-9
+    cells = polys.withColumn(
+        "cx",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("minlon") - pad_lon) / dlon),
+                F.floor((F.col("maxlon") + pad_lon) / dlon),
+            )
+        ),
+    ).withColumn(
+        "cy",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("minlat") - pad_lat) / dlat),
+                F.floor((F.col("maxlat") + pad_lat) / dlat),
+            )
+        ),
+    )
+
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    p = points.select(
+        F.col(id_col).alias("_pid_pt"),
+        lon.alias("_lon"),
+        lat.alias("_lat"),
+        F.floor(lon / dlon).alias("cx"),
+        F.floor(lat / dlat).alias("cy"),
+    )
+    plon, plat = F.col("_lon"), F.col("_lat")
+    cand = (
+        p.join(cells, ["cx", "cy"])
+        .filter(
+            (plon >= F.col("minlon") - pad_lon)
+            & (plon <= F.col("maxlon") + pad_lon)
+            & (plat >= F.col("minlat") - pad_lat)
+            & (plat <= F.col("maxlat") + pad_lat)
+        )
+        .withColumn("_inside", point_in_polygon(plon, plat, F.col("verts")))
+        .withColumn("_d", point_to_polygon_m(plon, plat, F.col("verts")))
+    )
+    agg = cand.groupBy("_pid_pt").agg(
+        F.min(F.when(F.col("_inside"), F.col("pid"))).alias("_strict"),
+        F.min(F.struct(F.col("_d").alias("d"), F.col("pid").alias("pid"))).alias("_best"),
+    )
+    out = points.join(
+        agg.withColumnRenamed("_pid_pt", id_col), id_col, "left"
+    )
+    strict = F.col("_strict")
+    buffered = F.when(F.col("_best.d") <= buffer_m, F.col("_best.pid"))
+    return (
+        out.withColumn("geo_cluster_num", F.coalesce(strict, buffered))
+        .withColumn("geo_not_in_cluster", strict.isNull() & buffered.isNull())
+        .drop("_strict", "_best")
+    )
+
+
 def nearest_neighbor_bucketed(
     points: DataFrame,
     facilities: DataFrame,

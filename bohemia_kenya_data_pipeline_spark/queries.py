@@ -1942,6 +1942,38 @@ def spatial_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "geo_cluster_num", "geo_not_in_cluster")
 
 
+@_register("spatial_cluster_assign_bucketed", ORACLES["spatial_cluster_assign"])
+def spatial_cluster_assign_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C8/J11 at scale: polygons stay a distributed DataFrame (no plan
+    # literal) — grid-cell cover join + the same ray-cast folds. Same
+    # oracle semantics as spatial_cluster_assign; registered with its
+    # own entry so the driver independently checks the bucketed plan.
+    i = F.col("id")
+    lon0, lat0 = F.lit(38.0) + (i / 5).cast("int"), F.lit(-5.0) + i % 5
+    rect = [(0, 0.0, 0.0), (1, 0.8, 0.0), (2, 0.8, 0.8), (3, 0.0, 0.8)]
+    polys = spark.range(25).select(
+        i.cast("int").alias("pid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seq"),
+                        (lon0 + dx).alias("lon"),
+                        (lat0 + dy).alias("lat"),
+                    )
+                    for s, dx, dy in rect
+                ]
+            )
+        ).alias("v"),
+    ).select("pid", "v.seq", "v.lon", "v.lat")
+    pts = _cust_points(spark, sf_dir)
+    out = sp.assign_clusters_bucketed(
+        pts, polys, id_col="id", lon_col="lon", lat_col="lat", buffer_m=50.0,
+        cell_m=30000.0, lat_ref=-4.5,
+    )
+    return out.select("id", "geo_cluster_num", "geo_not_in_cluster")
+
+
 # ===========================================================================
 # W9 — RDT incident-case state machine (applyInPandas) with a
 # recursive-CTE DuckDB oracle: a true per-group recurrence

@@ -114,3 +114,47 @@ def test_bucketed_no_facility_broadcast_in_plan(spark):
     # with no cell keys (AQE may still *choose* broadcast at runtime
     # for tiny test inputs; the declared plan must not require it).
     assert "cx" in plan and "cy" in plan
+
+
+def _polys_df(spark, polys):
+    rows = [
+        (pid, s, lon, lat)
+        for pid, verts in polys
+        for s, (lon, lat) in enumerate(verts)
+    ]
+    return spark.createDataFrame(rows, "pid INT, seq INT, lon DOUBLE, lat DOUBLE")
+
+
+def test_bucketed_assign_matches_literal(spark):
+    # overlapping squares + a triangle: exercises strict min-pid ties,
+    # buffered fallback, and true misses through the bucketed path
+    polys = [
+        (9, [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]),
+        (3, [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)]),
+        (7, [(5.0, 5.0), (6.0, 5.0), (5.0, 6.0)]),
+    ]
+    lon_30m = 5.0 - 30.0 / sp.M_PER_DEG_LON_EQ
+    pts = spark.createDataFrame(
+        [
+            (1, 1.5, 1.5),     # overlap -> min pid 3
+            (2, 0.5, 0.5),     # only square 9
+            (3, 5.2, 5.2),     # triangle
+            (4, lon_30m, 5.5), # 30 m west of triangle edge -> buffered
+            (5, 10.0, 10.0),   # nowhere near anything
+        ],
+        ["id", "Longitude", "Latitude"],
+    )
+    lit_out = {
+        r.id: (r.geo_cluster_num, r.geo_not_in_cluster)
+        for r in sp.assign_clusters(pts, polys, buffer_m=50.0).collect()
+    }
+    buck_out = {
+        r.id: (r.geo_cluster_num, r.geo_not_in_cluster)
+        for r in sp.assign_clusters_bucketed(
+            pts, _polys_df(spark, polys), buffer_m=50.0, cell_m=50000.0
+        ).collect()
+    }
+    assert lit_out == buck_out
+    assert buck_out[1] == (3, False)
+    assert buck_out[4] == (7, False)
+    assert buck_out[5] == (None, True)
