@@ -516,6 +516,53 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_register(
+    "streaming_window_counts",
+    """
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start,
+           CAST(time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS TIMESTAMP)
+             AS window_end,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING window_end <= (SELECT mx FROM m) - INTERVAL '25 hours'
+    """,
+)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A genuinely ORACLE-CHECKED streaming query: append-mode emission
+    # is deterministic for availableNow over a static dir — exactly the
+    # windows finalized by the terminal watermark (max event time -
+    # delay) — so SQL can predict the full output: day buckets with
+    # window_end <= max(ts) - 25h. Hash-checks watermark semantics,
+    # window bucketing, and the streaming agg end to end.
+    from bohemia_kenya_data_pipeline_spark import streaming as st
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    counts = st.windowed_event_counts(raw, window="1 day", watermark="25 hours")
+    name = "q_streaming_window_counts"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming_window_counts did not complete within 600s")
+    return spark.table(name)
+
+
 @_register("count_distinct_approx", None)
 def count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A2 approx variant (SURVEY §7.2 item 9): HyperLogLog++ with an
