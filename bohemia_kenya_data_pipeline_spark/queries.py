@@ -27,6 +27,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators import dedup as dd
 from .operators import similarity as sim
@@ -54,15 +55,43 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which
-    Spark's parquet reader rejects; read nanos as long and convert to a
-    microsecond timestamp (matching DuckDB's micro-truncated view)."""
+    """events.parquet has stored ``ts`` either as INT64 TIMESTAMP(NANOS)
+    (older driver generations — Spark's parquet reader rejects nanos
+    unless read as long) or as TIMESTAMP(MICROS). Normalize both to one
+    stable TimestampType column so every consumer sees one schema."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # integer division: epoch-nanos (~1.7e18) exceed double's 53-bit exact
-    # range, so `/ 1000` would round ~12% of rows to a different micro
-    # than DuckDB's exact truncation.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division: epoch-nanos (~1.7e18) exceed double's 53-bit
+        # exact range, so `/ 1000` would round ~12% of rows to a
+        # different micro than DuckDB's exact truncation.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # TIMESTAMP_NTZ(micros) -> LTZ cast is exact under the pinned UTC
+    # session timezone (session.py); no-op when already TimestampType.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reader over events.parquet handling both historical
+    ``ts`` encodings (see ``_events``). ``readStream`` needs an explicit
+    schema, so peek at the batch footer first — a metadata-only read."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_long = isinstance(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType,
+        T.LongType,
+    )
+    ts_sql = "BIGINT" if ts_is_long else "TIMESTAMP_NTZ"
+    raw = (
+        spark.readStream.schema(
+            f"event_id BIGINT, ts {ts_sql}, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ===========================================================================
@@ -490,17 +519,9 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch-equivalence differential lives in tests/test_streaming.py.
     from bohemia_kenya_data_pipeline_spark import streaming as st
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file-stream sources take a DIRECTORY; glob-filter to the events
     # table inside the zone dir
-    raw = (
-        spark.readStream.schema(
-            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = _events_stream(spark, sf_dir)
     sessions = st.sessionize_stream(raw, gap_minutes=30, watermark="10 hours")
     name = "q_streaming_sessionize"
     q = (
@@ -539,15 +560,7 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window bucketing, and the streaming agg end to end.
     from bohemia_kenya_data_pipeline_spark import streaming as st
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(
-            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = _events_stream(spark, sf_dir)
     counts = st.windowed_event_counts(raw, window="1 day", watermark="25 hours")
     name = "q_streaming_window_counts"
     q = (
