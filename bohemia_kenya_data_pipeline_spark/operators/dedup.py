@@ -635,3 +635,48 @@ def simhash_bucket_stats(
     ``min_size`` members — spill report for ``max_bucket_size``."""
     rows = _simhash_band_rows(df, text_col, id_col, bits)
     return _bucket_stats(rows, ["band", "chunk"], min_size)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (decontamination check)
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag corpus documents sharing word n-grams with a benchmark set —
+    the standard pretraining decontamination check (a training doc that
+    contains eval-set n-grams leaks the benchmark).
+
+    Returns (id, n_hits): distinct contaminated n-grams per corpus doc,
+    filtered to ``n_hits >= min_hits``.
+
+    Shape: explode distinct shingles on both sides, equi-join on the
+    shingle string, count per doc. The benchmark side is collapsed to
+    DISTINCT grams first — at 100 TB the corpus side dominates and the
+    deduped benchmark gram set is small (evals are MBs, not TBs), so
+    AQE broadcasts it and the corpus side never shuffles. Joining on
+    the gram string (not a 32-bit hash) keeps the check exact; at
+    3-gram sizes the join key is ~tens of bytes, still scan-local.
+    """
+    c = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("g")
+    )
+    b = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("g")
+        )
+        .distinct()
+    )
+    return (
+        c.join(b, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )

@@ -1,0 +1,102 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need samples and train/test splits that are
+(a) reproducible across runs and engines, (b) partition- and
+parallelism-invariant, and (c) cheap at 100 TB. Spark's native
+``df.sample`` is none of these across engines: its RNG is seeded per
+partition, so the selected rows change with the partition layout.
+
+These operators instead derive a uniform value from ``md5`` of the row
+key — a pure Column expression (JVM-side, whole-stage codegen, no
+shuffle, no RNG state). ``md5`` produces identical lowercase hex in
+Spark and DuckDB, so the selection is oracle-exact: the first 8 hex
+chars of the digest are compared lexicographically against a threshold
+encoding the sampling fraction (8 hex chars = 32 uniform bits, plenty
+for per-mille-accurate fractions).
+
+Scale notes:
+- No shuffle: selection is a scan-local filter; the filter pushes into
+  the scan for parquet row-group pruning of the *other* predicates.
+- Skew-free: md5 is uniform regardless of key distribution.
+- Seed changes the digest input (``key|seed``), so resampling with a
+  new seed is a full reshuffle of membership, as expected.
+
+Reference parity: the reference samples hh rosters with R's
+``slice_sample`` seeded per strata (pipeline-analysis sampling scripts);
+the hash formulation is the distributed-safe re-expression (SURVEY
+§4.1 documents why RNG-identical output is impossible cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 16**8 — one past the largest 8-hex-char value ("ffffffff").
+_HEX_SPACE = 16**8
+
+
+def _hash_hex(key: Column, seed: int) -> Column:
+    """First 8 hex chars of md5("<key>|<seed>") — 32 uniform bits as a
+    lowercase hex string, identical in Spark and DuckDB."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(f"|{seed}"))), 1, 8)
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Hex threshold such that P(hash_hex < threshold) == fraction.
+
+    fraction >= 1 maps to "g", which every hex string sorts below —
+    an always-true predicate without a 9-char-comparison edge case.
+    """
+    if fraction < 0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    t = int(round(fraction * _HEX_SPACE))
+    return "g" if t >= _HEX_SPACE else format(t, "08x")
+
+
+def sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by key hash.
+
+    Unlike ``df.sample`` the result is independent of partitioning and
+    identical across engines; rows with equal keys are kept or dropped
+    together (useful: sampling is stable under exact-dup re-ingestion).
+    """
+    return df.filter(_hash_hex(F.col(key_col), seed) < _threshold_hex(fraction))
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label ("train"/"test"/...) by key hash.
+
+    ``weights`` are normalized; labels are assigned by cumulative
+    threshold in the given dict order, so every row gets exactly one
+    label and expected sizes follow the weights. Deterministic,
+    partition-invariant, and reproducible cross-engine (same md5
+    formulation as :func:`sample_by_hash`).
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError(f"weights must sum to a positive value, got {total}")
+    h = _hash_hex(F.col(key_col), seed)
+    labels = list(weights)
+    cum = 0.0
+    expr: Column | None = None
+    for label in labels[:-1]:
+        cum += weights[label] / total
+        cond = h < _threshold_hex(cum)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)

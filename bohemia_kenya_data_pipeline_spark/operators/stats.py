@@ -19,6 +19,8 @@ Spark-first design (100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -200,3 +202,37 @@ def irr_by_group(
         F.round(F.col("IRR_raw") / spread, 6).alias("IRR_lwr"),
         F.round(F.col("IRR_raw") * spread, 6).alias("IRR_upr"),
     )
+
+
+def numeric_profile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    quantiles: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """Distribution profile of a numeric column, optionally per group:
+    count, min, max, mean, sample stddev, and exact interpolated
+    quantiles — the data-profiling pass a pipeline runs before setting
+    quality-filter thresholds (token-count or price distributions).
+
+    Exact quantiles (F.percentile) sort within the aggregate — fine
+    for profiling passes; swap to percentile_approx for a one-pass
+    sketch when the column is 100 TB and ±0.1% error is acceptable
+    (same call shape, documented trade-off).
+    """
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min(value_col), 4).alias("vmin"),
+        F.round(F.max(value_col), 4).alias("vmax"),
+        F.round(F.avg(value_col), 4).alias("vmean"),
+        F.round(F.stddev_samp(value_col), 4).alias("vstddev"),
+    ]
+    for q in quantiles:
+        aggs.append(
+            F.round(F.percentile(value_col, F.lit(q)), 4).alias(
+                f"p{int(round(q * 100)):02d}"
+            )
+        )
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)

@@ -130,6 +130,62 @@ def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "text_n
     return df.withColumn(out_col, norm)
 
 
+#: PII scrub patterns, applied in order (emails first — the phone
+#: pattern would otherwise eat their digit runs; IPs before phones for
+#: the same reason). Restricted to the regex subset that behaves
+#: identically in Java regex (Spark) and RE2 (DuckDB): no lookaround,
+#: no backreferences.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ()]{6,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-like digit runs with
+    typed tokens — the free-text counterpart of the column-level PII
+    handling in clean.drop_pii/hash_pii (reference sanitizes PII
+    columns in pipeline-cleaning/R/02.run_form_sanitization.R; a text
+    corpus needs the in-band equivalent before training). Pure
+    regexp_replace chain: JVM-side, no shuffle, scan-local at 100 TB.
+    """
+    out = out_col or text_col
+    c = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return df.withColumn(out, c)
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Word-level repetition metrics per document — the standard
+    boilerplate/spam signals (high duplicate-token fraction or one
+    token dominating flags low-quality pretraining text).
+
+    Returns (id, n_tokens, n_distinct_tokens, dup_token_ratio,
+    top_token_ratio). Documents with zero tokens produce no row
+    (nothing to measure), mirroring SQL unnest semantics.
+
+    Shape: explode → two-level aggregate. Deliberately NOT an O(n²)
+    array expression (counting each distinct token inside a transform
+    would be quadratic per document); the explode shuffles (id, token)
+    pairs once and both aggregates map-side combine. Token frequency
+    per doc is bounded, so no skew concern.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    per_tok = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = F.sum("c")
+    n_distinct = F.count(F.lit(1))
+    return per_tok.groupBy(id_col).agg(
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        F.round(F.lit(1.0) - n_distinct / n_tok, 6).alias("dup_token_ratio"),
+        F.round(F.max("c") / n_tok, 6).alias("top_token_ratio"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -196,3 +196,43 @@ def seeded_shuffle_sample(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    partition_cols: Sequence[str],
+    max_tokens: int,
+    out_col: str = "chunk_id",
+) -> DataFrame:
+    """Assign rows (documents) to fixed-token-budget training chunks:
+    within each partition, walk rows in ``order_col`` order and start a
+    new chunk every time the running token total crosses a multiple of
+    ``max_tokens`` — the deterministic, order-preserving form of
+    sequence packing for LLM training shards.
+
+    chunk_id = floor((cumsum_inclusive - own_tokens) / max_tokens), i.e.
+    a document lands in the chunk its *starting* offset falls in; a
+    document longer than the budget spills into its own chunk(s) by the
+    same rule. Adds ``cum_tokens`` (inclusive running total) and
+    ``out_col``.
+
+    Scale: one shuffle on ``partition_cols`` (the window), everything
+    else is scan-local; at 100 TB partition by shard/source so no
+    single window partition is unbounded.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col).cast("bigint")).over(w)
+    return df.withColumn("cum_tokens", cum).withColumn(
+        out_col,
+        F.floor((F.col("cum_tokens") - F.col(token_col)) / F.lit(max_tokens)).cast(
+            "bigint"
+        ),
+    )

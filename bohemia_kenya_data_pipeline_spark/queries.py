@@ -2669,3 +2669,189 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content hash (left_semi against the winners).
     kept = dd.drop_exact_duplicates(_t(spark, sf_dir, "documents"))
     return kept.select("doc_id", "lang", "source")
+
+
+# ===========================================================================
+# Training-data pipeline pack II: PII scrub, deterministic sampling /
+# splits, repetition metrics, decontamination, sequence packing,
+# numeric profiling. All oracle-checked (md5 and the regex subset used
+# behave identically in Spark and DuckDB).
+# ===========================================================================
+from .operators import sampling as smp  # noqa: E402
+
+
+@_register(
+    "pii_scrub",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-010-' || CAST(doc_id % 100 AS VARCHAR)
+                  || '0 node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d\- ()]{6,}\d', '<PHONE>', 'g') AS text_redacted
+    FROM aug
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic corpus carries no natural PII, so the query plants a
+    # deterministic email/phone/IP per doc before scrubbing — keeps the
+    # oracle non-vacuous (every row exercises all three patterns).
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-010-"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("0 node 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+    return tx.scrub_pii(d, "text", "text_redacted").select("doc_id", "text_redacted")
+
+
+@_register(
+    "hash_sample_docs",
+    """
+    SELECT doc_id, source, lang FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < '40000000'
+    """,
+)
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic 25% sample: md5-threshold filter, partition- and
+    # engine-invariant (unlike df.sample, whose RNG is seeded per
+    # partition). 0.25 * 16^8 = 0x40000000.
+    d = smp.sample_by_hash(_t(spark, sf_dir, "documents"), "doc_id", 0.25)
+    return d.select("doc_id", "source", "lang")
+
+
+@_register(
+    "train_test_split",
+    """
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 8)
+                       < 'cccccccd' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 8)
+                       < 'e6666666' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 80/10/10 split by key hash; oracle re-derives the cumulative hex
+    # thresholds (0.8 -> cccccccd, 0.9 -> e6666666) independently.
+    d = smp.split_by_hash(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+        seed=7,
+    )
+    return d.groupBy("split", "lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@_register(
+    "repetition_features",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS tok
+                 FROM documents),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           ROUND(1 - COUNT(*) / (1.0 * SUM(c)), 6) AS dup_token_ratio,
+           ROUND(MAX(c) / (1.0 * SUM(c)), 6) AS top_token_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Boilerplate/spam signals: duplicate-token fraction + dominant
+    # token share. Explode -> two map-side-combining aggregates, not an
+    # O(n^2)-per-doc array expression.
+    return tx.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ngram_contamination",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_SQL_TOKS.format(c='text')} AS w
+                 FROM documents),
+    gr AS (SELECT doc_id, source,
+                  CASE WHEN len(w) >= 3
+                       THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                           for i in range(1, len(w) - 1)])
+                       ELSE [array_to_string(w, ' ')] END AS grams
+           FROM tok),
+    ce AS (SELECT doc_id, unnest(grams) AS g FROM gr WHERE source <> 'src0'),
+    be AS (SELECT DISTINCT g
+           FROM (SELECT unnest(grams) AS g FROM gr WHERE source = 'src0'))
+    SELECT ce.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM ce JOIN be USING (g)
+    GROUP BY ce.doc_id
+    """,
+)
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Decontamination check: src0 plays the held-out benchmark; every
+    # other doc is scored by distinct 3-grams it shares with it.
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    )
+
+
+@_register(
+    "pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len({_SQL_TOKS.format(c='text')}) AS BIGINT) AS n_tokens
+               FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(FLOOR((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) / 512.0)
+                AS BIGINT) AS chunk_id
+    FROM t
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic sequence packing into 512-token training shards,
+    # one window shuffle on the shard key (source).
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", tx.token_count("text").cast("bigint")
+    )
+    packed = W.pack_sequences(d, "n_tokens", "doc_id", ["source"], 512)
+    return packed.select("doc_id", "source", "n_tokens", "cum_tokens", "chunk_id")
+
+
+@_register(
+    "numeric_profile",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(l_extendedprice), 4) AS vmin,
+           ROUND(MAX(l_extendedprice), 4) AS vmax,
+           ROUND(AVG(l_extendedprice), 4) AS vmean,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS vstddev,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY 1
+    """,
+)
+def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distribution profile (the pass that calibrates quality-filter
+    # thresholds): exact interpolated quantiles via F.percentile,
+    # matching DuckDB quantile_cont's rank definition.
+    return st.numeric_profile(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", ["l_returnflag"]
+    )

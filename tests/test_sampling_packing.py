@@ -1,0 +1,142 @@
+"""Unit tests for hash sampling/splitting, sequence packing, PII scrub,
+repetition features, and the contamination check — edge cases the
+oracle differentials (tests/test_oracle_queries.py) don't isolate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import dedup as dd
+from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+from bohemia_kenya_data_pipeline_spark.operators import text as tx
+from bohemia_kenya_data_pipeline_spark.operators import windows as W
+
+
+# ---------------------------------------------------------------------------
+# sample_by_hash / split_by_hash
+# ---------------------------------------------------------------------------
+
+
+def test_sample_by_hash_partition_invariant(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = {r.k for r in smp.sample_by_hash(df, "k", 0.3).collect()}
+    b = {r.k for r in smp.sample_by_hash(df.repartition(7), "k", 0.3).collect()}
+    assert a == b
+    # ~30% with hash-uniform tolerance
+    assert 0.24 * 2000 < len(a) < 0.36 * 2000
+
+
+def test_sample_by_hash_edges(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    assert smp.sample_by_hash(df, "k", 0.0).count() == 0
+    assert smp.sample_by_hash(df, "k", 1.0).count() == 100
+    with pytest.raises(ValueError):
+        smp.sample_by_hash(df, "k", -0.1)
+
+
+def test_sample_by_hash_nested_monotone(spark):
+    # Threshold semantics: a 10% sample is a subset of the 30% sample
+    # at the same seed — the property that makes staged size sweeps
+    # comparable.
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    s10 = {r.k for r in smp.sample_by_hash(df, "k", 0.1).collect()}
+    s30 = {r.k for r in smp.sample_by_hash(df, "k", 0.3).collect()}
+    assert s10 <= s30
+
+
+def test_split_by_hash_partitions_every_row_once(spark):
+    df = spark.range(3000).withColumnRenamed("id", "k")
+    out = smp.split_by_hash(df, "k", {"train": 8, "valid": 1, "test": 1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 3000
+    assert set(counts) == {"train", "valid", "test"}
+    assert 0.74 * 3000 < counts["train"] < 0.86 * 3000
+    # weights normalize: integer weights behave like 0.8/0.1/0.1
+    with pytest.raises(ValueError):
+        smp.split_by_hash(df, "k", {})
+
+
+def test_split_by_hash_single_label(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    out = smp.split_by_hash(df, "k", {"all": 1.0})
+    assert out.filter(F.col("split") == "all").count() == 10
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_boundaries(spark):
+    rows = [(i, "s", n) for i, n in enumerate([100, 100, 100, 100, 100])]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING, n_tok INT")
+    out = {
+        r.doc_id: (r.cum_tokens, r.chunk_id)
+        for r in W.pack_sequences(df, "n_tok", "doc_id", ["source"], 250).collect()
+    }
+    # starting offsets 0,100,200,300,400 -> chunks 0,0,0,1,1
+    assert out == {0: (100, 0), 1: (200, 0), 2: (300, 0), 3: (400, 1), 4: (500, 1)}
+
+
+def test_pack_sequences_oversized_doc_gets_own_chunks(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 50), (2, "s", 900), (3, "s", 50)],
+        "doc_id INT, source STRING, n_tok INT",
+    )
+    out = {r.doc_id: r.chunk_id for r in
+           W.pack_sequences(df, "n_tok", "doc_id", ["source"], 256).collect()}
+    # doc2 starts at offset 50 (chunk 0) and spills; doc3 starts at 950 -> chunk 3
+    assert out == {1: 0, 2: 0, 3: 3}
+    with pytest.raises(ValueError):
+        W.pack_sequences(df, "n_tok", "doc_id", ["source"], 0)
+
+
+def test_pack_sequences_partition_isolation(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 200), (2, "b", 200), (3, "a", 200), (4, "b", 200)],
+        "doc_id INT, source STRING, n_tok INT",
+    )
+    out = {(r.source, r.doc_id): r.chunk_id for r in
+           W.pack_sequences(df, "n_tok", "doc_id", ["source"], 300).collect()}
+    assert out == {("a", 1): 0, ("a", 3): 0, ("b", 2): 0, ("b", 4): 0}
+
+
+# ---------------------------------------------------------------------------
+# scrub_pii / repetition_features / ngram_contamination
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii_redacts_all_three(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c_d@ex-ample.co.uk ip 192.168.0.1 tel +44 20 7946 0958 end")],
+        "id INT, text STRING",
+    )
+    out = tx.scrub_pii(df).collect()[0].text
+    assert out == "mail <EMAIL> ip <IP> tel <PHONE> end"
+
+
+def test_scrub_pii_leaves_clean_text(spark):
+    df = spark.createDataFrame([(1, "nothing sensitive here 42")], "id INT, text STRING")
+    assert tx.scrub_pii(df).collect()[0].text == "nothing sensitive here 42"
+
+
+def test_repetition_features_math(spark):
+    df = spark.createDataFrame([(1, "a a a b"), (2, "x y"), (3, "")],
+                               "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in tx.repetition_features(df).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_distinct_tokens == 2
+    assert out[1].dup_token_ratio == 0.5 and out[1].top_token_ratio == 0.75
+    assert out[2].dup_token_ratio == 0.0
+    assert 3 not in out  # zero-token doc yields no row
+
+
+def test_ngram_contamination_counts_distinct_grams(spark):
+    corpus = spark.createDataFrame(
+        [(1, "q w e r t"), (2, "z z z z")], "doc_id INT, text STRING"
+    )
+    bench = spark.createDataFrame([(9, "w e r x q w e")], "doc_id INT, text STRING")
+    out = {r.doc_id: r.n_hits for r in
+           dd.ngram_contamination(corpus, bench, n=3).collect()}
+    # doc1 shares 3-grams "q w e" and "w e r"; doc2 shares nothing
+    assert out == {1: 2}
