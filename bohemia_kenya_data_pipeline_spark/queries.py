@@ -2855,3 +2855,58 @@ def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.numeric_profile(
         _t(spark, sf_dir, "lineitem"), "l_extendedprice", ["l_returnflag"]
     )
+
+
+_SQL_TOKS_T = _SQL_TOKS.format(c="t")
+
+
+@_register(
+    "corpus_curation",
+    rf"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    feat AS (
+      SELECT doc_id, lang, t,
+             CAST(len({_SQL_TOKS_T}) AS BIGINT) AS n_tok,
+             1.0 * len(list_distinct({_SQL_TOKS_T})) / len({_SQL_TOKS_T}) AS uniq
+      FROM norm),
+    kept AS (SELECT * FROM feat WHERE n_tok >= 30 AND uniq >= 0.3),
+    dedup AS (SELECT * FROM kept
+              WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY md5(t))),
+    lab AS (SELECT lang, n_tok,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '|11'), 1, 8)
+                             < 'cccccccd' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR) || '|11'), 1, 8)
+                             < 'e6666666' THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM dedup)
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flagship LLM-corpus pipeline, end to end in one lazy plan:
+    # normalize -> quality filter -> exact dedup -> deterministic split
+    # -> per-(split, lang) rollup. Catalyst collapses the narrow stages
+    # into one scan; the only shuffles are the dedup groupBy and the
+    # final aggregate — the 100 TB shape (no per-stage materialization).
+    d = tx.normalize_text(_t(spark, sf_dir, "documents"), "text", "t")
+    toks = tx.tokens(F.col("t"))
+    feat = d.select(
+        "doc_id", "lang", "t",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq"),
+    )
+    kept = feat.filter((F.col("n_tok") >= 30) & (F.col("uniq") >= 0.3))
+    deduped = dd.drop_exact_duplicates(kept, text_col="t", id_col="doc_id")
+    lab = smp.split_by_hash(
+        deduped, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=11
+    )
+    return lab.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
