@@ -61,6 +61,10 @@ HEADLINE = [
     "spatial_nearest_hf_bucketed",
     "chunk_documents",
     "quality_features",
+    "corpus_curation",
+    "ngram_contamination",
+    "repetition_features",
+    "pack_sequences",
 ]
 
 

