@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import bind_once, tokens
 
 #: Mersenne prime 2^31-1 — classic universal-hash modulus.
 MINHASH_PRIME = 2147483647
@@ -65,7 +65,7 @@ def shingles(text: Column | str, n: int = 3) -> Column:
         )
         return F.when(k >= n, grams).otherwise(F.array(F.array_join(tk, " ")))
 
-    return F.element_at(F.transform(F.array(tokens(text)), gram), 1)
+    return bind_once(tokens(text), gram)
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,18 @@ LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and pass it to ``fn`` as a bound
+    lambda variable — manual common-subexpression elimination for
+    higher-order expressions. Catalyst performs no CSE inside lambda
+    bodies, so an expression subtree embedded in a per-element lambda
+    (or repeated across struct fields) is re-evaluated at every use;
+    routing it through a one-element ``transform`` binds it to a
+    variable instead (measured 7x on shingle generation at sf0.1).
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenizer → array<string> (empty tokens removed)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -48,37 +60,40 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio, uniq_token_ratio.
     """
     t = F.col(text_col)
-    toks = tokens(t)
-    n_tok = F.size(toks)
     stop = F.array([F.lit(s) for s in LANG_PROFILES["en"]])
-    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
     total_len = F.length(F.regexp_replace(t, r"\s+", ""))
-    return (
-        df.withColumn("n_chars_calc", F.length(t))
-        .withColumn("n_tokens", n_tok)
-        .withColumn(
-            "avg_token_len",
-            F.when(n_tok > 0, F.round(total_len / n_tok, 4)),
-        )
-        .withColumn(
-            "stopword_ratio",
-            F.when(
-                F.size(F.array_distinct(toks)) > 0,
-                F.round(n_stop / F.size(F.array_distinct(toks)), 4),
-            ),
-        )
-        .withColumn(
-            "punct_ratio",
-            F.round(
-                F.length(F.regexp_replace(t, r"[\w\s]", "")) / F.greatest(F.length(t), F.lit(1)),
-                4,
-            ),
-        )
-        .withColumn(
-            "uniq_token_ratio",
-            F.when(n_tok > 0, F.round(F.size(F.array_distinct(toks)) / n_tok, 4)),
-        )
-    )
+    fields = [
+        "n_chars_calc", "n_tokens", "avg_token_len",
+        "stopword_ratio", "punct_ratio", "uniq_token_ratio",
+    ]
+
+    # bind the token array, then its distinct form, each evaluated once
+    # per row (see bind_once) — the naive withColumn chain re-tokenized
+    # the document for every feature.
+    def feats(tk: Column) -> Column:
+        def inner(dtk: Column) -> Column:
+            n_tok = F.size(tk)
+            n_dtk = F.size(dtk)
+            n_stop = F.size(F.array_intersect(dtk, stop))
+            return F.struct(
+                F.length(t).alias("n_chars_calc"),
+                n_tok.alias("n_tokens"),
+                F.when(n_tok > 0, F.round(total_len / n_tok, 4)).alias("avg_token_len"),
+                F.when(n_dtk > 0, F.round(n_stop / n_dtk, 4)).alias("stopword_ratio"),
+                F.round(
+                    F.length(F.regexp_replace(t, r"[\w\s]", ""))
+                    / F.greatest(F.length(t), F.lit(1)),
+                    4,
+                ).alias("punct_ratio"),
+                F.when(n_tok > 0, F.round(n_dtk / n_tok, 4)).alias("uniq_token_ratio"),
+            )
+
+        return bind_once(F.array_distinct(tk), inner)
+
+    out = df.withColumn("__q", bind_once(tokens(t), feats))
+    for c in fields:
+        out = out.withColumn(c, F.col(f"__q.{c}"))
+    return out.drop("__q")
 
 
 def fingerprint(text: Column | str) -> Column:
@@ -102,17 +117,41 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Heuristic language ID: argmax of stopword-profile hits, 'und'
     when nothing matches. Ties broken by fixed language order (en
-    first) for determinism."""
-    scores = lang_scores(text_col)
-    best = F.lit("und")
-    best_score = F.lit(0)
-    # iterate in fixed order; strict > keeps the earlier language on ties
-    for lang in ["en", "es", "fr", "de", "zh"]:
-        s = scores[lang]
-        is_better = s > best_score
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return df.withColumn(out_col, best)
+    first) for determinism. The distinct token array is bound once
+    (see bind_once); the naive form re-tokenized per language."""
+
+    langs = ["en", "es", "fr", "de", "zh"]
+
+    def pick(toks_d: Column) -> Column:
+        scores = F.struct(
+            *[
+                F.size(
+                    F.array_intersect(
+                        toks_d, F.array([F.lit(w) for w in LANG_PROFILES[lang]])
+                    )
+                ).alias(f"s_{lang}")
+                for lang in langs
+            ]
+        )
+
+        # the argmax when-chain references each score many times; bind
+        # the score struct so those references are field extractions,
+        # not repeated array_intersect evaluations
+        def choose(sc: Column) -> Column:
+            best = F.lit("und")
+            best_score = F.lit(0)
+            # fixed order; strict > keeps the earlier language on ties
+            for lang in langs:
+                s = sc.getField(f"s_{lang}")
+                is_better = s > best_score
+                best = F.when(is_better, F.lit(lang)).otherwise(best)
+                best_score = F.when(is_better, s).otherwise(best_score)
+            return best
+
+        return bind_once(scores, choose)
+
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    return df.withColumn(out_col, bind_once(toks, pick))
 
 
 def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "text_norm") -> DataFrame:
