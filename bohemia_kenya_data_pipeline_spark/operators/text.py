@@ -7,7 +7,7 @@ codegen) so they run at 100 TB without Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword profiles for the n-gram/stopword
@@ -269,4 +269,110 @@ def chunk_documents(
         F.col("_e.chunk_id").alias("chunk_id"),
         F.array_join(F.col("_e.ctoks"), " ").alias("chunk_text"),
         F.size(F.col("_e.ctoks")).alias("n_chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics operators: vocabulary, TF-IDF, unigram log-prob
+# ---------------------------------------------------------------------------
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with token frequencies and doc frequencies —
+    the table a tokenizer build or frequency-based filter starts from.
+    Returns (token, n_occurrences, n_docs), most-frequent first with a
+    deterministic token tiebreak; ``top_k`` caps the output.
+
+    Plan: explode → (doc, token) partial counts (map-side combined) →
+    token rollup; both output counts come from the second, token-
+    cardinality-sized shuffle.
+    """
+    out = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("token")
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+    )
+    return out.limit(top_k) if top_k else out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (tf * ln(N / df)), ties broken by token order — the classic
+    keyword-extraction / topic-fingerprint pass.
+
+    Plan: explode → (doc, token) counts → token doc-frequencies from
+    the same pre-aggregate → broadcast the 1-row corpus size → window
+    top-k per doc. Doc frequencies are token-cardinality-sized (small);
+    the only big shuffles are the explode aggregate and the final
+    per-doc window.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_total") / F.col("df")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "token", F.col("tf").cast("bigint").alias("tf"), "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood under the
+    corpus's own unigram distribution — the cheap perplexity-style
+    quality proxy (documents full of globally-rare tokens score high;
+    repetitive boilerplate scores low). The distributed shape of the
+    language-model quality filters used on pretraining corpora.
+
+    Returns (id, n_tokens, mean_nll). Plan: (doc, token) counts reused
+    for both the corpus distribution and the per-doc sum; corpus totals
+    broadcast (1 row).
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = tok.groupBy("token").agg(F.sum("c").alias("cf"))
+    total = corpus.agg(F.sum("cf").alias("n_total"))
+    return (
+        tok.join(corpus, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("c") * F.log(F.col("cf") / F.col("n_total"))) / F.sum("c"),
+                6,
+            ).alias("mean_nll"),
+        )
     )

@@ -2910,3 +2910,102 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+@_register(
+    "vocabulary_top",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS token
+                 FROM documents),
+    cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT token, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM cnt GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 50
+    """,
+)
+def vocabulary_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer-building first step: corpus vocabulary with term and
+    # doc frequencies, deterministic order.
+    return tx.vocabulary(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+@_register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_total FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             ROUND(tf.tf * ln(n.n_total / (1.0 * dfreq.df)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, token ASC) AS rk
+           FROM scored)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rk AS INT) AS rk
+    FROM rk WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyword extraction: top-3 characteristic terms per doc by TF-IDF.
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@_register(
+    "unigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS token
+                 FROM documents),
+    cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT token, SUM(c) AS cf FROM cnt GROUP BY 1),
+    tot AS (SELECT SUM(cf) AS n_total FROM corpus)
+    SELECT cnt.doc_id,
+           CAST(SUM(cnt.c) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(cnt.c * ln(corpus.cf / (1.0 * tot.n_total))) / SUM(cnt.c), 6)
+             AS mean_nll
+    FROM cnt JOIN corpus USING (token) CROSS JOIN tot
+    GROUP BY cnt.doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perplexity-style quality proxy under the corpus's own unigram LM.
+    return tx.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "streaming_enrich_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-static dimension lookup: stateless inner join, so the
+    # availableNow append run emits exactly the batch join — a full
+    # value-hash oracle over a streaming query.
+    from bohemia_kenya_data_pipeline_spark import streaming as stm
+
+    raw = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = stm.enrich_stream(raw, dim, "user_id").select(
+        "event_id", "user_id", "segment", "value"
+    )
+    name = "q_streaming_enrich_join"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming_enrich_join did not complete within 600s")
+    return spark.table(name)

@@ -152,3 +152,17 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    inner-joins the static dimension — the standard streaming
+    dimension-lookup (no watermark required; a stream-static inner
+    join is stateless, every matched row emits exactly once in append
+    mode, so the availableNow run equals the batch join row-for-row).
+
+    The static side is re-planned per micro-batch (a dim refresh on
+    disk is picked up at the next batch) and broadcast explicitly —
+    at 100 TB of stream the dim lookup must never shuffle the stream.
+    """
+    return stream.join(F.broadcast(dim), on, "inner")
