@@ -65,6 +65,12 @@ def sample_by_hash(
     Unlike ``df.sample`` the result is independent of partitioning and
     identical across engines; rows with equal keys are kept or dropped
     together (useful: sampling is stable under exact-dup re-ingestion).
+
+    NULL keys are DROPPED (a NULL digest fails every comparison) —
+    same rule as :func:`split_by_hash`, which labels them NULL. A
+    membership decision for a row with no identity would not be
+    reproducible, which defeats the operator; filter or repair NULL
+    keys first if they must be retained.
     """
     return df.filter(_hash_hex(F.col(key_col), seed) < _threshold_hex(fraction))
 
@@ -79,24 +85,27 @@ def split_by_hash(
     """Assign each row a split label ("train"/"test"/...) by key hash.
 
     ``weights`` are normalized; labels are assigned by cumulative
-    threshold in the given dict order, so every row gets exactly one
-    label and expected sizes follow the weights. Deterministic,
-    partition-invariant, and reproducible cross-engine (same md5
-    formulation as :func:`sample_by_hash`).
+    threshold in the given dict order, so every non-NULL-key row gets
+    exactly one label and expected sizes follow the weights.
+    Deterministic, partition-invariant, and reproducible cross-engine
+    (same md5 formulation as :func:`sample_by_hash`).
+
+    Rows with a NULL key get a NULL label — NOT the last split (the
+    naive when-chain would silently dump them all into the final
+    label, contaminating the eval split); mirrors
+    :func:`sample_by_hash` dropping NULL keys.
     """
     if not weights:
         raise ValueError("weights must be a non-empty dict")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError(f"weights must sum to a positive value, got {total}")
-    h = _hash_hex(F.col(key_col), seed)
+    key = F.col(key_col)
+    h = _hash_hex(key, seed)
     labels = list(weights)
     cum = 0.0
-    expr: Column | None = None
+    expr = F.when(key.isNull(), F.lit(None).cast("string"))
     for label in labels[:-1]:
         cum += weights[label] / total
-        cond = h < _threshold_hex(cum)
-        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
-    last = F.lit(labels[-1])
-    out = last if expr is None else expr.otherwise(last)
-    return df.withColumn(out_col, out)
+        expr = expr.when(h < _threshold_hex(cum), F.lit(label))
+    return df.withColumn(out_col, expr.otherwise(F.lit(labels[-1])))

@@ -227,12 +227,13 @@ def numeric_profile(
         F.round(F.avg(value_col), 4).alias("vmean"),
         F.round(F.stddev_samp(value_col), 4).alias("vstddev"),
     ]
-    for q in quantiles:
-        aggs.append(
-            F.round(F.percentile(value_col, F.lit(q)), 4).alias(
-                f"p{int(round(q * 100)):02d}"
-            )
-        )
+    # name by the exact quantile value ("p99_9" for 0.999) — rounding
+    # to whole percents collides (0.995 and 0.999 would both be "p100")
+    names = [f"p{format(q * 100, 'g').replace('.', '_')}" for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantiles produce colliding columns: {names}")
+    for q, name in zip(quantiles, names):
+        aggs.append(F.round(F.percentile(value_col, F.lit(q)), 4).alias(name))
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)

@@ -196,6 +196,21 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
     return df.withColumn(out, c)
 
 
+def _doc_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token, c) — per-document token counts, the shared
+    pre-aggregate behind repetition metrics, vocabulary, TF-IDF, and
+    the unigram LM. One explode + one map-side-combining groupBy; kept
+    in one place so a tokenizer change cannot de-synchronize the
+    corpus statistics."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -213,8 +228,7 @@ def repetition_features(
     pairs once and both aggregates map-side combine. Token frequency
     per doc is bounded, so no skew concern.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    per_tok = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_tok = _doc_token_counts(df, text_col, id_col)
     n_tok = F.sum("c")
     n_distinct = F.count(F.lit(1))
     return per_tok.groupBy(id_col).agg(
@@ -293,17 +307,16 @@ def vocabulary(
     cardinality-sized shuffle.
     """
     out = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        _doc_token_counts(df, text_col, id_col)
         .groupBy("token")
         .agg(
-            F.sum("_c").cast("bigint").alias("n_occurrences"),
+            F.sum("c").cast("bigint").alias("n_occurrences"),
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         )
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
     )
-    return out.limit(top_k) if top_k else out
+    # `is not None`, not truthiness: top_k=0 must mean zero rows
+    return out if top_k is None else out.limit(top_k)
 
 
 def tfidf_top_terms(
@@ -322,11 +335,7 @@ def tfidf_top_terms(
     the only big shuffles are the explode aggregate and the final
     per-doc window.
     """
-    tf = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = _doc_token_counts(df, text_col, id_col).withColumnRenamed("c", "tf")
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_total"))
     scored = (
@@ -357,11 +366,7 @@ def unigram_logprob(
     for both the corpus distribution and the per-doc sum; corpus totals
     broadcast (1 row).
     """
-    tok = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    tok = _doc_token_counts(df, text_col, id_col)
     corpus = tok.groupBy("token").agg(F.sum("c").alias("cf"))
     total = corpus.agg(F.sum("cf").alias("n_total"))
     return (

@@ -205,6 +205,7 @@ def pack_sequences(
     partition_cols: Sequence[str],
     max_tokens: int,
     out_col: str = "chunk_id",
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Assign rows (documents) to fixed-token-budget training chunks:
     within each partition, walk rows in ``order_col`` order and start a
@@ -218,6 +219,13 @@ def pack_sequences(
     same rule. Adds ``cum_tokens`` (inclusive running total) and
     ``out_col``.
 
+    PRECONDITION: ``order_col`` (plus ``tiebreak_cols``) must be
+    unique within each partition — with ties the running sum over a
+    rowsBetween frame is partition-layout-dependent and shard
+    assignment stops being reproducible, which is the operator's whole
+    point. Pass the doc id as a tiebreak when the sort key can repeat
+    (e.g. ordering by timestamp).
+
     Scale: one shuffle on ``partition_cols`` (the window), everything
     else is scan-local; at 100 TB partition by shard/source so no
     single window partition is unbounded.
@@ -226,7 +234,7 @@ def pack_sequences(
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     w = (
         Window.partitionBy(*partition_cols)
-        .orderBy(order_col)
+        .orderBy(order_col, *tiebreak_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(token_col).cast("bigint")).over(w)

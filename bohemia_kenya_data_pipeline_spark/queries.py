@@ -76,14 +76,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ts`` encodings (see ``_events``). ``readStream`` needs an explicit
     schema, so peek at the batch footer first — a metadata-only read."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_long = isinstance(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType,
-        T.LongType,
-    )
-    ts_sql = "BIGINT" if ts_is_long else "TIMESTAMP_NTZ"
+    ts_type = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema[
+        "ts"
+    ].dataType
+    ts_is_long = isinstance(ts_type, T.LongType)
+    # mirror the batch-peeked type exactly (BIGINT / TIMESTAMP_NTZ /
+    # TIMESTAMP) — hardcoding NTZ would break on an adjustedToUTC file
+    # that the batch path reads fine
     raw = (
         spark.readStream.schema(
-            f"event_id BIGINT, ts {ts_sql}, user_id BIGINT, "
+            f"event_id BIGINT, ts {ts_type.simpleString()}, user_id BIGINT, "
             "event_type STRING, value DOUBLE, props STRING"
         )
         .option("pathGlobFilter", "events.parquet")

@@ -140,3 +140,45 @@ def test_ngram_contamination_counts_distinct_grams(spark):
            dd.ngram_contamination(corpus, bench, n=3).collect()}
     # doc1 shares 3-grams "q w e" and "w e r"; doc2 shares nothing
     assert out == {1: 2}
+
+
+def test_sampling_null_keys(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "k INT")
+    # sample: NULL keys dropped even at fraction 1.0 (documented)
+    assert smp.sample_by_hash(df, "k", 1.0).count() == 2
+    # split: NULL keys labeled NULL, never silently dumped in the last split
+    out = {r.k: r.split for r in smp.split_by_hash(df, "k", {"train": 0.9, "test": 0.1}).collect()}
+    assert out[None] is None
+    assert all(v in ("train", "test") for k, v in out.items() if k is not None)
+
+
+def test_pack_sequences_tiebreak_deterministic(spark):
+    # equal order keys: the tiebreak column pins intra-tie order
+    df = spark.createDataFrame(
+        [(1, "s", 0, 100), (2, "s", 0, 100), (3, "s", 0, 100)],
+        "doc_id INT, source STRING, ord INT, n_tok INT",
+    )
+    packed = W.pack_sequences(df, "n_tok", "ord", ["source"], 150, tiebreak_cols=["doc_id"])
+    out = {r.doc_id: r.chunk_id for r in packed.collect()}
+    out2 = {r.doc_id: r.chunk_id for r in
+            W.pack_sequences(df.repartition(5), "n_tok", "ord", ["source"], 150,
+                             tiebreak_cols=["doc_id"]).collect()}
+    assert out == out2 == {1: 0, 2: 0, 3: 1}
+
+
+def test_vocabulary_top_k_zero(spark):
+    from bohemia_kenya_data_pipeline_spark.operators.text import vocabulary
+    df = spark.createDataFrame([(1, "a b a")], "doc_id INT, text STRING")
+    assert vocabulary(df, top_k=0).count() == 0
+    assert vocabulary(df).count() == 2
+
+
+def test_numeric_profile_quantile_names(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import stats as stx
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v DOUBLE")
+    prof = stx.numeric_profile(df, "v", quantiles=(0.5, 0.995, 0.999))
+    assert [f for f in prof.columns if f.startswith("p")] == ["p50", "p99_5", "p99_9"]
+    with pytest.raises(ValueError):
+        # both format to "p100" at %g precision -> must raise, not
+        # silently produce duplicate columns
+        stx.numeric_profile(df, "v", quantiles=(0.9999999, 0.99999999))
