@@ -344,3 +344,25 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding centroids in long form: (label, pos, c) with
+    ``c`` the mean of vector component ``pos`` — class prototypes for
+    nearest-centroid classification / cluster quality checks.
+
+    Plan: posexplode → groupBy(label, pos) average. The explode
+    multiplies rows by the dimension, but partial aggregation combines
+    map-side, so the shuffle carries only (labels × dims) groups — the
+    distributed vector-mean shape (an array-valued aggregate would
+    haul whole vectors through the shuffle instead).
+    """
+    return (
+        df.select(F.col(label_col), F.posexplode(_as_double(vec_col)).alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )

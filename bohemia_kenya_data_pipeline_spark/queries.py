@@ -3011,3 +3011,81 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming_enrich_join did not complete within 600s")
     return spark.table(name)
+
+
+from .operators import skew as sk  # noqa: E402
+
+
+@_register(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+           ROUND(AVG(embedding[i]), 6) AS c
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Class prototypes: per-label mean vector in long (label, pos, c)
+    # form — posexplode + map-side-combining average, the shuffle
+    # carries labels x dims groups only.
+    return sim.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "salted_join_agg",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l.l_extendedprice), 2) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Salted fact-dim join (8 salts) rolled up — the oracle proves the
+    # salted plan is row-identical to the plain join.
+    j = sk.salted_join(
+        _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "okey"),
+        _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"), "o_orderpriority"
+        ),
+        on="okey",
+        n_salts=8,
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+@_register(
+    "salted_group_agg",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-phase salted aggregation — differential against the plain
+    # groupBy oracle keeps the decomposition honest.
+    agg = sk.salted_aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        {
+            "n": ("count", "l_quantity"),
+            "sum_qty": ("sum", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        n_salts=8,
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "min_price",
+        "max_price",
+    )

@@ -1,0 +1,87 @@
+"""Unit tests for manual skew mitigation (operators/skew.py): salted
+join/aggregate must be result-identical to their unsalted forms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import skew as sk
+
+
+def _hot_key_frames(spark):
+    # one pathologically hot key (900 of 1000 rows) + a long tail
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.createDataFrame(
+        [(7, "hot"), (950, "tail"), (999, "tail2"), (12345, "unmatched")],
+        "k BIGINT, tag STRING",
+    )
+    return left, right
+
+
+def test_salted_join_equals_plain_inner(spark):
+    left, right = _hot_key_frames(spark)
+    plain = left.join(right, "k").select("k", "payload", "tag")
+    salted = sk.salted_join(left, right, "k", n_salts=4).select("k", "payload", "tag")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_equals_plain_left(spark):
+    left, right = _hot_key_frames(spark)
+    plain = left.join(right, "k", "left").select("k", "payload", "tag")
+    salted = sk.salted_join(left, right, "k", n_salts=4, how="left").select(
+        "k", "payload", "tag"
+    )
+    assert sorted(map(tuple, salted.collect()), key=repr) == sorted(
+        map(tuple, plain.collect()), key=repr
+    )
+
+
+def test_salted_join_multi_key_and_validation(spark):
+    left = spark.createDataFrame([(1, "a", 10), (1, "b", 20)], "k1 INT, k2 STRING, v INT")
+    right = spark.createDataFrame([(1, "a", "x")], "k1 INT, k2 STRING, tag STRING")
+    out = sk.salted_join(left, right, ["k1", "k2"], n_salts=3).collect()
+    assert len(out) == 1 and out[0].tag == "x"
+    with pytest.raises(ValueError):
+        sk.salted_join(left, right, "k1", how="full")
+    with pytest.raises(ValueError):
+        sk.salted_join(left, right, "k1", n_salts=0)
+
+
+def test_salted_aggregate_equals_plain(spark):
+    left, _ = _hot_key_frames(spark)
+    plain = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in left.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("payload").alias("s"),
+            F.min("payload").alias("mn"),
+            F.max("payload").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in sk.salted_aggregate(
+            left,
+            ["k"],
+            {
+                "n": ("count", "payload"),
+                "s": ("sum", "payload"),
+                "mn": ("min", "payload"),
+                "mx": ("max", "payload"),
+            },
+            n_salts=4,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark):
+    left, _ = _hot_key_frames(spark)
+    with pytest.raises(ValueError):
+        sk.salted_aggregate(left, ["k"], {"a": ("avg", "payload")})
