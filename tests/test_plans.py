@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the scale properties SCALING.md
+claims (pushdown, broadcast choices, exchange counts) asserted against
+the actual Catalyst output, so a refactor that silently de-optimizes a
+plan fails CI instead of only showing up at 100 TB.
+
+Assertions are deliberately coarse (operator presence / counts in the
+explain string) — they pin the plan *shape*, not its formatting.
+"""
+
+from __future__ import annotations
+
+from bohemia_kenya_data_pipeline_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    # pre-execution plan: AQE leaves the initial exchanges visible,
+    # which is exactly what we want to count
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+
+
+def test_hash_sample_is_scan_local(spark):
+    # md5-threshold sampling must stay a filter over the scan: no
+    # shuffle, no aggregation
+    plan = _plan(QUERIES["hash_sample_docs"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Aggregate" not in plan
+
+
+def test_pricing_summary_prunes_and_pushes(spark):
+    plan = _plan(QUERIES["pricing_summary"](spark, SF_DIR))
+    # shipdate filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: the 16-column table is read with a subset schema
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_comment" not in read[0]
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    # the deduped benchmark gram set must broadcast; the corpus side
+    # must not shuffle into the join
+    plan = _plan(QUERIES["ngram_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(QUERIES["join_left_broadcast_dim"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    plan = _plan(QUERIES["pack_sequences"](spark, SF_DIR))
+    # one hash-partitioned exchange for the window, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_spatial_assign_zero_exchange(spark):
+    # literal-polygon fold: the whole assignment is scan-local
+    plan = _plan(QUERIES["spatial_cluster_assign"](spark, SF_DIR))
+    assert "Exchange" not in plan
