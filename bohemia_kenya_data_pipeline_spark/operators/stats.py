@@ -209,16 +209,20 @@ def numeric_profile(
     value_col: str,
     group_cols: Sequence[str] = (),
     quantiles: Sequence[float] = (0.5, 0.95),
+    approx: bool = False,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Distribution profile of a numeric column, optionally per group:
-    count, min, max, mean, sample stddev, and exact interpolated
-    quantiles — the data-profiling pass a pipeline runs before setting
-    quality-filter thresholds (token-count or price distributions).
+    count, min, max, mean, sample stddev, and quantiles — the
+    data-profiling pass a pipeline runs before setting quality-filter
+    thresholds (token-count or price distributions).
 
-    Exact quantiles (F.percentile) sort within the aggregate — fine
-    for profiling passes; swap to percentile_approx for a one-pass
-    sketch when the column is 100 TB and ±0.1% error is acceptable
-    (same call shape, documented trade-off).
+    ``approx=False`` (default): exact interpolated quantiles
+    (F.percentile) — sorts values inside the aggregate, oracle-exact.
+    ``approx=True``: percentile_approx (Greenwald-Khanna sketch,
+    rank error <= 1/approx_accuracy) — one streaming pass with bounded
+    memory, the 100 TB path; an exact-match oracle is impossible by
+    design, so the error bound is golden-tested instead.
     """
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -233,7 +237,11 @@ def numeric_profile(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate quantiles produce colliding columns: {names}")
     for q, name in zip(quantiles, names):
-        aggs.append(F.round(F.percentile(value_col, F.lit(q)), 4).alias(name))
+        if approx:
+            qcol = F.percentile_approx(value_col, F.lit(q), F.lit(approx_accuracy))
+        else:
+            qcol = F.percentile(value_col, F.lit(q))
+        aggs.append(F.round(qcol, 4).alias(name))
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)

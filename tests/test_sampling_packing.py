@@ -182,3 +182,16 @@ def test_numeric_profile_quantile_names(spark):
         # both format to "p100" at %g precision -> must raise, not
         # silently produce duplicate columns
         stx.numeric_profile(df, "v", quantiles=(0.9999999, 0.99999999))
+
+
+def test_numeric_profile_approx_within_rank_error(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import stats as stx
+    df = spark.createDataFrame([(float(i),) for i in range(10000)], "v DOUBLE")
+    exact = stx.numeric_profile(df, "v").collect()[0]
+    approx = stx.numeric_profile(df, "v", approx=True, approx_accuracy=1000).collect()[0]
+    # rank error <= 1/accuracy -> value error <= n/accuracy on this
+    # uniform 0..9999 data
+    for c in ("p50", "p95"):
+        assert abs(approx[c] - exact[c]) <= 10000 / 1000 + 1
+    # non-quantile stats are unaffected by the approx flag
+    assert (approx.n, approx.vmin, approx.vmax) == (exact.n, exact.vmin, exact.vmax)
