@@ -31,7 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 #: Tables the driver harness materializes per scale factor (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -76,7 +76,11 @@ def register_temp_views(
 
 
 def read_csv_form(
-    spark: SparkSession, path: str, schema: StructType, empty_string_as_null: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    empty_string_as_null: bool = True,
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
     """S1/S2: read one form CSV with a *declared* schema.
 
@@ -84,12 +88,26 @@ def read_csv_form(
     defensively; we require a registered StructType instead (SURVEY
     §1.2 design decision). ``""`` -> NULL normalization is the engine
     default (SURVEY §7.4.3) with per-call opt-out.
+
+    ``corrupt_record_col``: audited-ingest mode — malformed rows keep
+    their raw line in this extra column (PERMISSIVE capture) instead of
+    silently nulling fields, so a 100 TB ingest can route rejects to a
+    quarantine zone (`df.filter(col(c).isNotNull())`) without a second
+    pass over the source.
     """
+    if corrupt_record_col is not None:
+        from pyspark.sql.types import StringType
+
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_record_col, StringType())]
+        )
     reader = (
         spark.read.option("header", "true")
         .option("mode", "PERMISSIVE")
         .schema(schema)
     )
+    if corrupt_record_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
     if empty_string_as_null:
         reader = reader.option("nullValue", "").option("treatEmptyValuesAsNulls", "true")
     return reader.csv(path)

@@ -1,6 +1,8 @@
 """Composed zone-transition jobs (SURVEY §3.2): the cleaning DAG as
-three DataFrame->DataFrame stages a deployment schedules per form."""
+three DataFrame->DataFrame stages a deployment schedules per form,
+plus the corpus-curation DAG for training-data pipelines."""
 
 from .cleaning import clean_form, run_anomaly_detection, sanitize_form
+from .curation import curate_corpus
 
-__all__ = ["clean_form", "sanitize_form", "run_anomaly_detection"]
+__all__ = ["clean_form", "sanitize_form", "run_anomaly_detection", "curate_corpus"]

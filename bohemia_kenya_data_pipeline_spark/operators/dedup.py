@@ -691,3 +691,34 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    history_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup a NEW batch against an existing corpus hash store —
+    the production ingest shape: the corpus is append-only and
+    re-hashing 100 TB per ingest is not an option, so a (content_hash)
+    store is maintained and each incoming batch anti-joins it.
+
+    Returns ``(accepted, new_hashes)``: batch rows that are first-seen
+    both within the batch (min-id representative per hash) and against
+    history, plus the hash rows to append to the store after the batch
+    commits.
+
+    Scale: the batch side shuffles 16-byte hashes twice (within-batch
+    groupBy, history anti-join); the history side is hash-only — at
+    10^12 corpus docs the store is ~16 TB of hashes, a normal
+    sort-merge anti-join, never the documents themselves.
+    """
+    hashed = batch.withColumn(hash_col, F.md5(F.col(text_col)))
+    firsts = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+    in_batch = hashed.join(firsts, [hash_col, id_col], "left_semi")
+    accepted = in_batch.join(
+        history_hashes.select(hash_col).distinct(), hash_col, "left_anti"
+    )
+    return accepted, accepted.select(hash_col)

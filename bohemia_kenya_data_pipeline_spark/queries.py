@@ -3089,3 +3089,49 @@ def salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+@_register(
+    "incremental_dedup",
+    """
+    WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+    batch AS (
+      SELECT doc_id, lang, source, md5(text) AS h
+      FROM documents WHERE doc_id >= 250
+      UNION ALL
+      SELECT doc_id + 10000, lang, source, md5(text)
+      FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 30000, lang, source, md5(text)
+      FROM documents WHERE doc_id >= 250 AND doc_id < 260),
+    firsts AS (SELECT h, MIN(doc_id) AS doc_id FROM batch GROUP BY h)
+    SELECT b.doc_id, b.lang, b.source
+    FROM batch b
+    JOIN firsts f ON b.h = f.h AND b.doc_id = f.doc_id
+    WHERE b.h NOT IN (SELECT h FROM hist)
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Append-only ingest shape: the first half of the corpus plays the
+    # existing hash store; the second half is the incoming batch. The
+    # generated corpus has no exact duplicates, so the batch is salted
+    # with re-id'd copies: 30 history texts (must be REJECTED against
+    # the store) and 10 in-batch texts (within-batch dedup must keep
+    # the min-id representative) — both paths non-vacuous.
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "text"]
+    base = docs.select(*cols)
+    hist_dups = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "lang", "source", "text"
+    )
+    batch_dups = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 260)).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "lang", "source", "text"
+    )
+    batch = base.filter(F.col("doc_id") >= 250).unionByName(hist_dups).unionByName(
+        batch_dups
+    )
+    history = base.filter(F.col("doc_id") < 250).select(
+        F.md5(F.col("text")).alias("content_hash")
+    )
+    accepted, _new_hashes = dd.incremental_exact_dedup(batch, history)
+    return accepted.select("doc_id", "lang", "source")

@@ -133,3 +133,44 @@ def test_jobs_api_mirrors_inline_pipeline(spark):
     )
     assert final.count() == 3
     assert {r.anomalies_count for r in summary.collect()} == {1, 2}
+
+
+def test_curate_corpus_end_to_end(spark):
+    from bohemia_kenya_data_pipeline_spark.jobs import curate_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox " * 10),          # long, kept
+            (2, "THE  quick brown FOX " * 10),         # normalizes to doc 1 -> deduped
+            (3, "tiny doc"),                           # under min_tokens -> dropped
+            (4, ("w1 w2 w3 w4 w5 w6 w7 w8 " * 5) + "mail me@x.com"),  # PII scrubbed
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = curate_corpus(df, min_tokens=10, min_uniq_ratio=0.0)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 4}
+    assert rows[1].split in ("train", "valid", "test")
+    assert "<EMAIL>" in rows[4].text_clean and "me@x.com" not in rows[4].text_clean
+    assert rows[1].n_tokens == 40
+
+
+def test_read_csv_form_audited_captures_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from bohemia_kenya_data_pipeline_spark.catalog import read_csv_form
+
+    p = tmp_path / "form.csv"
+    p.write_text("instanceID,age\nuuid:1,40\nuuid:2,notanumber\nuuid:3,12\n")
+    schema = StructType(
+        [StructField("instanceID", StringType()), StructField("age", IntegerType())]
+    )
+    df = read_csv_form(
+        spark, str(p), schema, corrupt_record_col="_corrupt"
+    ).cache()  # corrupt-record column requires materialization before filtering
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "notanumber" in bad.collect()[0]._corrupt
