@@ -1235,8 +1235,11 @@ def _minhash_sig_sql(num_hashes: int) -> str:
            FROM h GROUP BY doc_id)"""
 
 
-def _lsh_pairs_sql(num_hashes: int, bands: int) -> str:
-    """CTE chain (incl. signature CTEs) ending in cand(id_a, id_b)."""
+def _lsh_pairs_sql(num_hashes: int, bands: int, max_bucket_size: int | None = None) -> str:
+    """CTE chain (incl. signature CTEs) ending in cand(id_a, id_b).
+
+    ``max_bucket_size`` mirrors the deterministic 'sample' bucket cap
+    of dedup._cap_buckets (row_number by id within (band, bucket))."""
     r = num_hashes // bands
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
@@ -1247,12 +1250,22 @@ def _lsh_pairs_sql(num_hashes: int, bands: int) -> str:
         )
         for b in range(bands)
     )
+    cap = (
+        f"""capped AS (
+      SELECT * FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id)
+              <= {max_bucket_size}),
+    """
+        if max_bucket_size is not None
+        else ""
+    )
+    src = "capped" if max_bucket_size is not None else "bands"
     return f"""{_minhash_sig_sql(num_hashes)},
     bands AS (
       {band_selects}),
-    cand AS (
+    {cap}cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b USING (band, bucket)
+      FROM {src} a JOIN {src} b USING (band, bucket)
       WHERE a.doc_id < b.doc_id)"""
 
 
@@ -1293,6 +1306,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH candidate pairs: banded equi-join on (band, md5-bucket) —
     # linear in data + cluster size; THE scalable near-dup generator.
     return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), num_hashes=16, bands=4)
+
+
+@_register(
+    "minhash_lsh_pairs_capped",
+    "WITH " + _lsh_pairs_sql(16, 4, max_bucket_size=2) + "\n    SELECT * FROM cand",
+)
+def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The minhash hot-bucket guard, oracle-checked: deterministic
+    # 'sample' cap (2 lowest ids per band bucket — the largest sf0.01
+    # buckets have 3 members, so the cap genuinely truncates) mirrored
+    # by QUALIFY in the oracle — exact reduced pair set.
+    return dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        max_bucket_size=2,
+        cap_strategy="sample",
+    )
 
 
 @_register(
@@ -2625,7 +2656,12 @@ def rdt_irr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.irr_by_group(rates)
 
 
-def _simhash_neardup_sql(bits: int = 32, n_bands: int = 4, max_hamming: int = 3) -> str:
+def _simhash_neardup_sql(
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> str:
     width = bits // n_bands
     mask = (1 << width) - 1
     band_selects = "\n      UNION ALL\n      ".join(
@@ -2633,14 +2669,27 @@ def _simhash_neardup_sql(bits: int = 32, n_bands: int = 4, max_hamming: int = 3)
         for b in range(n_bands)
     )
     ham = " + ".join(f"((x >> {i}) & 1)" for i in range(bits))
+    # the 'sample' bucket cap is deterministic (row_number by id), so
+    # the skew guard itself is SQL-expressible: QUALIFY mirrors
+    # dedup._cap_buckets exactly
+    cap = (
+        f"""capped AS (
+      SELECT * FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, chunk ORDER BY doc_id)
+              <= {max_bucket_size}),
+    """
+        if max_bucket_size is not None
+        else ""
+    )
+    src = "capped" if max_bucket_size is not None else "bands"
     return f"""
     WITH sh AS ({_simhash_sql(bits)}),
     bands AS (
       {band_selects}),
-    cand AS (
+    {cap}cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS sh_a, b.simhash AS sh_b
-      FROM bands a JOIN bands b USING (band, chunk)
+      FROM {src} a JOIN {src} b USING (band, chunk)
       WHERE a.doc_id < b.doc_id),
     scored AS (
       SELECT id_a, id_b,
@@ -2656,6 +2705,18 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for hamming <= 3 on 32-bit prints (pigeonhole), then exact
     # hamming verify - linear candidate generation.
     return dd.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_register("simhash_neardup_capped", _simhash_neardup_sql(max_bucket_size=20))
+def simhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The hot-bucket guard itself, oracle-checked: cap each (band,
+    # chunk) bucket to its 20 lowest-id members before pairing. The
+    # 'sample' strategy is deterministic (row_number by id), so DuckDB
+    # predicts the exact reduced pair set — proving the cap semantics,
+    # not just that "fewer pairs come out".
+    return dd.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_bucket_size=20, cap_strategy="sample"
+    )
 
 
 @_register(
