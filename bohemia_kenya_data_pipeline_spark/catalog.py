@@ -92,8 +92,11 @@ def read_csv_form(
     ``corrupt_record_col``: audited-ingest mode — malformed rows keep
     their raw line in this extra column (PERMISSIVE capture) instead of
     silently nulling fields, so a 100 TB ingest can route rejects to a
-    quarantine zone (`df.filter(col(c).isNotNull())`) without a second
-    pass over the source.
+    quarantine zone without a second pass over the source. NOTE:
+    Spark refuses filters that reference ONLY the corrupt-record
+    column of a raw CSV frame — ``.cache()`` (or persist) the frame
+    first, then split it with ``col(c).isNull()`` / ``isNotNull()``
+    (see tests/test_pipeline_e2e.py for the working pattern).
     """
     if corrupt_record_col is not None:
         from pyspark.sql.types import StringType

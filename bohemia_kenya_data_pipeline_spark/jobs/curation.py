@@ -26,25 +26,28 @@ def curate_corpus(
     weights: dict[str, float] | None = None,
     seed: int = 11,
 ) -> DataFrame:
-    """normalize → quality filter → PII scrub → exact dedup →
+    """normalize → PII scrub → quality filter → exact dedup →
     deterministic split, as one lazy plan (two shuffles: the dedup
     groupBy and whatever the caller does next).
 
     Returns the input columns plus ``text_clean`` (normalized,
-    scrubbed), ``n_tokens``, and ``split``. Filtering and dedup use the
-    NORMALIZED text, so spacing/case variants of the same document
-    collapse; the scrub runs after filtering (no tokens wasted on
-    dropped docs).
+    scrubbed), ``n_tokens``, and ``split``. The scrub runs BEFORE
+    token counting so ``n_tokens`` (and the min_tokens filter)
+    describe the text actually returned — a multi-token phone number
+    collapses to one ``<PHONE>`` token and is counted as one, so
+    downstream packing budgets are honest. Filtering and dedup use the
+    normalized, scrubbed text: spacing/case variants collapse, and
+    documents differing only in redacted PII dedup together.
     """
     weights = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
     normed = tx.normalize_text(docs, text_col, "text_clean")
+    scrubbed = tx.scrub_pii(normed, "text_clean")
     toks = tx.tokens(F.col("text_clean"))
-    feat = normed.withColumn("n_tokens", F.size(toks).cast("bigint")).withColumn(
+    feat = scrubbed.withColumn("n_tokens", F.size(toks).cast("bigint")).withColumn(
         "__uniq", F.size(F.array_distinct(toks)) / F.size(toks)
     )
     kept = feat.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("__uniq") >= min_uniq_ratio)
     ).drop("__uniq")
-    scrubbed = tx.scrub_pii(kept, "text_clean")
-    deduped = dd.drop_exact_duplicates(scrubbed, text_col="text_clean", id_col=id_col)
+    deduped = dd.drop_exact_duplicates(kept, text_col="text_clean", id_col=id_col)
     return smp.split_by_hash(deduped, id_col, weights, seed=seed)

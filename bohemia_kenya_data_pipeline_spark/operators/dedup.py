@@ -714,11 +714,16 @@ def incremental_exact_dedup(
     groupBy, history anti-join); the history side is hash-only — at
     10^12 corpus docs the store is ~16 TB of hashes, a normal
     sort-merge anti-join, never the documents themselves.
+
+    NULL text: the within-batch stage is :func:`drop_exact_duplicates`
+    itself (one shared representative-selection rule, not a second
+    copy), which keeps ONE min-id representative of the NULL-text
+    group; a NULL hash can never match the store (SQL NULL equality),
+    so that representative is always accepted and is EXCLUDED from
+    ``new_hashes`` (a NULL row in the store would never match either).
     """
-    hashed = batch.withColumn(hash_col, F.md5(F.col(text_col)))
-    firsts = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
-    in_batch = hashed.join(firsts, [hash_col, id_col], "left_semi")
-    accepted = in_batch.join(
+    in_batch = drop_exact_duplicates(batch, text_col, id_col)
+    accepted = in_batch.withColumn(hash_col, F.md5(F.col(text_col))).join(
         history_hashes.select(hash_col).distinct(), hash_col, "left_anti"
     )
-    return accepted, accepted.select(hash_col)
+    return accepted, accepted.select(hash_col).where(F.col(hash_col).isNotNull())

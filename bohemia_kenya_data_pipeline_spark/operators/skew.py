@@ -24,8 +24,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Aggregations that decompose into (partial on key+salt, final on key).
+#: 'count' is F.count(col) — non-null count, matching a plain groupBy
+#: (COUNT(*) semantics: pass a known-non-null column or a literal key).
 _COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-_PARTIAL = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+_PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+
+
+def _salt(df: DataFrame, n_salts: int):
+    """Deterministic per-row salt: hash of ALL columns, mod n.
+
+    Deliberately NOT monotonically_increasing_id()/rand(): a
+    nondeterministic expression feeding a shuffle is the
+    indeterminate-stage hazard (SPARK-23207 class) — after a fetch
+    failure, recomputed map tasks would re-salt rows differently and
+    the retried aggregate could double-count or drop rows. Hashing row
+    content is retry-stable; identical rows share a salt, which only
+    matters if one key's rows are also all identical (then exact-dedup
+    first, as everywhere else in this engine).
+    """
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
 
 
 def salted_join(
@@ -46,20 +63,19 @@ def salted_join(
     dominates and the right side per key is small (dim tables, per-key
     metadata), NOT for many-to-many explosions.
 
-    The salt is derived from a nondeterministic row id — which rows
-    land in which salt bucket varies per run, but the OUTPUT doesn't
-    (any salt meets a full right replica). Supported ``how``: inner
-    and left (semantics preserved because every left row carries
-    exactly one salt and sees a complete right copy for it).
+    The salt is a deterministic hash of the whole row (see ``_salt`` —
+    retry-stable, unlike a nondeterministic row id); any salt value
+    meets a complete right replica, so the output is unaffected by
+    which bucket a row lands in. Supported ``how``: inner and left
+    (semantics preserved because every left row carries exactly one
+    salt and sees a complete right copy for it).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     keys = [on] if isinstance(on, str) else list(on)
-    lt = left.withColumn(
-        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    lt = left.withColumn("__salt", _salt(left, n_salts))
     rt = right.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(n_salts)]))
     )
@@ -76,7 +92,8 @@ def salted_aggregate(
     on (keys..., salt), then combine per key. ``aggs`` maps output
     column → (function, input column) with function one of
     sum/count/min/max (the decomposable set — avg is sum/count at the
-    call site).
+    call site). 'count' is non-null count of the input column, exactly
+    like plain ``F.count(col)``.
 
     Identical results to a plain groupBy (oracle-checked); the hot
     key's rows are first reduced across ``n_salts`` parallel partial
@@ -88,9 +105,8 @@ def salted_aggregate(
     bad = [f for f, _ in aggs.values() if f not in _PARTIAL]
     if bad:
         raise ValueError(f"unsupported agg functions {bad}: use {sorted(_PARTIAL)}")
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
     partial = (
-        df.withColumn("__salt", salt)
+        df.withColumn("__salt", _salt(df, n_salts))
         .groupBy(*keys, "__salt")
         .agg(*[_PARTIAL[f](c).alias(out) for out, (f, c) in aggs.items()])
     )

@@ -232,8 +232,17 @@ def numeric_profile(
         F.round(F.stddev_samp(value_col), 4).alias("vstddev"),
     ]
     # name by the exact quantile value ("p99_9" for 0.999) — rounding
-    # to whole percents collides (0.995 and 0.999 would both be "p100")
-    names = [f"p{format(q * 100, 'g').replace('.', '_')}" for q in quantiles]
+    # to whole percents collides (0.995 and 0.999 would both be "p100").
+    # Single-digit integer percents keep their historical zero padding
+    # ("p05"); '-' (scientific notation for extreme q) maps to 'm' so
+    # names stay valid identifiers.
+    def _qname(q: float) -> str:
+        s = format(q * 100, "g")
+        if s.isdigit() and len(s) == 1:
+            s = "0" + s
+        return "p" + s.replace(".", "_").replace("-", "m")
+
+    names = [_qname(q) for q in quantiles]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate quantiles produce colliding columns: {names}")
     for q, name in zip(quantiles, names):

@@ -38,6 +38,7 @@ def test_bucketed_join_has_no_shuffle(spark, warehouse_tables):
     facts, dims = warehouse_tables
     # disable broadcast so the co-location (not a broadcast) is what
     # avoids the exchange
+    saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = spark.table(facts).join(spark.table(dims), "k")
@@ -49,7 +50,7 @@ def test_bucketed_join_has_no_shuffle(spark, warehouse_tables):
         # and it's actually correct
         assert joined.count() == 1_000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
 
 
 def test_bucketed_aggregate_has_no_shuffle(spark, warehouse_tables):

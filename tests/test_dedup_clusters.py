@@ -47,3 +47,25 @@ def test_drop_neardup_clusters_keeps_representatives(spark):
     )
     # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; 4 and 7 unpaired
     assert kept == [1, 4, 5, 7]
+
+
+def test_incremental_dedup_null_text_and_store(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, None), (4, "beta")], "doc_id INT, text STRING"
+    )
+    history = spark.createDataFrame([("x",)], "content_hash STRING").withColumn(
+        "content_hash", F.md5(F.lit("beta"))
+    ).select("content_hash")
+    accepted, new_hashes = incremental_exact_dedup(batch, history)
+    ids = sorted(r.doc_id for r in accepted.collect())
+    # beta rejected by the store; ONE representative of the NULL-text
+    # group kept (min id), consistent with drop_exact_duplicates
+    assert ids == [1, 2]
+    # the store never receives NULL hashes
+    assert all(r.content_hash is not None for r in new_hashes.collect())

@@ -85,3 +85,14 @@ def test_salted_aggregate_rejects_non_decomposable(spark):
     left, _ = _hot_key_frames(spark)
     with pytest.raises(ValueError):
         sk.salted_aggregate(left, ["k"], {"a": ("avg", "payload")})
+
+
+def test_salted_aggregate_count_skips_nulls_like_plain(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, None), (1, 20), (2, None)], "k INT, v INT"
+    )
+    out = {r.k: r.n for r in
+           sk.salted_aggregate(df, ["k"], {"n": ("count", "v")}, n_salts=3).collect()}
+    plain = {r.k: r.n for r in
+             df.groupBy("k").agg(F.count("v").alias("n")).collect()}
+    assert out == plain == {1: 2, 2: 0}
