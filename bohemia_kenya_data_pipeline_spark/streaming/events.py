@@ -166,3 +166,23 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on: str | list[str]) -> Dat
     at 100 TB of stream the dim lookup must never shuffle the stream.
     """
     return stream.join(F.broadcast(dim), on, "inner")
+
+
+def dedup_stream(stream: DataFrame, keys: list[str], within_watermark: str | None = None) -> DataFrame:
+    """Streaming key-dedup: emit the first arrival per key.
+
+    With ``within_watermark`` (production): state is bounded — a key is
+    remembered only while it can still recur inside the watermark
+    (``dropDuplicatesWithinWatermark``; requires an upstream
+    ``withWatermark``). Without it, state grows with distinct keys —
+    acceptable only for bounded backfills (the availableNow
+    differential in the registered query runs this mode).
+
+    Determinism note: WHICH physical row represents a key depends on
+    arrival order, so only the key columns themselves are
+    deterministic output — project to the keys before comparing, as
+    the oracle does.
+    """
+    if within_watermark is not None:
+        return stream.dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)
