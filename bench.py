@@ -65,6 +65,9 @@ HEADLINE = [
     "ngram_contamination",
     "repetition_features",
     "pack_sequences",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
 ]
 
 
