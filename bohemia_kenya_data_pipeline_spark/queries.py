@@ -3460,3 +3460,60 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@_register(
+    "group_ols_trend",
+    """
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group closed-form OLS (slope/intercept/R²) via the SQL regr_*
+    # aggregates — distributed single-pass trend fitting, no ML library
+    # and no driver-side math; identical definitions in DuckDB.
+    l = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("icept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("bigint").alias("n"),
+    )
+
+
+@_register(
+    "event_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN t_purchase > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted
+    FROM per_user
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-analytics funnel: first signup -> later purchase per
+    # user, one groupBy + conditional mins (no self-join, no window).
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t_signup").cast("bigint").alias("n_signup"),
+        F.sum(
+            F.when(F.col("t_purchase") > F.col("t_signup"), 1).otherwise(0)
+        ).cast("bigint").alias("n_converted"),
+    )
