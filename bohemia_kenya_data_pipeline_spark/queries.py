@@ -3517,3 +3517,69 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("t_purchase") > F.col("t_signup"), 1).otherwise(0)
         ).cast("bigint").alias("n_converted"),
     )
+
+
+@_register(
+    "rollup_sales_hierarchy",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_sales_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hierarchical subtotals in ONE pass (detail -> per-flag -> grand
+    # total) via ROLLUP grouping sets; grouping_id disambiguates real
+    # NULL keys from subtotal rows — the warehouse-report shape that
+    # would otherwise take three scans + a union.
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+@_register(
+    "ntile_price_quartiles",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders)
+    SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+    FROM t GROUP BY 1
+    """,
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equal-frequency bucketing via NTILE (orderkey tiebreak keeps the
+    # assignment deterministic), rolled up to quartile boundaries —
+    # the binning pass behind price-band reports. Global window: fine
+    # post-agg or at dim scale; bucket big facts by percentile
+    # thresholds from numeric_profile instead.
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    t = o.select("o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
+    return t.groupBy("quartile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
