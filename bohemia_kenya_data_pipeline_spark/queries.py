@@ -3583,3 +3583,61 @@ def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@_register(
+    "streaming_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+           p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events p JOIN events s
+      ON p.user_id = s.user_id
+     AND s.ts >= p.ts - INTERVAL '7 days' AND s.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-stream interval join (attribution shape): purchases
+    # joined to signups of the same user within the prior 7 days.
+    # Inner-join append emission is the exact match set, so the
+    # availableNow run hash-matches the batch range-join oracle.
+    from bohemia_kenya_data_pipeline_spark import streaming as stm
+
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    signups = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "signup"
+    ).select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    out = stm.interval_join_streams(
+        purchases,
+        signups,
+        left_key="user_id",
+        right_key="s_user_id",
+        left_ts="p_ts",
+        right_ts="s_ts",
+        lookback="7 days",
+        watermark="1 hour",
+    ).select(
+        "purchase_id", "signup_id", "user_id", F.col("p_ts").alias("purchase_ts")
+    )
+    name = "q_streaming_interval_join"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming_interval_join did not complete within 600s")
+    return spark.table(name)

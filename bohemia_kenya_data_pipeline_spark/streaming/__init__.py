@@ -21,6 +21,6 @@ result must equal the batch plan on the same data.
 
 from __future__ import annotations
 
-from .events import dedup_stream, enrich_stream, sessionize_stream, stream_events, windowed_event_counts
+from .events import dedup_stream, enrich_stream, interval_join_streams, sessionize_stream, stream_events, windowed_event_counts
 
-__all__ = ["stream_events", "windowed_event_counts", "sessionize_stream", "enrich_stream", "dedup_stream"]
+__all__ = ["stream_events", "windowed_event_counts", "sessionize_stream", "enrich_stream", "dedup_stream", "interval_join_streams"]

@@ -186,3 +186,35 @@ def dedup_stream(stream: DataFrame, keys: list[str], within_watermark: str | Non
     if within_watermark is not None:
         return stream.dropDuplicatesWithinWatermark(keys)
     return stream.dropDuplicates(keys)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    watermark: str,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    match right rows whose timestamp falls within ``lookback`` BEFORE
+    the left row's timestamp (attribution shape: purchase joined to
+    the signup/click that preceded it).
+
+    Both sides carry watermarks and the join condition bounds
+    right_ts relative to left_ts, so Spark can expire buffered state
+    once the watermark passes the interval — bounded memory on
+    unbounded streams. Inner-join append emission is exactly the match
+    set, so an availableNow run over a static directory equals the
+    batch range join row-for-row (the registered query's oracle).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, "inner")
