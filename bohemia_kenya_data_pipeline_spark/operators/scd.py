@@ -1,0 +1,86 @@
+"""Slowly-changing-dimension (type 2) history merge.
+
+The reference maintains time-versioned state as append-only dated
+partitions (S9, `write_history_partition`) and reconstructs "as of"
+views by snapshot expansion (W10). SCD2 is the complementary
+warehouse-native form: one table with (valid_from, valid_to) validity
+intervals, updated by a merge that closes changed rows and inserts
+their successors. Implemented as a pure DataFrame plan (full-outer
+join on the business key + null-safe change detection) so it runs on
+plain parquet — no table-format dependency.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _changed(tracked_cols: Sequence[str]) -> Column:
+    """Null-safe any-column-differs predicate between cur.* and upd.*."""
+    out = F.lit(False)
+    for c in tracked_cols:
+        out = out | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+    return out
+
+
+def merge_scd2(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_date: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Merge a new full snapshot (``updates``: key + tracked columns)
+    into an SCD2 history table. Returns the new history:
+
+    - already-closed rows pass through untouched;
+    - open rows whose tracked values changed are CLOSED
+      (valid_to = effective_date) and a successor row is inserted
+      (valid_from = effective_date, valid_to = NULL);
+    - open rows absent from the snapshot stay open (no implicit
+      deletes — close them explicitly upstream if the source is
+      authoritative about removals);
+    - snapshot keys not in the history are inserted as new open rows.
+
+    One full-outer join on the business key + null-safe column
+    comparison; everything is expression-level, so the merge scales
+    like any equi-join (shuffle on the key, or zero-shuffle when both
+    sides are bucketed on it — see tests/test_bucketing.py).
+    """
+    keys = list(key_cols)
+    open_rows = current.filter(F.col(valid_to).isNull())
+    closed_rows = current.filter(F.col(valid_to).isNotNull())
+    # presence of each side can't be inferred from a tracked column
+    # (they may be legitimately NULL) — valid_from is non-null on every
+    # current row, and the update side gets an explicit marker
+    j = open_rows.alias("cur").join(
+        updates.withColumn("__upd", F.lit(True)).alias("upd"), keys, "full_outer"
+    )
+    in_cur = F.col(f"cur.{valid_from}").isNotNull()
+    in_upd = F.col("upd.__upd").isNotNull()
+    chg = in_cur & in_upd & _changed(tracked_cols)
+
+    # surviving open/closed versions of existing rows
+    kept_open = j.filter(in_cur).select(
+        *keys,
+        *[F.col(f"cur.{c}").alias(c) for c in tracked_cols],
+        F.col(f"cur.{valid_from}").alias(valid_from),
+        F.when(chg, F.lit(effective_date).cast("date"))
+        .otherwise(F.col(f"cur.{valid_to}"))
+        .alias(valid_to),
+    )
+    # successor rows for changes + brand-new keys
+    inserted = j.filter(chg | (in_upd & ~in_cur)).select(
+        *keys,
+        *[F.col(f"upd.{c}").alias(c) for c in tracked_cols],
+        F.lit(effective_date).cast("date").alias(valid_from),
+        F.lit(None).cast("date").alias(valid_to),
+    )
+    return closed_rows.select(
+        *keys, *tracked_cols, valid_from, valid_to
+    ).unionByName(kept_open).unionByName(inserted)

@@ -229,3 +229,54 @@ def test_repeat_ops_preserve_data_side_metadata_columns(spark):
     )
     out2 = cl.apply_sets(rep, res2, repeat_name="repeat_individual")
     assert {r.form_id for r in out2.collect()} == {"from_ingest"}
+
+
+def test_merge_scd2_branches(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators.scd import merge_scd2
+
+    d = datetime.date
+    current = spark.createDataFrame(
+        [
+            (1, "same", d(2000, 1, 1), None),        # unchanged -> stays open
+            (2, "old", d(2000, 1, 1), None),         # changed -> closes + successor
+            (3, "gone", d(2000, 1, 1), None),        # absent from snapshot -> stays open
+            (2, "older", d(1999, 1, 1), d(2000, 1, 1)),  # already closed -> untouched
+        ],
+        "k INT, v STRING, valid_from DATE, valid_to DATE",
+    )
+    updates = spark.createDataFrame(
+        [(1, "same"), (2, "new"), (5, "brand")], "k INT, v STRING"
+    )
+    out = merge_scd2(current, updates, ["k"], ["v"], "2001-06-01")
+    rows = {(r.k, r.v): (r.valid_from, r.valid_to) for r in out.collect()}
+    eff = d(2001, 6, 1)
+    assert rows[(1, "same")] == (d(2000, 1, 1), None)
+    assert rows[(2, "old")] == (d(2000, 1, 1), eff)      # closed
+    assert rows[(2, "new")] == (eff, None)               # successor
+    assert rows[(3, "gone")] == (d(2000, 1, 1), None)    # no implicit delete
+    assert rows[(2, "older")] == (d(1999, 1, 1), d(2000, 1, 1))  # untouched
+    assert rows[(5, "brand")] == (eff, None)             # new key
+    assert len(rows) == 6
+
+
+def test_merge_scd2_null_safe_change_detection(spark):
+    import datetime
+
+    from bohemia_kenya_data_pipeline_spark.operators.scd import merge_scd2
+
+    d = datetime.date
+    current = spark.createDataFrame(
+        [(1, None, d(2000, 1, 1), None), (2, "x", d(2000, 1, 1), None)],
+        "k INT, v STRING, valid_from DATE, valid_to DATE",
+    )
+    updates = spark.createDataFrame([(1, None), (2, None)], "k INT, v STRING")
+    out = merge_scd2(current, updates, ["k"], ["v"], "2001-06-01")
+    rows = sorted(((r.k, r.v, r.valid_to) for r in out.collect()), key=repr)
+    # NULL == NULL is "unchanged" (eqNullSafe); x -> NULL is a change
+    assert rows == sorted(
+        [(1, None, None), (2, None, None), (2, "x", d(2001, 6, 1))], key=repr
+    )
