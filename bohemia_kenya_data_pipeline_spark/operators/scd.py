@@ -84,3 +84,16 @@ def merge_scd2(
     return closed_rows.select(
         *keys, *tracked_cols, valid_from, valid_to
     ).unionByName(kept_open).unionByName(inserted)
+
+
+def as_of(history: DataFrame, date: str, valid_from: str = "valid_from", valid_to: str = "valid_to") -> DataFrame:
+    """Point-in-time view of an SCD2 history: rows valid at ``date``
+    (valid_from <= date < valid_to, open rows unbounded). A scan-local
+    filter — with the history partitioned or sorted on valid_from,
+    parquet min/max stats prune old segments for free.
+    """
+    d = F.lit(date).cast("date")
+    return history.filter(
+        (F.col(valid_from) <= d)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > d))
+    ).drop(valid_from, valid_to)

@@ -3697,3 +3697,59 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked_cols=["c_name", "c_acctbal"],
         effective_date="2001-06-01",
     )
+
+
+@_register(
+    "scd2_as_of",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             DATE '2000-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 10 = 0 THEN ROUND(c_acctbal + 100, 2)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer),
+    j AS (SELECT cur.c_custkey,
+                 cur.c_name AS cur_name, cur.c_acctbal AS cur_bal,
+                 upd.c_name AS upd_name, upd.c_acctbal AS upd_bal,
+                 cur.valid_from,
+                 (cur.c_acctbal IS DISTINCT FROM upd.c_acctbal) AS chg
+          FROM cur JOIN upd USING (c_custkey)),
+    hist AS (
+      SELECT c_custkey, cur_name AS c_name, cur_bal AS c_acctbal, valid_from,
+             CASE WHEN chg THEN DATE '2001-06-01' END AS valid_to
+      FROM j
+      UNION ALL
+      SELECT c_custkey, upd_name, upd_bal, DATE '2001-06-01', CAST(NULL AS DATE)
+      FROM j WHERE chg)
+    SELECT c_custkey, c_name, c_acctbal
+    FROM hist
+    WHERE valid_from <= DATE '2002-01-01'
+      AND (valid_to IS NULL OR valid_to > DATE '2002-01-01')
+    """,
+)
+def scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point-in-time read over the merged SCD2 history: after the
+    # effective date, exactly the post-change values are visible —
+    # one row per key, the 10%-changed balances included.
+    c = _t(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.lit("2000-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = c.select(
+        "c_custkey", "c_name",
+        F.when(F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100, 2))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    hist = scd.merge_scd2(
+        current, updates,
+        key_cols=["c_custkey"],
+        tracked_cols=["c_name", "c_acctbal"],
+        effective_date="2001-06-01",
+    )
+    return scd.as_of(hist, "2002-01-01")
