@@ -3753,3 +3753,66 @@ def scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         effective_date="2001-06-01",
     )
     return scd.as_of(hist, "2002-01-01")
+
+
+@_register(
+    "corr_covar_rollup",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(corr(l_discount, l_extendedprice), 6) AS corr_disc_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def corr_covar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise correlation/covariance per group in one aggregate pass —
+    # the feature-relationship profiling stage; identical single-pass
+    # definitions in DuckDB.
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("corr_disc_price"),
+    )
+
+
+@_register(
+    "percent_rank_price",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderpriority,
+             ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+             ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey), 6) AS cd
+      FROM orders)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(pr), 6) AS mean_pr, ROUND(MAX(cd), 6) AS max_cd
+    FROM t WHERE pr >= 0.99 GROUP BY 1
+    """,
+)
+def percent_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Relative-standing windows (percent_rank / cume_dist) with an
+    # orderkey tiebreak for determinism, rolled up to the top percentile
+    # per priority band.
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    t = o.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    return (
+        t.filter(F.col("pr") >= 0.99)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("pr"), 6).alias("mean_pr"),
+            F.round(F.max("cd"), 6).alias("max_cd"),
+        )
+    )
