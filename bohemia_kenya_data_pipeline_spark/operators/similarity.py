@@ -366,3 +366,45 @@ def label_centroids(
         .groupBy(label_col, "pos")
         .agg(F.round(F.avg("v"), 6).alias("c"))
     )
+
+
+def nearest_centroid_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classification confusion matrix: assign every
+    vector to its closest class prototype (from
+    :func:`label_centroids`) and count (true label, assigned label)
+    pairs — the standard embedding-space sanity check for labeled
+    corpora.
+
+    Plan: centroids reassemble to one array row per label (labels ×
+    dims values — tiny) and broadcast; each vector scores against all
+    K centroids with a zip_with/aggregate fold (JVM-side), then a
+    per-vector top-1 window. Distances round to 6 with a label
+    tiebreak so the argmin is deterministic cross-engine.
+    """
+    cents = label_centroids(df, vec_col, label_col)
+    cvec = (
+        cents.groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("cent")
+        )
+        .withColumnRenamed(label_col, "c_label")
+    )
+    scored = df.select(
+        F.col(id_col), F.col(label_col), _as_double(vec_col).alias("_v")
+    ).crossJoin(F.broadcast(cvec))
+    diff2 = F.zip_with(F.col("_v"), F.col("cent"), lambda a, b: (a - b) * (a - b))
+    scored = scored.withColumn(
+        "_d", F.round(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("c_label"))
+    top = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return top.groupBy(label_col, F.col("c_label").alias("assigned_label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

@@ -3816,3 +3816,31 @@ def percent_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cd"), 6).alias("max_cd"),
         )
     )
+
+
+@_register(
+    "nearest_centroid_confusion",
+    """
+    WITH cent AS (
+      SELECT label AS c_label, i, ROUND(AVG(embedding[i]), 6) AS c
+      FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+    cvec AS (SELECT c_label, list(c ORDER BY i) AS cent FROM cent GROUP BY 1),
+    scored AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             ROUND(list_sum([
+               (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+               * (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+               for i in range(1, 65)]), 6) AS d
+      FROM embeddings e CROSS JOIN cvec c),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, c_label) AS rk
+           FROM scored)
+    SELECT label, c_label AS assigned_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM rk WHERE rk = 1 GROUP BY 1, 2
+    """,
+)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nearest-centroid classifier confusion matrix over the labeled
+    # embeddings — broadcast K prototypes, JVM-side distance folds,
+    # deterministic argmin (rounded distance + label tiebreak).
+    return sim.nearest_centroid_assign(_t(spark, sf_dir, "embeddings"))
