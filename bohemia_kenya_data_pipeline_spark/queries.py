@@ -3844,3 +3844,72 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeddings — broadcast K prototypes, JVM-side distance folds,
     # deterministic argmin (rounded distance + label tiebreak).
     return sim.nearest_centroid_assign(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "cube_sales_matrix",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_sales_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE: every grouping-set combination (detail, each margin, grand
+    # total) in one pass — the cross-tab margin report companion to
+    # rollup_sales_hierarchy's strict hierarchy.
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@_register(
+    "dense_rank_ties",
+    """
+    WITH t AS (
+      SELECT o_orderpriority, ROUND(o_totalprice, -3) AS price_band,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY ROUND(o_totalprice, -3) DESC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                ORDER BY ROUND(o_totalprice, -3) DESC) AS drnk
+      FROM orders)
+    SELECT o_orderpriority, price_band, rnk, drnk, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE drnk <= 3
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANK vs DENSE_RANK over genuinely tied keys (prices banded to
+    # the nearest thousand): gap semantics vs compact semantics in one
+    # result, deterministic because ranks are functions of the tied
+    # VALUE, not row order.
+    o = _t(spark, sf_dir, "orders")
+    band = F.round(F.col("o_totalprice"), -3)
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("price_band"))
+    t = o.select("o_orderpriority", band.alias("price_band")).select(
+        "*",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+    return (
+        t.filter(F.col("drnk") <= 3)
+        .groupBy("o_orderpriority", "price_band", "rnk", "drnk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
