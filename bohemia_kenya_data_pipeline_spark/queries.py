@@ -3913,3 +3913,42 @@ def dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "price_band", "rnk", "drnk")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@_register(
+    "trailing_window_7d",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           ROUND(SUM(value) OVER w, 2) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Value-based (RANGE) window frame: trailing 7-day per-user
+    # aggregates — the frame is defined by event-time distance, not row
+    # count, so ties and gaps behave correctly and the result is
+    # partition-order independent (deterministic without a tiebreak,
+    # unlike ROWS frames on tied keys). The order key is exact integer
+    # MICROSECONDS on both engines (DuckDB epoch() is fractional
+    # DOUBLE seconds, Spark's long cast truncates — mixing them shifts
+    # frame membership at sub-second boundaries). No AVG column by
+    # design: the 2-decimal-quantized values make windowed averages
+    # land EXACTLY on rounding halfway points, where Spark (BigDecimal
+    # HALF_UP on the shortest string) and DuckDB (nearest on the binary
+    # value) legitimately disagree; SUM at the data's own precision is
+    # exact, so it rounds identically. Callers derive avg as sum/n.
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        F.round(F.sum("value").over(w), 2).alias("sum_7d"),
+    )
