@@ -3952,3 +3952,57 @@ def trailing_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
         F.round(F.sum("value").over(w), 2).alias("sum_7d"),
     )
+
+
+@_register(
+    "argmax_order_per_priority",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice + o_orderkey * 0.000000001)
+             AS top_orderkey,
+           ROUND(MAX(o_totalprice), 2) AS top_price
+    FROM orders GROUP BY 1
+    """,
+)
+def argmax_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered-selection aggregates (max_by / arg_max): the top order
+    # per priority WITHOUT a window — one aggregate pass. max_by/arg_max
+    # are tie-ambiguous, so the ordering key folds the orderkey in at
+    # 1e-9 scale (far below the 2-decimal price quantum): identical
+    # doubles in both engines, deterministic winner on price ties.
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by(
+            "o_orderkey", F.col("o_totalprice") + F.col("o_orderkey") * F.lit(1e-9)
+        ).alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@_register(
+    "activity_streaks",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    grp AS (SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS g
+            FROM days),
+    streak AS (SELECT user_id, g, COUNT(*) AS len FROM grp GROUP BY 1, 2)
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streak GROUP BY 1
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps-and-islands: longest run of consecutive active days per
+    # user via the date-minus-row_number grouping trick — pure
+    # window+aggregate, no self-join, no iteration.
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("g", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streak = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    return streak.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
