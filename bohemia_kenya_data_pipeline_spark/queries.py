@@ -4006,3 +4006,34 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+@_register(
+    "dense_daily_series",
+    """
+    WITH days AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+                  FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM days),
+    cal AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+              AS d
+            FROM bounds)
+    SELECT cal.d, CAST(COALESCE(days.n, 0) AS BIGINT) AS n_events
+    FROM cal LEFT JOIN days USING (d)
+    """,
+)
+def dense_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dense time series with zero-filled gaps: generate the full
+    # calendar between the data's own bounds (sequence + explode — a
+    # metadata-sized scaffold, broadcast into the left join) so
+    # downstream charts/windows see every day, not just active ones.
+    ev = _t(spark, sf_dir, "events")
+    days = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    return cal.join(days, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events")
+    )
