@@ -45,10 +45,13 @@ def _hash_hex(key: Column, seed: int) -> Column:
 def _threshold_hex(fraction: float) -> str:
     """Hex threshold such that P(hash_hex < threshold) == fraction.
 
-    fraction >= 1 maps to "g", which every hex string sorts below —
+    fraction == 1 maps to "g", which every hex string sorts below —
     an always-true predicate without a 9-char-comparison edge case.
+    Out-of-range fractions raise on BOTH sides: a fraction > 1 is a
+    caller bug (e.g. a percentage like 25 passed instead of 0.25) that
+    silent keep-all would mask.
     """
-    if fraction < 0:
+    if not 0 <= fraction <= 1:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     t = int(round(fraction * _HEX_SPACE))
     return "g" if t >= _HEX_SPACE else format(t, "08x")

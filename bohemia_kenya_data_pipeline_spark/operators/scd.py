@@ -34,9 +34,23 @@ def merge_scd2(
     effective_date: str,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    check_unique: bool = False,
 ) -> DataFrame:
     """Merge a new full snapshot (``updates``: key + tracked columns)
     into an SCD2 history table. Returns the new history:
+
+    Preconditions (like ``pack_sequences``, stated rather than silently
+    repaired): ``updates`` must have at most one row per business key,
+    and ``current`` at most one OPEN row (valid_to IS NULL) per key.
+    A duplicate on either side multiplies rows through the full-outer
+    join and emits a corrupted history (duplicate open rows). Exact
+    duplicate update rows are dropped for free (deterministic);
+    conflicting duplicates — same key, different tracked values — have
+    no deterministic resolution here, so resolve them upstream (e.g.
+    ``windows.keep_last``). Pass ``check_unique=True`` to pay one
+    aggregation per side and get a loud ValueError instead of silent
+    corruption; leave it off in production plans where keys are known
+    unique (it triggers an eager action).
 
     - already-closed rows pass through untouched;
     - open rows whose tracked values changed are CLOSED
@@ -53,7 +67,25 @@ def merge_scd2(
     sides are bucketed on it — see tests/test_bucketing.py).
     """
     keys = list(key_cols)
+    # exact-duplicate snapshot rows are harmless noise; dropping them is
+    # deterministic (all columns equal) and keeps the join key unique
+    updates = updates.dropDuplicates()
     open_rows = current.filter(F.col(valid_to).isNull())
+    if check_unique:
+        for name, df in (("updates", updates), ("current (open rows)", open_rows)):
+            dup = (
+                df.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge_scd2: duplicate business key in {name}: "
+                    f"{ {k: dup[0][k] for k in keys} } — resolve upstream "
+                    "(e.g. windows.keep_last) before merging"
+                )
     closed_rows = current.filter(F.col(valid_to).isNotNull())
     # presence of each side can't be inferred from a tracked column
     # (they may be legitimately NULL) — valid_from is non-null on every

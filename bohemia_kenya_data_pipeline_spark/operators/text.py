@@ -174,10 +174,19 @@ def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "text_n
 #: the same reason). Restricted to the regex subset that behaves
 #: identically in Java regex (Spark) and RE2 (DuckDB): no lookaround,
 #: no backreferences.
+#:
+#: The phone pattern requires 9-15 ACTUAL digits (separators do not
+#: count toward the run, and at most one separator may sit between
+#: consecutive digits), so 8-digit ISO dates ("2026-08-14"), short
+#: order IDs, and separator-padded numeric tables survive. Residual
+#: false positives are deliberate recall-over-precision: any bare
+#: >=9-digit run (long numeric IDs, adjacent dates chained by single
+#: spaces) is still redacted — for PII scrubbing, over-redaction is
+#: the safe failure mode.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d\- ()]{6,}\d", "<PHONE>"),
+    (r"\+?\d(?:[\- ()]?\d){8,14}", "<PHONE>"),
 ]
 
 

@@ -2756,7 +2756,7 @@ from .operators import sampling as smp  # noqa: E402
            regexp_replace(regexp_replace(regexp_replace(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\+?\d[\d\- ()]{6,}\d', '<PHONE>', 'g') AS text_redacted
+             '\+?\d(?:[\- ()]?\d){8,14}', '<PHONE>', 'g') AS text_redacted
     FROM aug
     """,
 )
@@ -3884,11 +3884,15 @@ def cube_sales_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dense_rank_ties",
     """
     WITH t AS (
-      SELECT o_orderpriority, ROUND(o_totalprice, -3) AS price_band,
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice / 1000 + 0.5) AS BIGINT) * 1000
+               AS price_band,
              RANK() OVER (PARTITION BY o_orderpriority
-                          ORDER BY ROUND(o_totalprice, -3) DESC) AS rnk,
+                          ORDER BY CAST(FLOOR(o_totalprice / 1000 + 0.5)
+                                        AS BIGINT) * 1000 DESC) AS rnk,
              DENSE_RANK() OVER (PARTITION BY o_orderpriority
-                                ORDER BY ROUND(o_totalprice, -3) DESC) AS drnk
+                                ORDER BY CAST(FLOOR(o_totalprice / 1000 + 0.5)
+                                              AS BIGINT) * 1000 DESC) AS drnk
       FROM orders)
     SELECT o_orderpriority, price_band, rnk, drnk, CAST(COUNT(*) AS BIGINT) AS n
     FROM t WHERE drnk <= 3
@@ -3899,9 +3903,13 @@ def dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RANK vs DENSE_RANK over genuinely tied keys (prices banded to
     # the nearest thousand): gap semantics vs compact semantics in one
     # result, deterministic because ranks are functions of the tied
-    # VALUE, not row order.
+    # VALUE, not row order. Banding is FLOOR(x/1000 + 0.5) — an
+    # integer expression computed identically by both engines — not
+    # ROUND(x, -3), whose HALF_UP (Spark) vs nearest-binary (DuckDB)
+    # semantics legitimately differ for values landing exactly on a
+    # 500 boundary (same hazard trailing_window_7d documents).
     o = _t(spark, sf_dir, "orders")
-    band = F.round(F.col("o_totalprice"), -3)
+    band = F.floor(F.col("o_totalprice") / 1000 + 0.5).cast("bigint") * 1000
     w = Window.partitionBy("o_orderpriority").orderBy(F.desc("price_band"))
     t = o.select("o_orderpriority", band.alias("price_band")).select(
         "*",
@@ -3957,23 +3965,31 @@ def trailing_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "argmax_order_per_priority",
     """
-    SELECT o_orderpriority,
-           arg_max(o_orderkey, o_totalprice + o_orderkey * 0.000000001)
-             AS top_orderkey,
-           ROUND(MAX(o_totalprice), 2) AS top_price
-    FROM orders GROUP BY 1
+    WITH m AS (SELECT o_orderpriority, MAX(o_totalprice) AS mp
+               FROM orders GROUP BY 1)
+    SELECT o.o_orderpriority,
+           MAX(o.o_orderkey) AS top_orderkey,
+           ROUND(MAX(o.o_totalprice), 2) AS top_price
+    FROM orders o
+    JOIN m ON o.o_orderpriority = m.o_orderpriority
+          AND o.o_totalprice = m.mp
+    GROUP BY 1
     """,
 )
 def argmax_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Ordered-selection aggregates (max_by / arg_max): the top order
-    # per priority WITHOUT a window — one aggregate pass. max_by/arg_max
-    # are tie-ambiguous, so the ordering key folds the orderkey in at
-    # 1e-9 scale (far below the 2-decimal price quantum): identical
-    # doubles in both engines, deterministic winner on price ties.
+    # per priority WITHOUT a window — one aggregate pass. max_by is
+    # tie-ambiguous on price alone, so the ordering key is the STRUCT
+    # (price, orderkey): lexicographic, exact at any scale (no float
+    # tiebreak term that could outgrow the price quantum at large
+    # orderkeys), deterministic winner = max orderkey among price ties.
+    # DuckDB's arg_max takes no struct key, so the oracle states the
+    # same semantics as a two-level max (max price, then max orderkey
+    # among its attainers).
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.max_by(
-            "o_orderkey", F.col("o_totalprice") + F.col("o_orderkey") * F.lit(1e-9)
+            "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
         ).alias("top_orderkey"),
         F.round(F.max("o_totalprice"), 2).alias("top_price"),
     )

@@ -280,3 +280,35 @@ def test_merge_scd2_null_safe_change_detection(spark):
     assert rows == sorted(
         [(1, None, None), (2, None, None), (2, "x", d(2001, 6, 1))], key=repr
     )
+
+def test_merge_scd2_uniqueness_guard(spark):
+    import datetime
+
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators.scd import merge_scd2
+
+    d = datetime.date
+    current = spark.createDataFrame(
+        [(1, "a", d(2000, 1, 1), None)], "k INT, v STRING, valid_from DATE, valid_to DATE"
+    )
+    # exact-duplicate update rows are deduped for free: no row multiplication
+    updates = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (2, "c"), (2, "c")], "k INT, v STRING"
+    )
+    out = merge_scd2(current, updates, ["k"], ["v"], "2001-06-01")
+    assert out.count() == 3  # closed (1,a) + successor (1,b) + new (2,c)
+
+    # conflicting duplicates (same key, different values) raise loudly
+    conflicting = spark.createDataFrame([(1, "b"), (1, "z")], "k INT, v STRING")
+    with pytest.raises(ValueError, match="duplicate business key"):
+        merge_scd2(current, conflicting, ["k"], ["v"], "2001-06-01", check_unique=True)
+
+    # duplicate OPEN rows in the history are caught too
+    dup_open = spark.createDataFrame(
+        [(1, "a", d(2000, 1, 1), None), (1, "a2", d(2000, 2, 1), None)],
+        "k INT, v STRING, valid_from DATE, valid_to DATE",
+    )
+    clean_updates = spark.createDataFrame([(2, "c")], "k INT, v STRING")
+    with pytest.raises(ValueError, match="duplicate business key"):
+        merge_scd2(dup_open, clean_updates, ["k"], ["v"], "2001-06-01", check_unique=True)

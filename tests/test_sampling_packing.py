@@ -195,3 +195,16 @@ def test_numeric_profile_approx_within_rank_error(spark):
         assert abs(approx[c] - exact[c]) <= 10000 / 1000 + 1
     # non-quantile stats are unaffected by the approx flag
     assert (approx.n, approx.vmin, approx.vmax) == (exact.n, exact.vmin, exact.vmax)
+
+def test_sample_fraction_out_of_range_raises(spark):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    df = spark.range(10)
+    for bad in (-0.1, 1.5, 25):  # 25 = "percent instead of fraction" bug
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            smp.sample_by_hash(df, "id", bad)
+    # boundary values stay legal
+    assert smp.sample_by_hash(df, "id", 1.0).count() == 10
+    assert smp.sample_by_hash(df, "id", 0.0).count() == 0
