@@ -184,6 +184,8 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     n_centroids: int = 8,
     n_iters: int = 5,
+    train_fraction: float | None = None,
+    seed: int = 42,
 ) -> list[list[float]]:
     """Deterministic spherical-k-means centroids for IVF bucketing.
 
@@ -193,10 +195,27 @@ def ivf_train_centroids(
     its argmax-cosine centroid (map-side fold over the centroid
     literal), then per-dimension ``avg`` groupBy. Per-round driver
     traffic is k×dim doubles (centroid metadata, like a schema).
-    Empty clusters keep their previous centroid. Train on a sample at
-    100 TB — centroid quality needs representativeness, not the full
-    corpus.
+    Empty clusters keep their previous centroid.
+
+    ``train_fraction`` is the 100 TB knob: centroid quality needs
+    representativeness, not the full corpus, and full-corpus training
+    costs n_iters+1 complete scans. Passing e.g. 0.01 trains on a
+    deterministic hash-sample of ids (``sampling.sample_by_hash`` —
+    partition-invariant, reproducible across runs and engines), cutting
+    every scan 100× while the Lloyd fixed point stays statistically
+    unchanged (tests/test_similarity.py asserts recall parity).
+    ``None`` trains on everything — fine at bench scale, wasteful at
+    corpus scale. Raises if the sample is too thin to seed
+    ``n_centroids`` distinct centroids.
     """
+    if train_fraction is not None:
+        from .sampling import sample_by_hash
+
+        if not 0 < train_fraction <= 1:
+            raise ValueError(
+                f"train_fraction must be in (0, 1], got {train_fraction}"
+            )
+        corpus = sample_by_hash(corpus, id_col, train_fraction, seed)
     base = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     # the seed pass + every Lloyd round scans `base`: persist so the
     # corpus projection is paid once, not n_iters+1 times
@@ -208,17 +227,35 @@ def ivf_train_centroids(
             .limit(n_centroids)
             .collect()
         )
+        if len(seed_rows) < n_centroids:
+            raise ValueError(
+                f"training set has only {len(seed_rows)} vectors for "
+                f"{n_centroids} centroids — raise train_fraction"
+            )
         centroids = [list(r.v) for r in seed_rows]
-        dim = len(centroids[0])
         for _ in range(n_iters):
             cents = _centroid_literal(centroids)
             assigned = base.withColumn("cid", _nearest_cid(F.col("v"), cents))
+            # per-dimension mean in the label_centroids shape: posexplode
+            # -> groupBy(cid, pos) avg -> reassemble. Same shuffle volume
+            # as a 64-wide avg row (k x dim groups, map-side combined)
+            # but the generated code is one 2-column aggregate instead of
+            # dim avg expressions — codegen compiles in milliseconds, and
+            # the plan is dimension-independent.
             means = (
-                assigned.groupBy("cid")
-                .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("mv")
+                )
                 .collect()
             )
-            new = {r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in means}
+            new = {r["cid"]: list(r["mv"]) for r in means}
             centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
     finally:
         base.unpersist()
@@ -235,6 +272,7 @@ def ivf_topk(
     n_probe: int = 2,
     n_iters: int = 5,
     centroids: list[list[float]] | None = None,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is bucketed
     by nearest trained centroid; each query probes its ``n_probe``
@@ -249,13 +287,17 @@ def ivf_topk(
 
     ``n_probe = n_centroids`` degenerates to exact brute force
     (identical results to :func:`cosine_topk` — tested). Pass
-    pre-trained ``centroids`` to amortize training across calls.
+    pre-trained ``centroids`` to amortize training across calls; when
+    training implicitly, set ``train_fraction`` so the hidden training
+    cost is a sample scan, not n_iters+1 full-corpus scans.
 
     Returns (query_id, neighbor_id, score, rank) — rank within
     candidates only.
     """
     if centroids is None:
-        centroids = ivf_train_centroids(corpus, vec_col, id_col, n_centroids, n_iters)
+        centroids = ivf_train_centroids(
+            corpus, vec_col, id_col, n_centroids, n_iters, train_fraction
+        )
     cents = _centroid_literal(centroids)
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))

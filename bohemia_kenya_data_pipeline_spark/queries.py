@@ -1458,11 +1458,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_similarity.py — an estimate has no SQL oracle.
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    # train on a deterministic 1/5 sample — the 100 TB pattern (centroid
-    # quality needs representativeness, not the full corpus), and
-    # exhaustive probes make the result independent of centroid quality
+    # train on a deterministic 1/5 hash-sample via the train_fraction
+    # knob — the 100 TB pattern (centroid quality needs
+    # representativeness, not the full corpus), and exhaustive probes
+    # make the result independent of centroid quality
     cents = sim.ivf_train_centroids(
-        emb.filter(F.col("vec_id") % 5 == 0), n_centroids=8, n_iters=2
+        emb, n_centroids=8, n_iters=2, train_fraction=0.2
     )
     return sim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8, centroids=cents)
 

@@ -59,3 +59,46 @@ def test_ivf_corpus_rows_assigned_once(spark):
     out = sim.ivf_topk(emb, queries, k=5, n_centroids=4, n_probe=4, n_iters=1)
     pairs = out.groupBy("query_id", "neighbor_id").count().filter(F.col("count") > 1)
     assert pairs.count() == 0
+
+
+def test_ivf_sampled_training_recall_parity(spark):
+    # the 100 TB training knob: centroids trained on a 30% hash-sample
+    # must give approximate-regime recall within tolerance of
+    # full-corpus training (centroid quality needs representativeness,
+    # not the full corpus)
+    import pytest
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(emb, queries, k=5).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+
+    def recall(train_fraction):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ivf_topk(
+                emb, queries, k=5, n_centroids=8, n_probe=4, n_iters=3,
+                train_fraction=train_fraction,
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    full, sampled = recall(None), recall(0.3)
+    assert sampled >= full - 0.15, (full, sampled)
+
+    # sample too thin to seed n_centroids distinct vectors -> loud error
+    tiny = emb.limit(40)
+    with pytest.raises(ValueError, match="train_fraction"):
+        sim.ivf_train_centroids(tiny, n_centroids=8, n_iters=1, train_fraction=0.01)
+    # out-of-range fraction -> loud error
+    with pytest.raises(ValueError, match="train_fraction"):
+        sim.ivf_train_centroids(emb, n_centroids=4, train_fraction=1.5)
+
+
+def test_ivf_sampled_training_deterministic(spark):
+    emb = _emb(spark)
+    c1 = sim.ivf_train_centroids(emb, n_centroids=4, n_iters=2, train_fraction=0.5)
+    c2 = sim.ivf_train_centroids(
+        emb.repartition(7), n_centroids=4, n_iters=2, train_fraction=0.5
+    )
+    assert c1 == c2  # hash-sample is partition-invariant
