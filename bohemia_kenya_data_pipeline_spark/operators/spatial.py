@@ -384,52 +384,25 @@ def assign_clusters_bucketed(
     )
 
 
-def nearest_neighbor_bucketed(
+def _bucketed_accept(
     points: DataFrame,
     facilities: DataFrame,
-    point_id: str = "id",
-    facility_id: str = "hf_id",
-    point_lat: str = "lat",
-    point_lon: str = "lon",
-    fac_lat: str = "lat",
-    fac_lon: str = "lon",
-    round_m: int = 1,
-    cell_m: float = 5000.0,
-    lat_ref: float = 0.0,
-) -> DataFrame:
-    """J12 at scale: exact nearest facility WITHOUT broadcasting the
-    facility side — the grid-bucketed fallback the module docstring
-    promises for facility sets too large for a broadcast
-    (hh_to_hf.qmd:62-64 semantics, same output contract as
-    :func:`nearest_neighbor`).
-
-    Plan (same shape as the similarity LSH joins):
-
-    1. Bucket both sides into a fixed lon/lat grid of ``cell_m``-sized
-       cells (sized at ``lat_ref``). Facilities land in their own cell;
-       each point explodes into its 3x3 cell neighborhood — a 9x
-       fan-out of the (cheap) point keys, never of facility payloads.
-    2. Equi-join on cell → candidates; per-point argmin via a
-       map-side-combining ``min(struct(dist, fid))`` groupBy (no
-       window: partial aggregation beats a full sort at scale).
-    3. PROOF GATE: a point strictly inside its center cell is at least
-       one full cell (in meters, at its latitude) away from anything
-       outside the 3x3 block — so a candidate at distance
-       <= 0.99 * that margin is provably the GLOBAL argmin. Points
-       that can't prove it (empty neighborhood, or best candidate
-       beyond the margin) fall through.
-    4. Fallback pass for the leftovers only: broadcast the (few)
-       unresolved POINTS against the full facility table and argmin —
-       the big side streams, nothing large is broadcast. Size
-       ``cell_m`` to facility density so this pass stays small; at
-       uniform density it is the empty-neighborhood tail only.
-
-    Exactness: pass-3 acceptance is conservative (0.99 safety covers
-    the equirectangular-vs-haversine gap and the ``round_m`` rounding),
-    so accepted rows equal the broadcast variant's bit-for-bit; the
-    fallback recomputes globally. Ties resolve (dist, fid)-lexico in
-    both passes, matching :func:`nearest_neighbor`.
-    """
+    point_id: str,
+    facility_id: str,
+    point_lat: str,
+    point_lon: str,
+    fac_lat: str,
+    fac_lon: str,
+    round_m: int,
+    cell_m: float,
+    lat_ref: float,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Steps 1-3 of the bucketed nearest-neighbor plan (grid bucketing,
+    3x3 candidate equi-join, provable-argmin proof gate), shared by
+    :func:`nearest_neighbor_bucketed` (which adds the fallback pass)
+    and :func:`nearest_bucket_stats` (which prices the fallback without
+    running it). Returns lazy (points, facilities, accepted) frames in
+    the internal (_pid/_fid/...) naming."""
     dlat = cell_m / M_PER_DEG_LAT
     dlon = cell_m / (M_PER_DEG_LON_EQ * math.cos(math.radians(lat_ref)))
 
@@ -490,6 +463,137 @@ def nearest_neighbor_bucketed(
     )
     accepted = best.filter(F.col("_best.dist_m") <= 0.99 * margin).select(
         "_pid", F.col("_best._fid").alias("_fid"), F.col("_best.dist_m").alias("dist_m")
+    )
+    return p, f, accepted
+
+
+def nearest_bucket_stats(
+    points: DataFrame,
+    facilities: DataFrame,
+    point_id: str = "id",
+    facility_id: str = "hf_id",
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+    fac_lat: str = "lat",
+    fac_lon: str = "lon",
+    round_m: int = 1,
+    cell_m: float = 5000.0,
+    lat_ref: float = 0.0,
+) -> DataFrame:
+    """Spill report for sizing ``cell_m`` in
+    :func:`nearest_neighbor_bucketed` — the :func:`minhash_bucket_stats`
+    pattern (dedup.py) applied to the spatial grid. Runs ONLY the cheap
+    accept pass (grid join + proof gate) and prices the fallback
+    instead of running it: one row
+
+        (n_points, n_facilities, n_leftover, leftover_fraction,
+         fallback_pairs, max_cell_facilities)
+
+    where ``fallback_pairs = n_leftover * n_facilities`` is the exact
+    join volume the broadcast-leftovers fallback would score, and
+    ``max_cell_facilities`` flags hot grid cells (a dense facility
+    cluster inside one cell inflates the candidate join instead).
+
+    Heuristic that keeps both numbers small at uniform density: size
+    ``cell_m`` so a 3x3 neighborhood holds a handful of facilities —
+    ``cell_m ≈ sqrt(area_km2 / n_facilities) * 1000`` puts ~9 expected
+    facilities in the block (leftovers become the sparse-border tail)
+    while any single cell holds ~1. Halve it if
+    ``max_cell_facilities`` says cells are hot; double it if
+    ``leftover_fraction`` says neighborhoods are empty.
+    """
+    p, f, accepted = _bucketed_accept(
+        points, facilities, point_id, facility_id,
+        point_lat, point_lon, fac_lat, fac_lon, round_m, cell_m, lat_ref,
+    )
+    dlat = cell_m / M_PER_DEG_LAT
+    dlon = cell_m / (M_PER_DEG_LON_EQ * math.cos(math.radians(lat_ref)))
+    n_points = p.agg(F.count(F.lit(1)).alias("n_points"))
+    n_fac = f.agg(F.count(F.lit(1)).alias("n_facilities"))
+    n_acc = accepted.agg(F.count(F.lit(1)).alias("n_accepted"))
+    hot = (
+        f.groupBy(
+            F.floor(F.col("_flon") / dlon).alias("cx"),
+            F.floor(F.col("_flat") / dlat).alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.max("n"), F.lit(0)).alias("max_cell_facilities"))
+    )
+    return (
+        n_points.crossJoin(n_fac)
+        .crossJoin(n_acc)
+        .crossJoin(hot)
+        .select(
+            "n_points",
+            "n_facilities",
+            (F.col("n_points") - F.col("n_accepted")).alias("n_leftover"),
+            F.round(
+                (F.col("n_points") - F.col("n_accepted"))
+                / F.greatest(F.col("n_points"), F.lit(1)),
+                4,
+            ).alias("leftover_fraction"),
+            (
+                (F.col("n_points") - F.col("n_accepted")) * F.col("n_facilities")
+            ).alias("fallback_pairs"),
+            "max_cell_facilities",
+        )
+    )
+
+
+def nearest_neighbor_bucketed(
+    points: DataFrame,
+    facilities: DataFrame,
+    point_id: str = "id",
+    facility_id: str = "hf_id",
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+    fac_lat: str = "lat",
+    fac_lon: str = "lon",
+    round_m: int = 1,
+    cell_m: float = 5000.0,
+    lat_ref: float = 0.0,
+) -> DataFrame:
+    """J12 at scale: exact nearest facility WITHOUT broadcasting the
+    facility side — the grid-bucketed fallback the module docstring
+    promises for facility sets too large for a broadcast
+    (hh_to_hf.qmd:62-64 semantics, same output contract as
+    :func:`nearest_neighbor`).
+
+    Plan (same shape as the similarity LSH joins):
+
+    1. Bucket both sides into a fixed lon/lat grid of ``cell_m``-sized
+       cells (sized at ``lat_ref``). Facilities land in their own cell;
+       each point explodes into its 3x3 cell neighborhood — a 9x
+       fan-out of the (cheap) point keys, never of facility payloads.
+    2. Equi-join on cell → candidates; per-point argmin via a
+       map-side-combining ``min(struct(dist, fid))`` groupBy (no
+       window: partial aggregation beats a full sort at scale).
+    3. PROOF GATE: a point strictly inside its center cell is at least
+       one full cell (in meters, at its latitude) away from anything
+       outside the 3x3 block — so a candidate at distance
+       <= 0.99 * that margin is provably the GLOBAL argmin. Points
+       that can't prove it (empty neighborhood, or best candidate
+       beyond the margin) fall through.
+    4. Fallback pass for the leftovers only: broadcast the (few)
+       unresolved POINTS against the full facility table and argmin —
+       the big side streams, nothing large is broadcast. Size
+       ``cell_m`` to facility density so this pass stays small; at
+       uniform density it is the empty-neighborhood tail only.
+
+    Exactness: pass-3 acceptance is conservative (0.99 safety covers
+    the equirectangular-vs-haversine gap and the ``round_m`` rounding),
+    so accepted rows equal the broadcast variant's bit-for-bit; the
+    fallback recomputes globally. Ties resolve (dist, fid)-lexico in
+    both passes, matching :func:`nearest_neighbor`.
+
+    A mis-sized ``cell_m`` silently turns the fallback into
+    broadcast(everything); run :func:`nearest_bucket_stats` first when
+    in doubt — it prices the leftover fraction for a candidate
+    ``cell_m`` WITHOUT running the fallback pass.
+    """
+    p, f, accepted = _bucketed_accept(
+        points, facilities, point_id, facility_id,
+        point_lat, point_lon, fac_lat, fac_lon, round_m, cell_m, lat_ref,
     )
     leftovers = p.join(accepted.select("_pid"), "_pid", "left_anti")
     fallback = (

@@ -158,3 +158,34 @@ def test_bucketed_assign_matches_literal(spark):
     assert buck_out[1] == (3, False)
     assert buck_out[4] == (7, False)
     assert buck_out[5] == (None, True)
+
+
+def test_nearest_bucket_stats_prices_bad_cell_m(spark):
+    # a bad cell_m must be DETECTABLE before the fallback pass runs:
+    # 500 m cells on ~km-spaced facilities leave most 3x3 neighborhoods
+    # unprovable (high leftover fraction / big priced fallback), while
+    # 15 km cells resolve nearly everything in the accept pass
+    pts, hf = _nn_points_facilities(spark)
+    bad = sp.nearest_bucket_stats(pts, hf, cell_m=500.0, lat_ref=-3.5).collect()[0]
+    good = sp.nearest_bucket_stats(pts, hf, cell_m=15000.0, lat_ref=-3.5).collect()[0]
+    assert bad.n_points == good.n_points == 150
+    assert bad.n_facilities == good.n_facilities == 20
+    assert bad.leftover_fraction > good.leftover_fraction
+    assert good.leftover_fraction <= 0.2, good
+    assert bad.leftover_fraction >= 0.8, bad
+    # priced fallback join volume is exactly leftovers x facilities
+    assert bad.fallback_pairs == bad.n_leftover * 20
+    # the stats row agrees with what the real operator would do:
+    # accepted + leftover covers every point exactly once
+    out = sp.nearest_neighbor_bucketed(pts, hf, cell_m=500.0, lat_ref=-3.5)
+    assert out.count() == 150
+
+
+def test_nearest_bucket_stats_hot_cell_detection(spark):
+    # 30 facilities stacked in one spot + huge cells -> one hot cell
+    pts = spark.createDataFrame([(1, -3.5, 39.0)], ["id", "lat", "lon"])
+    hf = spark.createDataFrame(
+        [(j, -3.5001, 39.0001) for j in range(1, 31)], ["hf_id", "lat", "lon"]
+    )
+    row = sp.nearest_bucket_stats(pts, hf, cell_m=50000.0, lat_ref=-3.5).collect()[0]
+    assert row.max_cell_facilities == 30
