@@ -4054,3 +4054,233 @@ def dense_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.join(days, "d", "left").select(
         "d", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events")
     )
+
+
+# ===========================================================================
+# Full-breadth report chain: safety status + reason (§2.7 conditional pack
+# at reference-realistic branch count).
+# Mirrors pipeline-reporting/R/safety-efficacy/
+# safety_status_and_reason_for_safety_status.Rmd:218-296 — a ~30-branch
+# ordered case_when over ~45 flag conditions, preceded by a grouped
+# all()-style enrolment classifier and a 6-branch took_drug chain, followed
+# by the structural filter + broadcast assignment joins.
+#
+# The synthetic tables carry none of the trial's flag columns, so each flag
+# is DERIVED deterministically from order keys (modulo arithmetic — same
+# expressions on both engines), planting every branch with hits. The branch
+# spec below is compiled ONCE into SQL strings used verbatim by BOTH the
+# Spark plan (F.expr) and the DuckDB oracle, so the two sides cannot drift.
+# ===========================================================================
+
+#: (column, defining SQL) — deterministic flag derivations. Flags fire on
+#: disjoint-ish modulo classes so rows land in every branch of the chain.
+_SAFETY_FLAG_COLS: list[tuple[str, str]] = [
+    # '1'/'0' end-of-study flags (reference: *_eos columns)
+    *[
+        (name, f"CASE WHEN (o_orderkey + {i * 7919}) % 37 = 0 "
+               "THEN '1' ELSE '0' END")
+        for i, name in enumerate(
+            [
+                "person_died_eos", "person_out_died", "person_migrated",
+                "person_out_migrated", "v4_migrate_absent_eos",
+                "non_resident_eos", "weight_eos", "weight_eos_short",
+                "study_drug_eos", "concom_meds_eos", "concom_meds_eos_short",
+                "severe_illness_eos", "severe_illness_eos_short",
+                "baby_not_week_old_eos", "preg_test_refuse_eos_short",
+                "preg_test_refuse_eos_v4", "preg_test_2_refuse_eos_v4",
+                "pregnancy_section_eos_v4", "pregnant_eos",
+                "preg_test_pos_eos_short", "preg_test_2_eos_short",
+                "pregnancy_section_eos_short", "pregnancy_section_eos",
+                "preg_test_pos_v4", "other_trials_eos", "loa_loa_eos",
+                "not_agree_safety_procedures_eos", "refuse_drug_eos",
+                "refuse_drug_eos_2", "not_continue_eos", "person_absent",
+                "v4_absent_eos", "out_v4", "ind_witness_present",
+            ]
+        )
+    ],
+    # consent statuses: '0' is the triggering value
+    ("ind_thumbprint_status", "CASE WHEN o_orderkey % 41 = 3 THEN '0' ELSE '1' END"),
+    ("ind_sign_icf_status", "CASE WHEN o_orderkey % 41 = 5 THEN '0' ELSE '1' END"),
+    ("minor_assent_status", "CASE WHEN o_orderkey % 41 = 7 THEN '0' ELSE '1' END"),
+    # string-valued screening outcome
+    ("obvious_screening",
+     "CASE o_orderkey % 23 WHEN 0 THEN 'Ill' WHEN 1 THEN 'Pregnant' "
+     "WHEN 2 THEN 'ineligible' WHEN 3 THEN 'Baby' WHEN 4 THEN 'Witness' "
+     "WHEN 5 THEN 'Refusal' WHEN 6 THEN 'Language' ELSE NULL END"),
+    # pregnancy-test refusal strings
+    ("accept_preg_test_yn",
+     "CASE WHEN o_orderkey % 31 = 1 THEN 'refuse' "
+     "WHEN o_orderkey % 31 = 2 THEN 'yes' ELSE NULL END"),
+    ("accept_preg_test_yn_short",
+     "CASE WHEN o_orderkey % 31 = 3 THEN 'refuse' ELSE NULL END"),
+    ("accept_preg_test_yn_v4",
+     "CASE WHEN o_orderkey % 31 = 4 THEN 'refuse' ELSE NULL END"),
+    ("preg_test_2_result",
+     "CASE WHEN o_orderkey % 31 = 5 THEN 'refuse' "
+     "WHEN o_orderkey % 31 = 6 THEN 'neg' ELSE NULL END"),
+    ("preg_test_2_result_short",
+     "CASE WHEN o_orderkey % 31 = 7 THEN 'refuse' ELSE NULL END"),
+    ("preg_test_2_result_v4",
+     "CASE WHEN o_orderkey % 31 = 8 THEN 'refuse' ELSE NULL END"),
+    ("pregnancy_status_v4",
+     "CASE WHEN o_orderkey % 31 = 9 THEN 'in' "
+     "WHEN o_orderkey % 31 = 10 THEN 'out' ELSE NULL END"),
+    ("sum_night_hospital_eos", "CASE WHEN o_orderkey % 29 = 0 THEN 2 ELSE 0 END"),
+    # drug-taking answers (yes/no/NULL on two forms)
+    ("participant_take_drug",
+     "CASE o_orderkey % 13 WHEN 0 THEN 'yes' WHEN 1 THEN 'no' "
+     "WHEN 2 THEN 'no' ELSE NULL END"),
+    ("participant_take_drug_2",
+     "CASE o_orderkey % 13 WHEN 1 THEN 'yes' ELSE NULL END"),
+    ("take_drug_safetynew",
+     "CASE o_orderkey % 13 WHEN 3 THEN 'yes' WHEN 4 THEN 'no' "
+     "WHEN 5 THEN 'no' ELSE NULL END"),
+    ("take_drug_2_safetynew",
+     "CASE o_orderkey % 13 WHEN 4 THEN 'yes' ELSE NULL END"),
+    # status columns
+    ("safety_status",
+     "CASE WHEN o_orderkey % 97 = 0 THEN 'UNDEFINED' "
+     "WHEN o_orderstatus = 'O' THEN 'in' "
+     "WHEN o_orderstatus = 'F' THEN 'completion' ELSE 'out' END"),
+    ("starting_safety_status",
+     "CASE o_orderkey % 7 WHEN 0 THEN 'in' WHEN 1 THEN 'out' "
+     "WHEN 2 THEN 'eos' WHEN 3 THEN 'refusal' ELSE NULL END"),
+]
+
+#: ordered (condition SQL, label) — verbatim branch structure of the
+#: reference's safety_reason case_when (Rmd:235-296). R's `&` binds
+#: tighter than `|`, mirrored with explicit parentheses.
+_SAFETY_REASON_BRANCHES: list[tuple[str, str]] = [
+    ("person_died_eos = '1' OR person_out_died = '1'", "died"),
+    ("(person_migrated = '1' AND starting_safety_status = 'in') "
+     "OR person_out_migrated = '1' OR v4_migrate_absent_eos = '1'", "migrated"),
+    ("non_resident_eos = '1'", "not resident"),
+    ("weight_eos = '1' OR weight_eos_short = '1'", "under weight"),
+    ("study_drug_eos = '1'", "study drug"),
+    ("concom_meds_eos = '1' OR concom_meds_eos_short = '1'", "concom meds"),
+    ("severe_illness_eos = '1' OR severe_illness_eos_short = '1' "
+     "OR obvious_screening = 'Ill'", "severe illness"),
+    ("baby_not_week_old_eos = '1'", "baby under 1 week"),
+    ("preg_test_refuse_eos_short = '1' OR preg_test_refuse_eos_v4 = '1' "
+     "OR preg_test_2_refuse_eos_v4 = '1' OR pregnancy_section_eos_v4 = '1' "
+     "OR accept_preg_test_yn = 'refuse' OR accept_preg_test_yn_short = 'refuse' "
+     "OR accept_preg_test_yn_v4 = 'refuse' OR preg_test_2_result = 'refuse' "
+     "OR preg_test_2_result_short = 'refuse' OR preg_test_2_result_v4 = 'refuse'",
+     "pregnancy test refusal"),
+    ("pregnant_eos = '1' OR preg_test_pos_eos_short = '1' "
+     "OR preg_test_2_eos_short = '1' OR obvious_screening = 'Pregnant' "
+     "OR pregnancy_section_eos_short = '1' OR pregnancy_section_eos = '1' "
+     "OR preg_test_pos_v4 = '1' OR pregnancy_status_v4 = 'in'", "pregnant"),
+    ("other_trials_eos = '1'", "other trials"),
+    ("loa_loa_eos = '1'", "visited loa loa"),
+    ("sum_night_hospital_eos >= 1", "spent night at the hospital"),
+    ("not_agree_safety_procedures_eos = '1'", "not agree to safety procedures"),
+    ("refuse_drug_eos = '1' OR refuse_drug_eos_2 = '1'",
+     "participant withdrew informed consent (refuse drug)"),
+    ("not_continue_eos = '1'", "not wish to continue"),
+    ("obvious_screening = 'ineligible'", "Ineligible at obvious reasoning"),
+    ("obvious_screening = 'Baby'", "A baby that cannot walk yet"),
+    ("obvious_screening = 'Witness' OR ind_witness_present = '1'", "no witness"),
+    ("person_absent = '1' OR v4_absent_eos = '1'", "absent"),
+    ("obvious_screening = 'Refusal'", "a person who does not want to participate"),
+    ("obvious_screening = 'Language'", "does not speak English or Swahili"),
+    ("ind_thumbprint_status = '0'", "not consented or provided their thumbprint"),
+    ("ind_sign_icf_status = '0'", "not agree or sign informed consent"),
+    ("minor_assent_status = '0'", "minor not sign assent"),
+    ("safety_status = 'completion'", "completion"),
+    ("safety_status = 'in'", "in"),
+    ("starting_safety_status = 'eos'", "previously eos"),
+    ("starting_safety_status = 'refusal'", "previously refusal"),
+    ("starting_safety_status = 'out' OR out_v4 = '1'", "previously out"),
+]
+
+_TOOK_DRUG_BRANCHES: list[tuple[str, str]] = [
+    ("participant_take_drug = 'no' AND participant_take_drug_2 = 'yes'", "yes"),
+    ("participant_take_drug = 'yes'", "yes"),
+    ("take_drug_safetynew = 'no' AND take_drug_2_safetynew = 'yes'", "yes"),
+    ("take_drug_safetynew = 'yes'", "yes"),
+    ("take_drug_safetynew = 'no' AND take_drug_2_safetynew IS NULL", "no"),
+    ("participant_take_drug = 'no' AND participant_take_drug_2 IS NULL", "no"),
+]
+
+
+def _sql_case(branches: list[tuple[str, str]]) -> str:
+    """Ordered CASE chain from (condition, label) pairs — NA/NULL
+    conditions fall through exactly like R's case_when."""
+    whens = " ".join(f"WHEN {c} THEN '{v}'" for c, v in branches)
+    return f"CASE {whens} ELSE NULL END"
+
+
+_SAFETY_ENROLMENT_SQL = (
+    # grouped all()-predicate (reference: all(safety_status == 'out')
+    # within group_by(extid)) as a BOOL_AND window — one shuffle on extid
+    "CASE WHEN BOOL_AND(safety_status = 'out') "
+    "OVER (PARTITION BY extid) THEN 'never enrolled' "
+    "WHEN starting_safety_status = 'out' "
+    "OR (starting_safety_status IS NULL AND safety_status <> 'out') "
+    "THEN 'enrolment' ELSE 'follow up' END"
+)
+
+
+@_register(
+    "safety_status_matrix",
+    f"""
+    WITH flags AS (
+      SELECT o_custkey AS extid,
+             {', '.join(f'{sql} AS {name}' for name, sql in _SAFETY_FLAG_COLS)}
+      FROM orders),
+    classified AS (
+      SELECT extid,
+             {_SAFETY_ENROLMENT_SQL} AS enrolment,
+             {_sql_case(_TOOK_DRUG_BRANCHES)} AS took_drug,
+             {_sql_case(_SAFETY_REASON_BRANCHES)} AS safety_reason,
+             safety_status
+      FROM flags),
+    kept AS (
+      SELECT * FROM classified
+      WHERE extid <> 1 AND safety_status <> 'UNDEFINED'),
+    arms AS (
+      SELECT k.*, n.n_name AS assignment, r.r_name AS arm_region
+      FROM kept k
+      JOIN nation n ON k.extid % 25 = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey)
+    SELECT enrolment, took_drug, safety_reason, arm_region,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT extid) AS BIGINT) AS n_participants
+    FROM arms GROUP BY 1, 2, 3, 4
+    """,
+)
+def safety_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference-realistic conditional breadth: every derived column uses
+    # the SAME compiled SQL string as the oracle via F.expr — Catalyst
+    # folds the whole chain into one scan-local projection (zero extra
+    # shuffles beyond the enrolment window + final aggregate), so at
+    # 100 TB this is a map-side chain over the orders scan.
+    o = _t(spark, sf_dir, "orders")
+    flags = o.select(
+        F.col("o_custkey").alias("extid"),
+        *[F.expr(sql).alias(name) for name, sql in _SAFETY_FLAG_COLS],
+    )
+    classified = flags.select(
+        "extid",
+        F.expr(_SAFETY_ENROLMENT_SQL).alias("enrolment"),
+        F.expr(_sql_case(_TOOK_DRUG_BRANCHES)).alias("took_drug"),
+        F.expr(_sql_case(_SAFETY_REASON_BRANCHES)).alias("safety_reason"),
+        "safety_status",
+    )
+    kept = classified.filter(
+        (F.col("extid") != 1) & (F.col("safety_status") != "UNDEFINED")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("assignment"), "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region")
+    arms = (
+        kept.join(F.broadcast(n), kept["extid"] % 25 == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .withColumnRenamed("r_name", "arm_region")
+    )
+    return arms.groupBy("enrolment", "took_drug", "safety_reason", "arm_region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("extid").cast("bigint").alias("n_participants"),
+    )
