@@ -4284,3 +4284,218 @@ def safety_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.countDistinct("extid").cast("bigint").alias("n_participants"),
     )
+
+
+# ===========================================================================
+# Deep goals cascade: the N-visit generalization of goals_cascade.
+# Mirrors 00.store_se_goals.R:198-436 — get_pfu_targets cascades to V13
+# with per-visit removals (rules in the reference's own comment block:
+# refused households removed everywhere, EOS individuals removed from the
+# NEXT visit onward, per-(visit, household) nobody-in anti-join) over an
+# expand_grid skeleton + fill-down. Individuals come from lineitem (several
+# per household-visit) so the grouped removal predicates are non-trivial.
+# Registered at N=8; the builder is parameterized.
+# ===========================================================================
+
+
+def _goals_cascade_deep_sql(n_visits: int) -> str:
+    return f"""
+    WITH dropped AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
+    base AS (
+      SELECT c.c_custkey AS hhid, n.n_nationkey AS cluster
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_custkey NOT IN (SELECT c_custkey FROM dropped)),
+    v1 AS (
+      SELECT 'V1' AS visit, b.cluster,
+             CAST(COUNT(DISTINCT i.hhid) AS BIGINT) AS hh_target,
+             CAST(COUNT(DISTINCT i.extid) AS BIGINT) AS ind_target
+      FROM (SELECT o.o_custkey AS hhid,
+                   o.o_orderkey * 10 + l.l_linenumber AS extid
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey) i
+      JOIN base b ON i.hhid = b.hhid GROUP BY 2),
+    seq AS (
+      SELECT o_custkey AS hhid, o_orderkey, o_orderdate AS start_time,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    facts AS (
+      SELECT CAST(s.rn + 1 AS INTEGER) AS visit_num, s.hhid, s.start_time,
+             s.o_orderkey * 10 + l.l_linenumber AS extid,
+             l.l_returnflag, l.l_linestatus, b.cluster
+      FROM seq s
+      JOIN lineitem l ON s.o_orderkey = l.l_orderkey
+      JOIN base b ON s.hhid = b.hhid
+      WHERE s.rn <= {n_visits - 1}),
+    departures AS (
+      SELECT o_custkey AS hhid, MIN(o_orderdate) AS departure_time
+      FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '5-LOW'
+      GROUP BY 1),
+    refusals AS (
+      SELECT DISTINCT o_custkey AS hhid FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 20000.0),
+    nobody AS (
+      SELECT visit_num, hhid FROM facts GROUP BY 1, 2
+      HAVING BOOL_AND(l_linestatus = 'F')),
+    curated AS (
+      SELECT f.visit_num, f.extid, f.hhid, f.cluster, f.l_returnflag
+      FROM facts f
+      LEFT JOIN departures d ON f.hhid = d.hhid
+      WHERE (f.start_time < d.departure_time OR d.departure_time IS NULL)
+        AND f.hhid NOT IN (SELECT hhid FROM refusals)
+        AND NOT EXISTS (SELECT 1 FROM nobody nb
+                        WHERE nb.visit_num = f.visit_num AND nb.hhid = f.hhid)),
+    eos AS (
+      SELECT extid, MIN(visit_num) AS eos_visit FROM curated
+      WHERE l_returnflag = 'R' GROUP BY 1),
+    skeleton AS (
+      SELECT v.visit_num, k.extid
+      FROM (SELECT DISTINCT extid FROM curated) k,
+           (SELECT CAST(UNNEST(generate_series(2, {n_visits})) AS INTEGER)
+              AS visit_num) v),
+    filled AS (
+      SELECT s.visit_num, s.extid,
+             LAST_VALUE(c.hhid IGNORE NULLS) OVER w AS hhid,
+             LAST_VALUE(c.cluster IGNORE NULLS) OVER w AS cluster
+      FROM skeleton s LEFT JOIN curated c
+        ON s.visit_num = c.visit_num AND s.extid = c.extid
+      WINDOW w AS (PARTITION BY s.extid ORDER BY s.visit_num
+                   ROWS UNBOUNDED PRECEDING)),
+    alive AS (
+      SELECT f.* FROM filled f
+      LEFT JOIN eos e ON f.extid = e.extid
+      WHERE f.hhid IS NOT NULL
+        AND (e.eos_visit IS NULL OR f.visit_num <= e.eos_visit)),
+    cascade AS (
+      SELECT 'V' || CAST(visit_num AS VARCHAR) AS visit, cluster,
+             CAST(COUNT(DISTINCT hhid) AS BIGINT) AS hh_target,
+             CAST(COUNT(DISTINCT extid) AS BIGINT) AS ind_target
+      FROM alive GROUP BY 1, 2)
+    SELECT * FROM v1 UNION ALL SELECT * FROM cascade
+    """
+
+
+def _goals_cascade_deep(spark: SparkSession, sf_dir: str, n_visits: int) -> DataFrame:
+    """N-visit goals cascade. One window shuffle for the visit sequence,
+    one for the fill-down; every removal list (departures, refusals,
+    nobody-in, EOS) is a grouped/filtered frame joined back — broadcast
+    at real-world sizes (removal lists are per-household metadata). The
+    skeleton fan-out is |extids| x (n_visits - 1) rows of three ints —
+    linear in participants, not in facts."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    dropped = c.filter(F.col("c_custkey") % 50 == 0).select("c_custkey")
+    base = (
+        c.join(dropped, "c_custkey", "left_anti")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(F.col("c_custkey").alias("hhid"), F.col("n_nationkey").alias("cluster"))
+    )
+    individuals = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("hhid"),
+        (F.col("o_orderkey") * 10 + F.col("l_linenumber")).alias("extid"),
+    )
+    v1 = (
+        individuals.join(base, "hhid")
+        .groupBy("cluster")
+        .agg(
+            F.countDistinct("hhid").cast("bigint").alias("hh_target"),
+            F.countDistinct("extid").cast("bigint").alias("ind_target"),
+        )
+        .select(F.lit("V1").alias("visit"), "cluster", "hh_target", "ind_target")
+    )
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_visits - 1)
+        .select(
+            F.col("o_custkey").alias("hhid"),
+            "o_orderkey",
+            F.col("o_orderdate").alias("start_time"),
+            (F.col("rn") + 1).cast("int").alias("visit_num"),
+        )
+    )
+    facts = (
+        seq.join(li, seq["o_orderkey"] == li["l_orderkey"])
+        .join(base, "hhid")
+        .select(
+            "visit_num",
+            "hhid",
+            "start_time",
+            (F.col("o_orderkey") * 10 + F.col("l_linenumber")).alias("extid"),
+            "l_returnflag",
+            "l_linestatus",
+            "cluster",
+        )
+    )
+    departures = (
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "5-LOW"))
+        .groupBy(F.col("o_custkey").alias("hhid"))
+        .agg(F.min("o_orderdate").alias("departure_time"))
+    )
+    refusals = (
+        o.filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") < 20000.0))
+        .select(F.col("o_custkey").alias("hhid"))
+        .distinct()
+    )
+    # per-(visit, household) removal: EVERY individual of the household
+    # is linestatus-F at that visit (reference: get_safety_nobody_in)
+    nobody = (
+        facts.groupBy("visit_num", "hhid")
+        .agg(F.bool_and(F.col("l_linestatus") == "F").alias("_all_out"))
+        .filter("_all_out")
+        .select("visit_num", "hhid")
+    )
+    curated = (
+        facts.join(departures, "hhid", "left")
+        .filter(
+            (F.col("start_time") < F.col("departure_time"))
+            | F.col("departure_time").isNull()
+        )
+        .join(refusals, "hhid", "left_anti")
+        .join(nobody, ["visit_num", "hhid"], "left_anti")
+        .select("visit_num", "extid", "hhid", "cluster", "l_returnflag")
+    )
+    # EOS individuals leave the cascade AFTER their eos visit
+    eos = (
+        curated.filter(F.col("l_returnflag") == "R")
+        .groupBy("extid")
+        .agg(F.min("visit_num").alias("eos_visit"))
+    )
+    skeleton = curated.select("extid").distinct().crossJoin(
+        spark.range(1).select(
+            F.explode(F.sequence(F.lit(2), F.lit(n_visits))).alias("_v")
+        ).select(F.col("_v").cast("int").alias("visit_num"))
+    )
+    filled = W.fill_down(
+        skeleton.join(curated, ["visit_num", "extid"], "left"),
+        ["hhid", "cluster"],
+        partition_by=["extid"],
+        order_by=["visit_num"],
+    )
+    alive = (
+        filled.join(eos, "extid", "left")
+        .filter(F.col("hhid").isNotNull())
+        .filter(F.col("eos_visit").isNull() | (F.col("visit_num") <= F.col("eos_visit")))
+    )
+    cascade = (
+        alive.groupBy("visit_num", "cluster")
+        .agg(
+            F.countDistinct("hhid").cast("bigint").alias("hh_target"),
+            F.countDistinct("extid").cast("bigint").alias("ind_target"),
+        )
+        .select(
+            F.concat(F.lit("V"), F.col("visit_num").cast("string")).alias("visit"),
+            "cluster",
+            "hh_target",
+            "ind_target",
+        )
+    )
+    return v1.unionByName(cascade)
+
+
+@_register("goals_cascade_deep", _goals_cascade_deep_sql(8))
+def goals_cascade_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _goals_cascade_deep(spark, sf_dir, n_visits=8)
