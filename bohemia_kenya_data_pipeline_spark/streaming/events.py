@@ -94,6 +94,17 @@ def sessionize_stream(
 
     State per user is three longs — bounded by active users, not by
     stream length.
+
+    Append-mode determinism: each session emits exactly once, by
+    exactly one mechanism — a data-close updates state to the new
+    session within the same batch, and a timeout removes state before
+    any further emission, so the two can never both fire for one
+    session. Input rows beyond the watermark are filtered before this
+    operator runs (verified in tests/test_streaming.py: a late event
+    can neither resurrect an evicted session nor change its counts),
+    and rows within a batch are sorted here — so emitted values are a
+    pure function of (event set, gap, watermark schedule); arrival
+    order can only move WHICH batch emits a session, never its values.
     """
     gap_us = gap_minutes * 60 * 1_000_000
 

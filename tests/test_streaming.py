@@ -141,3 +141,129 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # arrived: count stays 2, the late event is dropped
     assert counts[BASE] == 2
     assert counts[BASE + dt.timedelta(minutes=30)] == 1
+
+
+def test_sessionize_stream_full_differential_with_timeouts(spark, tmp_path):
+    # EXHAUSTIVE streaming==batch differential: unlike the closed-only
+    # test above, the watermark here advances between micro-batches so
+    # every session — data-closed AND timeout-emitted — appears in the
+    # stream output, and the full set must equal batch sessionize.
+    #
+    # Append-mode determinism argument: each session is emitted exactly
+    # once, by exactly one mechanism — data-driven when a later event of
+    # the same user closes it (the boundary event's batch), or
+    # timeout-driven when the watermark passes session_end + gap. The
+    # two cannot both fire for one session: a data-close updates state
+    # to the NEW session in the same batch, and eviction removes state
+    # before any further emission. Output rows are a pure function of
+    # (event set, gap, watermark schedule); arrival order within a
+    # batch is sorted inside the operator, so replaying the same files
+    # through the same batch boundaries reproduces the output bit-for-
+    # bit. What arrival order CAN move is only the batch in which a
+    # session is emitted, never its values.
+    path = str(tmp_path / "diff_events")
+    s1 = []
+    for u in range(1, 6):
+        s1 += [(u, BASE + dt.timedelta(minutes=5 * j, seconds=u), "c") for j in range(4)]
+    spark.createDataFrame(s1, SCHEMA).coalesce(1).write.parquet(path)
+
+    stream = st.stream_events(spark, path, SCHEMA)
+    out = st.sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_full")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # session 2 per user at +4h; its arrival advances the watermark
+        # to 3h20 > s1 end + gap, so s1 emits via TIMEOUT next batch
+        s2 = []
+        for u in range(1, 6):
+            s2 += [(u, BASE + dt.timedelta(hours=4, minutes=7 * j, seconds=u), "c") for j in range(2)]
+        spark.createDataFrame(s2, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        # dummy-user flush pushes the watermark past s2 end + gap
+        flush = [(99, BASE + dt.timedelta(hours=10), "c")]
+        spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        q.processAllAvailable()  # one more cycle so timeout-only batches run
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_full WHERE user_id < 99").collect()
+    }
+    real = spark.createDataFrame(s1 + s2, SCHEMA)
+    sess = (
+        W.sessionize(real, "user_id", "ts", gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.collect()
+    }
+    assert got == expected
+    assert len(got) == 10  # 5 users x 2 sessions, ALL emitted
+
+
+def test_sessionize_timeout_evicts_state_and_drops_late_events(spark, tmp_path):
+    # state-timeout eviction with out-of-order late data: after the
+    # watermark passes a session and its state is evicted, a late event
+    # inside that old session's window must NOT resurrect it (no
+    # duplicate emission, no count change), and a fresh on-time event
+    # must start a NEW session from clean state.
+    path = str(tmp_path / "evict_events")
+    a = [(1, BASE + dt.timedelta(minutes=m), "c") for m in (0, 5, 10)]
+    spark.createDataFrame(a, SCHEMA).coalesce(1).write.parquet(path)
+
+    stream = st.stream_events(spark, path, SCHEMA)
+    out = st.sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_evict")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark -> 2h: passes session A end (00:10) + 30 min gap
+        w1 = [(2, BASE + dt.timedelta(hours=3), "c")]
+        spark.createDataFrame(w1, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        q.processAllAvailable()  # timeout batch: session A emits, state evicted
+        # LATE out-of-order event at 00:20 — inside session A's gap
+        # window but far beyond the 2h watermark: must be dropped
+        late = [(1, BASE + dt.timedelta(minutes=20), "c")]
+        spark.createDataFrame(late, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        # fresh on-time event for user 1: brand-new session from clean state
+        fresh = [(1, BASE + dt.timedelta(hours=3, minutes=5), "c")]
+        spark.createDataFrame(fresh, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        # final flush times out everything still open
+        flush = [(3, BASE + dt.timedelta(hours=9), "c")]
+        spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_evict WHERE user_id = 1").collect()
+    )
+    # session A exactly once, n=3 (late 00:20 row NOT absorbed),
+    # then one fresh single-event session — never a merged/resurrected one
+    assert rows == [
+        (1, BASE, BASE + dt.timedelta(minutes=10), 3),
+        (1, BASE + dt.timedelta(hours=3, minutes=5),
+         BASE + dt.timedelta(hours=3, minutes=5), 1),
+    ], rows
