@@ -4499,3 +4499,300 @@ def _goals_cascade_deep(spark: SparkSession, sf_dir: str, n_visits: int) -> Data
 @_register("goals_cascade_deep", _goals_cascade_deep_sql(8))
 def goals_cascade_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _goals_cascade_deep(spark, sf_dir, n_visits=8)
+
+
+# ===========================================================================
+# Report pack, round 4 breadth: ICF metric cohorts, ento unpivot with
+# name-part extraction, PK visit matrix
+# ===========================================================================
+
+
+@_register(
+    "icf_verification_metrics",
+    """
+    WITH roster AS (
+      SELECT user_id, ts AS roster_ts FROM (
+        SELECT user_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'signup') WHERE rn = 1),
+    icf AS (
+      SELECT user_id, ts, icf_stat FROM (
+        SELECT user_id, ts, event_id,
+               CASE CAST(event_id % 3 AS INTEGER)
+                 WHEN 0 THEN 'Rectification'
+                 WHEN 1 THEN 'Resolved-Archived'
+                 ELSE 'Lost-Not Found' END AS icf_stat,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type IN ('click', 'purchase')) WHERE rn = 1),
+    cohorts AS (
+      SELECT i.user_id, 'ICF Unresolved' AS metric,
+             DATEDIFF('day', CAST(i.ts AS DATE), DATE '2024-02-05') AS aging_days
+      FROM icf i JOIN roster r ON i.user_id = r.user_id
+      WHERE i.icf_stat = 'Rectification'
+      UNION ALL
+      SELECT i.user_id, 'ICF Resolved', NULL
+      FROM icf i JOIN roster r ON i.user_id = r.user_id
+      WHERE i.icf_stat = 'Resolved-Archived'
+      UNION ALL
+      SELECT i.user_id, 'ICF Missing',
+             DATEDIFF('day', CAST(i.ts AS DATE), DATE '2024-02-05')
+      FROM icf i JOIN roster r ON i.user_id = r.user_id
+      WHERE i.icf_stat = 'Lost-Not Found'
+      UNION ALL
+      SELECT r.user_id, 'ICF Unverified',
+             DATEDIFF('day', CAST(r.roster_ts AS DATE), DATE '2024-02-05')
+      FROM roster r ANTI JOIN icf i ON r.user_id = i.user_id)
+    SELECT user_id, metric, CAST(aging_days AS BIGINT) AS aging_days,
+           CASE
+             WHEN metric = 'ICF Unverified' AND aging_days > 30
+               THEN 'ICF Missing (Unverified >30 days)'
+             WHEN metric = 'ICF Unverified' AND aging_days > 20
+               THEN 'ICF Unverified >20days'
+             WHEN metric = 'ICF Unresolved' AND aging_days > 20
+               THEN 'ICF Unresolved >20days'
+             ELSE metric END AS metric_group
+    FROM cohorts
+    """,
+)
+def icf_verification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICF monitoring metric table (icf_se_report.Rmd:385-510): two ICF
+    streams union to one keep-last-per-participant record; the roster's
+    keep-last enrollment row anti-joins it for the unverified cohort;
+    four cohorts fan out with aging day-counts and an ORDERED aging
+    reclassification (>30 before >20, the Rmd's case_when order).
+
+    Plan shape: events scanned once per stream with pushed event_type
+    filters, keep-last via one window shuffle each, cohort fan-out is
+    UNION ALL over the same two frames (Spark reuses the exchanges),
+    aging buckets are pure Column case_when — no UDFs, no collects.
+    """
+    ev = _t(spark, sf_dir, "events")
+    run_date = F.lit("2024-02-05").cast("date")
+
+    def keep_last(df):
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    roster = keep_last(ev.filter(F.col("event_type") == "signup")).select(
+        "user_id", F.col("ts").alias("roster_ts")
+    )
+    icf = keep_last(
+        ev.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+            "icf_stat",
+            F.when(F.pmod("event_id", F.lit(3)) == 0, "Rectification")
+            .when(F.pmod("event_id", F.lit(3)) == 1, "Resolved-Archived")
+            .otherwise("Lost-Not Found"),
+        )
+    ).select("user_id", "ts", "icf_stat")
+
+    verified = icf.join(roster, "user_id")
+    aging = F.datediff(run_date, F.col("ts").cast("date")).cast("bigint")
+    cohorts = (
+        verified.filter(F.col("icf_stat") == "Rectification")
+        .select("user_id", F.lit("ICF Unresolved").alias("metric"), aging.alias("aging_days"))
+        .unionByName(
+            verified.filter(F.col("icf_stat") == "Resolved-Archived").select(
+                "user_id",
+                F.lit("ICF Resolved").alias("metric"),
+                F.lit(None).cast("bigint").alias("aging_days"),
+            )
+        )
+        .unionByName(
+            verified.filter(F.col("icf_stat") == "Lost-Not Found").select(
+                "user_id", F.lit("ICF Missing").alias("metric"), aging.alias("aging_days")
+            )
+        )
+        .unionByName(
+            roster.join(icf, "user_id", "left_anti").select(
+                "user_id",
+                F.lit("ICF Unverified").alias("metric"),
+                F.datediff(run_date, F.col("roster_ts").cast("date"))
+                .cast("bigint")
+                .alias("aging_days"),
+            )
+        )
+    )
+    a, m = F.col("aging_days"), F.col("metric")
+    return cohorts.select(
+        "user_id",
+        "metric",
+        "aging_days",
+        F.when((m == "ICF Unverified") & (a > 30), "ICF Missing (Unverified >30 days)")
+        .when((m == "ICF Unverified") & (a > 20), "ICF Unverified >20days")
+        .when((m == "ICF Unresolved") & (a > 20), "ICF Unresolved >20days")
+        .otherwise(m)
+        .alias("metric_group"),
+    )
+
+
+@_register(
+    "ento_species_unpivot",
+    """
+    WITH wide AS (
+      SELECT l_orderkey,
+             SUM(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS gambiae_female_num,
+             SUM(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS gambiae_male_num,
+             SUM(CASE WHEN l_linenumber = 3 THEN l_quantity END) AS funestus_female_num,
+             SUM(CASE WHEN l_linenumber = 4 THEN l_quantity END) AS funestus_male_num
+      FROM lineitem GROUP BY 1),
+    long AS (
+      SELECT l_orderkey, 'gambiae_female_num' AS name, gambiae_female_num AS value FROM wide
+      UNION ALL
+      SELECT l_orderkey, 'gambiae_male_num', gambiae_male_num FROM wide
+      UNION ALL
+      SELECT l_orderkey, 'funestus_female_num', funestus_female_num FROM wide
+      UNION ALL
+      SELECT l_orderkey, 'funestus_male_num', funestus_male_num FROM wide)
+    SELECT 'An. ' || REGEXP_EXTRACT(name, 'gambiae|funestus') AS species,
+           REGEXP_EXTRACT(name, 'female|male') AS sex,
+           CAST(COUNT(value) AS BIGINT) AS n_collections,
+           ROUND(SUM(COALESCE(value, 0)), 2) AS total
+    FROM long
+    GROUP BY 1, 2
+    """,
+)
+def ento_species_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ento sponsor-dataset shape (ento_dataset_for_sponsors.Rmd:249-265,
+    342): wide per-collection count columns -> pivot_longer -> the
+    species and sex dimensions are REGEX-EXTRACTED FROM THE COLUMN
+    NAMES ('gambiae|funestus', 'female|male') -> labeled rollup with
+    rowSums-style na.rm totals (COALESCE before SUM).
+
+    Plan shape: one conditional-aggregate pass builds the wide frame
+    (single shuffle), unpivot is a zero-shuffle generate, the name
+    regexes fold at compile time per unpivoted literal.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    qty = lambda n: F.sum(  # noqa: E731
+        F.when(F.col("l_linenumber") == n, F.col("l_quantity"))
+    )
+    wide = li.groupBy("l_orderkey").agg(
+        qty(1).alias("gambiae_female_num"),
+        qty(2).alias("gambiae_male_num"),
+        qty(3).alias("funestus_female_num"),
+        qty(4).alias("funestus_male_num"),
+    )
+    long = wide.unpivot(
+        ["l_orderkey"],
+        [
+            "gambiae_female_num",
+            "gambiae_male_num",
+            "funestus_female_num",
+            "funestus_male_num",
+        ],
+        "name",
+        "value",
+    )
+    return (
+        long.groupBy(
+            F.concat(F.lit("An. "), F.regexp_extract("name", "gambiae|funestus", 0)).alias(
+                "species"
+            ),
+            F.regexp_extract("name", "female|male", 0).alias("sex"),
+        )
+        .agg(
+            F.count("value").cast("bigint").alias("n_collections"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0))), 2).alias("total"),
+        )
+    )
+
+
+@_register(
+    "pk_visit_matrix",
+    """
+    WITH streams AS (
+      SELECT o_custkey, 'visit 0' AS visit_day, o_orderstatus AS pk_status,
+             CAST(o_orderdate AS DATE) AS d, o_orderkey
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_custkey,
+             'visit ' || CAST(CAST(o_orderkey % 3 AS INTEGER) + 1 AS VARCHAR),
+             o_orderstatus, CAST(o_orderdate AS DATE), o_orderkey
+      FROM orders WHERE o_orderpriority = '2-HIGH'
+      UNION ALL
+      SELECT o_custkey, 'follow up', o_orderstatus, CAST(o_orderdate AS DATE),
+             o_orderkey
+      FROM orders WHERE o_orderpriority = '3-MEDIUM'),
+    latest AS (
+      SELECT o_custkey, visit_day, pk_status FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, visit_day
+                                     ORDER BY d DESC, o_orderkey DESC) AS rn
+        FROM streams) WHERE rn = 1)
+    SELECT o_custkey,
+           MAX(CASE WHEN visit_day = 'visit 0' THEN pk_status END) AS visit_0,
+           MAX(CASE WHEN visit_day = 'visit 1' THEN pk_status END) AS visit_1,
+           MAX(CASE WHEN visit_day = 'visit 2' THEN pk_status END) AS visit_2,
+           MAX(CASE WHEN visit_day = 'visit 3' THEN pk_status END) AS visit_3,
+           MAX(CASE WHEN visit_day = 'follow up' THEN pk_status END) AS follow_up
+    FROM latest GROUP BY 1
+    """,
+)
+def pk_visit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK participant flow (pk.Rmd:93-116): three ragged visit streams
+    (day 0 / days 1-3 / follow-up) bind_rows into one long frame, then
+    pivot_wider to one row per participant with a status column per
+    visit day. Keep-last per (participant, visit_day) before the pivot
+    keeps cells single-valued, so the pivot aggregate is degenerate.
+
+    Plan shape: one orders scan per stream with pushed priority
+    filters, one window shuffle for keep-last, pivot with an explicit
+    column list (no .pivot() discovery pass over the data).
+    """
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+    streams = (
+        base.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_custkey", F.lit("visit 0").alias("visit_day"), "o_orderstatus", "d", "o_orderkey"
+        )
+        .unionByName(
+            base.filter(F.col("o_orderpriority") == "2-HIGH").select(
+                "o_custkey",
+                F.concat(
+                    F.lit("visit "), (F.pmod("o_orderkey", F.lit(3)) + 1).cast("string")
+                ).alias("visit_day"),
+                "o_orderstatus",
+                "d",
+                "o_orderkey",
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderpriority") == "3-MEDIUM").select(
+                "o_custkey",
+                F.lit("follow up").alias("visit_day"),
+                "o_orderstatus",
+                "d",
+                "o_orderkey",
+            )
+        )
+    )
+    w = Window.partitionBy("o_custkey", "visit_day").orderBy(
+        F.desc("d"), F.desc("o_orderkey")
+    )
+    latest = (
+        streams.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "d", "o_orderkey")
+    )
+    cell = lambda day: F.max(  # noqa: E731
+        F.when(F.col("visit_day") == day, F.col("o_orderstatus"))
+    )
+    return latest.groupBy("o_custkey").agg(
+        cell("visit 0").alias("visit_0"),
+        cell("visit 1").alias("visit_1"),
+        cell("visit 2").alias("visit_2"),
+        cell("visit 3").alias("visit_3"),
+        cell("follow up").alias("follow_up"),
+    )
