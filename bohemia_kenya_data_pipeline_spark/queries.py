@@ -4796,3 +4796,135 @@ def pk_visit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell("visit 3").alias("visit_3"),
         cell("follow up").alias("follow_up"),
     )
+
+
+@_register(
+    "pharmacy_ledger_reconciliation",
+    """
+    WITH base AS (
+      SELECT DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS run_date,
+             CASE CAST(l_partkey % 5 AS INTEGER)
+               WHEN 0 THEN 'ivm' WHEN 1 THEN 'alb' WHEN 2 THEN 'coartem80'
+               WHEN 3 THEN 'coartem20' ELSE 'prdt' END AS drug,
+             l_returnflag, l_linestatus, l_quantity
+      FROM lineitem),
+    arrival AS (
+      SELECT run_date, drug, SUM(l_quantity) AS arrival FROM base
+      WHERE l_returnflag = 'N' GROUP BY 1, 2),
+    dispatch AS (
+      SELECT run_date, drug, SUM(l_quantity) AS dispatch FROM base
+      WHERE l_returnflag = 'A' GROUP BY 1, 2),
+    unused_return AS (
+      SELECT run_date, drug, SUM(l_quantity) AS unused_return FROM base
+      WHERE l_returnflag = 'R' AND l_linestatus = 'F' GROUP BY 1, 2),
+    unusable_return AS (
+      SELECT run_date, drug, SUM(l_quantity) AS unusable_return FROM base
+      WHERE l_returnflag = 'R' AND l_linestatus = 'O' GROUP BY 1, 2)
+    SELECT a.run_date, a.drug,
+           ROUND(a.arrival, 2) AS arrival,
+           ROUND(COALESCE(d.dispatch, 0), 2) AS dispatch,
+           ROUND(COALESCE(u.unused_return, 0), 2) AS unused_return,
+           ROUND(COALESCE(x.unusable_return, 0), 2) AS unusable_return,
+           ROUND(a.arrival - COALESCE(d.dispatch, 0) - COALESCE(u.unused_return, 0)
+                 - COALESCE(x.unusable_return, 0), 2) AS net_balance
+    FROM arrival a
+    LEFT JOIN dispatch d ON a.run_date = d.run_date AND a.drug = d.drug
+    LEFT JOIN unused_return u ON a.run_date = u.run_date AND a.drug = u.drug
+    LEFT JOIN unusable_return x ON a.run_date = x.run_date AND a.drug = x.drug
+    """,
+)
+def pharmacy_ledger_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pharmacy flow ledger (monitoring/pharmacy.Rmd:433-537): each
+    stock movement (arrival / dispatch / unused return / unusable
+    return) is its own filtered pivot-longer cohort with the drug name
+    normalized by case_when; the cohorts then purrr::reduce(left_join)
+    into one wide (run_date, drug) ledger with replace_na(0) across
+    every metric and a derived net balance.
+
+    Plan shape: ONE lineitem scan feeds all four cohorts (Spark reuses
+    the exchange on the shared (run_date, drug) grouping); the
+    reduce-left-join chain is three joins on the same keys, so AQE
+    plans them as one shuffle lineage; zero-fill and net are Column
+    exprs. At 100 TB this is 4 partial aggregates + 3 co-partitioned
+    joins — no data-size explosion anywhere.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.date_trunc("month", F.col("l_shipdate").cast("date"))
+        .cast("date")
+        .alias("run_date"),
+        F.when(F.pmod("l_partkey", F.lit(5)) == 0, "ivm")
+        .when(F.pmod("l_partkey", F.lit(5)) == 1, "alb")
+        .when(F.pmod("l_partkey", F.lit(5)) == 2, "coartem80")
+        .when(F.pmod("l_partkey", F.lit(5)) == 3, "coartem20")
+        .otherwise("prdt")
+        .alias("drug"),
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+    )
+
+    def cohort(cond, out):
+        return (
+            base.filter(cond)
+            .groupBy("run_date", "drug")
+            .agg(F.sum("l_quantity").alias(out))
+        )
+
+    rf, ls = F.col("l_returnflag"), F.col("l_linestatus")
+    ledger = (
+        cohort(rf == "N", "arrival")
+        .join(cohort(rf == "A", "dispatch"), ["run_date", "drug"], "left")
+        .join(cohort((rf == "R") & (ls == "F"), "unused_return"), ["run_date", "drug"], "left")
+        .join(cohort((rf == "R") & (ls == "O"), "unusable_return"), ["run_date", "drug"], "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731
+    return ledger.select(
+        "run_date",
+        "drug",
+        F.round("arrival", 2).alias("arrival"),
+        F.round(z("dispatch"), 2).alias("dispatch"),
+        F.round(z("unused_return"), 2).alias("unused_return"),
+        F.round(z("unusable_return"), 2).alias("unusable_return"),
+        F.round(
+            F.col("arrival") - z("dispatch") - z("unused_return") - z("unusable_return"), 2
+        ).alias("net_balance"),
+    )
+
+
+@_register(
+    "household_size_distribution",
+    """
+    WITH hh AS (
+      SELECT c_nationkey AS hhid, COUNT(*) AS hh_size
+      FROM customer GROUP BY 1)
+    SELECT CAST(hh_size AS BIGINT) AS hh_size,
+           CAST(COUNT(*) AS BIGINT) AS n_households,
+           ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS pct
+    FROM hh GROUP BY 1
+    """,
+)
+def household_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Household composition histogram (v0_demography_report.Rmd
+    member-per-household rollups): group members to households, then
+    group households by their size — a two-level aggregation whose
+    second pass runs over group COUNTS, not rows — plus a pct share
+    via a global window.
+
+    Plan shape: shuffle 1 on hhid (map-side combined), shuffle 2 on
+    hh_size over the already-tiny household frame; the global-total
+    window runs on the final few-row frame. Scales as two cheap aggs.
+    """
+    c = _t(spark, sf_dir, "customer")
+    hh = c.groupBy(F.col("c_nationkey").alias("hhid")).agg(
+        F.count(F.lit(1)).alias("hh_size")
+    )
+    dist = hh.groupBy("hh_size").agg(F.count(F.lit(1)).alias("n_households"))
+    return dist.select(
+        F.col("hh_size").cast("bigint"),
+        F.col("n_households").cast("bigint"),
+        F.round(
+            F.col("n_households") * 100.0 / F.sum("n_households").over(Window.partitionBy()),
+            2,
+        ).alias("pct"),
+    )
