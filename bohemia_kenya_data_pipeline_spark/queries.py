@@ -4928,3 +4928,334 @@ def household_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("pct"),
     )
+
+
+# ===========================================================================
+# TPC-H analog pack, round 4: Q4/Q7/Q8/Q12/Q17/Q21/Q22 shapes adapted to
+# the available columns (no commitdate/receiptdate/shipmode/partsupp in
+# the driver's schema — "late" is defined against o_orderdate instead)
+# ===========================================================================
+
+
+@_register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-07-01'
+      AND o.o_orderdate < DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30)
+    GROUP BY 1
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q4 shape: EXISTS decorrelates to a left-semi join; the extra
+    # late-shipment condition rides the join (l_shipdate vs
+    # o_orderdate + 30 replaces commitdate < receiptdate, which the
+    # driver schema lacks). Date range pushes to the orders scan.
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 30))
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@_register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS INTEGER) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+           OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+      AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q7 shape: bilateral trade volume — two nation dims with a
+    # DISJUNCTIVE pair predicate that can only filter AFTER both dim
+    # joins, yearly rollup. Dims broadcast; the ship-date range is the
+    # only scan-level filter on the fact.
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        s.join(l, s["s_suppkey"] == l["l_suppkey"])
+        .join(o, o["o_orderkey"] == l["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "tpch_q8_market_share",
+    """
+    WITH all_sales AS (
+      SELECT CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'AFRICA'
+        AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01')
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM all_sales GROUP BY 1
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q8 shape: national market share — conditional-sum ratio over a
+    # snowflake restricted to one CUSTOMER region, yearly. The
+    # numerator condition (supplier nation) must NOT filter the join:
+    # it becomes a CASE inside the aggregate.
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sales = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    national = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
+    return sales.groupBy("o_year").agg(
+        F.round(F.sum(national) / F.sum("volume"), 4).alias("mkt_share")
+    )
+
+
+@_register(
+    "tpch_q12_late_shipments",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+      AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q12 shape: priority-class conditional counts over late shipments,
+    # grouped by linestatus (the schema's stand-in for shipmode). The
+    # inter-column lateness predicate evaluates post-join; the ship
+    # date range still pushes to the lineitem scan.
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY 1)
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'BRAND_5'
+      AND l.l_quantity < a.qty_threshold
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q17 shape: correlated AVG subquery decorrelated into a per-part
+    # aggregate joined back to the fact — the classic two-pass plan.
+    # The brand filter broadcasts; the per-part threshold join shuffles
+    # on l_partkey only once (AQE reuses the aggregate's exchange).
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND_5")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("pa_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60),
+    all_supps AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) w
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM all_supps a
+                  WHERE a.l_orderkey = w.l_orderkey AND a.l_suppkey <> w.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late x
+                      WHERE x.l_orderkey = w.l_orderkey AND x.l_suppkey <> w.l_suppkey)
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q21 shape: the sole-late-supplier triple — one EXISTS (another
+    # supplier participated) and one NOT EXISTS (no other supplier was
+    # late) against the same fact, decorrelated to a semi- and an
+    # anti-join with a <> rider on the shared orderkey equi-key.
+    # "Late" = shipped >60 days after order date (no receipt/commit
+    # dates in this schema).
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_supps = l.select("l_orderkey", "l_suppkey").distinct()
+    other = all_supps.select(
+        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    w = (
+        late.join(
+            other,
+            (F.col("a_orderkey") == F.col("l_orderkey"))
+            & (F.col("a_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        ).join(
+            other_late,
+            (F.col("x_orderkey") == F.col("l_orderkey"))
+            & (F.col("x_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        w.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@_register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS threshold FROM customer WHERE c_acctbal > 0.0),
+    eligible AS (
+      SELECT c.c_custkey, CAST(c.c_nationkey % 7 AS INTEGER) AS cntrycode,
+             c.c_acctbal
+      FROM customer c, avg_bal a
+      WHERE c.c_acctbal > a.threshold
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1999-01-01'))
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM eligible GROUP BY 1
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q22 shape: a GLOBAL scalar aggregate (avg positive balance)
+    # gating the scan, then an anti-join against orders — the
+    # scalar-subquery-plus-NOT-EXISTS pattern. The scalar becomes a
+    # broadcast 1-row cross join (no collect; the plan stays lazy).
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("threshold"))
+    )
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.pmod("c_nationkey", F.lit(7)).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -63,3 +63,45 @@ def test_spatial_assign_zero_exchange(spark):
     # literal-polygon fold: the whole assignment is scan-local
     plan = _plan(QUERIES["spatial_cluster_assign"](spark, SF_DIR))
     assert "Exchange" not in plan
+
+
+def test_q4_semi_join_and_date_pushdown(spark):
+    # EXISTS must decorrelate to a semi join, and the order-date range
+    # must reach the orders scan
+    plan = _plan(QUERIES["tpch_q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_q7_dims_broadcast(spark):
+    # both nation dims broadcast; the fact never shuffles for them
+    plan = _plan(QUERIES["tpch_q7_volume_shipping"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q17_reuses_partkey_shuffle(spark):
+    # the decorrelated per-part aggregate and its join back to the fact
+    # share the l_partkey hash layout: the brand dim broadcasts and the
+    # plan carries at most the two l_partkey exchanges (agg + join side)
+    plan = _plan(QUERIES["tpch_q17_small_quantity_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(l_partkey") <= 2
+
+
+def test_q21_semi_and_anti_join(spark):
+    plan = _plan(QUERIES["tpch_q21_waiting_supplier"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_icf_metrics_pushes_event_type(spark):
+    # each stream's event_type filter reaches the parquet scan
+    plan = _plan(QUERIES["icf_verification_metrics"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(event_type)" in plan
+
+
+def test_pharmacy_ledger_single_scan_shape(spark):
+    # all four movement cohorts group on (run_date, drug); the
+    # reduce-left-join chain must not introduce a non-key exchange
+    plan = _plan(QUERIES["pharmacy_ledger_reconciliation"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(run_date") <= 4
