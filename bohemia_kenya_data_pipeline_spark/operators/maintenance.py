@@ -1,0 +1,159 @@
+"""Table-maintenance operators: the layout jobs a 100 TB lakehouse
+needs between writes — small-file detection, compaction, and
+range-clustered rewrites for data-skipping.
+
+The reference's serving layer is rebuilt by bulk parquet loads
+(pipeline-cleaning/R/03.run_parquet_load_clean_form.R,
+04.run_parquet_load_sanitized_form.R); single-node R never needs
+layout maintenance, but its Spark re-expression does: a streaming
+or per-form append pipeline produces many small files (each task
+writes one), and parquet footer min/max stats only prune reads when
+files are clustered on the predicate columns.
+
+Design notes (100 TB):
+- `dataset_file_stats` is a metadata aggregation over
+  ``input_file_name()`` — one scan, no extra listing RPCs per file.
+- `compact` sizes its output file count from the MEASURED dataset
+  bytes (filesystem listing, driver-side metadata only), not a
+  guessed repartition number.
+- `cluster_write` uses repartitionByRange + sortWithinPartitions:
+  a range exchange (sampled bounds) instead of a global sort — the
+  same total-ordering layout at a fraction of the shuffle cost, and
+  each output file covers a disjoint key range so footer stats prune.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def dataset_file_stats(
+    spark: SparkSession, path: str, small_file_mb: float = 16.0
+) -> DataFrame:
+    """Per-file layout report of a parquet dataset: (file, n_rows,
+    size_bytes, is_small). The small-file detector that decides
+    whether :func:`compact` is worth a rewrite.
+
+    Row counts come from one distributed scan grouped by
+    ``input_file_name()``; sizes come from the driver's filesystem
+    listing (metadata-only, no data read) joined in as a broadcast.
+    """
+    # input_file_name() and Hadoop Path.toString() render the same
+    # file with different scheme forms (file:/// vs file:/) — join on
+    # the scheme-stripped path
+    norm = lambda c: F.regexp_replace(c, r"^[a-z0-9.+-]+:/+", "/")  # noqa: E731
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(norm(F.input_file_name()).alias("file"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    sizes = _list_parquet_files(spark, path).select(
+        norm(F.col("file")).alias("file"), "size_bytes"
+    )
+    return (
+        rows.join(F.broadcast(sizes), "file", "left")
+        .withColumn("is_small", F.col("size_bytes") < int(small_file_mb * 1024 * 1024))
+        .select("file", "n_rows", "size_bytes", "is_small")
+    )
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> DataFrame:
+    """(file, size_bytes) for every data file under ``path`` via the
+    Hadoop FileSystem API — works for any scheme Spark can read
+    (file://, s3a://, ...), and normalizes to the same URI form
+    ``input_file_name()`` reports."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(".parquet"):
+            out.append((name, st.getLen()))
+    return spark.createDataFrame(out, "file STRING, size_bytes BIGINT")
+
+
+def dataset_size_bytes(spark: SparkSession, path: str) -> int:
+    """Total data bytes of a parquet dataset (driver-side listing)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().toString().endswith(".parquet"):
+            total += st.getLen()
+    return total
+
+
+def compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: float = 128.0,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Rewrite a many-small-files dataset into ~``target_file_mb``
+    files; returns the output file count it sized.
+
+    File count = ceil(measured_bytes / target) — measured from the
+    source listing, never guessed. With ``partition_by``, rows are
+    repartitioned on the partition columns first so each Hive
+    partition is written by as few tasks as fan-in allows (the
+    standard append-pipeline compaction job).
+
+    ``dst`` must differ from ``src``: the swap (write new, validate,
+    rename) is the caller's transaction, matching the reference's
+    bulk-load-then-replace pattern
+    (03.run_parquet_load_clean_form.R's full-refresh semantics).
+    """
+    if os.path.normpath(src) == os.path.normpath(dst):
+        raise ValueError("compact writes to a new location; src == dst")
+    total = dataset_size_bytes(spark, src)
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    writer = df.repartition(n_files, *partition_by) if partition_by else df.repartition(n_files)
+    w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(dst)
+    return n_files
+
+
+def cluster_write(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered rewrite: repartitionByRange on
+    ``cluster_cols`` (sampled range bounds — one exchange, NOT a
+    global sort) + sortWithinPartitions, so every output file covers
+    a disjoint, internally-sorted key range.
+
+    Why it matters at 100 TB: parquet row-group/footer min-max stats
+    prune reads only when values are clustered; after this rewrite a
+    point or range predicate on the cluster key touches O(1) files
+    instead of all of them. The verification that ranges really are
+    disjoint lives in tests/test_maintenance.py.
+    """
+    if not cluster_cols:
+        raise ValueError("cluster_write needs at least one cluster column")
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

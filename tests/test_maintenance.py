@@ -1,0 +1,102 @@
+"""Golden tests for table-maintenance operators (IO shape — no SQL
+oracle is possible for layout): small-file detection, measured-size
+compaction, and range-clustered writes whose per-file min/max ranges
+must be disjoint (the property parquet footer pruning relies on)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import maintenance as mt
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """A deliberately over-fragmented dataset: 5k rows in 64 files."""
+    path = str(tmp_path / "frag")
+    spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.sha1(F.col("id").cast("string")).alias("pad")
+    ).repartition(64).write.parquet(path)
+    return path
+
+
+def test_file_stats_counts_every_file_and_row(spark, fragmented):
+    stats = mt.dataset_file_stats(spark, fragmented, small_file_mb=16.0)
+    rows = stats.collect()
+    assert len(rows) == 64
+    assert sum(r.n_rows for r in rows) == 5000
+    # every 5k/64-row file is far below 16 MB
+    assert all(r.is_small for r in rows)
+    assert all(r.size_bytes and r.size_bytes > 0 for r in rows)
+
+
+def test_compact_sizes_output_from_measured_bytes(spark, fragmented, tmp_path):
+    dst = str(tmp_path / "compacted")
+    total = mt.dataset_size_bytes(spark, fragmented)
+    # pick a target that should yield exactly 2 files
+    target_mb = (total / 2) / (1024 * 1024) + 1e-9
+    n = mt.compact(spark, fragmented, dst, target_file_mb=target_mb)
+    assert n == 2
+    files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert len(files) == 2
+    # content preserved exactly
+    src_sum = spark.read.parquet(fragmented).agg(F.sum("id")).collect()[0][0]
+    dst_sum = spark.read.parquet(dst).agg(F.sum("id")).collect()[0][0]
+    assert src_sum == dst_sum
+    assert spark.read.parquet(dst).count() == 5000
+
+
+def test_compact_refuses_in_place(spark, fragmented):
+    with pytest.raises(ValueError):
+        mt.compact(spark, fragmented, fragmented)
+
+
+def test_compact_partitioned_layout(spark, tmp_path):
+    src, dst = str(tmp_path / "psrc"), str(tmp_path / "pdst")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).alias("part")
+    ).repartition(16).write.parquet(src)
+    mt.compact(spark, src, dst, target_file_mb=1.0, partition_by=["part"])
+    # hive layout produced, content preserved per partition
+    assert sorted(os.path.basename(p) for p in glob.glob(os.path.join(dst, "part=*"))) == [
+        "part=0",
+        "part=1",
+        "part=2",
+    ]
+    got = {
+        r.part: r.n
+        for r in spark.read.parquet(dst).groupBy("part").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {0: 334, 1: 333, 2: 333}
+
+
+def test_cluster_write_ranges_are_disjoint_and_sorted(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    df = spark.range(10_000).select(
+        (F.hash("id") % 100_000).alias("key"), F.col("id").alias("payload")
+    )
+    mt.cluster_write(df, path, ["key"], n_files=8)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert 1 < len(files) <= 8
+    spans = []
+    for f in files:
+        part = spark.read.parquet(f)
+        mn, mx = part.agg(F.min("key"), F.max("key")).collect()[0]
+        # sorted inside the file: key sequence equals its sorted self
+        keys = [r.key for r in part.select("key").collect()]
+        assert keys == sorted(keys)
+        spans.append((mn, mx))
+    spans.sort()
+    # disjoint file ranges -> footer min/max pruning works
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_cluster_write_validates_cols(spark, tmp_path):
+    with pytest.raises(ValueError):
+        mt.cluster_write(spark.range(10), str(tmp_path / "x"), [], 4)
