@@ -112,3 +112,73 @@ def split_by_hash(
         cum += weights[label] / total
         expr = expr.when(h < _threshold_hex(cum), F.lit(label))
     return df.withColumn(out_col, expr.otherwise(F.lit(labels[-1])))
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-domain weighted sampling: keep ~``fractions[group]`` of each
+    group's rows, deterministically by key hash — the domain-mixture
+    knob of a pretraining pipeline ("60% web, 20% code, 20% books"),
+    expressed as per-group keep rates.
+
+    Groups absent from ``fractions`` keep ``default_fraction`` (0 ==
+    dropped). Selection is a scan-local when-chain over literal hex
+    thresholds — no join, no shuffle, no RNG; membership is
+    reproducible across engines and partitionings like
+    :func:`sample_by_hash`, and changing one group's rate does not
+    reshuffle any other group's membership (each row's fate depends
+    only on its own hash and its group's threshold).
+    """
+    if not fractions:
+        raise ValueError("fractions must be a non-empty dict")
+    h = _hash_hex(F.col(key_col), seed)
+    grp = F.col(group_col)
+    chain = F.when(F.lit(False), F.lit(False))
+    for g, frac in fractions.items():
+        chain = chain.when(grp == g, h < _threshold_hex(frac))
+    chain = chain.otherwise(h < _threshold_hex(default_fraction))
+    return df.filter(chain)
+
+
+def take_token_budget(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Select documents per group until a token budget fills: rows are
+    ranked by a deterministic hash priority (an unbiased, reproducible
+    shuffle order), then kept while the budget is not yet exhausted
+    BEFORE the row — so every group takes at least one document and
+    overshoots by at most one document's tokens, the standard
+    pretraining-mixture cutoff rule.
+
+    One window shuffle on ``group_col``; the cumulative sum is a
+    running frame (no second pass). At 100 TB group count is small
+    (domains/languages), so per-group ordering dominates — the same
+    cost profile as any per-domain ranking, and far cheaper than a
+    global sort.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_hash_hex(F.col(id_col), seed), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("__running", running)
+        .filter(F.col("__running") - F.col(token_col) < budget)
+        .drop("__running")
+    )

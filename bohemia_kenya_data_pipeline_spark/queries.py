@@ -5259,3 +5259,53 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@_register(
+    "domain_mix_sample",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE CASE
+      WHEN lang = 'en' THEN substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < '80000000'
+      WHEN lang = 'de' THEN substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < '40000000'
+      ELSE substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < '1999999a'
+    END
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pretraining domain-mixture sampling: per-language keep rates
+    # (50% en, 25% de, 10% rest), deterministic md5-threshold
+    # membership — scan-local, no shuffle, cross-engine exact.
+    d = smp.stratified_sample_by_hash(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 0.25},
+        default_fraction=0.1,
+    )
+    return d.select("doc_id", "lang", "source")
+
+
+@_register(
+    "token_budget_take",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM documents)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE running - n_chars < 20000
+    """,
+)
+def token_budget_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-domain token-budget cutoff: deterministic hash-priority
+    # order, keep while the budget is unexhausted before the row (at
+    # least one doc per group, overshoot <= one doc). One window
+    # shuffle on lang.
+    d = smp.take_token_budget(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", 20000, "doc_id"
+    )
+    return d.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))

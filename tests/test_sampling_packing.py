@@ -208,3 +208,53 @@ def test_sample_fraction_out_of_range_raises(spark):
     # boundary values stay legal
     assert smp.sample_by_hash(df, "id", 1.0).count() == 10
     assert smp.sample_by_hash(df, "id", 0.0).count() == 0
+
+
+def test_stratified_sample_rates_and_independence(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    df = spark.range(20_000).select(
+        F.col("id"), F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("grp")
+    )
+    out = smp.stratified_sample_by_hash(df, "id", "grp", {"a": 0.5, "b": 0.1})
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["a"] / 10_000 - 0.5) < 0.03
+    assert abs(counts["b"] / 10_000 - 0.1) < 0.03
+    # changing one group's rate must not disturb the other group's
+    # membership (per-row fate depends only on own hash + own rate)
+    out2 = smp.stratified_sample_by_hash(df, "id", "grp", {"a": 0.5, "b": 0.9})
+    a1 = {r.id for r in out.filter(F.col("grp") == "a").collect()}
+    a2 = {r.id for r in out2.filter(F.col("grp") == "a").collect()}
+    assert a1 == a2
+    # unlisted groups drop by default
+    df3 = df.withColumn("grp", F.lit("zzz"))
+    assert smp.stratified_sample_by_hash(df3, "id", "grp", {"a": 0.5}).count() == 0
+    with pytest.raises(ValueError):
+        smp.stratified_sample_by_hash(df, "id", "grp", {})
+
+
+def test_take_token_budget_invariants(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "x").otherwise("y").alias("grp"),
+        (F.pmod(F.hash("id"), F.lit(500)) + 1).alias("tokens"),
+    )
+    budget = 5000
+    out = smp.take_token_budget(df, "grp", "tokens", budget, "id")
+    rows = out.groupBy("grp").agg(
+        F.sum("tokens").alias("total"), F.max("tokens").alias("mx"), F.count("*").alias("n")
+    ).collect()
+    for r in rows:
+        assert r.n >= 1
+        # overshoot bounded by one document
+        assert r.total < budget + r.mx
+    # partition-layout invariance: same selection at different parallelism
+    ids_a = {r.id for r in out.collect()}
+    ids_b = {
+        r.id for r in smp.take_token_budget(df.repartition(13), "grp", "tokens", budget, "id").collect()
+    }
+    assert ids_a == ids_b
+    with pytest.raises(ValueError):
+        smp.take_token_budget(df, "grp", "tokens", 0, "id")
