@@ -390,3 +390,72 @@ def unigram_logprob(
             ).alias("mean_nll"),
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_regex: str = "\n",
+    join_sep: str = "\n",
+    policy: str = "keep_first",
+    max_doc_count: int = 2,
+) -> DataFrame:
+    """Line/paragraph-level exact dedup across the corpus — the
+    C4/RefinedWeb boilerplate-removal pass that document-level dedup
+    cannot express (nav bars, cookie banners, licence headers repeat
+    across otherwise-unique pages).
+
+    Policies:
+    - ``keep_first``: every distinct line survives only at its
+      globally first occurrence (ordered by (id, position)); all later
+      copies — including repeats inside one document — are removed.
+    - ``drop_common``: remove EVERY occurrence of lines appearing in
+      more than ``max_doc_count`` distinct documents (the C4 rule);
+      lines at or below the threshold stay in place, repeats inside a
+      single document count once.
+
+    Returns (id, text) with each document reassembled in original line
+    order; documents whose every line was removed come back as ''.
+
+    Scale shape: posexplode -> ONE wide shuffle keyed on md5(line)
+    (16-byte keys, not line bodies — the same trick as
+    :func:`~.dedup.exact_duplicates`) -> groupBy id to reassemble.
+    Line order is restored from the recorded position, so the rebuild
+    is partitioning-independent.
+    """
+    if policy not in ("keep_first", "drop_common"):
+        raise ValueError(f"unknown policy {policy!r}: use keep_first/drop_common")
+    ids = df.select(F.col(id_col)).distinct()
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_regex)).alias("pos", "line"),
+    ).withColumn("line_hash", F.md5("line"))
+    if policy == "keep_first":
+        w = Window.partitionBy("line_hash").orderBy(F.col(id_col), F.col("pos"))
+        kept = (
+            lines.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    else:
+        w = Window.partitionBy("line_hash")
+        kept = (
+            lines.withColumn(
+                "__docs", F.size(F.collect_set(F.col(id_col)).over(w))
+            )
+            .filter(F.col("__docs") <= max_doc_count)
+            .drop("__docs")
+        )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            join_sep,
+        ).alias(text_col)
+    )
+    return ids.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )

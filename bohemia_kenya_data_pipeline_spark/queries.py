@@ -5309,3 +5309,37 @@ def token_budget_take(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "lang", "n_chars", 20000, "doc_id"
     )
     return d.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+@_register(
+    "line_dedup_corpus",
+    """
+    WITH prep AS (
+      SELECT doc_id,
+             string_split(replace(text, ' table ', chr(10)), chr(10)) AS ls
+      FROM documents),
+    lines AS (
+      SELECT doc_id, ls[CAST(n AS INTEGER)+1] AS line, CAST(n AS INTEGER) AS pos
+      FROM prep, UNNEST(range(len(ls))) AS t(n)),
+    firsts AS (
+      SELECT doc_id, line, pos,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+      FROM lines),
+    rebuilt AS (
+      SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS text
+      FROM firsts WHERE rk = 1 GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4/RefinedWeb line-level dedup (keep-first). The corpus is
+    # single-line synthetic text, so the query first derives
+    # deterministic line breaks (' table ' -> newline) identically in
+    # both engines, then removes every re-occurrence of a line across
+    # the whole corpus and reassembles documents in order.
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " table ", "\n").alias("text")
+    )
+    return tx.dedup_lines(d, "text", "doc_id")

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bohemia_kenya_data_pipeline_spark.operators import dedup
 
@@ -69,3 +70,69 @@ def test_incremental_dedup_null_text_and_store(spark):
     assert ids == [1, 2]
     # the store never receives NULL hashes
     assert all(r.content_hash is not None for r in new_hashes.collect())
+
+
+def test_dedup_lines_keep_first(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique one\ncookie banner"),
+            (2, "cookie banner\nunique two"),
+            (3, "cookie banner"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in tx.dedup_lines(df).collect()}
+    # first occurrence survives; later copies (cross-doc AND the
+    # within-doc repeat in doc 1) are removed
+    assert out[1] == "cookie banner\nunique one"
+    assert out[2] == "unique two"
+    # doc 3 lost its only line -> empty string, row preserved
+    assert out[3] == ""
+
+
+def test_dedup_lines_drop_common(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "boiler\nkeep a\nboiler"),
+            (2, "boiler\nkeep b"),
+            (3, "boiler\nkeep c"),
+            (4, "pair\nkeep d"),
+            (5, "pair\nkeep e"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.text
+        for r in tx.dedup_lines(df, policy="drop_common", max_doc_count=2).collect()
+    }
+    # 'boiler' appears in 3 docs (> 2): removed everywhere, including
+    # both copies inside doc 1; 'pair' (2 docs, at threshold) stays
+    assert out[1] == "keep a"
+    assert out[2] == "keep b"
+    assert out[3] == "keep c"
+    assert out[4] == "pair\nkeep d"
+    assert out[5] == "pair\nkeep e"
+
+
+def test_dedup_lines_partition_invariance_and_validation(spark):
+    import pytest as _pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared header\nbody "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    a = {r.doc_id: r.text for r in tx.dedup_lines(df).collect()}
+    b = {r.doc_id: r.text for r in tx.dedup_lines(df.repartition(17)).collect()}
+    assert a == b
+    assert a[0] == "shared header\nbody 0"
+    assert a[5] == "body 5"
+    with _pytest.raises(ValueError):
+        tx.dedup_lines(df, policy="nope")
