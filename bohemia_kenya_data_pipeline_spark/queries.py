@@ -5343,3 +5343,33 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.regexp_replace("text", " table ", "\n").alias("text")
     )
     return tx.dedup_lines(d, "text", "doc_id")
+
+
+@_register(
+    "price_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY 1
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact grouped percentiles (type-7 linear interpolation in both
+    # engines). Exact percentile is a sort-based aggregate per group —
+    # fine at dim-sized group counts; the approx_percentile sketch is
+    # the 100 TB default for high-cardinality groups (rows-only
+    # semantics, covered by count_distinct_approx-style goldens).
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p90"),
+            F.round(F.col("p")[2], 4).alias("p99"),
+        )
+    )

@@ -229,3 +229,59 @@ def interval_join_streams(
         & (rw[right_ts] <= lw[left_ts])
     )
     return lw.join(rw, cond, "inner")
+
+
+def incremental_dedup_sink(
+    stream: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming corpus ingest with exact dedup against an append-only
+    hash store: each micro-batch runs
+    :func:`~..operators.dedup.incremental_exact_dedup` against the
+    store as of the batch start, appends accepted documents to
+    ``out_path`` and their hashes to ``store_path``.
+
+    foreachBatch because the dedup needs a fresh read of the
+    (batch-updated) store every trigger — a static join would pin the
+    store snapshot at query start, and dropDuplicates-with-state would
+    hold every hash in executor state forever (the store IS the state,
+    spilled to the lakehouse where it belongs at 10^12-doc scale).
+
+    Delivery contract (documented, tested): accepted docs are written
+    BEFORE their hashes commit, so a crash between the two writes
+    replays the batch and re-emits its rows — at-least-once on
+    ``out_path``, while the store stays a strict subset of emitted
+    hashes (never claims a doc it lost). Replayed batches whose hashes
+    DID commit self-suppress to zero rows. Downstream exactly-once =
+    dedup on content_hash, which the output carries for that purpose.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from ..operators import dedup as _dd
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            history = spark.read.parquet(store_path).select("content_hash")
+        except Exception:  # first batch: store does not exist yet
+            history = spark.createDataFrame([], "content_hash STRING")
+        accepted, new_hashes = _dd.incremental_exact_dedup(
+            batch_df, history, text_col, id_col
+        )
+        accepted = accepted.persist()
+        try:
+            accepted.write.mode("append").parquet(out_path)
+            new_hashes.write.mode("append").parquet(store_path)
+        finally:
+            accepted.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -267,3 +267,55 @@ def test_sessionize_timeout_evicts_state_and_drops_late_events(spark, tmp_path):
         (1, BASE + dt.timedelta(hours=3, minutes=5),
          BASE + dt.timedelta(hours=3, minutes=5), 1),
     ], rows
+
+
+def test_incremental_dedup_sink_matches_sequential_batch(spark, tmp_path):
+    """Streamed ingest with the hash-store sink must equal running the
+    batch incremental dedup over the same files in arrival order."""
+    from bohemia_kenya_data_pipeline_spark.operators import dedup as dd
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "accepted")
+    store = str(tmp_path / "hash_store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id BIGINT, text STRING"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    # file 1: internal dup (11/12 same text); file 2: cross-file dups
+    f1 = [(10, "alpha"), (11, "beta"), (12, "beta"), (13, "gamma")]
+    f2 = [(20, "alpha"), (21, "delta"), (22, "gamma"), (23, "epsilon"), (24, "delta")]
+
+    write_file("f1", f1)
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = se.incremental_dedup_sink(stream, out, store, ckpt)
+    q.awaitTermination(60)
+
+    write_file("f2", f2)
+    q2 = se.incremental_dedup_sink(stream, out, store, ckpt)
+    q2.awaitTermination(60)
+
+    got = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+
+    # batch replay of the same arrival order
+    hist = spark.createDataFrame([], "content_hash STRING")
+    expect = set()
+    for rows in (f1, f2):
+        batch = spark.createDataFrame(rows, schema)
+        acc, new = dd.incremental_exact_dedup(batch, hist)
+        expect |= {(r.doc_id, r.text) for r in acc.select("doc_id", "text").collect()}
+        hist = hist.unionByName(new.select("content_hash")).distinct()
+    assert got == expect
+    # store holds exactly one hash per distinct accepted text
+    n_store = spark.read.parquet(store).distinct().count()
+    assert n_store == len({t for _, t in expect})
+    # one representative per text overall
+    assert len({t for _, t in got}) == len(got)
