@@ -450,3 +450,250 @@ def nearest_centroid_assign(
     return top.groupBy(label_col, F.col("c_label").alias("assigned_label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third ANN family (LSH, IVF, PQ)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    dim: int, n_subspaces: int, n_codewords: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic codebooks ``[subspace][codeword][sub_dim]`` from
+    the same LCG as :func:`random_hyperplanes` — the fixed-codebook
+    path that makes the whole PQ pipeline (encode + ADC scoring)
+    exactly reproducible cross-engine, mirroring how the sign-LSH
+    queries share literal planes with their SQL oracle.
+    Data-trained codebooks (:func:`pq_train_codebooks`) drop in
+    unchanged."""
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    flat = random_hyperplanes(sub, n_subspaces * n_codewords, seed)
+    return [
+        flat[m * n_codewords : (m + 1) * n_codewords] for m in range(n_subspaces)
+    ]
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook_literal(cb_m: list[list[float]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.array(*[F.lit(float(v)) for v in cw]).alias("cw"),
+            )
+            for k, cw in enumerate(cb_m)
+        ]
+    )
+
+
+def pq_code(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """PQ code of a vector: array<int> of length n_subspaces, entry m =
+    argmin-L2 codeword id of subvector m (ties -> smaller id, via
+    strict ``<`` in the fold). Pure Column math — encoding 10^12 rows
+    is a scan, no shuffle."""
+    sub = len(codebooks[0][0])
+    parts = []
+    # argmin via array_position(d, array_min(d)): no higher-order
+    # lambdas beyond one zip_with fold per (m, k) with unique literal
+    # children — sibling transform-over-struct-literal expressions
+    # made Catalyst conflate their lambda variables (subspace m scored
+    # against another subspace's codewords with NULL padding), and a
+    # chained when(...).otherwise(best_struct) doubles the tree per
+    # codeword (2^K nodes). array_position returns the FIRST match,
+    # so ties break to the smaller codeword id, deterministically.
+    for m, cb_m in enumerate(codebooks):
+        sv = F.slice(vec, m * sub + 1, sub)
+        d_arr = F.array(
+            *[_l2sq(sv, F.array(*[F.lit(float(v)) for v in cw])) for cw in cb_m]
+        )
+        parts.append((F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int"))
+    return F.array(*parts)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, pq_code): the compressed corpus representation — M small
+    ints instead of dim floats (64-dim float32 -> 8 bytes at M=8, an
+    8x memory cut before any scoring happens)."""
+    return df.select(
+        F.col(id_col), pq_code(_as_double(vec_col), codebooks).alias("pq_code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: corpus rows are scored through
+    their PQ codes only — per pair the cost is M table lookups + M
+    adds instead of a dim-length dot product, and the corpus side
+    ships codes (bytes), not vectors.
+
+    Shape: each query precomputes its lookup table (M x K subspace
+    distances) ONCE in a projection; the scoring join then indexes
+    that literal-sized array by the corpus code. Queries broadcast
+    (the top-k contract keeps the query set small); corpus streams.
+    Returns (query_id, neighbor_id, adc_dist, rank) — approximate by
+    construction; recall vs exact is golden-tested, and the whole
+    deterministic pipeline is oracle-mirrored in SQL with the same
+    literal codebooks.
+    """
+    sub = len(codebooks[0][0])
+    codes = pq_encode(corpus, codebooks, vec_col, id_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qv = _as_double(vec_col)
+    # the LUT is built with EXPLICIT per-codeword folds, not
+    # transform-over-struct-literals: nesting many higher-order
+    # functions in one expression tree makes Catalyst conflate their
+    # lambda variables (observed: subspace m's distances silently
+    # computed against another subspace's codewords, with NULL
+    # padding), so the only lambdas left here are one zip_with fold
+    # per (m, k) with unique literal children
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _l2sq(
+                        F.slice(qv, m * sub + 1, sub),
+                        F.array(*[F.lit(float(v)) for v in cw]),
+                    )
+                    for cw in cb_m
+                ]
+            )
+            for m, cb_m in enumerate(codebooks)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
+    code = F.col("pq_code")
+    score = None
+    for m in range(len(codebooks)):
+        # element_at is 1-based and takes a Column index (getItem with
+        # a Column key silently yields NULL on arrays)
+        term = F.element_at(F.col("lut")[m], code[m] + 1)
+        score = term if score is None else score + term
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(score, 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int,
+    n_codewords: int,
+    n_iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_fraction: float | None = None,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: independent L2 Lloyd per subspace, seeded
+    from deterministic hash-ranked rows (no RNG state), optionally on
+    a hash-sample of the corpus (``train_fraction`` — same 100 TB
+    knob as :func:`ivf_train_centroids`; codeword quality needs
+    representativeness, not the full corpus).
+
+    One exploded (row x subspace) frame drives all subspaces at once,
+    so each Lloyd round is ONE groupBy over (subspace, assigned code)
+    — M independent k-means without M separate scans. Only the k x M
+    codeword means ever reach the driver.
+    """
+    from .sampling import sample_by_hash
+
+    if train_fraction is not None:
+        if not 0 < train_fraction <= 1:
+            raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+        corpus = sample_by_hash(corpus, id_col, train_fraction, seed)
+    first = corpus.select(F.col(vec_col)).first()
+    if first is None:
+        raise ValueError("cannot train codebooks on an empty corpus")
+    dim = len(first[0])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    subs = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[F.slice(_as_double(vec_col), m * sub + 1, sub) for m in range(n_subspaces)]
+            )
+        ).alias("m", "sv"),
+    )
+    subs = subs.persist()
+    try:
+        # deterministic seeds: the n_codewords hash-smallest rows per
+        # subspace (hash of id|seed, same everywhere)
+        wseed = Window.partitionBy("m").orderBy(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}"))), F.col(id_col)
+        )
+        seeds = (
+            subs.withColumn("__r", F.row_number().over(wseed))
+            .filter(F.col("__r") <= n_codewords)
+            .select("m", (F.col("__r") - 1).alias("k"), F.col("sv"))
+            .collect()
+        )
+        books: list[list[list[float]]] = [
+            [None] * n_codewords for _ in range(n_subspaces)  # type: ignore[list-item]
+        ]
+        for r in seeds:
+            books[r.m][r.k] = [float(x) for x in r.sv]
+        for m in range(n_subspaces):
+            for k_ in range(n_codewords):
+                if books[m][k_] is None:  # tiny corpus: repeat seed 0
+                    books[m][k_] = list(books[m][0])
+        for _ in range(n_iters):
+            # per-subspace argmin (array_position of array_min — see
+            # pq_code for why not transform/when-chain) dispatched on m
+            def argmin_m(m: int):
+                d_arr = F.array(
+                    *[
+                        _l2sq(F.col("sv"), F.array(*[F.lit(float(v)) for v in cw]))
+                        for cw in books[m]
+                    ]
+                )
+                return (F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int")
+
+            assign = F.lit(None).cast("int")
+            for m in range(n_subspaces):
+                assign = F.when(F.col("m") == m, argmin_m(m)).otherwise(assign)
+            assigned = subs.withColumn("k", assign)
+            means = (
+                assigned.groupBy("m", "k")
+                .agg(
+                    F.array(
+                        *[F.avg(F.col("sv")[i]).alias(f"c{i}") for i in range(sub)]
+                    ).alias("mean_sv")
+                )
+                .collect()
+            )
+            for r in means:
+                books[r.m][r.k] = [float(x) for x in r.mean_sv]
+        return books
+    finally:
+        subs.unpersist()

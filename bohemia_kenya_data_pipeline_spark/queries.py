@@ -5373,3 +5373,71 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p")[2], 4).alias("p99"),
         )
     )
+
+
+#: PQ grid codebooks shared between the Spark query and its SQL oracle
+#: (the literal-parameter pattern used by the sign-LSH oracle above).
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
+_PQ_CB = sim.pq_codebooks(64, _PQ_M, _PQ_K)
+
+
+def _pq_sql() -> str:
+    cb_rows = ",\n      ".join(
+        f"({m}, {k}, [{', '.join(repr(float(v)) for v in cw)}]::DOUBLE[])"
+        for m, book in enumerate(_PQ_CB)
+        for k, cw in enumerate(book)
+    )
+    # left-associated explicit sum mirrors Spark's zip_with fold order
+    # (0.0 + t1 + t2 + ...), keeping the doubles bit-identical so the
+    # argmin tie-break (ORDER BY d, k vs array_position-of-min) agrees
+    d_expr = " + ".join(
+        f"(e[CAST(s.m*{_PQ_SUB}+{i} AS INTEGER)] - cw[{i}])"
+        f" * (e[CAST(s.m*{_PQ_SUB}+{i} AS INTEGER)] - cw[{i}])"
+        for i in range(1, _PQ_SUB + 1)
+    )
+    return f"""
+    WITH cb(m, k, cw) AS (VALUES
+      {cb_rows}),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    subspaces AS (SELECT CAST(UNNEST(range({_PQ_M})) AS INTEGER) AS m),
+    dists AS (
+      SELECT c.vec_id, s.m, cb.k, {d_expr} AS d
+      FROM corpus c CROSS JOIN subspaces s
+      JOIN cb ON cb.m = s.m),
+    codes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM dists) WHERE rn = 1),
+    qdists AS (
+      SELECT vec_id, m, k, d FROM dists WHERE vec_id % 50 = 0),
+    pair_scores AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             ROUND(SUM(q.d), 6) AS adc_dist
+      FROM codes n
+      JOIN qdists q ON q.m = n.m AND q.k = n.k
+      WHERE q.vec_id <> n.vec_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rank
+      FROM pair_scores)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@_register("pq_topk", _pq_sql())
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization ANN (third family beside LSH and IVF): the
+    # corpus is encoded to M=8 codeword ids (argmin-L2 per subspace,
+    # first-tie-smallest-id) and scored through per-query ADC lookup
+    # tables — M lookups + adds per pair instead of a 64-dim dot. The
+    # fixed LCG codebooks are shared as literals with the SQL oracle,
+    # so encode + ADC + ranking are checked end-to-end; data-trained
+    # codebooks (pq_train_codebooks) are recall-golden-tested in
+    # tests/test_similarity.py (training has no SQL mirror).
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.pq_topk(emb, queries, _PQ_CB, k=5)

@@ -102,3 +102,105 @@ def test_ivf_sampled_training_deterministic(spark):
         emb.repartition(7), n_centroids=4, n_iters=2, train_fraction=0.5
     )
     assert c1 == c2  # hash-sample is partition-invariant
+
+
+def test_pq_lossless_codebooks_recover_exact_topk(spark):
+    """If each subspace codebook contains every corpus subvector, PQ
+    encoding is lossless and ADC must equal exact L2 — the degenerate
+    configuration that pins the whole encode/score path, like
+    n_probe=n_centroids does for IVF."""
+    import itertools
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+    from bohemia_kenya_data_pipeline_spark.operators.similarity import _l2sq
+
+    n, dim, m = 12, 8, 2
+    vecs = [
+        [float(((i * 7 + j * 13) % 19) - 9) for j in range(dim)] for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    sub = dim // m
+    books = [[v[s * sub : (s + 1) * sub] for v in vecs] for s in range(m)]
+    out = sim.pq_topk(df, df, books, k=3)
+    got = {(r.query_id, r.neighbor_id): r.adc_dist for r in out.collect()}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    for qi, qv in enumerate(vecs):
+        exact = sorted(
+            ((l2(qv, vecs[ni]), ni) for ni in range(n) if ni != qi)
+        )[:3]
+        for rank, (d, ni) in enumerate(exact, start=1):
+            assert (qi, ni) in got
+            assert abs(got[(qi, ni)] - d) < 1e-6
+
+
+def test_pq_trained_beats_grid_codebooks(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+    from bohemia_kenya_data_pipeline_spark.operators.similarity import _l2sq, _as_double
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = (
+        F.broadcast(
+            q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        )
+        .crossJoin(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _l2sq(
+                F.transform(F.col("qv"), lambda x: x.cast("double")),
+                F.transform(F.col("cv"), lambda x: x.cast("double")),
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in exact.withColumn("r", F.row_number().over(w)).filter("r<=5").collect()
+    }
+
+    def recall(books):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.pq_topk(emb, q, books, k=5).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    grid = recall(sim.pq_codebooks(64, 8, 16))
+    trained = recall(sim.pq_train_codebooks(emb, 8, 16, n_iters=3))
+    # training must help substantially on real data, and sampled
+    # training must stay in the same quality band as full-corpus
+    assert trained > grid + 0.1
+    assert trained >= 0.15
+    sampled = recall(sim.pq_train_codebooks(emb, 8, 16, n_iters=3, train_fraction=0.5))
+    assert sampled >= trained - 0.1
+
+
+def test_pq_validation(spark):
+    import pytest as _pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    with _pytest.raises(ValueError):
+        sim.pq_codebooks(63, 8, 16)
+    emb = spark.range(0).selectExpr("id AS vec_id", "ARRAY(1.0d) AS embedding")
+    with _pytest.raises(ValueError):
+        sim.pq_train_codebooks(emb, 1, 2)
+    with _pytest.raises(ValueError):
+        sim.pq_train_codebooks(
+            spark.range(3).selectExpr("id AS vec_id", "ARRAY(1.0d, 2.0d) AS embedding"),
+            2,
+            2,
+            train_fraction=1.5,
+        )
