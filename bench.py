@@ -68,6 +68,13 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_supplier",
+    "pq_topk",
+    "line_dedup_corpus",
+    "icf_verification_metrics",
+    "pharmacy_ledger_reconciliation",
+    "token_budget_take",
 ]
 
 

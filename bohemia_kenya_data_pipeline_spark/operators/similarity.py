@@ -10,8 +10,11 @@ JVM-side, no Python UDF in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -484,6 +487,20 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _l2sq_lit(vec: Column, base: int, cw: list[float]) -> Column:
+    """L2² between the sub-slice of ``vec`` at ``base`` and a LITERAL
+    codeword, as one compact zip_with fold. Fully-unrolled getItem
+    arithmetic was tried and REJECTED: 1024 explicit terms per
+    projection exceeds Janino's 64 KB method limit, and the failed
+    compile + interpreted fallback cost ~3x the fold plan. ``vec``
+    must be a plain array column (cast("array<double>") upstream, a
+    native cast) — never a transform(...) expression, whose getItem
+    re-runs the whole lambda per element (the bind_once lesson)."""
+    return _l2sq(
+        F.slice(vec, base + 1, len(cw)), F.array(*[F.lit(float(v)) for v in cw])
+    )
+
+
 def _codebook_literal(cb_m: list[list[float]]) -> Column:
     return F.array(
         *[
@@ -512,10 +529,7 @@ def pq_code(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     # codeword (2^K nodes). array_position returns the FIRST match,
     # so ties break to the smaller codeword id, deterministically.
     for m, cb_m in enumerate(codebooks):
-        sv = F.slice(vec, m * sub + 1, sub)
-        d_arr = F.array(
-            *[_l2sq(sv, F.array(*[F.lit(float(v)) for v in cw])) for cw in cb_m]
-        )
+        d_arr = F.array(*[_l2sq_lit(vec, m * sub, cw) for cw in cb_m])
         parts.append((F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int"))
     return F.array(*parts)
 
@@ -525,13 +539,43 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    plan: str = "arrow",
 ) -> DataFrame:
     """(id, pq_code): the compressed corpus representation — M small
     ints instead of dim floats (64-dim float32 -> 8 bytes at M=8, an
-    8x memory cut before any scoring happens)."""
-    return df.select(
-        F.col(id_col), pq_code(_as_double(vec_col), codebooks).alias("pq_code")
-    )
+    8x memory cut before any scoring happens).
+
+    ``plan='arrow'`` (default) encodes in a vectorized pandas UDF —
+    one (batch, M, K) numpy distance tensor per Arrow batch. This is
+    the deliberate exception to the engine's built-ins-first rule:
+    the Column formulation needs K*M nested folds whose Catalyst
+    ANALYSIS alone costs seconds per query (and an unrolled
+    arithmetic version breaks Janino's 64 KB method limit — see
+    ``_l2sq_lit``), while the numpy tensor op is a microseconds-per-
+    row scan. ``plan='expr'`` keeps the pure-Column path as the
+    cross-engine bit-exactness reference (both hash-match the SQL
+    oracle: numpy's small-axis sums are sequential left-to-right,
+    same IEEE-double order as the fold and the SQL chain; ties break
+    to the first/smallest codeword id in all three)."""
+    if plan == "expr":
+        return df.select(
+            F.col(id_col),
+            pq_code(F.col(vec_col).cast("array<double>"), codebooks).alias("pq_code"),
+        )
+    if plan != "arrow":
+        raise ValueError(f"unknown plan {plan!r}: use 'arrow' or 'expr'")
+    cb = np.asarray(codebooks, dtype=np.float64)  # (M, K, sub)
+    n_sub, _, sub = cb.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(list(vecs), dtype=np.float64)  # (n, dim)
+        xs = x.reshape(len(x), n_sub, 1, sub)
+        d = ((xs - cb[None, :, :, :]) ** 2).sum(axis=-1)  # (n, M, K)
+        codes = d.argmin(axis=-1).astype("int32")  # first min -> smallest k
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), encode(F.col(vec_col)).alias("pq_code"))
 
 
 def pq_topk(
@@ -560,29 +604,24 @@ def pq_topk(
     codes = pq_encode(corpus, codebooks, vec_col, id_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    qv = _as_double(vec_col)
-    # the LUT is built with EXPLICIT per-codeword folds, not
-    # transform-over-struct-literals: nesting many higher-order
-    # functions in one expression tree makes Catalyst conflate their
-    # lambda variables (observed: subspace m's distances silently
-    # computed against another subspace's codewords, with NULL
-    # padding), so the only lambdas left here are one zip_with fold
-    # per (m, k) with unique literal children
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _l2sq(
-                        F.slice(qv, m * sub + 1, sub),
-                        F.array(*[F.lit(float(v)) for v in cw]),
-                    )
-                    for cw in cb_m
-                ]
-            )
-            for m, cb_m in enumerate(codebooks)
-        ]
+    cb_np = np.asarray(codebooks, dtype=np.float64)  # (M, K, sub)
+    n_sub = cb_np.shape[0]
+
+    # per-query ADC lookup table, Arrow-vectorized for the same
+    # planning-cost reason as pq_encode (an all-Column LUT needs M*K
+    # sibling fold expressions; building them also tripped a Catalyst
+    # lambda-variable collision when written as sibling transforms —
+    # subspace m scored against another subspace's codewords)
+    @pandas_udf("array<array<double>>")
+    def make_lut(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(list(vecs), dtype=np.float64)
+        xs = x.reshape(len(x), n_sub, 1, cb_np.shape[2])
+        lut = ((xs - cb_np[None, :, :, :]) ** 2).sum(axis=-1)  # (n, M, K)
+        return pd.Series([list(map(list, row)) for row in lut])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), make_lut(F.col(vec_col)).alias("lut")
     )
-    q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
     code = F.col("pq_code")
     score = None
     for m in range(len(codebooks)):
@@ -672,10 +711,7 @@ def pq_train_codebooks(
             # pq_code for why not transform/when-chain) dispatched on m
             def argmin_m(m: int):
                 d_arr = F.array(
-                    *[
-                        _l2sq(F.col("sv"), F.array(*[F.lit(float(v)) for v in cw]))
-                        for cw in books[m]
-                    ]
+                    *[_l2sq_lit(F.col("sv"), 0, cw) for cw in books[m]]
                 )
                 return (F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int")
 

@@ -204,3 +204,25 @@ def test_pq_validation(spark):
             2,
             train_fraction=1.5,
         )
+
+
+def test_pq_arrow_and_expr_plans_agree(spark):
+    """The Arrow encode (default) and the pure-Column 'expr' reference
+    must produce identical codes — numpy's sequential small-axis sums
+    and first-min argmin mirror the fold + array_position semantics."""
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(300)
+    cb = sim.pq_codebooks(64, 8, 16)
+    a = {r.vec_id: list(r.pq_code) for r in sim.pq_encode(emb, cb).collect()}
+    b = {
+        r.vec_id: list(r.pq_code)
+        for r in sim.pq_encode(emb, cb, plan="expr").collect()
+    }
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sim.pq_encode(emb, cb, plan="nope")
