@@ -155,3 +155,80 @@ def test_chunking_reconstructs_tokens(spark, n_tokens, chunk):
         toks = ctext.split() if ctext else []
         stitched.extend(toks if cid == 0 else toks[overlap:])
     assert stitched == ([f"t{i}" for i in range(n_tokens)] or [])
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    ),
+    seed=st.integers(0, 2**16),
+)
+@settings(**_SETTINGS)
+def test_dedup_lines_model_equivalence(spark, texts, seed):
+    """dedup_lines(keep_first) must match the obvious sequential model:
+    walk documents by id, keep a line only the first time its text is
+    seen anywhere — regardless of input row order / partitioning."""
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    docs = [(i, "\n".join(lines)) for i, lines in enumerate(texts)]
+    seen: set[str] = set()
+    expect = {}
+    for i, lines in enumerate(texts):
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        expect[i] = "\n".join(kept)
+    shuffled = docs[:]
+    random.Random(seed).shuffle(shuffled)
+    df = spark.createDataFrame(shuffled, ["doc_id", "text"]).repartition(3)
+    got = {r.doc_id: r.text for r in tx.dedup_lines(df).collect()}
+    assert got == expect
+
+
+@given(
+    tokens=st.lists(st.integers(1, 50), min_size=1, max_size=30),
+    budget=st.integers(1, 300),
+)
+@settings(**_SETTINGS)
+def test_take_token_budget_model_equivalence(spark, tokens, budget):
+    """Selection must equal the sequential model over the operator's
+    own deterministic hash order: take docs while spent < budget."""
+    import hashlib
+
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    rows = [(i, "g", t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, ["id", "grp", "tokens"])
+    order = sorted(
+        range(len(tokens)),
+        key=lambda i: (hashlib.md5(f"{i}|42".encode()).hexdigest()[:8], i),
+    )
+    spent, keep = 0, set()
+    for i in order:
+        if spent < budget:
+            keep.add(i)
+            spent += tokens[i]
+    got = {r.id for r in smp.take_token_budget(df, "grp", "tokens", budget, "id").collect()}
+    assert got == keep
+
+
+@given(vec=st.lists(st.floats(-5, 5, allow_nan=False, width=32), min_size=8, max_size=8))
+@settings(**_SETTINGS)
+def test_pq_roundtrip_identity_when_codebook_contains_vector(spark, vec):
+    """A vector whose exact subvectors are in the codebooks must encode
+    to those codewords with ADC distance 0 against itself."""
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    vec = [float(v) for v in vec]
+    m, sub = 2, 4
+    books = [
+        [vec[s * sub : (s + 1) * sub]] + [[v + 10.0 for v in vec[s * sub : (s + 1) * sub]]]
+        for s in range(m)
+    ]
+    df = spark.createDataFrame([(0, vec)], "vec_id INT, embedding ARRAY<DOUBLE>")
+    code = sim.pq_encode(df, books).collect()[0].pq_code
+    assert list(code) == [0, 0]
