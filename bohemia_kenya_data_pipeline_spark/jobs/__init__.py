@@ -3,6 +3,12 @@ three DataFrame->DataFrame stages a deployment schedules per form,
 plus the corpus-curation DAG for training-data pipelines."""
 
 from .cleaning import clean_form, run_anomaly_detection, sanitize_form
-from .curation import curate_corpus
+from .curation import build_pretrain_dataset, curate_corpus
 
-__all__ = ["clean_form", "sanitize_form", "run_anomaly_detection", "curate_corpus"]
+__all__ = [
+    "clean_form",
+    "sanitize_form",
+    "run_anomaly_detection",
+    "curate_corpus",
+    "build_pretrain_dataset",
+]

@@ -51,3 +51,58 @@ def curate_corpus(
     ).drop("__uniq")
     deduped = dd.drop_exact_duplicates(kept, text_col="text_clean", id_col=id_col)
     return smp.split_by_hash(deduped, id_col, weights, seed=seed)
+
+
+def build_pretrain_dataset(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+    line_split_regex: str = "\n",
+    mix: dict[str, float] | None = None,
+    default_mix: float = 0.1,
+    token_budget: int = 20_000,
+    pack_tokens: int = 512,
+    seed: int = 42,
+) -> DataFrame:
+    """The full pretraining-mixture pipeline as ONE lazy plan:
+    corpus line-dedup (boilerplate removal) → exact document dedup →
+    per-domain mixture sampling → per-domain token budget → sequence
+    packing into training shards.
+
+    Returns (id, domain, n_tokens, cum_tokens, chunk_id) — one row per
+    surviving document with its shard assignment. Every stage is the
+    oracle-checked operator it names; the composition itself is
+    oracle-checked end-to-end by ``queries.pretrain_mix``.
+
+    Shuffle census at 100 TB: line dedup (1 on md5(line) + 1 rebuild
+    groupBy), exact dedup (1 on md5(text)), mixture sampling (0 —
+    scan-local hash thresholds), token budget + packing (1 window on
+    the domain — they share the same (domain, hash-priority) sort, so
+    Spark plans ONE exchange + sort for both windows).
+    """
+    mix = mix or {"en": 0.9, "de": 0.6}
+    domains = docs.select(F.col(id_col), F.col(domain_col))
+    deduped_lines = tx.dedup_lines(
+        docs, text_col, id_col, split_regex=line_split_regex
+    ).filter(F.length(F.col(text_col)) > 0)
+    exact = dd.drop_exact_duplicates(deduped_lines, text_col, id_col)
+    with_domain = exact.join(domains, id_col).withColumn(
+        "n_tokens", tx.token_count(text_col).cast("bigint")
+    )
+    mixed = smp.stratified_sample_by_hash(
+        with_domain, id_col, domain_col, mix, default_fraction=default_mix, seed=seed
+    )
+    budgeted = smp.take_token_budget(
+        mixed, domain_col, "n_tokens", token_budget, id_col, seed=seed
+    )
+    from ..operators import windows as W
+
+    packed = W.pack_sequences(
+        budgeted.select(id_col, domain_col, "n_tokens"),
+        "n_tokens",
+        id_col,
+        [domain_col],
+        pack_tokens,
+    )
+    return packed.select(id_col, domain_col, "n_tokens", "cum_tokens", "chunk_id")

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import jobs
 from .operators import dedup as dd
 from .operators import similarity as sim
 from .operators import text as tx
@@ -5441,3 +5442,71 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return sim.pq_topk(emb, queries, _PQ_CB, k=5)
+
+
+@_register(
+    "pretrain_mix",
+    f"""
+    WITH prep AS (
+      SELECT doc_id,
+             string_split(replace(text, ' table ', chr(10)), chr(10)) AS ls
+      FROM documents),
+    lines AS (
+      SELECT doc_id, ls[CAST(n AS INTEGER)+1] AS line, CAST(n AS INTEGER) AS pos
+      FROM prep, UNNEST(range(len(ls))) AS t(n)),
+    firsts AS (
+      SELECT doc_id, line, pos,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+      FROM lines),
+    rebuilt AS (
+      SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS text
+      FROM firsts WHERE rk = 1 GROUP BY doc_id),
+    nonempty AS (
+      SELECT doc_id, text FROM rebuilt WHERE LENGTH(text) > 0),
+    exact AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        FROM nonempty) WHERE doc_id = rep),
+    with_domain AS (
+      SELECT e.doc_id, d.lang,
+             CAST(len({{toks}}) AS BIGINT) AS n_tokens
+      FROM exact e JOIN documents d ON e.doc_id = d.doc_id),
+    mixed AS (
+      SELECT * FROM with_domain
+      WHERE CASE
+        WHEN lang = 'en' THEN substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < 'e6666666'
+        WHEN lang = 'de' THEN substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < '9999999a'
+        ELSE substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < '1999999a'
+      END),
+    budgeted AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                 PARTITION BY lang
+                 ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM mixed) WHERE running - n_tokens < 20000)
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(FLOOR((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) / 512.0)
+                AS BIGINT) AS chunk_id
+    FROM budgeted
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """.replace("{toks}", _SQL_TOKS.format(c="e.text")),
+)
+def pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composed pretraining-mixture pipeline (jobs.curation.
+    # build_pretrain_dataset): corpus line-dedup -> exact dedup ->
+    # per-language mixture sampling (90% en / 60% de / 10% rest) ->
+    # per-language 20k-token budget -> 512-token shard packing, all
+    # one lazy plan, oracle-checked end-to-end. Line breaks are
+    # derived deterministically (' table ' -> newline) like
+    # line_dedup_corpus.
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " table ", "\n").alias("text"), "lang"
+    )
+    return jobs.build_pretrain_dataset(
+        d, mix={"en": 0.9, "de": 0.6}, default_mix=0.1
+    )

@@ -105,3 +105,12 @@ def test_pharmacy_ledger_single_scan_shape(spark):
     # reduce-left-join chain must not introduce a non-key exchange
     plan = _plan(QUERIES["pharmacy_ledger_reconciliation"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning(run_date") <= 4
+
+
+def test_pretrain_mix_window_exchange_shared(spark):
+    # token-budget and shard-packing windows both sort on
+    # (lang, hash-priority) / (lang, doc_id): the plan may carry at
+    # most 2 lang-keyed exchanges (budget+pack) on top of the two
+    # dedup exchanges — anything more means a lost exchange reuse
+    plan = _plan(QUERIES["pretrain_mix"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(lang") <= 2
