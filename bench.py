@@ -116,19 +116,26 @@ def _cleaning_dag_e2e(spark, sf_dir: str) -> None:
         "bench",
         typo_fixes={"village": {"CLICK": "CLICKED"}},
     )
-    sanitized = jobs.sanitize_form(clean, ["firstname"], ["instanceID", "hhid"])
-    keyed = clean.withColumnRenamed("instanceID", "KEY")
-    final, summary = jobs.run_anomaly_detection(
-        [
-            lambda: ql.detect_threshold(
-                keyed, "Accuracy", "bench", "gps_accuracy", "GPS accuracy above 15m", 15.0
-            ),
-            lambda: ql.detect_duplication(keyed, "hhid", "bench", "dup_hhid"),
-        ]
-    )
-    _noop(sanitized)
-    _noop(final)
-    _noop(summary)
+    # three zone sinks fan out from one cleaned frame; persisting it is
+    # the standard multi-output pattern (otherwise each sink re-runs
+    # the whole correction engine)
+    clean = clean.persist()
+    try:
+        sanitized = jobs.sanitize_form(clean, ["firstname"], ["instanceID", "hhid"])
+        keyed = clean.withColumnRenamed("instanceID", "KEY")
+        final, summary = jobs.run_anomaly_detection(
+            [
+                lambda: ql.detect_threshold(
+                    keyed, "Accuracy", "bench", "gps_accuracy", "GPS accuracy above 15m", 15.0
+                ),
+                lambda: ql.detect_duplication(keyed, "hhid", "bench", "dup_hhid"),
+            ]
+        )
+        _noop(sanitized)
+        _noop(final)
+        _noop(summary)
+    finally:
+        clean.unpersist()
 
 
 def main() -> None:

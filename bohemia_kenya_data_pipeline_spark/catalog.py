@@ -224,3 +224,44 @@ def export_sheet_csv(df: DataFrame, path: str, max_rows: int = 20000) -> None:
         write_csv(df, path, single_file=True)
     finally:
         df.unpersist()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    path: str,
+    sort_keys: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a fact table bucketed (and optionally sorted) on its
+    join keys — pay the shuffle ONCE at write time; every later join
+    or groupBy on those keys runs with zero exchange (plan-asserted in
+    tests/test_bucketing.py with broadcast disabled).
+
+    This is the 100 TB strategy for a fact table that every downstream
+    query joins on the same key (e.g. form tables on instanceID, the
+    corpus on doc_id). Bucketing requires the table catalog, hence
+    ``saveAsTable`` with an explicit external ``path``; read back with
+    :func:`read_bucketed` (``spark.table`` — a plain
+    ``read.parquet(path)`` would drop the bucket metadata and
+    re-shuffle).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not keys:
+        raise ValueError("write_bucketed needs at least one bucket key")
+    w = (
+        df.write.bucketBy(n_buckets, *keys)
+        .sortBy(*(sort_keys or keys))
+        .option("path", path)
+        .mode(mode)
+    )
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a table written by :func:`write_bucketed`, keeping its
+    bucket metadata (exchange-free joins/aggs on the bucket keys)."""
+    return spark.table(table)

@@ -62,3 +62,27 @@ def test_bucketed_aggregate_has_no_shuffle(spark, warehouse_tables):
     # groupBy on the bucket key reuses the write-time partitioning
     assert "Exchange hashpartitioning" not in plan, plan
     assert agg.count() == 10_000
+
+
+def test_catalog_bucketed_api_roundtrip_no_shuffle(spark, tmp_path):
+    from bohemia_kenya_data_pipeline_spark import catalog as cat
+
+    df = spark.range(2000).selectExpr("id % 50 AS k", "id AS v")
+    spark.sql("DROP TABLE IF EXISTS api_bucketed")
+    cat.write_bucketed(df, "api_bucketed", ["k"], 8, str(tmp_path / "api_bucketed"))
+    try:
+        back = cat.read_bucketed(spark, "api_bucketed")
+        assert back.count() == 2000
+        agg = back.groupBy("k").count()
+        plan = agg._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+        )
+        assert "Exchange hashpartitioning" not in plan
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            cat.write_bucketed(df, "x", [], 8, str(tmp_path / "x"))
+        with _pytest.raises(ValueError):
+            cat.write_bucketed(df, "x", ["k"], 0, str(tmp_path / "x"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS api_bucketed")
