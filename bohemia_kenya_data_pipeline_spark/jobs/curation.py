@@ -78,8 +78,10 @@ def build_pretrain_dataset(
     Shuffle census at 100 TB: line dedup (1 on md5(line) + 1 rebuild
     groupBy), exact dedup (1 on md5(text)), mixture sampling (0 —
     scan-local hash thresholds), token budget + packing (1 window on
-    the domain — they share the same (domain, hash-priority) sort, so
-    Spark plans ONE exchange + sort for both windows).
+    the domain: BOTH windows order by the same (hash-priority, id)
+    keys — the packing step reuses the budget step's priority column
+    explicitly — so Spark plans one exchange and one sort for the
+    pair).
     """
     mix = mix or {"en": 0.9, "de": 0.6}
     domains = docs.select(F.col(id_col), F.col(domain_col))
@@ -97,12 +99,17 @@ def build_pretrain_dataset(
         mixed, domain_col, "n_tokens", token_budget, id_col, seed=seed
     )
     from ..operators import windows as W
+    from ..operators.sampling import _hash_hex
 
+    prio = budgeted.select(id_col, domain_col, "n_tokens").withColumn(
+        "__prio", _hash_hex(F.col(id_col), seed)
+    )
     packed = W.pack_sequences(
-        budgeted.select(id_col, domain_col, "n_tokens"),
+        prio,
         "n_tokens",
-        id_col,
+        "__prio",
         [domain_col],
         pack_tokens,
+        tiebreak_cols=[id_col],
     )
     return packed.select(id_col, domain_col, "n_tokens", "cum_tokens", "chunk_id")

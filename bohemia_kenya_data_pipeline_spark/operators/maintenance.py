@@ -81,6 +81,18 @@ def _list_parquet_files(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(out, "file STRING, size_bytes BIGINT")
 
 
+def _qualified_uri(spark: SparkSession, path: str) -> str:
+    """Filesystem-qualified URI of ``path`` — 'file:///data/t',
+    '/data/t' and 'file:/data/t' all normalize to the same string, so
+    the compact src==dst guard can't be bypassed by spelling the same
+    location in a different URI form."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    return str(fs.makeQualified(hpath))
+
+
 def dataset_size_bytes(spark: SparkSession, path: str) -> int:
     """Total data bytes of a parquet dataset (driver-side listing)."""
     jvm = spark.sparkContext._jvm
@@ -117,7 +129,7 @@ def compact(
     bulk-load-then-replace pattern
     (03.run_parquet_load_clean_form.R's full-refresh semantics).
     """
-    if os.path.normpath(src) == os.path.normpath(dst):
+    if _qualified_uri(spark, src) == _qualified_uri(spark, dst):
         raise ValueError("compact writes to a new location; src == dst")
     total = dataset_size_bytes(spark, src)
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))

@@ -109,7 +109,9 @@ def split_by_hash(
     cum = 0.0
     expr = F.when(key.isNull(), F.lit(None).cast("string"))
     for label in labels[:-1]:
-        cum += weights[label] / total
+        # clamp: float accumulation can land at 1.0 + eps for valid
+        # weights, which _threshold_hex correctly rejects from callers
+        cum = min(cum + weights[label] / total, 1.0)
         expr = expr.when(h < _threshold_hex(cum), F.lit(label))
     return df.withColumn(out_col, expr.otherwise(F.lit(labels[-1])))
 

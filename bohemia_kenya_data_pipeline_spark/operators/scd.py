@@ -67,11 +67,15 @@ def merge_scd2(
     sides are bucketed on it — see tests/test_bucketing.py).
     """
     keys = list(key_cols)
-    # exact-duplicate snapshot rows are harmless noise; dropping them is
-    # deterministic (all columns equal) and keeps the join key unique
-    updates = updates.dropDuplicates()
     open_rows = current.filter(F.col(valid_to).isNull())
     if check_unique:
+        # exact-duplicate snapshot rows are harmless noise; dropping
+        # them is deterministic (all columns equal) and keeps the join
+        # key unique. Gated with check_unique because it is a
+        # full-width shuffle of the updates payload — the production
+        # path (check_unique=False) instead REQUIRES duplicate-free
+        # updates as a documented precondition.
+        updates = updates.dropDuplicates()
         for name, df in (("updates", updates), ("current (open rows)", open_rows)):
             dup = (
                 df.groupBy(*keys)

@@ -230,11 +230,20 @@ def ivf_train_centroids(
             .limit(n_centroids)
             .collect()
         )
+        if not seed_rows:
+            raise ValueError("cannot train centroids on an empty corpus")
         if len(seed_rows) < n_centroids:
-            raise ValueError(
-                f"training set has only {len(seed_rows)} vectors for "
-                f"{n_centroids} centroids — raise train_fraction"
-            )
+            if train_fraction is not None:
+                # the caller's sample is too thin — say so, and name
+                # the knob they actually used
+                raise ValueError(
+                    f"training sample has only {len(seed_rows)} vectors for "
+                    f"{n_centroids} centroids — raise train_fraction"
+                )
+            # tiny corpus, full-corpus training: degrade gracefully to
+            # as many centroids as there are vectors (ivf_topk works
+            # with any centroid count; exhaustive probing still exact)
+            n_centroids = len(seed_rows)
         centroids = [list(r.v) for r in seed_rows]
         for _ in range(n_iters):
             cents = _centroid_literal(centroids)

@@ -176,8 +176,9 @@ def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "text_n
 #: no backreferences.
 #:
 #: The phone pattern requires 9-15 ACTUAL digits (separators do not
-#: count toward the run, and at most one separator may sit between
-#: consecutive digits), so 8-digit ISO dates ("2026-08-14"), short
+#: count toward the run, and at most TWO separators may sit between
+#: consecutive digits — one is not enough for '(555) 123-4567', whose
+#: area code ends in ') '), so 8-digit ISO dates ("2026-08-14"), short
 #: order IDs, and separator-padded numeric tables survive. Residual
 #: false positives are deliberate recall-over-precision: any bare
 #: >=9-digit run (long numeric IDs, adjacent dates chained by single
@@ -186,7 +187,7 @@ def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "text_n
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (r"\+?\d(?:[\- ()]?\d){8,14}", "<PHONE>"),
+    (r"\+?\d(?:[\- ()]{0,2}\d){8,14}", "<PHONE>"),
 ]
 
 

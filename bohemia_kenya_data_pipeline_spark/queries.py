@@ -2758,7 +2758,7 @@ from .operators import sampling as smp  # noqa: E402
            regexp_replace(regexp_replace(regexp_replace(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\+?\d(?:[\- ()]?\d){8,14}', '<PHONE>', 'g') AS text_redacted
+             '\+?\d(?:[\- ()]{0,2}\d){8,14}', '<PHONE>', 'g') AS text_redacted
     FROM aug
     """,
 )
@@ -5492,7 +5492,8 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) / 512.0)
                 AS BIGINT) AS chunk_id
     FROM budgeted
-    WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+    WINDOW w AS (PARTITION BY lang
+                 ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8), doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """.replace("{toks}", _SQL_TOKS.format(c="e.text")),
 )

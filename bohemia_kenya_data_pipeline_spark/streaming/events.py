@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -267,7 +268,10 @@ def incremental_dedup_sink(
         spark = batch_df.sparkSession
         try:
             history = spark.read.parquet(store_path).select("content_hash")
-        except Exception:  # first batch: store does not exist yet
+        except AnalysisException:  # first batch: store does not exist yet
+            # ONLY the path-missing case may degrade to an empty
+            # history — a transient IO/permission failure must raise,
+            # not silently disable dedup for the batch
             history = spark.createDataFrame([], "content_hash STRING")
         accepted, new_hashes = _dd.incremental_exact_dedup(
             batch_df, history, text_col, id_col

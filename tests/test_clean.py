@@ -292,11 +292,15 @@ def test_merge_scd2_uniqueness_guard(spark):
     current = spark.createDataFrame(
         [(1, "a", d(2000, 1, 1), None)], "k INT, v STRING, valid_from DATE, valid_to DATE"
     )
-    # exact-duplicate update rows are deduped for free: no row multiplication
+    # with check_unique, exact-duplicate update rows are deduped before
+    # the key check: no row multiplication, no false duplicate-key error.
+    # (The production path check_unique=False REQUIRES duplicate-free
+    # updates — the dedup is a full-width shuffle, so it rides the same
+    # opt-in flag as the key check.)
     updates = spark.createDataFrame(
         [(1, "b"), (1, "b"), (2, "c"), (2, "c")], "k INT, v STRING"
     )
-    out = merge_scd2(current, updates, ["k"], ["v"], "2001-06-01")
+    out = merge_scd2(current, updates, ["k"], ["v"], "2001-06-01", check_unique=True)
     assert out.count() == 3  # closed (1,a) + successor (1,b) + new (2,c)
 
     # conflicting duplicates (same key, different values) raise loudly

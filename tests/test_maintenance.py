@@ -100,3 +100,12 @@ def test_cluster_write_ranges_are_disjoint_and_sorted(spark, tmp_path):
 def test_cluster_write_validates_cols(spark, tmp_path):
     with pytest.raises(ValueError):
         mt.cluster_write(spark.range(10), str(tmp_path / "x"), [], 4)
+
+
+def test_compact_refuses_in_place_across_uri_forms(spark, fragmented):
+    # same location spelled as a plain path and a file: URI must still
+    # trip the src==dst guard
+    with pytest.raises(ValueError):
+        mt.compact(spark, fragmented, f"file://{fragmented}")
+    with pytest.raises(ValueError):
+        mt.compact(spark, f"file://{fragmented}", fragmented)

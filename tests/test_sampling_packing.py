@@ -258,3 +258,44 @@ def test_take_token_budget_invariants(spark):
     assert ids_a == ids_b
     with pytest.raises(ValueError):
         smp.take_token_budget(df, "grp", "tokens", 0, "id")
+
+
+def test_scrub_pii_parenthesized_phone_and_date_safety(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "call (555) 123-4567 now"),
+            (2, "intl +1 (650) 253-0000 line"),
+            (3, "window 2026-08-14 end"),
+            (4, "order 12345678 qty 42"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in tx.scrub_pii(df).collect()}
+    # two-separator phone formats (') ' between area code and number)
+    # must redact
+    assert out[1] == "call (<PHONE> now"
+    assert "<PHONE>" in out[2]
+    # a single ISO date (8 digits) and short IDs survive
+    assert out[3] == "window 2026-08-14 end"
+    assert out[4] == "order 12345678 qty 42"
+
+
+def test_split_by_hash_tolerates_float_weight_accumulation(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    # weights whose normalized cumulative sum exceeds 1.0 by an ulp
+    weights = {
+        "a": 0.49406335015526,
+        "b": 0.31002636969,
+        "c": 0.96307329432,
+        "d": 0.23918684932,
+        "e": 0.66677528676,
+        "f": 1.33e-16,
+    }
+    out = smp.split_by_hash(df, "k", weights)
+    assert out.count() == 100
+    labels = {r.split for r in out.select("split").distinct().collect()}
+    assert labels <= set(weights)

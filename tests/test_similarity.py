@@ -226,3 +226,20 @@ def test_pq_arrow_and_expr_plans_agree(spark):
 
     with _pytest.raises(ValueError):
         sim.pq_encode(emb, cb, plan="nope")
+
+
+def test_ivf_train_small_corpus_degrades_gracefully(spark):
+    import pytest as _pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(5)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    # full-corpus training on 5 vectors with n_centroids=8: trains 5
+    cents = sim.ivf_train_centroids(tiny, n_centroids=8, n_iters=1)
+    assert len(cents) == 5
+    # but a too-thin explicit SAMPLE raises with the knob named
+    with _pytest.raises(ValueError, match="train_fraction"):
+        sim.ivf_train_centroids(tiny, n_centroids=8, n_iters=1, train_fraction=0.2)
