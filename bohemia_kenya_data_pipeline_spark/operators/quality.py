@@ -186,3 +186,44 @@ def drop_na_keys(df: DataFrame, subset: Sequence[str]) -> DataFrame:
     """P10: drop rows with NULL in any key column
     (tidyr::drop_na(pk_id), anomalies_detector/pk.R:98)."""
     return df.na.drop(subset=list(subset))
+
+
+def detect_inconsistent_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    form_id: str,
+    anomalies_id: str,
+    key: str = "KEY",
+) -> DataFrame:
+    """Groups whose members disagree on a value that should be constant
+    — the 'household reports multiple clusters' detector
+    (anomalies_detector/safety.R:108-116: group_by(hhid) %>%
+    filter(n_distinct(cluster) > 1), description carries the sorted
+    member-key list).
+
+    Emits ONE anomaly row per offending group (keyed by the group,
+    like the reference) with the sorted instance keys in the
+    description. One groupBy shuffle; NULL group keys never flag.
+    """
+    agg = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.countDistinct(F.col(value_col)).alias("_nv"),
+            F.array_join(F.array_sort(F.collect_set(F.col(key).cast("string"))), ", ").alias(
+                "_keys"
+            ),
+        )
+        .filter(F.col("_nv") > 1)
+    )
+    return agg.select(
+        F.col(group_col).cast("string").alias("KEY"),
+        F.lit(form_id).alias("form_id"),
+        F.lit(anomalies_id).alias("anomalies_id"),
+        F.concat(
+            F.lit(f"{group_col}:"), F.col(group_col).cast("string"),
+            F.lit(f" has multiple {value_col} values; here are the instanceIDs: "),
+            F.col("_keys"),
+        ).alias("anomalies_description"),
+    )

@@ -5511,3 +5511,36 @@ def pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.build_pretrain_dataset(
         d, mix={"en": 0.9, "de": 0.6}, default_mix=0.1
     )
+
+
+@_register(
+    "anomalies_inconsistent_group",
+    """
+    WITH agg AS (
+      SELECT c_nationkey,
+             COUNT(DISTINCT c_mktsegment) AS nv,
+             STRING_AGG(DISTINCT CAST(c_custkey AS VARCHAR), ', '
+                        ORDER BY CAST(c_custkey AS VARCHAR)) AS keys
+      FROM customer GROUP BY 1)
+    SELECT CAST(c_nationkey AS VARCHAR) AS "KEY",
+           'customer' AS form_id,
+           'hh_detected_multiple_clusters' AS anomalies_id,
+           'c_nationkey:' || CAST(c_nationkey AS VARCHAR)
+             || ' has multiple c_mktsegment values; here are the instanceIDs: '
+             || keys AS anomalies_description
+    FROM agg WHERE nv > 1
+    """,
+)
+def anomalies_inconsistent_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The grouped-consistency detector (safety.R:108-116 'household in
+    # multiple clusters'): one groupBy, countDistinct gate, sorted
+    # member-key list in the description.
+    c = _t(spark, sf_dir, "customer")
+    return ql.detect_inconsistent_group(
+        c,
+        "c_nationkey",
+        "c_mktsegment",
+        "customer",
+        "hh_detected_multiple_clusters",
+        key="c_custkey",
+    )

@@ -289,3 +289,78 @@ def incremental_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_history_sink(
+    stream: DataFrame,
+    history_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_date_col: str,
+):
+    """Continuous SCD2 history maintenance from a stream of snapshot
+    rows: each micro-batch merges into the current history via
+    :func:`~..operators.scd.merge_scd2` (close changed rows, append
+    successors, insert new keys) and publishes a NEW immutable history
+    version under ``history_path/v=<batch_id>``.
+
+    Versioned-directory publication instead of in-place overwrite: the
+    merge lazily READS the current history while writing the next one
+    — overwriting the same files mid-scan is the classic
+    self-overwrite corruption. Readers take the max ``v=``; old
+    versions are compaction/GC fodder (operators/maintenance.py).
+    Each batch's effective date is the max of its
+    ``effective_date_col`` (deterministic per batch content). Batch
+    snapshots are keep-last deduped per key on (effective_date_col
+    desc) before the merge, so one batch holding several versions of a
+    key records only the newest (intra-batch history is finer-grained
+    than micro-batch cadence — documented, not silently wrong).
+
+    Returns the started StreamingQuery.
+    """
+    from ..operators import scd as _scd
+    from ..operators import windows as _W
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(history_path)
+        fs = root.getFileSystem(conf)
+        versions = []
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if name.startswith("v="):
+                    versions.append(int(name[2:]))
+        if versions:
+            current = spark.read.parquet(f"{history_path}/v={max(versions)}")
+        else:
+            fields = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in batch_df.schema.fields
+                if f.name in (*key_cols, *tracked_cols)
+            )
+            current = spark.createDataFrame(
+                [], fields + ", valid_from DATE, valid_to DATE"
+            )
+        effective = batch_df.agg(
+            F.max(F.col(effective_date_col).cast("date")).alias("d")
+        ).collect()[0][0]
+        snapshot = _W.latest_per_key(
+            batch_df, key_cols, order_by=[effective_date_col], keep="last"
+        ).select(*key_cols, *tracked_cols)
+        merged = _scd.merge_scd2(
+            current, snapshot, key_cols, tracked_cols, str(effective)
+        )
+        merged.write.mode("overwrite").parquet(f"{history_path}/v={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -319,3 +319,60 @@ def test_incremental_dedup_sink_matches_sequential_batch(spark, tmp_path):
     assert n_store == len({t for _, t in expect})
     # one representative per text overall
     assert len({t for _, t in got}) == len(got)
+
+
+def test_scd2_history_sink_matches_sequential_merges(spark, tmp_path):
+    """Streamed snapshot batches through the SCD2 sink must equal the
+    same snapshots merged sequentially with batch merge_scd2."""
+    import glob as _glob
+
+    from bohemia_kenya_data_pipeline_spark.operators.scd import merge_scd2
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "snaps"
+    src.mkdir()
+    hist = str(tmp_path / "history")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k BIGINT, v STRING, d DATE"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    import datetime
+
+    D = datetime.date
+    f1 = [(1, "a", D(2000, 1, 1)), (2, "b", D(2000, 1, 1))]
+    # f2: k=1 changes (with an older intra-batch version that must be
+    # keep-last'ed away), k=2 unchanged, k=3 new
+    f2 = [
+        (1, "a2", D(2000, 2, 1)),
+        (1, "aX", D(2000, 1, 15)),
+        (2, "b", D(2000, 2, 1)),
+        (3, "c", D(2000, 2, 1)),
+    ]
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    write_file("f1", f1)
+    se.scd2_history_sink(stream, hist, ckpt, ["k"], ["v"], "d").awaitTermination(60)
+    write_file("f2", f2)
+    se.scd2_history_sink(stream, hist, ckpt, ["k"], ["v"], "d").awaitTermination(60)
+
+    versions = sorted(
+        int(p.rsplit("v=", 1)[1]) for p in _glob.glob(f"{hist}/v=*")
+    )
+    got = {
+        (r.k, r.v, str(r.valid_from), str(r.valid_to))
+        for r in spark.read.parquet(f"{hist}/v={versions[-1]}").collect()
+    }
+
+    empty = spark.createDataFrame([], "k BIGINT, v STRING, valid_from DATE, valid_to DATE")
+    s1 = spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+    h1 = merge_scd2(empty, s1, ["k"], ["v"], "2000-01-01")
+    s2 = spark.createDataFrame([(1, "a2"), (2, "b"), (3, "c")], "k BIGINT, v STRING")
+    h2 = merge_scd2(h1, s2, ["k"], ["v"], "2000-02-01")
+    expect = {
+        (r.k, r.v, str(r.valid_from), str(r.valid_to)) for r in h2.collect()
+    }
+    assert got == expect
+    # history is versioned, not overwritten: the v=0 snapshot still reads
+    assert spark.read.parquet(f"{hist}/v={versions[0]}").count() == 2
