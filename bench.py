@@ -71,6 +71,7 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_supplier",
     "pq_topk",
+    "pretrain_mix",
     "line_dedup_corpus",
     "icf_verification_metrics",
     "pharmacy_ledger_reconciliation",
