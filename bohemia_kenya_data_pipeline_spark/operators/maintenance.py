@@ -169,3 +169,57 @@ def cluster_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_value(a, b, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative ints (``bits``
+    low bits each) into one sortable key: bit i of ``a`` lands at
+    position 2i, bit i of ``b`` at 2i+1.
+
+    Range-clustering on this key (:func:`cluster_write`) gives
+    TWO-dimensional data-skipping: consecutive z-values cover compact
+    (a, b) tiles, so each output file's footer min/max bounds a small
+    box in BOTH columns — a lat/lon or (tenant, time) predicate prunes
+    files that a single-column sort cannot (sorting on `a` alone
+    leaves every file spanning the full `b` range; proven by the tile-
+    area golden in tests/test_maintenance.py). Pure shift/and
+    arithmetic — whole-stage codegen, scan-local.
+
+    Callers bucket continuous values first (e.g.
+    ``CAST((lat + 90) / 180 * 65535 AS INT)`` for 16-bit lat).
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    ca = a if not isinstance(a, str) else F.col(a)
+    cb = b if not isinstance(b, str) else F.col(b)
+    ca, cb = ca.cast("bigint"), cb.cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(ca, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered rewrite on two integer-bucketed columns: adds
+    the interleaved key, range-clusters on it (:func:`cluster_write`
+    semantics), and drops the key from the stored files."""
+    keyed = df.withColumn("__z", zorder_value(col_a, col_b, bits))
+    (
+        keyed.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

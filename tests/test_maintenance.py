@@ -109,3 +109,44 @@ def test_compact_refuses_in_place_across_uri_forms(spark, fragmented):
         mt.compact(spark, fragmented, f"file://{fragmented}")
     with pytest.raises(ValueError):
         mt.compact(spark, f"file://{fragmented}", fragmented)
+
+
+def test_zorder_value_interleaves_bits(spark):
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (3, 3)], ["a", "b"]
+    ).select("a", "b", mt.zorder_value("a", "b", bits=4).alias("z"))
+    got = {(r.a, r.b): r.z for r in rows.collect()}
+    # bit i of a -> 2i; bit i of b -> 2i+1
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3, (2, 0): 4, (0, 2): 8, (3, 3): 15}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mt.zorder_value("a", "b", bits=0)
+
+
+def test_zorder_write_tiles_both_dimensions(spark, tmp_path):
+    """Z-order files must cover far smaller (a, b) boxes than a
+    single-column sort, whose files each span the full b range."""
+    import glob
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+
+    def max_b_span(path):
+        spans = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            r = spark.read.parquet(f).agg(F.min("b"), F.max("b")).collect()[0]
+            spans.append(r[1] - r[0] + 1)
+        return max(spans)
+
+    zpath = str(tmp_path / "zorder")
+    mt.zorder_write(grid, zpath, "a", "b", n_files=16, bits=6)
+    lpath = str(tmp_path / "linear")
+    mt.cluster_write(grid, lpath, ["a"], n_files=16)
+    assert spark.read.parquet(zpath).count() == 64 * 64
+    # a predicate on b prunes via footer min/max only if files bound b
+    # tightly: the a-sorted layout leaves EVERY file spanning all 64 b
+    # values, while z-order tiles bound b at ~sqrt(file_rows)
+    assert max_b_span(lpath) == 64
+    assert max_b_span(zpath) <= 24
