@@ -5544,3 +5544,159 @@ def anomalies_inconsistent_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hh_detected_multiple_clusters",
         key="c_custkey",
     )
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q15 shape: aggregate view + scalar-MAX filter over the SAME
+    # aggregate — the view computes once and its exchange is reused by
+    # both the max and the equality filter (no second lineitem scan).
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'BRAND_2' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'BRAND_4' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'BRAND_5' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q19 shape: three-branch disjunction mixing columns from BOTH
+    # join sides. Catalyst extracts the common per-side implications
+    # (brand IN (...), quantity <= 30) as pushable pre-filters while
+    # the full OR evaluates post-join — the classic disjunction-
+    # pushdown pattern.
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "BRAND_2") & size.between(1, 15) & q.between(1, 11))
+        | ((brand == "BRAND_4") & size.between(1, 25) & q.between(10, 20))
+        | ((brand == "BRAND_5") & size.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "tpch_q20_part_promotion_suppliers",
+    """
+    WITH promo_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    heavy AS (
+      SELECT l_suppkey, l_partkey
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2
+      HAVING SUM(l_quantity) > 50)
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM heavy h
+      JOIN promo_parts pp ON pp.p_partkey = h.l_partkey
+      WHERE h.l_suppkey = s.s_suppkey)
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q20 shape: nested semi-join chain — suppliers who shipped >50
+    # units of a promoted part in the window. The HAVING-gated
+    # (supplier, part) aggregate semi-joins the part filter, then the
+    # supplier table semi-joins the result (adapted: no partsupp table
+    # in this schema, so availqty is stood in by shipped quantity).
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        l.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+    )
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@_register(
+    "dedup_within_gap",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 3600 THEN 1 ELSE 0
+             END AS is_new
+      FROM events WHERE event_type = 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sid
+      FROM marked)
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+      FROM sessions) WHERE rn = 1
+    """,
+)
+def dedup_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Event debouncing: keep one click per user per burst — defined by
+    # the SESSIONIZE gap rule (a burst ends after 60 quiet minutes),
+    # not a fixed calendar bucket. Composition of two existing
+    # operators (sessionize -> first-per-session); the second window
+    # reuses the first's (user_id, ts) exchange and sort.
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    sess = W.sessionize(ev, "user_id", "ts", gap_minutes=60, order_tiebreakers=["event_id"])
+    first = W.latest_per_key(
+        sess, ["user_id", "session_id"], order_by=["ts", "event_id"], keep="first"
+    )
+    return first.select("user_id", "event_id")

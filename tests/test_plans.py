@@ -114,3 +114,24 @@ def test_pretrain_mix_window_exchange_shared(spark):
     # dedup exchanges — anything more means a lost exchange reuse
     plan = _plan(QUERIES["pretrain_mix"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning(lang") <= 2
+
+
+def test_q19_pushes_common_disjunct_implications(spark):
+    # the disjunction's per-side implications must prefilter: the part
+    # side broadcasts and the lineitem scan carries a quantity filter
+    plan = _plan(QUERIES["tpch_q19_disjunctive_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan or "l_quantity" in [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ][0]
+
+
+def test_q20_double_semi_join(spark):
+    plan = _plan(QUERIES["tpch_q20_part_promotion_suppliers"](spark, SF_DIR))
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_dedup_within_gap_single_exchange(spark):
+    # sessionize + first-per-session share one (user_id) exchange
+    plan = _plan(QUERIES["dedup_within_gap"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
