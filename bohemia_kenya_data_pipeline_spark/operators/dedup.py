@@ -727,3 +727,59 @@ def incremental_exact_dedup(
         history_hashes.select(hash_col).distinct(), hash_col, "left_anti"
     )
     return accepted, accepted.select(hash_col).where(F.col(hash_col).isNotNull())
+
+
+def edit1_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_len: int = 64,
+) -> DataFrame:
+    """Pairs of rows whose strings are within edit distance 1 —
+    generate→verify fuzzy matching for typo-class joins (the reference
+    fixes typos with hand-written case_when maps,
+    processing_utils.R:202-204; this finds the candidates at scale).
+
+    FastSS deletion-neighborhood generation: each string s emits keys
+    {s} ∪ {s minus one char}. Two strings at edit distance 1 ALWAYS
+    share a key (substitution → same single deletion; insert/delete →
+    the shorter string is itself a deletion of the longer), so the
+    equi-join on keys is a complete candidate generator; exact
+    ``levenshtein <= 1`` verification removes collisions (two
+    different deletions can coincide, e.g. 'ab'/'ba'). Returns
+    distinct (id_a, id_b) with id_a < id_b.
+
+    Scale shape: keys per row = len+1 (bounded by ``max_len`` — longer
+    strings are skipped, not truncated: a truncated key set would
+    silently miss pairs), equi-join on the key hash, then an exact
+    verify on the |candidates| — linear in data, quadratic only within
+    identical-key groups (exact dups: run drop_exact_duplicates first,
+    same contract as the LSH generators).
+    """
+    s = F.col(text_col)
+    base = df.filter(F.length(s) <= max_len).select(F.col(id_col), s.alias("__s"))
+    keys = base.select(
+        F.col(id_col),
+        "__s",
+        F.explode(
+            F.array_union(
+                F.array(F.col("__s")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__s")),
+                    lambda i: F.concat(
+                        F.col("__s").substr(F.lit(1), i - 1),
+                        F.col("__s").substr(i + 1, F.length("__s")),
+                    ),
+                ),
+            )
+        ).alias("__k"),
+    )
+    a = keys.select(F.col(id_col).alias("id_a"), F.col("__s").alias("s_a"), "__k")
+    b = keys.select(F.col(id_col).alias("id_b"), F.col("__s").alias("s_b"), "__k")
+    return (
+        a.join(b, "__k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein(F.col("s_a"), F.col("s_b")) <= 1)
+        .select("id_a", "id_b")
+        .distinct()
+    )

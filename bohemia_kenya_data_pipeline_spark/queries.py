@@ -5700,3 +5700,33 @@ def dedup_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess, ["user_id", "session_id"], order_by=["ts", "event_id"], keep="first"
     )
     return first.select("user_id", "event_id")
+
+
+@_register(
+    "fuzzy_pairs_edit1",
+    """
+    WITH base AS (
+      SELECT c_custkey AS id, c_name AS s FROM customer
+      WHERE c_custkey < 300 AND LENGTH(c_name) <= 64),
+    keys AS (
+      SELECT id, s, k FROM base,
+      UNNEST(list_distinct(list_append(
+        [s[1:CAST(i AS INTEGER)-1] || s[CAST(i AS INTEGER)+1:]
+         FOR i IN range(1, LENGTH(s)+1)], s))) AS t(k))
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM keys a JOIN keys b ON a.k = b.k
+    WHERE a.id < b.id AND levenshtein(a.s, b.s) <= 1
+    """,
+)
+def fuzzy_pairs_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FastSS deletion-neighborhood fuzzy matching: complete candidate
+    # generation for edit distance <= 1 via shared deletion keys, then
+    # exact levenshtein verify. Customer names are sequentially
+    # numbered, so single-substitution neighbors are plentiful and the
+    # join is non-vacuous.
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    )
+    return dd.edit1_pairs(c, "name", "id")

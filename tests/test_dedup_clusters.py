@@ -136,3 +136,48 @@ def test_dedup_lines_partition_invariance_and_validation(spark):
     assert a[5] == "body 5"
     with _pytest.raises(ValueError):
         tx.dedup_lines(df, policy="nope")
+
+
+def test_edit1_pairs_complete_vs_bruteforce(spark):
+    """The deletion-neighborhood generator must find EXACTLY the
+    brute-force levenshtein<=1 pairs: substitutions, inserts, deletes
+    in; transpositions and ed=2 out."""
+    words = [
+        "nguzo", "nguz0", "nguzzo", "nguo", "kwale", "kwal", "ab", "ba",
+        "x", "", "same", "same1",
+    ]
+    df = spark.createDataFrame(list(enumerate(words)), ["id", "w"])
+    got = set(map(tuple, dedup.edit1_pairs(df, "w", "id").collect()))
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0 or j == 0:
+                return i + j
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+        return d(len(a), len(b))
+
+    expect = {
+        (i, j)
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if lev(words[i], words[j]) <= 1
+    }
+    assert got == expect
+    assert (6, 7) not in got  # 'ab'/'ba' transposition is ed 2
+
+
+def test_edit1_pairs_max_len_skips_not_truncates(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 70), (2, "a" * 70), (3, "short"), (4, "shorn")], ["id", "w"]
+    )
+    got = set(map(tuple, dedup.edit1_pairs(df, "w", "id", max_len=64).collect()))
+    # long strings are skipped entirely (even identical ones); the
+    # short substitution pair is still found
+    assert got == {(3, 4)}
