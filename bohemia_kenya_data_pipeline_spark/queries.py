@@ -5730,3 +5730,227 @@ def fuzzy_pairs_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
     )
     return dd.edit1_pairs(c, "name", "id")
+
+
+@_register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey, ROUND(AVG(l_extendedprice / l_quantity), 4) AS cost
+      FROM lineitem GROUP BY 1, 2),
+    eligible AS (
+      SELECT sp.l_partkey, sp.l_suppkey, sp.cost
+      FROM supply sp
+      JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'AFRICA'),
+    best AS (
+      SELECT l_partkey, MIN(cost) AS min_cost FROM eligible GROUP BY 1)
+    SELECT p.p_partkey, p.p_mfgr_stand_in AS p_mfgr, s.s_name, e.cost
+    FROM (SELECT p_partkey, p_brand AS p_mfgr_stand_in, p_size FROM part
+          WHERE p_size = 10) p
+    JOIN eligible e ON e.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = e.l_partkey AND e.cost = b.min_cost
+    JOIN supplier s ON s.s_suppkey = e.l_suppkey
+    ORDER BY e.cost, p.p_partkey, s.s_name
+    LIMIT 50
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q2 shape: min-cost supplier per part within a region — the
+    # correlated MIN subquery decorrelated to a per-part aggregate
+    # joined back on (part, cost), with the region restriction applied
+    # to BOTH the aggregate and the outer query (no partsupp table:
+    # supply cost stands in as avg unit price from lineitem).
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 10)
+        .select("p_partkey", F.col("p_brand").alias("p_mfgr"))
+    )
+    supply = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("cost")
+    )
+    eligible = (
+        supply.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "l_suppkey", "cost", "s_name")
+    )
+    best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        F.broadcast(p)
+        .join(eligible, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            best,
+            (F.col("b_partkey") == F.col("l_partkey")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .select("p_partkey", "p_mfgr", "s_name", "cost")
+        .orderBy("cost", "p_partkey", "s_name")
+        .limit(50)
+    )
+
+
+@_register(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity
+                     AS DECIMAL(28, 6))), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q9 shape: profit per supplier-nation per year over a part-name
+    # substring filter — revenue minus a cost term built from part
+    # attributes (retailprice stands in for ps_supplycost). The LIKE
+    # filter broadcasts with the part dim; only orders adds a big-side
+    # shuffle.
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    # per-row profit is cast to DECIMAL before the SUM: decimal
+    # addition is exact and associative, so Spark's and DuckDB's
+    # different accumulation orders cannot flip the rounded cent (the
+    # double-SUM version diverged by 0.01 on one group at sf0.01)
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,6)")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+@_register(
+    "tpch_q11_important_stock",
+    """
+    WITH stock AS (
+      SELECT l.l_partkey, SUM(l.l_quantity * p.p_retailprice) AS value
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1)
+    SELECT l_partkey, ROUND(value, 2) AS value
+    FROM stock
+    WHERE value > (SELECT SUM(value) * 0.002 FROM stock)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q11 shape: per-part stock value within one nation, kept only
+    # when above a FRACTION OF THE GLOBAL TOTAL — the scalar HAVING
+    # subquery over the same aggregate. The aggregate computes once;
+    # the 1-row total broadcasts back onto it.
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    stock = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
+    )
+    total = stock.agg((F.sum("value") * 0.002).alias("threshold"))
+    return (
+        stock.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@_register(
+    "tpch_q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority <> '5-LOW'
+      GROUP BY 1)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q13 shape: customer order-count histogram INCLUDING zero-order
+    # customers — the left join keeps them, COUNT(col) counts only
+    # matches, and the second aggregate groups the counts (the filter
+    # rides the JOIN CONDITION, not a WHERE, or zero-customers vanish).
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = c.join(
+        o,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderpriority") != "5-LOW"),
+        "left",
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy(F.col("c_count").cast("bigint").alias("c_count"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_register(
+    "tpch_q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'BRAND_1'
+      AND p.p_size IN (5, 10, 15, 20)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q16 shape: distinct-supplier counts per part attribute triple
+    # with a NOT IN supplier blacklist — the blacklist decorrelates to
+    # an anti-join (negative-balance suppliers stand in for the
+    # complaint-comment filter).
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "BRAND_1") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
