@@ -5954,3 +5954,148 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+#: ordered (condition SQL, label) — the efficacy_reason chain
+#: (efficacy_status...Rmd:177-194), including the two LTFU branches the
+#: safety chain does not have. Flags derive from order columns the same
+#: way the safety harness builds its synthetic form answers.
+_EFFICACY_FLAG_COLS: list[tuple[str, str]] = [
+    ("not_continue_eos", "CASE WHEN o_orderkey % 37 = 0 THEN '1' ELSE '0' END"),
+    ("not_agree_efficacy_procedures_eos", "CASE WHEN o_orderkey % 37 = 1 THEN '1' ELSE '0' END"),
+    ("non_resident_eos", "CASE WHEN o_orderkey % 37 = 2 THEN '1' ELSE '0' END"),
+    ("other_trials_eos", "CASE WHEN o_orderkey % 37 = 3 THEN '1' ELSE '0' END"),
+    ("second_consecutive_absence_eos", "CASE WHEN o_orderkey % 37 = 4 THEN '1' ELSE '0' END"),
+    ("person_absent", "CASE WHEN o_orderkey % 5 = 0 THEN '1' ELSE '0' END"),
+    ("person_migrated_eos", "CASE WHEN o_orderkey % 37 = 6 THEN '1' ELSE '0' END"),
+    ("person_unenrolled_migrated", "CASE WHEN o_orderkey % 37 = 7 THEN '1' ELSE '0' END"),
+    ("person_unenrolled_died", "CASE WHEN o_orderkey % 37 = 8 THEN '1' ELSE '0' END"),
+    ("thumbprint_status", "CASE WHEN o_orderkey % 37 = 9 THEN '0' ELSE '1' END"),
+    ("sign_icf_status", "CASE WHEN o_orderkey % 37 = 10 THEN '0' ELSE '1' END"),
+    ("minor_assent_status", "CASE WHEN o_orderkey % 37 = 11 THEN '0' ELSE '1' END"),
+    ("efficacy_status",
+     "CASE WHEN o_orderstatus = 'O' THEN 'in' "
+     "WHEN o_orderstatus = 'F' THEN 'out' ELSE 'icf' END"),
+    ("starting_efficacy_status",
+     "CASE o_orderkey % 3 WHEN 0 THEN 'out' WHEN 1 THEN 'in' ELSE 'icf' END"),
+]
+
+_EFFICACY_REASON_BRANCHES: list[tuple[str, str]] = [
+    ("not_continue_eos = '1'", "decline participation"),
+    ("not_agree_efficacy_procedures_eos = '1'", "not agree to efficacy procedures"),
+    ("non_resident_eos = '1'", "not a resident"),
+    ("other_trials_eos = '1'", "enrolled in other trials"),
+    ("second_consecutive_absence_eos = '1'", "ltfu: second consecutive absence"),
+    ("person_absent = '1'", "absent"),
+    ("person_migrated_eos = '1' OR person_unenrolled_migrated = '1'", "migrated"),
+    ("person_unenrolled_died = '1'", "died"),
+    ("thumbprint_status = '0'", "thumbprint status"),
+    ("sign_icf_status = '0'", "sign icf status"),
+    ("minor_assent_status = '0'", "minor assent"),
+    ("ltfu", "ltfu: > 90 days"),
+    ("efficacy_status = 'in'", "in"),
+]
+
+_EFFICACY_ENROLMENT_SQL = (
+    "CASE WHEN starting_efficacy_status = 'out' AND efficacy_status <> 'out' "
+    "THEN 'enrolment' "
+    "WHEN starting_efficacy_status = 'out' AND efficacy_status = 'out' "
+    "THEN 'not yet enrolled' ELSE 'follow up' END"
+)
+
+
+def _efficacy_sql() -> str:
+    flags = ",\n             ".join(f"{sql} AS {name}" for name, sql in _EFFICACY_FLAG_COLS)
+    cells = ",\n           ".join(
+        f"MAX(CASE WHEN visit = 'V{v}' THEN {c} END) AS {c}_v{v}"
+        for v in range(1, 5)
+        for c in ("efficacy_status", "efficacy_reason")
+    )
+    return f"""
+    WITH visits AS (
+      SELECT o_custkey AS extid, o_orderkey, o_orderstatus,
+             CAST(o_orderdate AS DATE) AS visit_date,
+             'V' || CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey)
+                         AS VARCHAR) AS visit
+      FROM orders),
+    flagged AS (
+      SELECT extid, visit, visit_date,
+             {flags}
+      FROM visits WHERE visit IN ('V1', 'V2', 'V3', 'V4')),
+    with_ltfu AS (
+      SELECT *,
+             COALESCE(DATEDIFF('day',
+               MAX(CASE WHEN person_absent = '0' THEN visit_date END)
+                 OVER (PARTITION BY extid ORDER BY visit_date, visit
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               visit_date) >= 90, FALSE) AS ltfu
+      FROM flagged),
+    classified AS (
+      SELECT extid, visit,
+             {_EFFICACY_ENROLMENT_SQL} AS enrolment,
+             {_sql_case(_EFFICACY_REASON_BRANCHES)} AS efficacy_reason,
+             efficacy_status
+      FROM with_ltfu)
+    SELECT extid,
+           MAX(CASE WHEN visit = 'V1' THEN enrolment END) AS enrolment_v1,
+           {cells}
+    FROM classified GROUP BY extid
+    """
+
+
+@_register("efficacy_status_matrix", _efficacy_sql())
+def efficacy_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efficacy trial profile (efficacy_status...Rmd:155-233): per-visit
+    flags feed (a) the enrolment transition chain, (b) the 13-branch
+    efficacy_reason chain INCLUDING the loss-to-follow-up branch, whose
+    input is a real sequential window (days since the participant's
+    last NON-ABSENT visit, >= 90 days), and (c) a multi-value
+    pivot_wider — status AND reason per visit — into one row per
+    participant.
+
+    Plan shape: one orders scan, one window pair on extid (visit
+    numbering + the last-non-absent running max share the exchange),
+    scan-local case chains, one pivot aggregate. The whole profile is
+    two shuffles at any scale.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    visits = o.select(
+        F.col("o_custkey").alias("extid"),
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("visit_date"),
+        F.concat(F.lit("V"), F.row_number().over(w).cast("string")).alias("visit"),
+    ).filter(F.col("visit").isin("V1", "V2", "V3", "V4"))
+    flagged = visits.select(
+        "extid",
+        "visit",
+        "visit_date",
+        *[F.expr(sql).alias(name) for name, sql in _EFFICACY_FLAG_COLS],
+    )
+    wl = (
+        Window.partitionBy("extid")
+        .orderBy("visit_date", "visit")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_ok = F.max(
+        F.when(F.col("person_absent") == "0", F.col("visit_date"))
+    ).over(wl)
+    with_ltfu = flagged.withColumn(
+        "ltfu", F.coalesce(F.datediff(F.col("visit_date"), last_ok) >= 90, F.lit(False))
+    )
+    classified = with_ltfu.select(
+        "extid",
+        "visit",
+        F.expr(_EFFICACY_ENROLMENT_SQL).alias("enrolment"),
+        F.expr(_sql_case(_EFFICACY_REASON_BRANCHES)).alias("efficacy_reason"),
+        "efficacy_status",
+    )
+    cell = lambda v, c: F.max(  # noqa: E731
+        F.when(F.col("visit") == f"V{v}", F.col(c))
+    ).alias(f"{c}_v{v}")
+    return classified.groupBy("extid").agg(
+        F.max(F.when(F.col("visit") == "V1", F.col("enrolment"))).alias("enrolment_v1"),
+        *[cell(v, c) for v in range(1, 5) for c in ("efficacy_status", "efficacy_reason")],
+    )
