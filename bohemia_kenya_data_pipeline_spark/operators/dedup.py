@@ -783,3 +783,92 @@ def edit1_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's minhash band rows as a queryable near-dup
+    INDEX — the incremental counterpart of :func:`minhash_lsh_pairs`:
+    signing 100 TB once and probing it per ingest batch replaces
+    re-signing the whole corpus on every batch (the same
+    amortization :func:`incremental_exact_dedup` gives exact dedup).
+
+    The index stores (id, band, bucket) partitioned by ``band``, so a
+    probe reads only the band partitions it joins (partition pruning)
+    and the stored signature parameters MUST be reused by the probe —
+    they are written to ``path/_params.json`` and validated by
+    :func:`minhash_index_query`.
+    """
+    import json as _json
+
+    rows = _minhash_band_rows(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
+    rows.write.mode(mode).partitionBy("band").parquet(path)
+    params = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n, "seed": seed}
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_params.json")
+    out = p.getFileSystem(conf).create(p, True)
+    out.write(bytearray(_json.dumps(params).encode()))
+    out.close()
+
+
+def minhash_index_query(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Probe a stored minhash index with a NEW batch: returns distinct
+    (new_id, index_id) candidate pairs — exactly the (new x corpus)
+    slice of what :func:`minhash_lsh_pairs` would emit over the union
+    (golden-proven). Signature parameters come from the index itself,
+    so a probe can never silently use mismatched hashing.
+
+    Scale shape: sign ONLY the batch, equi-join on (band, bucket)
+    against the parquet index (band partitions prune; the bucket join
+    shuffles batch-sized data against an index scan). The optional
+    ``max_bucket_size`` caps INDEX-side bucket membership, same
+    contract as the batch generators.
+    """
+    import json as _json
+
+    spark = new_docs.sparkSession
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(index_path + "/_params.json")
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    params = _json.loads(raw.decode())
+    batch_rows = _minhash_band_rows(
+        new_docs,
+        text_col,
+        id_col,
+        params["num_hashes"],
+        params["bands"],
+        params["shingle_n"],
+        params["seed"],
+    ).select(F.col("id").alias("new_id"), "band", "bucket")
+    index = spark.read.parquet(index_path).select(
+        F.col("id").alias("index_id"), "band", "bucket"
+    )
+    index = _cap_buckets(index, ["band", "bucket"], "index_id", max_bucket_size)
+    return (
+        batch_rows.join(index, ["band", "bucket"])
+        .select("new_id", "index_id")
+        .distinct()
+    )

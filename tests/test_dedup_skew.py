@@ -100,3 +100,38 @@ def test_cap_validation(spark):
         dedup.minhash_lsh_pairs(df, max_bucket_size=1).count()
     with pytest.raises(ValueError, match="strategy"):
         dedup.minhash_lsh_pairs(df, max_bucket_size=4, cap_strategy="bogus").count()
+
+
+def test_minhash_index_probe_matches_batch_pairs(spark, tmp_path):
+    """Index probe must return exactly the (new x corpus) slice of the
+    full-union pair generation, with parameters read from the index."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about spark shuffles"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "nothing like anything in the corpus whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_index")
+    dedup.minhash_index_write(corpus, path, num_hashes=8, bands=4)
+    got = set(map(tuple, dedup.minhash_index_query(new, path).collect()))
+
+    full = dedup.minhash_lsh_pairs(
+        corpus.unionByName(new), num_hashes=8, bands=4
+    )
+    expect = {
+        (b, a)  # pairs come out id_a < id_b; new ids are the large side
+        for a, b in map(tuple, full.collect())
+        if b >= 100 and a < 100
+    }
+    assert got == expect
+    assert (100, 1) in got  # identical doc must hit
+    assert all(n != 101 for n, _ in got)  # unrelated doc hits nothing
