@@ -4,6 +4,7 @@ plus the corpus-curation DAG for training-data pipelines."""
 
 from .cleaning import clean_form, run_anomaly_detection, sanitize_form
 from .curation import build_pretrain_dataset, curate_corpus
+from .ingest import ingest_batch
 
 __all__ = [
     "clean_form",
@@ -11,4 +12,5 @@ __all__ = [
     "run_anomaly_detection",
     "curate_corpus",
     "build_pretrain_dataset",
+    "ingest_batch",
 ]

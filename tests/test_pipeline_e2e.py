@@ -174,3 +174,62 @@ def test_read_csv_form_audited_captures_corrupt_rows(spark, tmp_path):
     assert good.count() == 2
     assert bad.count() == 1
     assert "notanumber" in bad.collect()[0]._corrupt
+
+
+def test_ingest_batch_end_to_end(spark, tmp_path):
+    """Two-batch incremental ingest: exact dups (in-batch + vs store)
+    and corpus near-dups rejected; novel and batch-internal-near-dup
+    docs accepted; state deltas cover exactly the accepted docs."""
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark import jobs
+    from bohemia_kenya_data_pipeline_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about catalyst optimizer rules"),
+        ],
+        ["doc_id", "text"],
+    )
+    index = str(tmp_path / "mh_index")
+    dd.minhash_index_write(corpus, index, num_hashes=8, bands=4)
+    store = corpus.select(F.md5("text").alias("content_hash"))
+
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),   # exact dup of 1
+            (101, "the quick brown fox jumps over the lazy cat today"),   # near-dup of 1
+            (102, "a genuinely novel document about arrow batches"),      # novel
+            (103, "a genuinely novel document about arrow batches"),      # in-batch exact dup
+        ],
+        ["doc_id", "text"],
+    )
+    # the near-dup pair agrees on 1 of 4 bands (s~0.67 -> s^r~0.45
+    # per band); 0.25 = reject on any band agreement
+    accepted, new_hashes, new_bands = jobs.ingest_batch(
+        batch, store, index, min_band_agreement=0.25
+    )
+    ids = sorted(r.doc_id for r in accepted.collect())
+    assert ids == [102]
+    # at a stricter agreement bar the same near-dup passes — the knob
+    # trades precision against recall exactly like banding theory says
+    loose, _, _ = jobs.ingest_batch(batch, store, index, min_band_agreement=0.5)
+    assert sorted(r.doc_id for r in loose.collect()) == [101, 102]
+    assert new_hashes.count() == 1
+    # band rows only for the accepted doc, index-layout columns
+    bands = new_bands.collect()
+    assert {r.id for r in bands} == {102}
+    assert set(new_bands.columns) == {"id", "bucket", "band"}
+
+    # append state and re-ingest the SAME batch: everything suppresses
+    new_bands.write.mode("append").partitionBy("band").parquet(index)
+    store2 = store.unionByName(new_hashes.select("content_hash"))
+    accepted2, _, _ = jobs.ingest_batch(batch, store2, index, min_band_agreement=0.25)
+    assert accepted2.count() == 0
+
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jobs.ingest_batch(batch, store, index, min_band_agreement=0.0)
