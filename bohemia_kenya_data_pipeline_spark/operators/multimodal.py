@@ -244,3 +244,100 @@ def extract_binary_features(df: DataFrame, payload_col: str = "payload") -> Data
             )
 
     return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+# -- frame sequences ("video" plumbing: real container math, no codecs) --
+
+#: FSEQ reel: b"FSEQ" + uint32 frame count, then length-prefixed REAL
+#: BMP frames (uint32 size + bytes). An honest stand-in for video at
+#: the metadata/plumbing level: frame extraction, stride sampling and
+#: per-frame decode are all real; only the codec is out of scope here
+#: (same deployment hook as decode_media).
+_FSEQ_MAGIC = b"FSEQ"
+
+
+def synth_frameseq(n_frames: int, width: int, height: int) -> bytes:
+    """Deterministic multi-frame reel: each frame is a genuine BMP
+    whose FIRST PIXEL encodes the frame index (blue channel), so a
+    sampler's output is verifiable frame-by-frame."""
+    out = [_FSEQ_MAGIC, struct.pack("<I", n_frames)]
+    for i in range(n_frames):
+        frame = bytearray(synth_bmp(width, height))
+        frame[54] = i % 256  # first pixel, blue byte
+        out.append(struct.pack("<I", len(frame)))
+        out.append(bytes(frame))
+    return b"".join(out)
+
+
+def iter_frames(payload: bytes):
+    """Yield (frame_index, frame_bytes) from an FSEQ reel; empty for
+    anything that is not one (format-dispatch mirror of decode_media)."""
+    if payload is None or payload[:4] != _FSEQ_MAGIC or len(payload) < 8:
+        return
+    n = struct.unpack_from("<I", payload, 4)[0]
+    pos = 8
+    for i in range(n):
+        if pos + 4 > len(payload):
+            return
+        size = struct.unpack_from("<I", payload, pos)[0]
+        pos += 4
+        if pos + size > len(payload):
+            return
+        yield i, payload[pos : pos + size]
+        pos += size
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_tag", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stride-sample frames from FSEQ reels: one output row per kept
+    frame (index % every_n == 0) with the frame's DECODED header
+    metadata and its index tag read back from the pixel data — the
+    frame-sampling plumbing of a video pipeline, Arrow-batched via
+    ``mapInPandas`` (scan-local; sampling happens before any frame
+    bytes would be shipped to a feature extractor).
+
+    Non-FSEQ payloads contribute zero rows (same quiet-skip contract
+    as decode_media's valid=False).
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i, frame in iter_frames(payload):
+                    if i % every_n:
+                        continue
+                    meta = decode_media(frame)
+                    if not meta["valid"]:
+                        continue
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            meta["width"],
+                            meta["height"],
+                            frame[54],
+                            len(frame),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -56,3 +56,34 @@ def test_decode_media_features_spark(spark):
     assert out[2].format == "bmp" and out[2].width == 3 and out[2].height == 3
     assert out[3].format == "wav" and out[3].sample_rate == 8000 + 3 % 4 * 4000
     assert all(r.valid for r in out.values())
+
+
+def test_frameseq_sampling_round_trip(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mm
+
+    reels = spark.createDataFrame(
+        [
+            (1, mm.synth_frameseq(10, 8, 4)),
+            (2, mm.synth_frameseq(3, 16, 16)),
+            (3, b"not a reel at all"),
+        ],
+        "doc_id LONG, payload BINARY",
+    )
+    out = mm.sample_frames(reels, every_n=3)
+    rows = sorted((r.doc_id, r.frame_index) for r in out.collect())
+    assert rows == [(1, 0), (1, 3), (1, 6), (1, 9), (2, 0)]
+    by_key = {(r.doc_id, r.frame_index): r for r in out.collect()}
+    # per-frame header decode and the pixel-encoded index tag round-trip
+    assert (by_key[(1, 6)].width, by_key[(1, 6)].height) == (8, 4)
+    assert by_key[(1, 6)].frame_tag == 6
+    assert (by_key[(2, 0)].width, by_key[(2, 0)].height) == (16, 16)
+    # stride 1 keeps everything
+    assert mm.sample_frames(reels, every_n=1).count() == 13
+    # partition invariance
+    a = sorted(map(tuple, mm.sample_frames(reels, 3).collect()))
+    b = sorted(map(tuple, mm.sample_frames(reels.repartition(5), 3).collect()))
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.sample_frames(reels, 0)
