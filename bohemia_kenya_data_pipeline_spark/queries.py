@@ -6099,3 +6099,37 @@ def efficacy_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("visit") == "V1", F.col("enrolment"))).alias("enrolment_v1"),
         *[cell(v, c) for v in range(1, 5) for c in ("efficacy_status", "efficacy_reason")],
     )
+
+
+@_register(
+    "window_value_picks",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(CASE WHEN o_orderstatus <> 'P' THEN o_orderstatus END
+                       IGNORE NULLS) OVER w AS first_settled_status,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_orderkey,
+           LAST_VALUE(o_orderkey) OVER w AS last_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Positional window value selection: FIRST_VALUE with IGNORE NULLS
+    # (skip pending orders), NTH_VALUE, and a full-frame LAST_VALUE —
+    # the frame must be UNBOUNDED FOLLOWING or last/nth silently see
+    # only the running prefix (the classic LAST_VALUE trap).
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    settled = F.when(F.col("o_orderstatus") != "P", F.col("o_orderstatus"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first(settled, ignorenulls=True).over(w).alias("first_settled_status"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+    )
