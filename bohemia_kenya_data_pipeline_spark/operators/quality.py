@@ -227,3 +227,47 @@ def detect_inconsistent_group(
             F.col("_keys"),
         ).alias("anomalies_description"),
     )
+
+
+def data_dictionary(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """One profiling row PER COLUMN: (column, dtype, n_rows, n_null,
+    n_distinct, min_value, max_value as strings) — the engine-side
+    generator of the reference's data-dictionary artifact
+    (pipeline-data-dict/R/generate.R builds it from XLSForm metadata;
+    a lakehouse derives it from the data so drift shows up).
+
+    ONE aggregation pass computes every column's stats side by side
+    (a single Aggregate over count/min/max/approx-free countDistinct
+    expressions), then a literal explode transposes the 1-row result
+    into the per-column table — no per-column scans, no collect.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs = []
+    for c in cols:
+        # min/max in the column's NATIVE ordering, cast to string only
+        # for the uniform artifact schema (string-min of numerics would
+        # be lexicographic: '9' > '10')
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    dtypes = dict(df.dtypes)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col(f"__rows_{c}").cast("bigint").alias("n_rows"),
+                F.col(f"__null_{c}").cast("bigint").alias("n_null"),
+                F.col(f"__dist_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("d")).select("d.*")

@@ -6133,3 +6133,35 @@ def window_value_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
         F.last("o_orderkey").over(w).alias("last_orderkey"),
     )
+
+
+@_register(
+    "data_dictionary_customer",
+    """
+    SELECT 'c_custkey' AS column, 'bigint' AS dtype,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', 'string', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT c_name) AS BIGINT),
+           MIN(c_name), MAX(c_name)
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', 'double', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
+           CAST(MIN(c_acctbal) AS VARCHAR), CAST(MAX(c_acctbal) AS VARCHAR)
+    FROM customer
+    """,
+)
+def data_dictionary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-dictionary artifact generated FROM the data (generate.R
+    # builds it from form metadata): one aggregation pass over all
+    # profiled columns, transposed to a per-column table.
+    c = _t(spark, sf_dir, "customer")
+    return ql.data_dictionary(c, ["c_custkey", "c_name", "c_acctbal"])
