@@ -742,3 +742,58 @@ def pq_train_codebooks(
         return books
     finally:
         subs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8 storage for ANN at scale)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|v| / 127,
+    q_i = floor(v_i / scale + 0.5) — a 4x (float32) / 8x (float64)
+    memory cut for the candidate side of ANN search, with dot products
+    recoverable as dot(q_a, q_b) * scale_a * scale_b.
+
+    Returns (id, q: array<int>, scale: double); zero vectors get
+    scale 0 and all-zero codes. Arrow-vectorized like pq_encode — a
+    pure-Column formulation needs the scale bound through nested
+    lambdas, and Catalyst's projection collapse mis-bound those
+    variables under column pruning (observed: correct q when collected
+    directly, silently different q feeding a pruned downstream
+    expression). floor(x+0.5), not round(): portable halfway
+    semantics, and numpy float64 math is bit-identical to the SQL
+    mirror.
+    """
+
+    @pandas_udf("struct<q: array<int>, scale: double>")
+    def quant(vecs: pd.Series) -> pd.DataFrame:
+        qs, scales = [], []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            scale = float(np.abs(x).max() / 127.0) if len(x) else 0.0
+            if scale > 0:
+                q = np.floor(x / scale + 0.5).astype("int32")
+            else:
+                q = np.zeros(len(x), dtype="int32")
+            qs.append(list(map(int, q)))
+            scales.append(scale)
+        return pd.DataFrame({"q": qs, "scale": scales})
+
+    packed = quant(F.col(vec_col))
+    cols = [F.col(id_col), packed["q"].alias("q"), packed["scale"].alias("scale")]
+    if keep_vec:
+        # callers comparing against the original vector take it from
+        # THIS select (one lineage, no second scan or join back)
+        cols.append(F.col(vec_col).cast("array<double>").alias("v"))
+    return df.select(*cols)
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """array<double> reconstruction of a quantized vector."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

@@ -6165,3 +6165,46 @@ def data_dictionary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # profiled columns, transposed to a per-column table.
     c = _t(spark, sf_dir, "customer")
     return ql.data_dictionary(c, ["c_custkey", "c_name", "c_acctbal"])
+
+
+@_register(
+    "embedding_quantize_error",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings),
+    coded AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+                  ELSE list_transform(v, x -> 0) END AS qv
+      FROM q)
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           ROUND(list_max(list_transform(list_zip(v, qv),
+                 p -> abs(p[1] - p[2] * scale))), 6) AS max_abs_err
+    FROM coded
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Symmetric int8 quantization + per-vector reconstruction error —
+    # the storage-compression step for ANN candidate sides, checked
+    # value-exactly cross-engine (scale, codes, and the max abs error
+    # are all deterministic arithmetic).
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = sim.quantize_embeddings(emb, keep_vec=True)
+    err = F.array_max(
+        F.zip_with(F.col("v"), F.col("q"), lambda a, b: F.abs(a - b * F.col("scale")))
+    )
+    # err is attached BEFORE the display rounding of scale: putting
+    # round(scale) AS scale and the err expression in ONE select lets
+    # projection collapse bind err's scale reference to the ROUNDED
+    # output alias (verified in the physical plan), silently shifting
+    # every error by up to 127 * 5e-7 — alias shadowing, the quietest
+    # wrong-answer class in this codebase
+    return (
+        qd.withColumn("max_abs_err", F.round(err, 6))
+        .select("vec_id", F.round("scale", 6).alias("scale"), "max_abs_err")
+    )

@@ -243,3 +243,32 @@ def test_ivf_train_small_corpus_degrades_gracefully(spark):
     # but a too-thin explicit SAMPLE raises with the knob named
     with _pytest.raises(ValueError, match="train_fraction"):
         sim.ivf_train_centroids(tiny, n_centroids=8, n_iters=1, train_fraction=0.2)
+
+
+def test_quantize_embeddings_bounds_and_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25, 0.125, -0.0625]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [1.0, 1.0, 1.0, 1.0]),
+        ],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out = {r.vec_id: r for r in sim.quantize_embeddings(df, keep_vec=True).collect()}
+    # max element always maps to +/-127; zero vector -> scale 0, zero codes
+    assert out[1].q[0] == 127 and abs(out[1].scale - 0.5 / 127) < 1e-15
+    assert out[2].scale == 0.0 and list(out[2].q) == [0, 0, 0, 0]
+    assert list(out[3].q) == [127, 127, 127, 127]
+    # reconstruction error bounded by scale/2 everywhere
+    for r in out.values():
+        for orig, code in zip(r.v, r.q):
+            assert abs(orig - code * r.scale) <= r.scale / 2 + 1e-15
+    # dot-product recovery within quantization error
+    a, b = out[1], out[3]
+    approx = sum(x * y for x, y in zip(a.q, b.q)) * a.scale * b.scale
+    exact = sum(x * y for x, y in zip(a.v, b.v))
+    assert abs(approx - exact) < 4 * (a.scale + b.scale)
