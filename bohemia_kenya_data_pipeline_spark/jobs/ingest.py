@@ -29,23 +29,10 @@ re-arrive forever.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
-
-
-def _read_index_params(spark, index_path: str) -> dict:
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(index_path + "/_params.json")
-    stream = p.getFileSystem(conf).open(p)
-    try:
-        return json.loads(bytes(stream.readAllBytes()).decode())
-    finally:
-        stream.close()
 
 
 def ingest_batch(
@@ -70,7 +57,7 @@ def ingest_batch(
             f"min_band_agreement must be in (0, 1], got {min_band_agreement}"
         )
     spark = batch.sparkSession
-    params = _read_index_params(spark, minhash_index_path)
+    params = dd.read_minhash_index_params(spark, minhash_index_path)
     n_bands = params["bands"]
 
     exact_ok, new_hashes = dd.incremental_exact_dedup(
@@ -105,12 +92,15 @@ def ingest_batch(
     )
     accepted = exact_ok.join(near_dup_ids, id_col, "left_anti")
 
-    # state deltas restricted to what actually got accepted
-    new_hashes = new_hashes.join(
-        accepted.select(F.md5(F.col(text_col)).alias("content_hash")),
-        "content_hash",
-        "left_semi",
-    )
+    # state deltas restricted to what actually got accepted. Hashes
+    # come straight off the accepted rows (one per doc by
+    # construction: exact dedup already kept one representative per
+    # distinct text) — a semi-join back through new_hashes would pay
+    # an extra shuffle for the identical set. NULL texts never enter
+    # the store (incremental_exact_dedup's contract).
+    new_hashes = accepted.select(
+        F.md5(F.col(text_col)).alias("content_hash")
+    ).filter(F.col("content_hash").isNotNull())
     new_band_rows = batch_bands.join(
         accepted.select(F.col(id_col).alias("new_id")), "new_id", "left_semi"
     ).select(F.col("new_id").alias("id"), "bucket", "band")

@@ -822,6 +822,21 @@ def minhash_index_write(
     out.close()
 
 
+def read_minhash_index_params(spark, index_path: str) -> dict:
+    """Signature parameters a minhash index was written with
+    (the _params.json sidecar) — the single source probes must use."""
+    import json as _json
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(index_path + "/_params.json")
+    stream = p.getFileSystem(conf).open(p)
+    try:
+        return _json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+
+
 def minhash_index_query(
     new_docs: DataFrame,
     index_path: str,
@@ -841,19 +856,8 @@ def minhash_index_query(
     ``max_bucket_size`` caps INDEX-side bucket membership, same
     contract as the batch generators.
     """
-    import json as _json
-
     spark = new_docs.sparkSession
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(index_path + "/_params.json")
-    fs = p.getFileSystem(conf)
-    stream = fs.open(p)
-    try:
-        raw = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    params = _json.loads(raw.decode())
+    params = read_minhash_index_params(spark, index_path)
     batch_rows = _minhash_band_rows(
         new_docs,
         text_col,

@@ -148,6 +148,7 @@ def cluster_write(
     cluster_cols: Sequence[str],
     n_files: int,
     mode: str = "overwrite",
+    drop_cols: Sequence[str] = (),
 ) -> None:
     """Range-clustered rewrite: repartitionByRange on
     ``cluster_cols`` (sampled range bounds — one exchange, NOT a
@@ -162,13 +163,11 @@ def cluster_write(
     """
     if not cluster_cols:
         raise ValueError("cluster_write needs at least one cluster column")
-    cols = [F.col(c) for c in cluster_cols]
-    (
-        df.repartitionByRange(n_files, *cols)
-        .sortWithinPartitions(*cols)
-        .write.mode(mode)
-        .parquet(path)
-    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in cluster_cols]
+    out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    if drop_cols:
+        out = out.drop(*drop_cols)
+    out.write.mode(mode).parquet(path)
 
 
 def zorder_value(a, b, bits: int = 16):
@@ -216,10 +215,4 @@ def zorder_write(
     the interleaved key, range-clusters on it (:func:`cluster_write`
     semantics), and drops the key from the stored files."""
     keyed = df.withColumn("__z", zorder_value(col_a, col_b, bits))
-    (
-        keyed.repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode(mode)
-        .parquet(path)
-    )
+    cluster_write(keyed, path, ["__z"], n_files, mode=mode, drop_cols=["__z"])

@@ -260,6 +260,8 @@ def synth_frameseq(n_frames: int, width: int, height: int) -> bytes:
     """Deterministic multi-frame reel: each frame is a genuine BMP
     whose FIRST PIXEL encodes the frame index (blue channel), so a
     sampler's output is verifiable frame-by-frame."""
+    if n_frames < 1 or width < 1 or height < 1:
+        raise ValueError("synth_frameseq needs n_frames, width, height >= 1")
     out = [_FSEQ_MAGIC, struct.pack("<I", n_frames)]
     for i in range(n_frames):
         frame = bytearray(synth_bmp(width, height))
@@ -326,7 +328,10 @@ def sample_frames(
                     if i % every_n:
                         continue
                     meta = decode_media(frame)
-                    if not meta["valid"]:
+                    # quiet-skip contract: only BMP frames large enough
+                    # to carry the pixel tag produce rows (a 54-byte
+                    # zero-area BMP decodes valid but has no pixels)
+                    if not meta["valid"] or meta["format"] != "bmp" or len(frame) <= 54:
                         continue
                     rows.append(
                         (

@@ -210,7 +210,13 @@ def detect_inconsistent_group(
         df.filter(F.col(group_col).isNotNull())
         .groupBy(group_col)
         .agg(
-            F.countDistinct(F.col(value_col)).alias("_nv"),
+            # + max(isnull): R's n_distinct counts NA as a value, so a
+            # group with {NULL, '5'} DISAGREES — countDistinct alone
+            # ignores NULLs and would silently pass it
+            (
+                F.countDistinct(F.col(value_col))
+                + F.max(F.col(value_col).isNull().cast("int"))
+            ).alias("_nv"),
             F.array_join(F.array_sort(F.collect_set(F.col(key).cast("string"))), ", ").alias(
                 "_keys"
             ),
@@ -249,7 +255,9 @@ def data_dictionary(df: DataFrame, columns: Sequence[str] | None = None) -> Data
         # be lexicographic: '9' > '10')
         aggs += [
             F.count(F.lit(1)).alias(f"__rows_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"__null_{c}"
+            ),
             F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),

@@ -298,6 +298,7 @@ def scd2_history_sink(
     key_cols: list[str],
     tracked_cols: list[str],
     effective_date_col: str,
+    tiebreak_cols: list[str] | None = None,
 ):
     """Continuous SCD2 history maintenance from a stream of snapshot
     rows: each micro-batch merges into the current history via
@@ -315,7 +316,17 @@ def scd2_history_sink(
     snapshots are keep-last deduped per key on (effective_date_col
     desc) before the merge, so one batch holding several versions of a
     key records only the newest (intra-batch history is finer-grained
-    than micro-batch cadence — documented, not silently wrong).
+    than micro-batch cadence — documented, not silently wrong). Pass
+    ``tiebreak_cols`` (a unique row key) so same-date updates for one
+    key resolve deterministically — latest_per_key's total-order
+    contract.
+
+    Replay-safe: foreachBatch is at-least-once, and a replayed batch
+    would otherwise read its OWN v=<batch_id> output as 'current'
+    while overwriting that same path (self-overwrite corruption). A
+    replay therefore (a) skips entirely when v=<batch_id> exists (the
+    version is immutable once written) and (b) only ever reads
+    versions strictly below its own batch id.
 
     Returns the started StreamingQuery.
     """
@@ -336,6 +347,9 @@ def scd2_history_sink(
                 name = st.getPath().getName()
                 if name.startswith("v="):
                     versions.append(int(name[2:]))
+        if batch_id in versions:
+            return  # replayed batch: its output already committed
+        versions = [v for v in versions if v < batch_id]
         if versions:
             current = spark.read.parquet(f"{history_path}/v={max(versions)}")
         else:
@@ -350,8 +364,18 @@ def scd2_history_sink(
         effective = batch_df.agg(
             F.max(F.col(effective_date_col).cast("date")).alias("d")
         ).collect()[0][0]
+        if effective is None:
+            # all-NULL effective dates would stringify to 'None' ->
+            # NULL valid_from rows, which merge_scd2 treats as absent
+            # on the next merge (silent row loss) — refuse loudly
+            raise ValueError(
+                f"batch {batch_id}: every {effective_date_col!r} value is NULL"
+            )
         snapshot = _W.latest_per_key(
-            batch_df, key_cols, order_by=[effective_date_col], keep="last"
+            batch_df,
+            key_cols,
+            order_by=[effective_date_col, *(tiebreak_cols or [])],
+            keep="last",
         ).select(*key_cols, *tracked_cols)
         merged = _scd.merge_scd2(
             current, snapshot, key_cols, tracked_cols, str(effective)

@@ -67,3 +67,27 @@ def test_detect_threshold_rejects_unknown_direction(spark):
     df = spark.createDataFrame([("k", 1.0)], ["KEY", "v"])
     with _pytest.raises(ValueError, match="direction"):
         ql.detect_threshold(df, "v", "f", "a", "d", 0.5, direction="greater")
+
+
+def test_inconsistent_group_counts_null_as_value(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    df = spark.createDataFrame(
+        [("h1", None, "k1"), ("h1", "5", "k2"), ("h2", "7", "k3"), ("h2", "7", "k4"),
+         (None, "9", "k5")],
+        ["hhid", "cluster", "KEY"],
+    )
+    out = ql.detect_inconsistent_group(df, "hhid", "cluster", "f", "multi")
+    rows = {r.KEY for r in out.collect()}
+    # {NULL, '5'} is a disagreement (R n_distinct counts NA); {7,7} is
+    # not; NULL group keys never flag
+    assert rows == {"h1"}
+
+
+def test_data_dictionary_empty_table_zero_nulls(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    empty = spark.createDataFrame([], "a INT, b STRING")
+    rows = {r.column: r for r in ql.data_dictionary(empty).collect()}
+    assert rows["a"].n_rows == 0 and rows["a"].n_null == 0
+    assert rows["b"].n_null == 0

@@ -376,3 +376,45 @@ def test_scd2_history_sink_matches_sequential_merges(spark, tmp_path):
     assert got == expect
     # history is versioned, not overwritten: the v=0 snapshot still reads
     assert spark.read.parquet(f"{hist}/v={versions[0]}").count() == 2
+
+
+def test_scd2_history_sink_rejects_all_null_dates_and_skips_replay(spark, tmp_path):
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "s2"
+    src.mkdir()
+    hist = str(tmp_path / "h2")
+    schema = "k BIGINT, v STRING, d DATE"
+    spark.createDataFrame([(1, "a", None)], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = se.scd2_history_sink(stream, hist, str(tmp_path / "c2"), ["k"], ["v"], "d")
+    # all-NULL effective dates refuse loudly (surfaces through the query)
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="value is NULL"):
+        q.awaitTermination(60)
+
+    # replay safety: a pre-existing v=<batch_id> makes the batch a no-op
+    import datetime
+
+    hist2 = str(tmp_path / "h3")
+    marker = spark.createDataFrame(
+        [(99, "pre", datetime.date(1999, 1, 1), None)],
+        "k BIGINT, v STRING, valid_from DATE, valid_to DATE",
+    )
+    marker.write.parquet(f"{hist2}/v=0")
+    src2 = tmp_path / "s3"
+    src2.mkdir()
+    spark.createDataFrame([(1, "a", datetime.date(2000, 1, 1))], schema).coalesce(
+        1
+    ).write.parquet(str(src2 / "f1"))
+    stream2 = spark.readStream.schema(schema).parquet(str(src2 / "*"))
+    q2 = se.scd2_history_sink(stream2, hist2, str(tmp_path / "c3"), ["k"], ["v"], "d")
+    q2.awaitTermination(60)
+    assert q2.exception() is None
+    # batch 0 saw its own version present and skipped: v=0 unchanged
+    got = spark.read.parquet(f"{hist2}/v=0").collect()
+    assert len(got) == 1 and got[0].k == 99
