@@ -797,3 +797,59 @@ def quantize_embeddings(
 def dequantize(q: Column, scale: Column) -> Column:
     """array<double> reconstruction of a quantized vector."""
     return F.transform(q, lambda x: x.cast("double") * scale)
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine top-k scored entirely on int8 codes: both sides are
+    quantized (:func:`quantize_embeddings`) and cosine computed as
+    dot(q_a, q_b) / (|q_a| * |q_b|) — the per-vector scales cancel in
+    the ratio, so scoring is INTEGER dot products and two square
+    roots per pair. The memory/bandwidth story of int8 ANN with
+    deterministic, engine-exact arithmetic (integer sums have no
+    float accumulation order); accuracy vs float cosine is bounded by
+    the quantization error (golden-tested).
+
+    Same shape as :func:`cosine_topk`: broadcast(queries) x corpus,
+    one window shuffle. Zero vectors score 0.
+    """
+    q = quantize_embeddings(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qa")
+    )
+    c = quantize_embeddings(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dd", idot(F.col("qa"), F.col("qb")))
+        .withColumn("na", idot(F.col("qa"), F.col("qa")))
+        .withColumn("nb", idot(F.col("qb"), F.col("qb")))
+        .withColumn(
+            "score",
+            F.round(
+                F.when(
+                    (F.col("na") > 0) & (F.col("nb") > 0),
+                    F.col("dd") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+                ).otherwise(0.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -6208,3 +6208,41 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         qd.withColumn("max_abs_err", F.round(err, 6))
         .select("vec_id", F.round("scale", 6).alias("scale"), "max_abs_err")
     )
+
+
+@_register(
+    "quantized_cosine_topk",
+    """
+    WITH coded AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x / (list_max(list_transform(embedding::DOUBLE[],
+                          y -> abs(y))) / 127.0) + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+      WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(a.q, b.q), p -> p[1]*p[2])) AS dd,
+             list_sum(list_transform(a.q, x -> x*x)) AS na,
+             list_sum(list_transform(b.q, x -> x*x)) AS nb
+      FROM coded a JOIN coded b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(CASE WHEN na > 0 AND nb > 0
+                        THEN dd / (sqrt(na) * sqrt(nb)) ELSE 0.0 END, 6) AS score
+      FROM pairs)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8-scored cosine top-k: scales cancel in the cosine ratio, so
+    # the pair math is integer dot products (no float accumulation
+    # order to diverge cross-engine) plus two sqrts. The synthetic
+    # corpus has no zero vectors, so the SQL mirror can quantize
+    # inline without the zero-scale branch.
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.quantized_cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)

@@ -272,3 +272,27 @@ def test_quantize_embeddings_bounds_and_roundtrip(spark):
     approx = sum(x * y for x, y in zip(a.q, b.q)) * a.scale * b.scale
     exact = sum(x * y for x, y in zip(a.v, b.v))
     assert abs(approx - exact) < 4 * (a.scale + b.scale)
+
+
+def test_quantized_topk_tracks_exact_cosine(spark):
+    """int8-scored top-k must stay close to float cosine top-k: high
+    overlap in the neighbor sets and score error within quantization
+    tolerance."""
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in sim.cosine_topk(emb, q, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in sim.quantized_cosine_topk(emb, q, k=5).collect()
+    }
+    overlap = len(set(exact) & set(quant)) / len(exact)
+    assert overlap >= 0.8
+    for pair in set(exact) & set(quant):
+        assert abs(exact[pair] - quant[pair]) < 0.02
