@@ -71,8 +71,12 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_supplier",
     "pq_topk",
+    "quantized_cosine_topk",
     "pretrain_mix",
     "line_dedup_corpus",
+    "fuzzy_pairs_edit1",
+    "efficacy_status_matrix",
+    "tpch_q9_product_profit",
     "icf_verification_metrics",
     "pharmacy_ledger_reconciliation",
     "token_budget_take",

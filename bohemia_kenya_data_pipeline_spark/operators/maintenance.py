@@ -216,3 +216,33 @@ def zorder_write(
     semantics), and drops the key from the stored files."""
     keyed = df.withColumn("__z", zorder_value(col_a, col_b, bits))
     cluster_write(keyed, path, ["__z"], n_files, mode=mode, drop_cols=["__z"])
+
+
+def gc_versions(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
+    """Garbage-collect a ``v=<n>`` versioned directory (the layout
+    `streaming.scd2_history_sink` publishes): keep the newest
+    ``keep_last`` versions, delete the rest, return the deleted
+    version numbers.
+
+    Readers take the max version, so any version below the kept window
+    is unreachable except to time-travel consumers — size
+    ``keep_last`` to the time-travel horizon. Deletion is metadata-only
+    driver work (recursive FileSystem delete per retired version).
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    versions = sorted(
+        int(st.getPath().getName()[2:])
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("v=")
+    )
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}"), True)
+    return doomed

@@ -150,3 +150,23 @@ def test_zorder_write_tiles_both_dimensions(spark, tmp_path):
     # values, while z-order tiles bound b at ~sqrt(file_rows)
     assert max_b_span(lpath) == 64
     assert max_b_span(zpath) <= 24
+
+
+def test_gc_versions_keeps_newest(spark, tmp_path):
+    root = str(tmp_path / "versioned")
+    for v in (0, 1, 3, 7):
+        spark.range(v + 1).write.parquet(f"{root}/v={v}")
+    deleted = mt.gc_versions(spark, root, keep_last=2)
+    assert deleted == [0, 1]
+    assert spark.read.parquet(f"{root}/v=7").count() == 8
+    assert spark.read.parquet(f"{root}/v=3").count() == 4
+    assert sorted(
+        p.name for p in (tmp_path / "versioned").iterdir() if p.name.startswith("v=")
+    ) == ["v=3", "v=7"]
+    # nothing to do below the window; missing root is a no-op
+    assert mt.gc_versions(spark, root, keep_last=5) == []
+    assert mt.gc_versions(spark, str(tmp_path / "nope")) == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mt.gc_versions(spark, root, keep_last=0)
