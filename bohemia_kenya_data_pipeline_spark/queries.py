@@ -6246,3 +6246,71 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inline without the zero-scale branch.
     emb = _t(spark, sf_dir, "embeddings")
     return sim.quantized_cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+@_register(
+    "kfold_assign",
+    """
+    WITH folds AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|17'), 1, 8)
+                  AS BIGINT) % 5 AS fold
+      FROM documents)
+    SELECT CAST(fold AS INTEGER) AS fold, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM folds GROUP BY 1, 2
+    """,
+)
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-fold cross-validation assignment from the same md5 hash family
+    # as sample/split_by_hash: fold = hex-prefix % k (32 uniform
+    # bits) — deterministic, partition-invariant, and the per-language
+    # rollup doubles as the stratification balance check. Spark parses
+    # the hex with conv(,16,10); DuckDB with a '0x'-prefixed BIGINT
+    # cast — same unsigned value either way.
+    d = _t(spark, sf_dir, "documents")
+    fold = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|17"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(5),
+    )
+    return (
+        d.select(fold.alias("fold"), "lang")
+        .groupBy(F.col("fold").cast("int").alias("fold"), "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@_register(
+    "time_weighted_avg",
+    """
+    WITH spans AS (
+      SELECT user_id, value,
+             EPOCH_US(LEAD(ts) OVER w) - EPOCH_US(ts) AS dt_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    held AS (SELECT user_id, value, dt_us FROM spans WHERE dt_us IS NOT NULL)
+    SELECT user_id,
+           ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS tw_avg,
+           CAST(SUM(dt_us) AS BIGINT) AS held_us
+    FROM held GROUP BY 1
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-weighted average (sensor/telemetry semantics): each reading
+    # holds until the next one, so the mean weights each value by its
+    # holding duration — a lead() span plus a weighted aggregate, NOT
+    # a plain avg. Microsecond integer spans keep the weights exact
+    # cross-engine (the trailing_window_7d epoch lesson).
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c)  # noqa: E731
+    spans = ev.withColumn("dt_us", us(F.lead("ts").over(w)) - us(F.col("ts"))).filter(
+        F.col("dt_us").isNotNull()
+    )
+    return spans.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4).alias("tw_avg"),
+        F.sum("dt_us").cast("bigint").alias("held_us"),
+    )
