@@ -6314,3 +6314,78 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4).alias("tw_avg"),
         F.sum("dt_us").cast("bigint").alias("held_us"),
     )
+
+
+@_register(
+    "streaming_interval_join_left",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    s AS (
+      SELECT event_id AS signup_id, user_id AS s_user_id,
+             CAST(ts AS TIMESTAMP) AS s_ts
+      FROM events WHERE event_type = 'signup'),
+    wm AS (
+      SELECT LEAST((SELECT MAX(p_ts) FROM p), (SELECT MAX(s_ts) FROM s))
+             - INTERVAL '1 hour' AS w),
+    joined AS (
+      SELECT p.purchase_id, s.signup_id, p.user_id, p.p_ts
+      FROM p LEFT JOIN s
+        ON p.user_id = s.s_user_id
+       AND s.s_ts >= p.p_ts - INTERVAL '7 days' AND s.s_ts <= p.p_ts)
+    SELECT purchase_id, signup_id, user_id, p_ts AS purchase_ts
+    FROM joined, wm
+    WHERE signup_id IS NOT NULL OR p_ts < wm.w
+    """,
+)
+def streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LEFT OUTER stream-stream interval join: matched rows emit on
+    # match; unmatched rows NULL-pad only once the global watermark —
+    # LEAST of each stream's (max event time - delay) — proves no
+    # match can still arrive. The availableNow terminal watermark
+    # makes that set deterministic, so the oracle PREDICTS exactly
+    # which unmatched purchases emit (the same watermark-mirroring
+    # trick as streaming_window_counts). Purchases in the final
+    # watermark hour stay buffered — correctly withheld, and the
+    # oracle says so.
+    from bohemia_kenya_data_pipeline_spark import streaming as stm
+
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    signups = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "signup"
+    ).select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    out = stm.interval_join_streams_left(
+        purchases,
+        signups,
+        left_key="user_id",
+        right_key="s_user_id",
+        left_ts="p_ts",
+        right_ts="s_ts",
+        lookback="7 days",
+        watermark="1 hour",
+    ).select(
+        "purchase_id", "signup_id", F.col("user_id"), F.col("p_ts").alias("purchase_ts")
+    )
+    name = "q_streaming_interval_join_left"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming_interval_join_left did not complete within 600s")
+    return spark.table(name)

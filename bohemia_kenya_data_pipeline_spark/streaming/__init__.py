@@ -21,6 +21,26 @@ result must equal the batch plan on the same data.
 
 from __future__ import annotations
 
-from .events import dedup_stream, enrich_stream, interval_join_streams, sessionize_stream, stream_events, windowed_event_counts
+from .events import (
+    dedup_stream,
+    enrich_stream,
+    incremental_dedup_sink,
+    interval_join_streams,
+    interval_join_streams_left,
+    scd2_history_sink,
+    sessionize_stream,
+    stream_events,
+    windowed_event_counts,
+)
 
-__all__ = ["stream_events", "windowed_event_counts", "sessionize_stream", "enrich_stream", "dedup_stream", "interval_join_streams"]
+__all__ = [
+    "stream_events",
+    "windowed_event_counts",
+    "sessionize_stream",
+    "enrich_stream",
+    "dedup_stream",
+    "interval_join_streams",
+    "interval_join_streams_left",
+    "incremental_dedup_sink",
+    "scd2_history_sink",
+]

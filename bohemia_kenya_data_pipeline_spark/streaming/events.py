@@ -222,6 +222,39 @@ def interval_join_streams(
     set, so an availableNow run over a static directory equals the
     batch range join row-for-row (the registered query's oracle).
     """
+    return _interval_join(
+        left, right, left_key, right_key, left_ts, right_ts, lookback, watermark, "inner"
+    )
+
+
+def interval_join_streams_left(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    watermark: str,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every left row emits —
+    matched rows as soon as the match arrives, UNMATCHED rows
+    NULL-padded only once the watermark proves no match can still
+    come (the state-timeout semantics inner joins never need).
+
+    Differential contract (tested): an availableNow run over static
+    data, where the terminal watermark finalizes everything, equals
+    the batch left range join row-for-row — including which rows got
+    NULL padding.
+    """
+    return _interval_join(
+        left, right, left_key, right_key, left_ts, right_ts, lookback, watermark, "leftOuter"
+    )
+
+
+def _interval_join(
+    left, right, left_key, right_key, left_ts, right_ts, lookback, watermark, how
+):
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -229,7 +262,7 @@ def interval_join_streams(
         & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
         & (rw[right_ts] <= lw[left_ts])
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def incremental_dedup_sink(
