@@ -6389,3 +6389,86 @@ def streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming_interval_join_left did not complete within 600s")
     return spark.table(name)
+
+
+@_register(
+    "grouped_mode",
+    """
+    WITH counts AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2),
+    ranked AS (
+      SELECT c_nationkey, c_mktsegment, n,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY n DESC, c_mktsegment) AS rk
+      FROM counts)
+    SELECT c_nationkey, c_mktsegment AS mode_segment, CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rk = 1
+    """,
+)
+def grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Statistical mode per group: count sub-groups, keep the most
+    # frequent value with a deterministic lexicographic tiebreak —
+    # two map-side-combined aggregations plus a tiny window, never a
+    # collect of the value list.
+    c = _t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("n"), F.asc("c_mktsegment"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@_register(
+    "mad_outlier_filter",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY 1),
+    dev AS (
+      SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+             ABS(l.l_extendedprice - m.med) AS adev, m.med
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT d.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           ROUND(MIN(d.l_extendedprice), 2) AS min_outlier_price
+    FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+    WHERE d.adev > 1.2 * 1.4826 * m.mad
+    GROUP BY 1
+    """,
+)
+def mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust outlier detection (median absolute deviation, the
+    # quality-filter statistic that doesn't move when the outliers
+    # do): per-group median -> absolute deviations -> median of those
+    # -> a sigma-equivalent cut at k*1.4826*MAD (k=1.2 here: the
+    # synthetic prices are near-uniform, so the classic k=3 tail is
+    # empty — the cut is a data-calibrated knob). Two exact-percentile
+    # aggregates broadcast back onto the fact; the fact never
+    # shuffles (returnflag medians are dim-sized).
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy(F.col("l_returnflag").alias("m_flag")).agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("m_flag") == F.col("l_returnflag"))
+        .filter(F.col("adev") > 1.2 * 1.4826 * F.col("mad"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_outliers"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_outlier_price"),
+        )
+    )
