@@ -254,3 +254,36 @@ def numeric_profile(
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+def build_distinct_sketches(
+    df: DataFrame,
+    value_col: str,
+    bucket_cols: Sequence[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pre-aggregated mergeable distinct-count sketches: one Apache
+    DataSketches HLL per bucket (e.g. per day, per form). The 100 TB
+    pattern for "distinct users over ANY date range": scan the corpus
+    ONCE to build per-bucket sketches (a few KB each), persist them,
+    and answer every later range query by merging sketches — no
+    rescan, and sketch-of-union == union-of-sketches by construction
+    (golden-tested), which plain approx_count_distinct results can
+    never give (estimates don't add).
+    """
+    return df.groupBy(*bucket_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def estimate_distinct_over(
+    sketches: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge stored sketches (optionally re-grouped onto coarser keys
+    — day sketches to month estimates, per-form to global) and
+    estimate the distinct count of the UNION of their buckets."""
+    agg = F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("n_distinct")
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(agg)
+    return sketches.agg(agg)

@@ -6472,3 +6472,24 @@ def mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("l_extendedprice"), 2).alias("min_outlier_price"),
         )
     )
+
+
+@_register("distinct_sketch_rollup", None)
+def distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable HLL sketch store: per-(event_type, day) sketches built
+    # in one scan, then WEEKLY distinct-user estimates from sketch
+    # merges — no rescan, and union-of-sketches == sketch-of-union
+    # (golden-tested identity in tests/test_stats.py). Rows-only like
+    # count_distinct_approx: the estimate is implementation-defined,
+    # so there is no SQL oracle by design; the error bound and the
+    # merge identity are the checked properties.
+    ev = _t(spark, sf_dir, "events")
+    daily = st.build_distinct_sketches(
+        ev.withColumn("day", F.to_date("ts")), "user_id", ["event_type", "day"]
+    )
+    weekly = st.estimate_distinct_over(
+        daily.withColumn("week", F.weekofyear("day")), ["event_type", "week"]
+    )
+    return weekly.select(
+        "event_type", "week", F.col("n_distinct").cast("bigint").alias("n_distinct")
+    )

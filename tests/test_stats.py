@@ -95,3 +95,43 @@ def test_blank_results_stay_unknown_then_resolve(spark):
     )
     assert got[("a", 2)][0] is None
     assert got[("a", 3)][0] is True
+
+
+def test_distinct_sketches_merge_and_bound(spark):
+    """Union-of-sketches must equal sketch-of-union, and estimates
+    must stay within HLL error of exact distinct counts."""
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    ev = spark.range(50_000).select(
+        (F.col("id") % 30).alias("day"),
+        # overlapping membership across days: user u appears on ~ half
+        # the days, so per-day counts DON'T add up to the global count
+        F.pmod(F.hash("id"), F.lit(5000)).alias("user_id"),
+    )
+    daily = st.build_distinct_sketches(ev, "user_id", ["day"]).cache()
+    assert daily.count() == 30
+
+    # global estimate from merged daily sketches vs exact
+    est = st.estimate_distinct_over(daily).collect()[0].n_distinct
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05
+
+    # merging a 10-day window matches a sketch built directly on it
+    win = daily.filter(F.col("day") < 10)
+    est_win = st.estimate_distinct_over(win).collect()[0].n_distinct
+    direct = st.build_distinct_sketches(
+        ev.filter(F.col("day") < 10).withColumn("all", F.lit(1)), "user_id", ["all"]
+    )
+    est_direct = direct.select(
+        F.hll_sketch_estimate("sketch").alias("n")
+    ).collect()[0].n
+    assert est_win == est_direct  # identical sketches -> identical estimate
+
+    # coarser regrouping: weeks from days
+    weekly = st.estimate_distinct_over(
+        daily.withColumn("week", (F.col("day") / 7).cast("int")), ["week"]
+    )
+    assert weekly.count() == 5
+    daily.unpersist()
