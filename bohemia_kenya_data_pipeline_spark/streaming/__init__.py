@@ -24,6 +24,7 @@ from __future__ import annotations
 from .events import (
     dedup_stream,
     enrich_stream,
+    ewma_alert_stream,
     incremental_dedup_sink,
     interval_join_streams,
     interval_join_streams_left,
@@ -38,6 +39,7 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_stream",
     "enrich_stream",
+    "ewma_alert_stream",
     "dedup_stream",
     "interval_join_streams",
     "interval_join_streams_left",

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    LongType, StructField, StructType, TimestampType,
+    BooleanType, DoubleType, LongType, StructField, StructType, TimestampType,
 )
 
 
@@ -420,4 +420,99 @@ def scd2_history_sink(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("ewma_before", DoubleType()),
+        StructField("is_alert", BooleanType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("ewma", DoubleType()), StructField("n", LongType())]
+)
+
+
+def ewma_alert_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    threshold: float = 3.0,
+    watermark: str = "1 hour",
+    idle_timeout_minutes: int = 120,
+) -> DataFrame:
+    """Per-key EWMA drift detection as the second custom stateful
+    operator (``applyInPandasWithState``): every event emits with the
+    key's EWMA BEFORE the event and an alert flag when
+    ``|value - ewma_before| > threshold`` — the online anomaly monitor
+    a quality pipeline runs on live submissions (the batch anomaly
+    detectors in operators/quality.py are its scheduled counterparts).
+
+    The EWMA is a true recurrence (state_i = a*x_i + (1-a)*state_{i-1})
+    — inexpressible as a Spark window over unbounded history without
+    recomputation, which is exactly what per-key state is for. State
+    per key is one double + one long; idle keys evict
+    ``idle_timeout_minutes`` after their last event's event time
+    (bounded state on unbounded key churn). First event of a key never
+    alerts (no baseline). Rows sort by event time within each batch,
+    so the streaming run over a static directory equals the batch
+    recurrence (differential golden).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    idle_us = idle_timeout_minutes * 60 * 1_000_000
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        uid = key[0]
+        rows = pd.concat(parts).sort_values(ts_col)
+        ewma, n = state.get if state.exists else (None, 0)
+        ts_us = rows[ts_col].astype("datetime64[ns]").astype("int64") // 1_000
+        out_ts, out_v, out_before, out_alert = [], [], [], []
+        for t, v in zip(ts_us, rows[value_col].astype("float64")):
+            v = float(v)
+            before = ewma
+            alert = before is not None and abs(v - before) > threshold
+            ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+            n += 1
+            out_ts.append(int(t))
+            out_v.append(v)
+            out_before.append(before)
+            out_alert.append(alert)
+        state.update((float(ewma), int(n)))
+        state.setTimeoutTimestamp((int(ts_us.max()) + idle_us) // 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(out_ts),
+                "ts": pd.to_datetime(out_ts, unit="us"),
+                "value": out_v,
+                "ewma_before": pd.array(out_before, dtype="Float64"),
+                "is_alert": out_alert,
+            }
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

