@@ -6493,3 +6493,39 @@ def distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.select(
         "event_type", "week", F.col("n_distinct").cast("bigint").alias("n_distinct")
     )
+
+
+# ===========================================================================
+# Bloom-filter join pruning (operators/bloom.py): cut the big side's
+# shuffle volume before a selective semi join. The oracle is the PLAIN
+# semi join — the bloom is pure pruning (no false negatives; false
+# positives removed by the exact verify join), so the end result is
+# hash-implementation-independent.
+# ===========================================================================
+from .operators import bloom as bf  # noqa: E402
+
+
+@_register(
+    "bloom_pruned_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+    """,
+)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom built from the filtered dim's keys (one groupBy(word_idx)
+    # bit_or agg, map-side combined); orders stream through ONE
+    # broadcast of the one-row word map, then the exact semi join
+    # removes the bloom's false positives. At 100 TB the prune runs
+    # scan-side, dropping ~4/5 of orders before any join machinery.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return bf.bloom_pruned_semi_join(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        c.select("c_custkey"),
+        "o_custkey",
+        "c_custkey",
+    )
