@@ -287,3 +287,112 @@ def estimate_distinct_over(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(agg)
     return sketches.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch store: mergeable approximate frequencies.
+# Companion to the HLL distinct-count store above — HLL answers "how
+# many distinct", CMS answers "how often does THIS key occur" without
+# storing per-key counts. depth x width counters; estimate = min over
+# rows; one-sided error (never underestimates), eps = e/width with
+# probability 1 - e^-depth.
+#
+# Hashes are the repo's portable md5-prefix family (sampling.py), so
+# the ENTIRE estimate is reproducible in ANSI SQL — the registered
+# oracle recomputes the sketch and the min-over-depth estimate
+# value-for-value, unlike opaque binary sketch blobs.
+# ---------------------------------------------------------------------------
+
+
+def _cms_idx(key: Column, width: int, depth_i: int, seed: int) -> Column:
+    """Portable counter index: first 8 md5 hex chars of "<key>|cms<seed>_<i>"
+    as a 32-bit unsigned int, mod width. DuckDB mirror:
+    CAST('0x' || substring(md5(k || '|cms<seed>_<i>'), 1, 8) AS BIGINT) % width."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f"|cms{seed}_{depth_i}"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def build_cms(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 7,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a sparse count-min sketch ``(d, idx, cnt)`` over
+    ``df[key_col]`` (optionally weighted). NULL keys are skipped.
+
+    One pass: posexplode the depth indices, then groupBy(d, idx) SUM.
+    Map-side combine collapses every scan partition to at most
+    depth*width rows before the shuffle — like the bloom build, the
+    shuffle volume is O(partitions * depth * width), independent of
+    row count. The sketch itself is <= depth*width rows: persist it
+    per day/source and answer later frequency queries by merging,
+    no rescan (same contract as build_distinct_sketches).
+    """
+    key = F.col(key_col)
+    idxs = F.array(*[_cms_idx(key, width, i, seed) for i in range(depth)])
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.filter(key.isNotNull())
+        .select(F.posexplode(idxs).alias("d", "idx"), w.alias("w"))
+        .groupBy("d", "idx")
+        .agg(F.sum("w").cast("long").alias("cnt"))
+    )
+
+
+def merge_cms(*sketches: DataFrame) -> DataFrame:
+    """Union-of-sketches: elementwise counter sum. Exactly equals the
+    sketch built over the union of the inputs (same width/depth/seed —
+    caller invariant, as in bloom.merge_blooms)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "idx").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 7,
+    out_col: str = "est_n",
+) -> DataFrame:
+    """Attach the CMS frequency estimate (min over depth rows) to every
+    probe row. The sketch collapses to one broadcast map row keyed by
+    d*width+idx (<= depth*width entries); probes stream through with
+    ``element_at`` lookups — zero shuffles on the probe side.
+    Guarantee: ``est >= true count`` for every key the sketch saw.
+    """
+    key = F.col(key_col)
+    m = sketch.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("d") * width + F.col("idx")).cast("long").alias("k"), F.col("cnt")
+                )
+            )
+        ).alias("__cms_map")
+    )
+    est = F.least(
+        *[
+            F.coalesce(
+                F.element_at(
+                    F.col("__cms_map"),
+                    (F.lit(i) * width + _cms_idx(key, width, i, seed)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return probes.join(F.broadcast(m)).withColumn(out_col, est).drop("__cms_map")

@@ -6529,3 +6529,50 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "c_custkey",
     )
+
+
+@_register(
+    "cms_user_counts",
+    """
+    WITH cnts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+                  FROM events GROUP BY 1),
+    depths AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+    sk AS (SELECT d, idx, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT dd.d AS d,
+                        CAST('0x' || substring(md5(CAST(e.user_id AS VARCHAR)
+                             || '|cms7_' || CAST(dd.d AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 64 AS idx
+                 FROM events e CROSS JOIN depths dd)
+           GROUP BY 1, 2),
+    avgn AS (SELECT AVG(exact_n) AS a FROM cnts),
+    heavy AS (SELECT c.user_id, c.exact_n FROM cnts c, avgn
+              WHERE c.exact_n > avgn.a),
+    probe AS (SELECT h.user_id, h.exact_n, dd.d,
+                     CAST('0x' || substring(md5(CAST(h.user_id AS VARCHAR)
+                          || '|cms7_' || CAST(dd.d AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 64 AS idx
+              FROM heavy h CROSS JOIN depths dd)
+    SELECT p.user_id, p.exact_n, MIN(s.cnt) AS est_n
+    FROM probe p JOIN sk s ON s.d = p.d AND s.idx = p.idx
+    GROUP BY 1, 2
+    """,
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-min sketch store (stats.build_cms): above-average users'
+    # event frequencies estimated FROM THE SKETCH (width 64 -> real
+    # collisions at sf0.01, so est_n > exact_n for some users — the
+    # one-sided error is part of the checked result). The oracle
+    # recomputes the identical sketch in SQL from the portable md5
+    # hash family: the estimate itself is value-checked, not just
+    # bounded — possible because CMS counters are plain sums, unlike
+    # opaque HLL registers (distinct_sketch_rollup is rows-only).
+    ev = _t(spark, sf_dir, "events")
+    sk = st.build_cms(ev, "user_id", width=64, depth=4, seed=7)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    avg = exact.agg(F.avg("exact_n").alias("a"))
+    heavy = exact.join(F.broadcast(avg)).filter(F.col("exact_n") > F.col("a")).drop("a")
+    return st.cms_estimate(sk, heavy, "user_id", width=64, depth=4, seed=7).select(
+        "user_id", "exact_n", "est_n"
+    )

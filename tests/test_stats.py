@@ -135,3 +135,73 @@ def test_distinct_sketches_merge_and_bound(spark):
     )
     assert weekly.count() == 5
     daily.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch store
+# ---------------------------------------------------------------------------
+
+
+def _cms_data(spark):
+    from pyspark.sql import functions as F
+
+    # key k repeated k times, k = 1..60 -> known exact counts
+    return (
+        spark.range(1, 61)
+        .select(F.explode(F.sequence(F.lit(1), F.col("id"))).alias("_"), F.col("id").alias("k"))
+        .select("k")
+    )
+
+
+def test_cms_never_underestimates(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    df = _cms_data(spark)
+    sk = st.build_cms(df, "k", width=32, depth=4)  # narrow: force collisions
+    probes = df.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    got = st.cms_estimate(sk, probes, "k", width=32, depth=4).collect()
+    assert len(got) == 60
+    assert all(r.est_n >= r.true_n for r in got)
+    # narrow sketch must actually collide somewhere, or the test is vacuous
+    assert any(r.est_n > r.true_n for r in got)
+
+
+def test_cms_exact_when_wide(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    df = _cms_data(spark)
+    sk = st.build_cms(df, "k", width=1 << 14, depth=4)
+    probes = df.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    got = st.cms_estimate(sk, probes, "k", width=1 << 14, depth=4).collect()
+    assert all(r.est_n == r.true_n for r in got)
+
+
+def test_cms_merge_identity(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    df = _cms_data(spark)
+    a = df.filter(F.col("k") <= 30)
+    b = df.filter(F.col("k") > 30)
+    merged = st.merge_cms(
+        st.build_cms(a, "k", width=32, depth=4), st.build_cms(b, "k", width=32, depth=4)
+    )
+    direct = st.build_cms(df, "k", width=32, depth=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cms_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    df = spark.createDataFrame([(1, 5), (1, 7), (2, 3)], "k int, w int")
+    sk = st.build_cms(df, "k", width=1 << 10, depth=3, weight_col="w")
+    probes = spark.createDataFrame([(1,), (2,)], "k int")
+    got = {r.k: r.est_n for r in st.cms_estimate(sk, probes, "k", width=1 << 10, depth=3).collect()}
+    assert got == {1: 12, 2: 3}
