@@ -29,6 +29,8 @@ the hash formulation is the distributed-safe re-expression (SURVEY
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -184,3 +186,64 @@ def take_token_budget(
         .filter(F.col("__running") - F.col(token_col) < budget)
         .drop("__running")
     )
+
+
+def weighted_sample_top_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_cols: Sequence[str] = (),
+    seed: int = 42,
+    keep_priority: bool = False,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic and
+    partition-invariant: keep the k rows (per stratum) with the
+    highest priority u^(1/w) — the Efraimidis–Spirakis A-ES scheme,
+    with u drawn from the repo's portable md5 hash family instead of
+    an RNG. P(row selected) is proportional to its weight in the
+    without-replacement sense; re-running, repartitioning, or moving
+    engines reproduces the SAME sample (the reference's seeded
+    set.seed sampling contract — SURVEY §4.1 — extended to weights).
+
+    The training-data use: importance-weighted corpus subsampling
+    ("sample documents proportional to quality score") where the
+    sample must be reproducible across reruns and engines.
+
+    Rows with NULL or non-positive weight are never selected (a zero
+    weight cannot be "lucky"). Ties in priority are broken by key —
+    u is injective-ish on 32 bits so this is a formality, but it
+    pins total determinism.
+
+    Plan: one window (rank over strata) — a single shuffle on the
+    strata; with no strata, a global top-k via rank over an empty
+    partition spec degenerates to a single-reducer sort, so prefer
+    strata (or TABLESAMPLE-style pre-pruning: rows with
+    u^(1/w) below the k-th priority can be pre-filtered by any cheap
+    lower bound before the shuffle at 100 TB).
+    """
+    from pyspark.sql import Window
+
+    key, w = F.col(key_col), F.col(weight_col)
+    # (hash32 + 1) / 2^32 in (0, 1] — u == 0 would send every priority
+    # to 0^x == 0; u == 1 is fine (priority 1 == certain winner cap).
+    u = (
+        F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(f"|ws{seed}"))), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    priority = F.pow(u, 1.0 / w)
+    spec = (
+        Window.partitionBy(*[F.col(c) for c in strata_cols])
+        .orderBy(F.desc("__ws_priority"), key)
+    )
+    out = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__ws_priority", priority)
+        .withColumn("__ws_rank", F.row_number().over(spec))
+        .filter(F.col("__ws_rank") <= k)
+        .drop("__ws_rank")
+    )
+    if keep_priority:
+        return out
+    return out.drop("__ws_priority")

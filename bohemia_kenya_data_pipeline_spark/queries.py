@@ -6576,3 +6576,39 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.cms_estimate(sk, heavy, "user_id", width=64, depth=4, seed=7).select(
         "user_id", "exact_n", "est_n"
     )
+
+
+@_register(
+    "weighted_sample_docs",
+    """
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             POWER((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|ws42'),
+                         1, 8) AS BIGINT) + 1.0) / 4294967296.0,
+                   1.0 / n_chars) AS p
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    rk AS (SELECT doc_id, lang, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY p DESC, doc_id) AS r
+           FROM pri)
+    SELECT doc_id, lang, n_chars FROM rk WHERE r <= 25
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis–Spirakis weighted sampling without replacement
+    # (sampling.weighted_sample_top_k): 25 docs per language, selection
+    # probability proportional to n_chars, fully deterministic (u from
+    # the portable md5 family, no RNG) — so the ORACLE reproduces the
+    # exact same sample, row for row. Cross-engine float hazard is
+    # confined to POWER ulp differences flipping a rank only when two
+    # priorities collide to ~1 ulp — structurally impossible with
+    # 32-bit-distinct u values at these scales.
+    d = _t(spark, sf_dir, "documents")
+    return smp.weighted_sample_top_k(
+        d.select("doc_id", "lang", "n_chars"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=25,
+        strata_cols=["lang"],
+        seed=42,
+    )

@@ -299,3 +299,63 @@ def test_split_by_hash_tolerates_float_weight_accumulation(spark):
     assert out.count() == 100
     labels = {r.split for r in out.select("split").distinct().collect()}
     assert labels <= set(weights)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_top_k (A-ES weighted sampling without replacement)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    a = {r.k for r in smp.weighted_sample_top_k(df, "k", "w", 50).collect()}
+    b = {
+        r.k
+        for r in smp.weighted_sample_top_k(df.repartition(13), "k", "w", 50).collect()
+    }
+    assert a == b and len(a) == 50
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    light = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1.0).alias("w"))
+    heavy = spark.range(1000, 1010).select(
+        F.col("id").alias("k"), F.lit(1000.0).alias("w")
+    )
+    got = smp.weighted_sample_top_k(light.unionByName(heavy), "k", "w", 10)
+    n_heavy = got.filter(F.col("k") >= 1000).count()
+    assert n_heavy >= 7  # deterministic; w=1000 rows should dominate top-10
+
+
+def test_weighted_sample_zero_null_weights_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 5.0)], "k int, w double"
+    )
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    got = [r.k for r in smp.weighted_sample_top_k(df, "k", "w", 10).collect()]
+    assert got == [4]
+
+
+def test_weighted_sample_per_stratum_k(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.lit(2.0).alias("w"),
+    )
+    got = smp.weighted_sample_top_k(df, "k", "w", 5, strata_cols=["g"])
+    per = {r.g: r.n for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per == {"0": 5, "1": 5, "2": 5}
