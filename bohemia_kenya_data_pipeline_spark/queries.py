@@ -6612,3 +6612,62 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         strata_cols=["lang"],
         seed=42,
     )
+
+
+# ===========================================================================
+# Iterative graph algorithms (operators/graph.py): PageRank as a
+# driver-side fixed-point loop of join+agg rounds; the oracle unrolls
+# the identical 3-round recurrence as a CTE chain.
+# ===========================================================================
+from .operators import graph as gr  # noqa: E402
+
+
+@_register(
+    "pagerank_trade_graph",
+    """
+    WITH edges AS (
+      SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                      'C' || CAST(o.o_custkey AS VARCHAR) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    ew AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS inv_deg
+           FROM edges e JOIN deg d ON d.src = e.src),
+    r0 AS (SELECT node, 1.0 AS r FROM nodes),
+    r1 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(p.r * ew.inv_deg), 0) AS r
+           FROM nodes n
+           LEFT JOIN ew ON ew.dst = n.node
+           LEFT JOIN r0 p ON p.node = ew.src
+           GROUP BY 1),
+    r2 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(p.r * ew.inv_deg), 0) AS r
+           FROM nodes n
+           LEFT JOIN ew ON ew.dst = n.node
+           LEFT JOIN r1 p ON p.node = ew.src
+           GROUP BY 1),
+    r3 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(p.r * ew.inv_deg), 0) AS r
+           FROM nodes n
+           LEFT JOIN ew ON ew.dst = n.node
+           LEFT JOIN r2 p ON p.node = ew.src
+           GROUP BY 1)
+    SELECT node, ROUND(r, 6) AS rank FROM r3
+    """,
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3 PageRank rounds over the supplier->customer trade graph
+    # (bipartite: suppliers only propagate, customers only receive —
+    # customers are all dangling, which exercises the no-out-edge
+    # branch every round). ROUND(.,6) absorbs float-summation-order
+    # differences between the engines' aggregation trees.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return gr.pagerank(edges, n_iter=3).select(
+        "node", F.round("rank", 6).alias("rank")
+    )

@@ -1,0 +1,62 @@
+"""PageRank: hand-computed fixed points, dangling-node semantics, and
+persist_each equivalence."""
+
+from __future__ import annotations
+
+import pytest
+
+from bohemia_kenya_data_pipeline_spark.operators import graph as gr
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_cycle_is_fixed_point(spark):
+    # a->b->c->a: uniform ranks 1.0 are the exact fixed point at any
+    # iteration count (each node receives exactly its own mass back)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    for n in (1, 4):
+        got = {r.node: r.rank for r in gr.pagerank(e, n_iter=n).collect()}
+        assert got == {"a": 1.0, "b": 1.0, "c": 1.0}
+
+
+def test_chain_hand_computed(spark):
+    # a->b, one iteration: a has no in-edges -> 0.15;
+    # b gets 0.15 + 0.85 * r0(a)/1 = 1.0
+    e = _edges(spark, [("a", "b")])
+    got = {r.node: round(r.rank, 9) for r in gr.pagerank(e, n_iter=1).collect()}
+    assert got == {"a": 0.15, "b": 1.0}
+    # second iteration: b now receives 0.85 * 0.15 = 0.1275 on top of 0.15
+    got2 = {r.node: round(r.rank, 9) for r in gr.pagerank(e, n_iter=2).collect()}
+    assert got2 == {"a": 0.15, "b": round(0.15 + 0.85 * 0.15, 9)}
+
+
+def test_split_mass_over_out_degree(spark):
+    # a->b and a->c: a's mass splits; one iteration gives b = c =
+    # 0.15 + 0.85 * (1/2)
+    e = _edges(spark, [("a", "b"), ("a", "c")])
+    got = {r.node: round(r.rank, 9) for r in gr.pagerank(e, n_iter=1).collect()}
+    assert got["b"] == got["c"] == round(0.15 + 0.85 * 0.5, 9)
+
+
+def test_persist_each_matches_lazy(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+    )
+    lazy = {r.node: round(r.rank, 12) for r in gr.pagerank(e, n_iter=4).collect()}
+    eager = {
+        r.node: round(r.rank, 12)
+        for r in gr.pagerank(e, n_iter=4, persist_each=True).collect()
+    }
+    assert lazy == eager
+
+
+def test_total_mass_conserved_on_cycle_union(spark):
+    # On a graph with no dangling nodes, total mass stays n (each
+    # round redistributes then renormalizes by the damping identity)
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c")])
+    df = gr.pagerank(e, n_iter=5)
+    total = sum(r.rank for r in df.collect())
+    assert total == pytest.approx(4.0)
