@@ -6671,3 +6671,59 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank(edges, n_iter=3).select(
         "node", F.round("rank", 6).alias("rank")
     )
+
+
+@_register(
+    "streaming_session_window",
+    """
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    o AS (SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL '1801 seconds'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    g AS (SELECT user_id, sid,
+                 MIN(ts) AS session_start,
+                 MAX(ts) + INTERVAL '1801 seconds' AS session_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM s GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(session_start AS TIMESTAMP) AS session_start,
+           CAST(session_end AS TIMESTAMP) AS session_end,
+           n_events
+    FROM g, m WHERE session_end <= mx - INTERVAL '25 hours'
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark-NATIVE session windows (F.session_window), oracle-checked
+    # like streaming_window_counts: availableNow over a static dir
+    # makes append-mode emission deterministic — exactly the sessions
+    # whose end (last_ts + gap) the terminal watermark (max ts - 25h)
+    # passed. The SQL mirror sessionizes with the gaps-and-islands
+    # window and PREDICTS that emission set. Gap is 1801s (odd
+    # seconds) so the strict-vs-inclusive boundary at diff == gap —
+    # where Spark splits and the SQL merges — cannot occur on
+    # minute-aligned data.
+    from bohemia_kenya_data_pipeline_spark import streaming as stm
+
+    raw = _events_stream(spark, sf_dir)
+    sessions = stm.session_window_counts(
+        raw, gap="1801 seconds", watermark="25 hours"
+    )
+    name = "q_streaming_session_window"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming_session_window did not complete within 600s")
+    return spark.table(name)

@@ -29,6 +29,7 @@ from .events import (
     interval_join_streams,
     interval_join_streams_left,
     scd2_history_sink,
+    session_window_counts,
     sessionize_stream,
     stream_events,
     windowed_event_counts,
@@ -38,6 +39,7 @@ __all__ = [
     "stream_events",
     "windowed_event_counts",
     "sessionize_stream",
+    "session_window_counts",
     "enrich_stream",
     "ewma_alert_stream",
     "dedup_stream",

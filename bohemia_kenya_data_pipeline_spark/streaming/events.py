@@ -516,3 +516,41 @@ def ewma_alert_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def session_window_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "10 hours",
+) -> DataFrame:
+    """Spark-NATIVE session windows (``F.session_window``) — the
+    built-in counterpart of :func:`sessionize_stream`'s custom
+    applyInPandasWithState operator. Two events join one session when
+    they are strictly less than ``gap`` apart; the session's window is
+    [first_ts, last_ts + gap). State is per OPEN session and evicted
+    when the watermark passes the session end — bounded, like the
+    tumbling-window agg.
+
+    Differential contract: both sessionizers agree on session
+    membership; this one reports session_end = last_ts + gap (Spark's
+    window convention) where the custom one reports last_ts — callers
+    pick per downstream convention.
+
+    Emits (key, session_start, session_end, n_events) in append mode
+    (one row per FINALIZED session).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )

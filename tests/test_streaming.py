@@ -492,3 +492,59 @@ def test_ewma_alert_stream_matches_batch_recurrence(spark, tmp_path):
     assert got[(1, at(2))][1] is True
     assert got[(1, at(3))][1] is True
     assert got[(2, at(1))][1] is False
+
+
+def test_native_session_window_matches_custom_sessionizer(spark, events_dir):
+    """The built-in F.session_window operator and the custom
+    applyInPandasWithState sessionizer must agree on session
+    MEMBERSHIP: same (user, session_start, n_events); the native end
+    is last_ts + gap where the custom end is last_ts. Unlike the
+    custom operator (which closes a session as soon as the DATA shows
+    a gap), the native one emits only when the WATERMARK passes the
+    session end — so the watermark here must be short enough to
+    finalize the first sessions (a 10h watermark would emit nothing)."""
+    stream = st.stream_events(spark, events_dir, SCHEMA)
+    out = st.session_window_counts(
+        stream, key_col="user_id", gap="30 minutes", watermark="1 hour"
+    )
+    _run_available_now(out, "native_sessions")
+    native = {
+        (r.user_id, r.session_start, r.n_events): r.session_end
+        for r in spark.sql("SELECT * FROM native_sessions").collect()
+    }
+
+    batch = W.sessionize(
+        spark.read.parquet(events_dir), "user_id", "ts", gap_minutes=30
+    )
+    sess = batch.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    last = sess.groupBy("user_id").agg(F.max("session_id").alias("session_id"))
+    closed = sess.join(last, ["user_id", "session_id"], "left_anti")
+    expected = {
+        (r.user_id, r.session_start, r.n_events): r.session_end
+        for r in closed.collect()
+    }
+    assert set(native) == set(expected) and len(native) == 10
+    for k, end in expected.items():
+        assert native[k] == end + dt.timedelta(minutes=30)
+
+
+def test_native_session_window_state_bounded_by_watermark(spark, tmp_path):
+    """With a SHORT watermark, sessions whose end the terminal
+    watermark passed are emitted; the trailing open session per user
+    is withheld (state, not output) — bounded-state semantics."""
+    path = str(tmp_path / "events")
+    spark.createDataFrame(_rows(), SCHEMA).coalesce(1).write.parquet(path)
+    stream = st.stream_events(spark, path, SCHEMA)
+    out = st.session_window_counts(
+        stream, key_col="user_id", gap="30 minutes", watermark="30 minutes"
+    )
+    _run_available_now(out, "native_sessions_short")
+    rows = spark.sql("SELECT * FROM native_sessions_short").collect()
+    # first session per user closed (ended ~2h before max ts);
+    # second session end = last_ts + 30 min > watermark -> withheld
+    assert len(rows) == 10
+    assert all(r.n_events == 10 for r in rows)
