@@ -6727,3 +6727,252 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming_session_window did not complete within 600s")
     return spark.table(name)
+
+
+@_register(
+    "weighted_median_price",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS price, l_quantity AS wt,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                                   ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem)
+    SELECT l_returnflag,
+           ROUND(MIN(price), 2) AS weighted_median,
+           ROUND(MAX(tot_w), 2) AS total_weight
+    FROM w
+    WHERE cum_w >= tot_w / 2
+    GROUP BY 1
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT weighted percentile (here the quantity-weighted median
+    # price): cumulative-weight window over the sorted values, first
+    # row whose cumulative weight crosses half the total. One window
+    # shuffle + one aggregation — no collection, no iteration; the
+    # deterministic (value, orderkey, linenumber) sort makes the
+    # crossing row unique so both engines pick the identical value.
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    cum = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_w"),
+        F.sum("l_quantity").over(Window.partitionBy("l_returnflag")).alias("tot_w"),
+    )
+    return (
+        cum.filter(F.col("cum_w") >= F.col("tot_w") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median"),
+            F.round(F.max("tot_w"), 2).alias("total_weight"),
+        )
+    )
+
+
+@_register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(time_bucket(INTERVAL '7 days', ts) AS DATE))
+               AS cohort_week
+      FROM events GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(time_bucket(INTERVAL '7 days', ts) AS DATE)
+               AS active_week
+      FROM events),
+    joined AS (
+      SELECT f.cohort_week,
+             CAST((a.active_week - f.cohort_week) / 7 AS INTEGER) AS week_k,
+             a.user_id
+      FROM firsts f JOIN activity a ON a.user_id = f.user_id),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1)
+    SELECT j.cohort_week, j.week_k,
+           CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
+           ROUND(COUNT(DISTINCT j.user_id) * 1.0 / MAX(s.cohort_size), 4)
+             AS retention
+    FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort retention: users grouped by first-activity week, fraction
+    # still active k weeks later. time_bucket(7 days) epochs-aligned
+    # weeks on both engines (weekofyear would split cohorts at year
+    # boundaries). Two aggregations + one join on user_id; the big
+    # fact shuffles once for firsts and once for the distinct
+    # (user, week) activity set.
+    ev = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))  # NOT epoch-aligned -> use window
+    # time_bucket(7 days) in DuckDB is epoch-aligned (origin 2000-01-03);
+    # Spark's window(ts, '7 days') aligns to 1970-01-01 (a Thursday);
+    # 2000-01-03 is a Monday. Align Spark to DuckDB's origin with
+    # startTime offset: days between 1970-01-01 and 2000-01-03 = 10959;
+    # 10959 % 7 = 4 -> startTime '4 days'.
+    bucket = F.window(F.col("ts"), "7 days", "7 days", "4 days")["start"].cast("date")
+    weekly = ev.select("user_id", bucket.alias("active_week")).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    joined = weekly.join(firsts, "user_id").select(
+        "cohort_week",
+        F.floor(F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_k"),
+        "user_id",
+    )
+    return (
+        joined.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_k")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_active"),
+            F.round(
+                F.countDistinct("user_id") / F.max("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )
+
+
+@_register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    pairs AS (SELECT cur, nxt FROM seq WHERE nxt IS NOT NULL),
+    tot AS (SELECT cur, COUNT(*) AS n_cur FROM pairs GROUP BY 1)
+    SELECT p.cur, p.nxt, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / MAX(t.n_cur), 4) AS p_next
+    FROM pairs p JOIN tot t ON t.cur = p.cur
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order Markov transition matrix over per-user event
+    # sequences: P(next event type | current). One lead window (the
+    # user-sequence shuffle) + a pair count; the per-source totals
+    # broadcast back for the conditional probabilities.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    tot = pairs.groupBy("cur").agg(F.count(F.lit(1)).alias("n_cur"))
+    return (
+        pairs.join(F.broadcast(tot), "cur")
+        .groupBy("cur", "nxt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.count(F.lit(1)) / F.max("n_cur"), 4).alias("p_next"),
+        )
+    )
+
+
+@_register(
+    "rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm)
+    SELECT o_custkey, last_order, frequency, monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'core' END AS segment
+    FROM scored
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFM customer segmentation: recency/frequency/monetary quintiles
+    # (deterministic NTILE tiebreak on custkey) + an ordered segment
+    # chain. One aggregation over orders, then three global NTILEs —
+    # single-reducer by construction (documented: at 100 TB swap NTILE
+    # for percent_rank over a range-partitioned sort, or score against
+    # approx-quantile cut points broadcast from a sample).
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r = F.ntile(5).over(Window.orderBy("last_order", "o_custkey"))
+    f = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
+    scored = rfm.select(
+        "*", r.alias("r_score"), f.alias("f_score"), m.alias("m_score")
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("core")
+    )
+    return scored.select(
+        "o_custkey", "last_order", "frequency", "monetary",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        seg.alias("segment"),
+    )
+
+
+@_register(
+    "benford_price_digits",
+    """
+    WITH d AS (
+      SELECT CAST(FLOOR(o_totalprice
+                        / POWER(10, FLOOR(LOG10(o_totalprice)))) AS INTEGER)
+               AS digit
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT c.digit, c.n,
+           ROUND(c.n * 1.0 / t.tot, 4) AS obs_p,
+           ROUND(LOG10(1 + 1.0 / c.digit), 4) AS benford_p
+    FROM c, t
+    """,
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit screen — the classic fraud/data-quality
+    # check: observed leading-digit distribution of order totals vs
+    # the Benford expectation log10(1 + 1/d). Pure expression math +
+    # one tiny aggregation; the one-row total broadcasts back.
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 4).alias("obs_p"),
+        F.round(F.log10(1 + 1.0 / F.col("digit")), 4).alias("benford_p"),
+    )
