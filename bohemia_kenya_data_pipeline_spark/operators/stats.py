@@ -396,3 +396,118 @@ def cms_estimate(
         ]
     )
     return probes.join(F.broadcast(m)).withColumn(out_col, est).drop("__cms_map")
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis + categorical association — the epi-analysis pack's
+# classic estimators (the reference's domain is a malaria trial; its
+# incidence/prevalence math lives above in incidence_rates/irr_by_group;
+# Kaplan-Meier and chi-square are the companion analyses every such
+# trial reports).
+# ---------------------------------------------------------------------------
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: Sequence[str] = (),
+    out_round: int | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator, exactly and distributedly:
+    one row per (group, event time) with the at-risk count, event
+    count, and the survival probability
+
+        S(t) = prod over event times u <= t of (1 - d_u / n_u)
+
+    ``event_col`` is 1 for an observed event, 0 for right-censoring.
+    Censored subjects leave the risk set at their duration but
+    contribute no factor — the estimator's whole point.
+
+    Plan: one groupBy(duration) per group (d and leaving counts in one
+    pass), then two windows over the time-ordered per-group rows
+    (cumulative leavers -> n_at_risk; cumulative sum of ln factors ->
+    S(t) via exp). The product is exp(sum(ln)) — the same
+    prod-via-log trick as the scalar math pack, and the reason the
+    whole estimator is a plain window plan that any SQL engine can
+    mirror. Shuffles on (group, duration) only; time cardinality per
+    group is bounded by distinct durations, so windows stay small
+    even at 100 TB of subjects.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    ev = F.col(event_col).cast("double")
+    per_t = df.groupBy(*g, F.col(duration_col).alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaving"),
+        F.sum(ev).cast("long").alias("d"),
+    )
+    totals = df.groupBy(*g).agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    joined = per_t.join(F.broadcast(totals), g) if g else per_t.join(F.broadcast(totals))
+    w_order = Window.partitionBy(*[F.col(c) for c in g]).orderBy("t")
+    prior_leavers = F.coalesce(
+        F.sum("n_leaving").over(w_order.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    at_risk = (F.col("n_total") - prior_leavers).alias("n_risk")
+    stepped = joined.select(*g, "t", "n_leaving", "d", at_risk)
+    # ln(1 - d/n) at event times; 0 contribution elsewhere. d == n
+    # (everyone at risk dies at t) needs an explicit -inf: Spark's
+    # ln(0) is NULL (silently DROPPED by the window SUM — survival
+    # would stay positive), DuckDB's is -inf. -inf sums to -inf and
+    # exp(-inf) == 0.0 exactly in both engines; no event times can
+    # follow in that group (the risk set is empty), so the terminal 0
+    # is the only affected row.
+    factor = (
+        F.when(F.col("d") >= F.col("n_risk"), F.lit(float("-inf")))
+        .when(F.col("d") > 0, F.log(1.0 - F.col("d") / F.col("n_risk")))
+        .otherwise(F.lit(0.0))
+    )
+    surv = F.exp(
+        F.sum(factor).over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    out = (
+        stepped.withColumn("survival", surv)
+        .filter(F.col("d") > 0)  # report at event times (KM convention)
+        .select(*g, "t", "n_risk", "d", "survival")
+    )
+    if out_round is not None:
+        out = out.withColumn("survival", F.round("survival", out_round))
+    return out
+
+
+def chisq_independence(
+    df: DataFrame, a_col: str, b_col: str, out_round: int | None = None
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: one row (chi2, dof, n). Expected counts from the margin
+    product; dof = (|A|-1)(|B|-1). Pure aggregations — the observed
+    table shuffles once on (a, b), margins broadcast back. (No p-value
+    on purpose: that needs the chi-square CDF, which is neither an
+    expression in Spark nor portable; downstream R/scipy owns it —
+    like the reference reports test statistics into Rmd.)
+    """
+    obs = df.groupBy(a_col, b_col).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    row_m = obs.groupBy(a_col).agg(F.sum("o").alias("ra"))
+    col_m = obs.groupBy(b_col).agg(F.sum("o").alias("cb"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    # full |A| x |B| grid (margin cross join — category-sized, tiny):
+    # zero-observed cells still contribute (0-e)^2/e = e to the
+    # statistic; summing observed cells only would understate chi2.
+    grid = row_m.crossJoin(F.broadcast(col_m))
+    e = (
+        grid.join(obs, [a_col, b_col], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0.0)))
+        .join(F.broadcast(tot))
+        .withColumn("e", F.col("ra") * F.col("cb") / F.col("n"))
+    )
+    out = e.agg(
+        F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2"),
+        ((F.countDistinct(a_col) - 1) * (F.countDistinct(b_col) - 1))
+        .cast("long")
+        .alias("dof"),
+        F.max("n").cast("long").alias("n"),
+    )
+    if out_round is not None:
+        out = out.withColumn("chi2", F.round("chi2", out_round))
+    return out

@@ -6976,3 +6976,107 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("tot"), 4).alias("obs_p"),
         F.round(F.log10(1 + 1.0 / F.col("digit")), 4).alias("benford_p"),
     )
+
+
+@_register(
+    "kaplan_meier_churn",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    subj AS (
+      SELECT o.o_custkey, c.c_mktsegment AS seg,
+             CAST(date_diff('day', MIN(o.o_orderdate), MAX(o.o_orderdate))
+                  AS INTEGER) AS t_dur,
+             CASE WHEN MAX(o.o_orderdate) <= (SELECT mx FROM mx)
+                                              - INTERVAL '90 days'
+                  THEN 1 ELSE 0 END AS ev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    per_t AS (SELECT seg, t_dur AS t,
+                     CAST(COUNT(*) AS BIGINT) AS n_leaving,
+                     CAST(SUM(ev) AS BIGINT) AS d
+              FROM subj GROUP BY 1, 2),
+    tot AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_total FROM subj GROUP BY 1),
+    st AS (SELECT p.seg, p.t, p.d,
+                  CAST(t.n_total - COALESCE(
+                      SUM(p.n_leaving) OVER (PARTITION BY p.seg ORDER BY p.t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+           FROM per_t p JOIN tot t USING (seg)),
+    km AS (SELECT seg, t, n_risk, d,
+                  EXP(SUM(CASE WHEN d > 0 THEN LN(1 - d * 1.0 / n_risk)
+                               ELSE 0 END)
+                      OVER (PARTITION BY seg ORDER BY t
+                            ROWS UNBOUNDED PRECEDING)) AS s
+           FROM st)
+    SELECT seg, t, n_risk, d, ROUND(s, 4) AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kaplan-Meier survival (stats.kaplan_meier) over customer
+    # "lifetimes": duration = first-to-last order span, event =
+    # churned (last order 90+ days before the dataset's end), else
+    # right-censored; curves per market segment. The estimator's
+    # prod-via-log form makes the full curve one window plan, which
+    # the SQL mirror replays exactly; ROUND(,4) absorbs exp/ln ulp.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    mx = o.agg(F.max("o_orderdate").alias("mx"))
+    subj = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("t_dur"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .join(F.broadcast(mx))
+        .withColumn(
+            "ev",
+            F.when(F.col("last_order") <= F.date_sub(F.col("mx"), 90), 1).otherwise(0),
+        )
+    )
+    return st.kaplan_meier(
+        subj, "t_dur", "ev", group_cols=["seg"], out_round=4
+    ).select("seg", "t", "n_risk", "d", "survival")
+
+
+@_register(
+    "chisq_segment_region",
+    """
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg, r.r_name AS region
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey),
+    obs AS (SELECT seg, region, CAST(COUNT(*) AS DOUBLE) AS o
+            FROM base GROUP BY 1, 2),
+    ra AS (SELECT seg, SUM(o) AS ra FROM obs GROUP BY 1),
+    cb AS (SELECT region, SUM(o) AS cb FROM obs GROUP BY 1),
+    nn AS (SELECT SUM(o) AS n FROM obs),
+    grid AS (SELECT ra.seg, cb.region, ra.ra, cb.cb FROM ra CROSS JOIN cb),
+    e AS (SELECT g.seg, g.region, COALESCE(obs.o, 0) AS o,
+                 g.ra * g.cb / nn.n AS e
+          FROM grid g
+          LEFT JOIN obs ON obs.seg = g.seg AND obs.region = g.region, nn)
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2,
+           CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT region) - 1)
+                AS BIGINT) AS dof,
+           CAST((SELECT n FROM nn) AS BIGINT) AS n
+    FROM e
+    """,
+)
+def chisq_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson chi-square of independence (stats.chisq_independence):
+    # market segment vs home region. Expected counts from the margin
+    # product over the FULL category grid (zero-observed cells
+    # included — omitting them understates the statistic).
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("region"))
+    )
+    return st.chisq_independence(base, "seg", "region", out_round=4)

@@ -205,3 +205,79 @@ def test_cms_weighted(spark):
     probes = spark.createDataFrame([(1,), (2,)], "k int")
     got = {r.k: r.est_n for r in st.cms_estimate(sk, probes, "k", width=1 << 10, depth=3).collect()}
     assert got == {1: 12, 2: 3}
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier + chi-square
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_textbook(spark):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    # durations with events (1) and censorings (0); hand-computed:
+    # t=6: n=7, d=2 -> 5/7; t=7: n=4, d=1 -> 15/28; t=13: n=2, d=1 -> 15/56
+    df = spark.createDataFrame(
+        [(6, 1), (6, 1), (6, 0), (7, 1), (10, 0), (13, 1), (16, 0)],
+        "t_dur int, ev int",
+    )
+    rows = {r.t: r for r in st.kaplan_meier(df, "t_dur", "ev").collect()}
+    assert sorted(rows) == [6, 7, 13]
+    assert rows[6].n_risk == 7 and rows[6].d == 2
+    assert rows[6].survival == pytest.approx(5 / 7)
+    assert rows[7].n_risk == 4 and rows[7].survival == pytest.approx(15 / 28)
+    assert rows[13].n_risk == 2 and rows[13].survival == pytest.approx(15 / 56)
+
+
+def test_kaplan_meier_all_events_reaches_zero(spark):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    df = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], "t_dur int, ev int")
+    rows = {r.t: r.survival for r in st.kaplan_meier(df, "t_dur", "ev").collect()}
+    assert rows[1] == pytest.approx(2 / 3)
+    assert rows[2] == pytest.approx(1 / 3)
+    assert rows[3] == pytest.approx(0.0)  # ln(0) -> -inf -> exp -> 0, exactly
+
+
+def test_kaplan_meier_grouped_independent_curves(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    df = spark.createDataFrame(
+        [("a", 5, 1), ("a", 9, 0), ("b", 2, 1), ("b", 2, 1)],
+        "g string, t_dur int, ev int",
+    )
+    rows = [(r.g, r.t, r.n_risk, r.d) for r in st.kaplan_meier(df, "t_dur", "ev", ["g"]).collect()]
+    assert sorted(rows) == [("a", 5, 2, 1), ("b", 2, 2, 2)]
+
+
+def test_chisq_hand_computed_2x2(spark):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 30 + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = st.chisq_independence(df, "a", "b").collect()[0]
+    assert got.dof == 1 and got.n == 100
+    assert got.chi2 == pytest.approx(4 / 12 + 4 / 18 + 4 / 28 + 4 / 42)
+
+
+def test_chisq_zero_cell_counted(spark):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    # cell (y, p) unobserved: full-grid expected still charges it
+    rows = [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = st.chisq_independence(df, "a", "b").collect()[0]
+    # margins: x=10,y=10 ; p=5,q=15 ; e(y,p)=2.5 contributes (0-2.5)^2/2.5
+    expected = (5 - 2.5) ** 2 / 2.5 + (5 - 7.5) ** 2 / 7.5 \
+        + (0 - 2.5) ** 2 / 2.5 + (10 - 7.5) ** 2 / 7.5
+    assert got.chi2 == pytest.approx(expected)
