@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: fixed output schema of every detector
@@ -279,3 +279,150 @@ def data_dictionary(df: DataFrame, columns: Sequence[str] | None = None) -> Data
         ]
     )
     return one.select(F.explode(rows).alias("d")).select("d.*")
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations (Deequ/dbt-test-style validation): a rule
+# list checked in as few passes as the rule kinds allow. The
+# reference's anomaly detectors (above) FLAG rows for human
+# resolution; expectations GATE a load — "fail the batch if any rule
+# fails" — the other half of a production data-quality surface.
+#
+# Scale shape: every row-level rule folds into ONE aggregation over
+# the data (a conditional SUM per rule — no per-rule scan);
+# uniqueness rules add one COUNT(*) vs COUNT(DISTINCT) aggregate
+# each; foreign-key rules add one semi-join-shaped conditional count
+# against the (broadcast) reference keys. A 12-rule suite over 100 TB
+# is 1 + #unique + #fk passes, not 12.
+# ---------------------------------------------------------------------------
+
+
+def expect_not_null(column: str) -> dict:
+    return {
+        "kind": "row", "rule": "not_null", "column": column,
+        "ok": F.col(column).isNotNull(),
+    }
+
+
+def expect_in_range(column: str, lo, hi) -> dict:
+    """NULLs pass (compose with expect_not_null to forbid them)."""
+    c = F.col(column)
+    return {
+        "kind": "row", "rule": f"in_range[{lo},{hi}]", "column": column,
+        "ok": c.isNull() | ((c >= lo) & (c <= hi)),
+    }
+
+
+def expect_values_in(column: str, values: Sequence) -> dict:
+    c = F.col(column)
+    return {
+        "kind": "row", "rule": "values_in[" + ",".join(map(str, values)) + "]",
+        "column": column, "ok": c.isNull() | c.isin(list(values)),
+    }
+
+
+def expect_regex(column: str, pattern: str) -> dict:
+    c = F.col(column)
+    return {
+        "kind": "row", "rule": f"regex[{pattern}]", "column": column,
+        "ok": c.isNull() | c.rlike(pattern),
+    }
+
+
+def expect_condition(name: str, column: str, ok: Column) -> dict:
+    """Escape hatch: any row-level Column predicate (TRUE == ok)."""
+    return {"kind": "row", "rule": name, "column": column, "ok": ok}
+
+
+def expect_unique(*columns: str) -> dict:
+    """SQL UNIQUE-constraint convention: rows with a NULL in any key
+    column are EXEMPT (multiple NULLs never violate) — matching the
+    COUNT(*) - COUNT(DISTINCT key) SQL mirror, where the NULL rows
+    fall out of both sides."""
+    return {"kind": "unique", "rule": "unique", "column": ",".join(columns),
+            "columns": list(columns)}
+
+
+def expect_foreign_key(column: str, ref: DataFrame, ref_column: str) -> dict:
+    """NULLs pass (SQL FK convention)."""
+    return {"kind": "fk", "rule": f"foreign_key[{ref_column}]",
+            "column": column, "ref": ref, "ref_column": ref_column}
+
+
+def check_expectations(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
+    """Run a rule suite; returns (rule, column, n_violations, n_rows,
+    passed) — one row per rule, n_rows the checked table's row count.
+    Deterministic and engine-portable: every count is a plain
+    aggregate (the registered oracle mirrors the whole suite in SQL).
+    """
+    outs: list[DataFrame] = []
+    row_rules = [r for r in rules if r["kind"] == "row"]
+    if row_rules:
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for i, r in enumerate(row_rules):
+            aggs.append(
+                F.sum(F.when(~r["ok"], 1).otherwise(0)).cast("long").alias(f"__v{i}")
+            )
+        one = df.agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(r["rule"]).alias("rule"),
+                    F.lit(r["column"]).alias("column"),
+                    F.col(f"__v{i}").alias("n_violations"),
+                )
+                for i, r in enumerate(row_rules)
+            ]
+        )
+        outs.append(
+            one.select(F.explode(pairs).alias("p"), F.col("__n").alias("n_rows"))
+            .select("p.rule", "p.column", "p.n_violations", "n_rows")
+        )
+    for r in rules:
+        if r["kind"] == "unique":
+            all_set = None
+            for c in r["columns"]:
+                nn = F.col(c).isNotNull()
+                all_set = nn if all_set is None else (all_set & nn)
+            combo = F.when(all_set, F.struct(*[F.col(c) for c in r["columns"]]))
+            outs.append(
+                df.agg(
+                    # count_distinct skips the NULL combo (NULL-keyed
+                    # rows exempt), so subtract only non-null-keyed rows
+                    (
+                        F.sum(F.when(all_set, 1).otherwise(0))
+                        - F.count_distinct(combo)
+                    )
+                    .cast("long")
+                    .alias("n_violations"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                ).select(
+                    F.lit(r["rule"]).alias("rule"),
+                    F.lit(r["column"]).alias("column"),
+                    "n_violations",
+                    "n_rows",
+                )
+            )
+        elif r["kind"] == "fk":
+            keys = r["ref"].select(F.col(r["ref_column"]).alias("__k")).distinct()
+            c = F.col(r["column"])
+            joined = df.join(F.broadcast(keys), c == F.col("__k"), "left")
+            outs.append(
+                joined.agg(
+                    F.sum(
+                        F.when(c.isNotNull() & F.col("__k").isNull(), 1).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias("n_violations"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                ).select(
+                    F.lit(r["rule"]).alias("rule"),
+                    F.lit(r["column"]).alias("column"),
+                    "n_violations",
+                    "n_rows",
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn("passed", F.col("n_violations") == 0)

@@ -133,3 +133,69 @@ def as_of(history: DataFrame, date: str, valid_from: str = "valid_from", valid_t
         (F.col(valid_from) <= d)
         & (F.col(valid_to).isNull() | (F.col(valid_to) > d))
     ).drop(valid_from, valid_to)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture diff of two snapshots of the same table:
+    one row per key that changed, with
+
+    - ``change_type``: 'insert' (key only in ``new``), 'delete' (key
+      only in ``old``), 'update' (present in both, any compared
+      column differs — null-safe);
+    - ``changed_cols``: comma-joined sorted names of differing
+      columns ('' for insert/delete).
+
+    Unchanged keys are dropped. ``compare_cols`` defaults to every
+    shared non-key column. Same key-uniqueness precondition as
+    :func:`merge_scd2` (duplicates multiply through the join).
+
+    One full-outer equi-join on the key — shuffle on both sides or
+    zero-shuffle when the snapshots are bucketed on the key; the
+    column comparison is expression-level. This is the batch CDC
+    primitive: its output drives merge_scd2 (updates), deletes
+    cascades (clean.py), and incremental re-publish.
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    cmp_cols = sorted(compare_cols)
+
+    o = old.select(*keys, *cmp_cols).alias("o")
+    n = new.select(*keys, *cmp_cols).alias("n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    diffs = [
+        F.when(
+            ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c)
+        )
+        for c in cmp_cols
+    ]
+    changed = F.concat_ws(",", *diffs) if diffs else F.lit("")
+    change_type = (
+        F.when(in_old & ~in_new, "delete")
+        .when(in_new & ~in_old, "insert")
+        .otherwise("update")
+    )
+    key_out = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.select(
+            *key_out,
+            change_type.alias("change_type"),
+            F.when(in_old & in_new, changed).otherwise(F.lit("")).alias("changed_cols"),
+        )
+        .filter((F.col("change_type") != "update") | (F.col("changed_cols") != ""))
+    )

@@ -7080,3 +7080,124 @@ def chisq_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("region"))
     )
     return st.chisq_independence(base, "seg", "region", out_round=4)
+
+
+@_register(
+    "expectations_orders",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT rule, "column", n_violations, n_rows, n_violations = 0 AS passed
+    FROM (
+      SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+             (SELECT n_rows FROM n) AS n_rows
+      FROM orders
+      UNION ALL
+      SELECT 'in_range[1000,300000]', 'o_totalprice',
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 1000 OR o_totalprice > 300000)
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             (SELECT n_rows FROM n)
+      FROM orders
+      UNION ALL
+      SELECT 'values_in[O,F]', 'o_orderstatus',
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O', 'F')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             (SELECT n_rows FROM n)
+      FROM orders
+      UNION ALL
+      SELECT 'regex[^[1-3]-]', 'o_orderpriority',
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             (SELECT n_rows FROM n)
+      FROM orders
+      UNION ALL
+      SELECT 'unique', 'o_orderkey',
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+             (SELECT n_rows FROM n)
+      FROM orders
+      UNION ALL
+      SELECT 'foreign_key[c_custkey]', 'o_custkey',
+             CAST(SUM(CASE WHEN o_custkey IS NOT NULL
+                            AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             (SELECT n_rows FROM n)
+      FROM orders)
+    """,
+)
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Declarative expectations suite (quality.check_expectations):
+    # six rules over orders — four row-level rules folded into ONE
+    # aggregation pass, one uniqueness aggregate, one FK conditional
+    # count against broadcast customer keys. Bounds chosen so some
+    # rules FAIL (non-zero violation counts are value-checked, not a
+    # vacuous all-zero table).
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rules = [
+        ql.expect_not_null("o_custkey"),
+        ql.expect_in_range("o_totalprice", 1000, 300000),
+        ql.expect_values_in("o_orderstatus", ["O", "F"]),
+        ql.expect_regex("o_orderpriority", "^[1-3]-"),
+        ql.expect_unique("o_orderkey"),
+        ql.expect_foreign_key("o_custkey", c, "c_custkey"),
+    ]
+    return ql.check_expectations(o, rules)
+
+
+@_register(
+    "snapshot_diff_customers",
+    """
+    WITH old AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey % 7 <> 0),
+    new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN ROUND(c_acctbal + 100.0, 2)
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 11 <> 0),
+    j AS (SELECT COALESCE(new.c_custkey, old.c_custkey) AS c_custkey,
+                 old.c_custkey AS ok, new.c_custkey AS nk,
+                 old.c_acctbal AS oa, new.c_acctbal AS na,
+                 old.c_mktsegment AS om, new.c_mktsegment AS nm
+          FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey)
+    SELECT c_custkey,
+           CASE WHEN ok IS NOT NULL AND nk IS NULL THEN 'delete'
+                WHEN nk IS NOT NULL AND ok IS NULL THEN 'insert'
+                ELSE 'update' END AS change_type,
+           CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN
+             CONCAT_WS(',',
+               CASE WHEN oa IS DISTINCT FROM na THEN 'c_acctbal' END,
+               CASE WHEN om IS DISTINCT FROM nm THEN 'c_mktsegment' END)
+           ELSE '' END AS changed_cols
+    FROM j
+    WHERE NOT (ok IS NOT NULL AND nk IS NOT NULL
+               AND oa IS NOT DISTINCT FROM na AND om IS NOT DISTINCT FROM nm)
+    """,
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC snapshot diff (scd.snapshot_diff): two derived snapshots of
+    # customer — "old" missing every 7th key (so they re-appear as
+    # inserts), "new" missing every 11th (deletes) and with every 5th
+    # key's balance bumped (updates, changed_cols='c_acctbal').
+    # One full-outer join + null-safe column compare.
+    from .operators import scd as sc
+
+    c = _t(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new = c.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return sc.snapshot_diff(old, new, ["c_custkey"])

@@ -316,3 +316,44 @@ def test_merge_scd2_uniqueness_guard(spark):
     clean_updates = spark.createDataFrame([(2, "c")], "k INT, v STRING")
     with pytest.raises(ValueError, match="duplicate business key"):
         merge_scd2(dup_open, clean_updates, ["k"], ["v"], "2001-06-01", check_unique=True)
+
+
+# ---------------------------------------------------------------------------
+# scd.snapshot_diff (CDC)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from bohemia_kenya_data_pipeline_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25), (3, "c", 30), (4, "d", 40)], "k int, s string, v int"
+    )
+    got = {r.k: (r.change_type, r.changed_cols) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: ("delete", ""),
+        2: ("update", "v"),
+        4: ("insert", ""),
+    }  # key 3 unchanged -> absent
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    from bohemia_kenya_data_pipeline_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k int, s string")
+    new = spark.createDataFrame([(1, None), (2, None)], "k int, s string")
+    got = {r.k: (r.change_type, r.changed_cols) for r in snapshot_diff(old, new, ["k"]).collect()}
+    # NULL == NULL is unchanged; x -> NULL is an update
+    assert got == {2: ("update", "s")}
+
+
+def test_snapshot_diff_multi_changed_cols_sorted(spark):
+    from bohemia_kenya_data_pipeline_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1)], "k int, zcol string, acol int")
+    new = spark.createDataFrame([(1, "b", 2)], "k int, zcol string, acol int")
+    got = snapshot_diff(old, new, ["k"]).collect()[0]
+    assert got.changed_cols == "acol,zcol"  # sorted by column name

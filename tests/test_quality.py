@@ -91,3 +91,101 @@ def test_data_dictionary_empty_table_zero_nulls(spark):
     rows = {r.column: r for r in ql.data_dictionary(empty).collect()}
     assert rows["a"].n_rows == 0 and rows["a"].n_null == 0
     assert rows["b"].n_null == 0
+
+
+# ---------------------------------------------------------------------------
+# check_expectations
+# ---------------------------------------------------------------------------
+
+
+def _exp_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A", "ok-1"),
+            (2, None, "B", "ok-2"),
+            (2, 500.0, "C", "bad"),
+            (None, -5.0, "A", None),
+        ],
+        "id int, amt double, cat string, code string",
+    )
+
+
+def test_expectations_row_rules(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    got = {
+        (r.rule, r.column): (r.n_violations, r.n_rows, r.passed)
+        for r in ql.check_expectations(
+            _exp_df(spark),
+            [
+                ql.expect_not_null("id"),
+                ql.expect_in_range("amt", 0, 100),  # NULL passes; 500 & -5 fail
+                ql.expect_values_in("cat", ["A", "B"]),
+                ql.expect_regex("code", r"^ok-"),  # NULL passes; 'bad' fails
+            ],
+        ).collect()
+    }
+    assert got[("not_null", "id")] == (1, 4, False)
+    assert got[("in_range[0,100]", "amt")] == (2, 4, False)
+    assert got[("values_in[A,B]", "cat")] == (1, 4, False)
+    assert got[("regex[^ok-]", "code")] == (1, 4, False)
+
+
+def test_expectations_unique_and_fk(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    df = _exp_df(spark)
+    ref = spark.createDataFrame([(1,), (2,)], "k int")
+    got = {
+        r.rule: (r.n_violations, r.passed)
+        for r in ql.check_expectations(
+            df,
+            [
+                ql.expect_unique("id"),
+                ql.expect_foreign_key("id", ref, "k"),
+            ],
+        ).collect()
+    }
+    # ids: 1,2,2,NULL -> NULL row exempt (SQL UNIQUE convention);
+    # 3 non-null rows, 2 distinct -> exactly 1 violation
+    assert got["unique"] == (1, False)
+    fk = got["foreign_key[k]"]
+    assert fk == (0, True)  # NULL passes FK; 1 and 2 both present
+
+
+def test_expectations_row_rules_single_pass_plan(spark):
+    """All row-level rules must fold into ONE aggregation over the
+    table — no per-rule scan."""
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    df = _exp_df(spark)
+    out = ql.check_expectations(
+        df,
+        [
+            ql.expect_not_null("id"),
+            ql.expect_in_range("amt", 0, 100),
+            ql.expect_values_in("cat", ["A", "B"]),
+        ],
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1  # the source appears once
+
+
+def test_expectations_condition_escape_hatch(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    got = ql.check_expectations(
+        _exp_df(spark),
+        [ql.expect_condition("amt_lt_1000", "amt", F.coalesce(F.col("amt"), F.lit(0)) < 1000)],
+    ).collect()[0]
+    assert (got.rule, got.n_violations, got.passed) == ("amt_lt_1000", 0, True)
+
+
+def test_expectations_unique_multiple_nulls_exempt(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    df = spark.createDataFrame([(1,), (2,), (2,), (None,), (None,)], "id int")
+    r = ql.check_expectations(df, [ql.expect_unique("id")]).collect()[0]
+    assert (r.n_violations, r.n_rows, r.passed) == (1, 5, False)
