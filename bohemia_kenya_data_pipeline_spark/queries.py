@@ -6619,6 +6619,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-side fixed-point loop of join+agg rounds; the oracle unrolls
 # the identical 3-round recurrence as a CTE chain.
 # ===========================================================================
+from .operators import basket as bk  # noqa: E402
 from .operators import graph as gr  # noqa: E402
 
 
@@ -7201,3 +7202,77 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     return sc.snapshot_diff(old, new, ["c_custkey"])
+
+
+@_register(
+    "market_basket_brand_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS bid, p.p_brand AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    nb AS (SELECT CAST(COUNT(DISTINCT bid) AS DOUBLE) AS nb FROM items),
+    supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS supp
+             FROM items GROUP BY 1),
+    pairs AS (
+      SELECT l.item AS item_a, r.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items l JOIN items r ON l.bid = r.bid AND l.item < r.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 100)
+    SELECT p.item_a, p.item_b, p.support,
+           ROUND(p.support * 1.0 / sa.supp, 4) AS confidence,
+           ROUND(p.support * nb.nb / (sa.supp * sb.supp), 4) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.item = p.item_a
+    JOIN supp sb ON sb.item = p.item_b, nb
+    """,
+)
+def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Market-basket pairs (basket.frequent_item_pairs): brands bought
+    # together per order, with support / confidence / lift. Pair
+    # generation is the basket-id self-equi-join; per-item supports
+    # and the basket total broadcast back. No cap needed here (order
+    # baskets are bounded by lineitem fan-out ~7); a crawl-session
+    # basket would set max_basket + check basket_stats first.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(F.col("l_orderkey").alias("bid"), F.col("p_brand").alias("item"))
+    return bk.frequent_item_pairs(
+        baskets, "bid", "item", min_support=100
+    )
+
+
+@_register(
+    "grouping_sets_sales",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit GROUPING SETS (beyond the existing ROLLUP/CUBE
+    # queries): the four-set lattice with per-column GROUPING flags to
+    # disambiguate "aggregated away" from a genuine NULL dimension
+    # value. One shuffle: Spark expands the sets map-side.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"],
+             ["o_orderstatus"], []],
+            "o_orderpriority", "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        )
+    )
