@@ -30,8 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, BooleanType, IntegerType, LongType, StringType,
-    StructField, StructType,
+    ArrayType, BinaryType, BooleanType, DoubleType, IntegerType, LongType,
+    StringType, StructField, StructType,
 )
 
 FEATURE_SCHEMA = StructType(
@@ -346,3 +346,145 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio DSP: real signal features (numpy FFT), not just container
+# metadata. The decode boundary stays honest — only PCM WAV is parsed
+# (the one format this container can read without codec libraries) —
+# but past that boundary the features are genuine spectral analysis,
+# the kind an audio-training pipeline computes corpus-wide.
+# ---------------------------------------------------------------------------
+
+
+def synth_wav_tone(
+    sample_rate: int, n_frames: int, freq_hz: float, amplitude: float = 0.5
+) -> bytes:
+    """A real mono 16-bit PCM WAV containing a sine tone — the
+    deterministic test/demo payload for the DSP path (synth_wav above
+    produces silence; a spectrum of zeros proves nothing)."""
+    import numpy as np
+
+    t = np.arange(n_frames, dtype=np.float64) / sample_rate
+    samples = (amplitude * 32767.0 * np.sin(2 * np.pi * freq_hz * t)).astype("<i2")
+    data = samples.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _wav_pcm16(payload: bytes):
+    """(sample_rate, mono float64 samples) from a 16-bit PCM WAV, or
+    None if the payload is not one. Stereo averages to mono."""
+    import numpy as np
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and pos + 24 <= len(payload):
+            channels, rate = struct.unpack_from("<HI", payload, pos + 10)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    if not (rate and channels and bits == 16 and data):
+        return None
+    samples = np.frombuffer(data[: len(data) - len(data) % (2 * channels)], dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return rate, samples.astype(np.float64) / 32768.0
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("valid", BooleanType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("dominant_hz", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("band_energy", ArrayType(DoubleType())),
+    ]
+)
+
+
+def audio_band_energies(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_fft: int = 256,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Spectral features per audio document: average magnitude
+    spectrum over ``n_fft``-sample windows (numpy rfft), folded into
+    ``n_bands`` equal frequency bands, plus the dominant frequency
+    (argmax bin, DC excluded) and overall RMS. Non-WAV / non-PCM16
+    payloads yield ``valid=False`` rows with null features.
+
+    Plan shape: mapInPandas — Arrow-batched, one output row per input
+    row, no shuffle; at 100 TB this runs scan-side wherever the
+    payloads live. numpy's rfft over a [n_windows, n_fft] matrix is
+    the vectorized hot loop; window count is capped by the payload
+    size itself (audio seconds, not corpus size).
+    """
+    import numpy as np
+
+    schema = StructType(
+        [StructField(id_col, LongType())] + AUDIO_FEATURE_SCHEMA.fields[1:]
+    )
+    empty = {
+        "valid": False, "sample_rate": None, "n_frames": None,
+        "dominant_hz": None, "rms": None, "band_energy": None,
+    }
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                parsed = _wav_pcm16(payload)
+                if parsed is None:
+                    rows.append(dict(empty))
+                    continue
+                rate, x = parsed
+                n = len(x)
+                if n == 0:
+                    rows.append(dict(empty))
+                    continue
+                n_win = max(1, n // n_fft)
+                pad = n_win * n_fft - n
+                xw = np.pad(x[: n_win * n_fft], (0, max(0, pad)))
+                mags = np.abs(np.fft.rfft(xw.reshape(n_win, n_fft), axis=1)).mean(axis=0)
+                dom_bin = int(np.argmax(mags[1:])) + 1  # exclude DC
+                bins_per_band = len(mags) // n_bands
+                bands = [
+                    float(mags[b * bins_per_band : (b + 1) * bins_per_band].mean())
+                    for b in range(n_bands)
+                ]
+                rows.append(
+                    {
+                        "valid": True,
+                        "sample_rate": int(rate),
+                        "n_frames": int(n),
+                        "dominant_hz": dom_bin * rate / n_fft,
+                        "rms": float(np.sqrt(np.mean(x * x))),
+                        "band_energy": bands,
+                    }
+                )
+            out = pd.DataFrame(rows)
+            out.insert(0, id_col, pdf[id_col].astype("int64").values)
+            yield out[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(feats, schema=schema)

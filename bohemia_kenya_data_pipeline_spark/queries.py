@@ -7276,3 +7276,34 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
         )
     )
+
+
+@_register("audio_spectral_features", None)
+def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Real audio DSP over multimodal columns: deterministic sine-tone
+    # WAVs synthesized per doc_id (real PCM bytes), then numpy-rfft
+    # band energies via Arrow-batched mapInPandas
+    # (multimodal.audio_band_energies). Rows-only by design — an FFT
+    # has no SQL oracle; the spectral correctness goldens (exact
+    # dominant bin, sine RMS = A/sqrt(2), band concentration) live in
+    # tests/test_multimodal.py.
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").limit(64)
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                mm.synth_wav_tone(8000, 2048, 250.0 * (1 + int(i) % 8))
+                for i in ids
+            ]
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_audio = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    feats = mm.audio_band_energies(with_audio, n_fft=256, n_bands=8)
+    return feats.select(
+        "doc_id", "valid", "sample_rate", "n_frames",
+        F.round("dominant_hz", 2).alias("dominant_hz"),
+        F.round("rms", 4).alias("rms"),
+    )

@@ -87,3 +87,73 @@ def test_frameseq_sampling_round_trip(spark):
 
     with _pytest.raises(ValueError):
         mm.sample_frames(reels, 0)
+
+
+# ---------------------------------------------------------------------------
+# audio_band_energies (real FFT features)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_tone_dominant_frequency_exact(spark):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mm
+
+    # 1000 Hz at 8000 Hz rate with n_fft=256: bin width 31.25 Hz,
+    # 1000/31.25 == bin 32 exactly -> dominant_hz == 1000.0
+    rows = [
+        (1, mm.synth_wav_tone(8000, 4096, 1000.0)),
+        (2, mm.synth_wav_tone(16000, 4096, 2000.0)),
+        (3, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.audio_band_energies(df, n_fft=256).collect()}
+    assert got[1].valid and got[1].dominant_hz == pytest.approx(1000.0)
+    assert got[2].valid and got[2].dominant_hz == pytest.approx(2000.0)
+    assert got[1].sample_rate == 8000 and got[1].n_frames == 4096
+    assert not got[3].valid and got[3].band_energy is None
+
+
+def test_audio_rms_of_half_amplitude_sine(spark):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, mm.synth_wav_tone(8000, 8000, 440.0, amplitude=0.5))],
+        "doc_id long, payload binary",
+    )
+    got = mm.audio_band_energies(df).collect()[0]
+    # sine RMS = amplitude / sqrt(2)
+    assert got.rms == pytest.approx(0.5 / 2**0.5, rel=1e-3)
+
+
+def test_audio_band_energy_concentrated_in_right_band(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mm
+
+    # 1000 Hz at 8000 Hz: nyquist 4000; 8 bands of 500 Hz ->
+    # band index 2 ([1000,1500)) holds the peak bin
+    df = spark.createDataFrame(
+        [(1, mm.synth_wav_tone(8000, 4096, 1000.0))], "doc_id long, payload binary"
+    )
+    got = mm.audio_band_energies(df, n_fft=256, n_bands=8).collect()[0]
+    be = got.band_energy
+    assert len(be) == 8
+    assert max(range(8), key=lambda b: be[b]) == 2
+
+
+def test_audio_stereo_averaged_and_partition_invariant(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mm
+
+    rows = [(i, mm.synth_wav_tone(8000, 2048, 500.0 * (1 + i % 3))) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    a = sorted(map(tuple, mm.audio_band_energies(df).select("doc_id", "dominant_hz").collect()))
+    b = sorted(
+        map(
+            tuple,
+            mm.audio_band_energies(df.repartition(7))
+            .select("doc_id", "dominant_hz")
+            .collect(),
+        )
+    )
+    assert a == b
