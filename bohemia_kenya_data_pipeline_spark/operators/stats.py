@@ -511,3 +511,60 @@ def chisq_independence(
     if out_round is not None:
         out = out.withColumn("chi2", F.round("chi2", out_round))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bitmap distinct-count index: EXACT mergeable distinct counting for
+# dense integer keys — the third member of the sketch-store family
+# (HLL: approximate distinct; CMS: approximate frequency; bitmap:
+# exact distinct when the key space is dense integers, e.g. surrogate
+# user ids). Classic OLAP bitmap-index aggregation.
+# ---------------------------------------------------------------------------
+
+
+def build_bitmap_index(
+    df: DataFrame,
+    key_col: str,
+    bucket_cols: Sequence[str],
+) -> DataFrame:
+    """Per-bucket bitmaps over a non-negative integer key: rows
+    ``(*bucket_cols, word_idx, word)`` where bit ``key % 64`` of the
+    ``key div 64``-th word is set. One groupBy with map-side bit_or
+    combine — shuffle volume O(partitions x buckets x distinct words),
+    independent of row count (same argument as bloom.bloom_words, but
+    EXACT because the identity mapping has no collisions).
+
+    Persist per day/source and answer any later union/intersection
+    distinct-count by merging words — no rescan, and exactness
+    survives merging (union-of-bitmaps == bitmap-of-union by
+    construction, unlike resummed COUNT(DISTINCT) results).
+    """
+    key = F.col(key_col)
+    return (
+        df.filter(key.isNotNull() & (key >= 0))
+        .select(
+            *bucket_cols,
+            F.expr(f"CAST({key_col} / 64 AS BIGINT)").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({key_col}, 64) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy(*bucket_cols, "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bitmap_distinct_over(
+    bitmaps: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT distinct count of the union of buckets, from stored
+    bitmaps (optionally re-grouped onto coarser keys): OR the words
+    per (group, word_idx), then sum popcounts. Two narrow
+    aggregations over word rows — never touches the fact table."""
+    g = list(group_cols)
+    ored = bitmaps.groupBy(*g, "word_idx").agg(F.bit_or("word").alias("word"))
+    agg = F.sum(F.bit_count("word")).cast("long").alias("n_distinct")
+    if g:
+        return ored.groupBy(*g).agg(agg)
+    return ored.agg(agg)

@@ -7307,3 +7307,129 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dominant_hz", 2).alias("dominant_hz"),
         F.round("rms", 4).alias("rms"),
     )
+
+
+@_register(
+    "bitmap_distinct_rollup",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+    """,
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bitmap-index distinct counting (stats.build_bitmap_index): the
+    # EXACT mergeable member of the sketch-store family. Per-(type,
+    # day) bitmaps built in one scan, then the per-type DISTINCT
+    # answered purely by OR-merging stored words — the oracle's plain
+    # COUNT(DISTINCT) must match bit for bit, which proves
+    # union-of-bitmaps == bitmap-of-union on real data (HLL's
+    # distinct_sketch_rollup can only be rows-only; this one is
+    # value-checked because bitmaps are exact).
+    ev = _t(spark, sf_dir, "events")
+    daily = st.build_bitmap_index(
+        ev.withColumn("day", F.to_date("ts")), "user_id", ["event_type", "day"]
+    )
+    return st.bitmap_distinct_over(daily, ["event_type"])
+
+
+@_register(
+    "array_hof_pack",
+    """
+    WITH arrs AS (
+      SELECT l_orderkey, list_sort(list(l_extendedprice)) AS prices
+      FROM lineitem GROUP BY 1),
+    hof AS (
+      SELECT l_orderkey,
+             len(prices) AS n_items,
+             len(list_filter(prices, x -> x > 30000)) AS n_big,
+             list_reduce(list_transform(prices,
+                            x -> CAST(ROUND(x * 100) AS BIGINT) * 95),
+                         (acc, x) -> acc + x) / 10000.0 AS disc_total,
+             ROUND(prices[1], 2) AS cheapest,
+             list_bool_or(list_transform(prices, x -> x > 50000)) AS any_premium
+      FROM arrs)
+    SELECT l_orderkey, CAST(n_items AS INTEGER) AS n_items,
+           CAST(n_big AS INTEGER) AS n_big, disc_total, cheapest, any_premium
+    FROM hof WHERE n_items >= 5
+    """,
+)
+def array_hof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Higher-order array functions (the Catalyst lambda pack):
+    # transform / filter / aggregate / exists over per-order price
+    # arrays — JVM-side lambdas, no UDF. The array is SORTED before
+    # any float aggregation, so both engines sum in the identical
+    # order and the 2-decimal round is deterministic.
+    li = _t(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_extendedprice")).alias("prices")
+    )
+    return (
+        arrs.select(
+            "l_orderkey",
+            F.size("prices").alias("n_items"),
+            F.size(F.filter("prices", lambda x: x > 30000)).alias("n_big"),
+            # 5%-discount total in integer CENTS (exact at any scale;
+            # a float fold rounded to 2 decimals lands on the .xx5
+            # half-up-vs-binary cross-engine hazard), then one exact
+            # division at the end.
+            (
+                F.aggregate(
+                    F.transform(
+                        "prices",
+                        lambda x: F.round(x * 100, 0).cast("long") * 95,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                / 10000.0
+            ).alias("disc_total"),
+            F.round(F.element_at("prices", 1), 2).alias("cheapest"),
+            F.exists("prices", lambda x: x > 50000).alias("any_premium"),
+        )
+        .filter(F.col("n_items") >= 5)
+    )
+
+
+@_register(
+    "revenue_gini",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey, SUM(o.o_totalprice) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    rk AS (SELECT seg, x,
+                  ROW_NUMBER() OVER (PARTITION BY seg
+                                     ORDER BY x, o_custkey) AS i
+           FROM rev)
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+                 - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+    FROM rk GROUP BY 1
+    """,
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini concentration of revenue across customers per segment —
+    # the sorted-rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n:
+    # one aggregation + one rank window + one aggregation. Equality
+    # of customer revenues is tie-broken by custkey so ranks (and the
+    # i*x products) are identical across engines.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    w = Window.partitionBy("seg").orderBy("x", "o_custkey")
+    rk = rev.select("seg", "x", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return rk.groupBy("seg").agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+            - (n + 1.0) / n,
+            4,
+        ).alias("gini"),
+    )

@@ -281,3 +281,49 @@ def test_chisq_zero_cell_counted(spark):
     expected = (5 - 2.5) ** 2 / 2.5 + (5 - 7.5) ** 2 / 7.5 \
         + (0 - 2.5) ** 2 / 2.5 + (10 - 7.5) ** 2 / 7.5
     assert got.chi2 == pytest.approx(expected)
+
+
+# ---------------------------------------------------------------------------
+# Bitmap distinct-count index
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_exact_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    # keys with duplicates and a >64 span (multiple words)
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 37) % 500).alias("k"),
+    )
+    bm = st.build_bitmap_index(df, "k", ["g"])
+    got = {r.g: r.n_distinct for r in st.bitmap_distinct_over(bm, ["g"]).collect()}
+    want = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.count_distinct("k").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_bitmap_merge_equals_rebuild(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    df = spark.range(0, 400).select(
+        (F.col("id") % 4).alias("day"), (F.col("id") % 130).alias("k")
+    )
+    daily = st.build_bitmap_index(df, "k", ["day"])
+    # global distinct from per-day bitmaps == direct count distinct
+    got = st.bitmap_distinct_over(daily).collect()[0].n_distinct
+    assert got == df.select("k").distinct().count() == 130
+
+
+def test_bitmap_skips_null_and_negative(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    df = spark.createDataFrame([(1,), (None,), (-5,), (65,)], "k long")
+    bm = st.build_bitmap_index(df, "k", [])
+    assert st.bitmap_distinct_over(bm).collect()[0].n_distinct == 2
