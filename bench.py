@@ -80,6 +80,16 @@ HEADLINE = [
     "icf_verification_metrics",
     "pharmacy_ledger_reconciliation",
     "token_budget_take",
+    # round-4 continuation additions: bloom pruning, sketch family,
+    # graph iteration, basket mining, survival analysis
+    "bloom_pruned_join",
+    "cms_user_counts",
+    "bitmap_distinct_rollup",
+    "pagerank_trade_graph",
+    "market_basket_brand_pairs",
+    "retention_cohorts",
+    "kaplan_meier_churn",
+    "weighted_sample_docs",
 ]
 
 

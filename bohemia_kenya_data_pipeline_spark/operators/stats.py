@@ -568,3 +568,37 @@ def bitmap_distinct_over(
     if g:
         return ored.groupBy(*g).agg(agg)
     return ored.agg(agg)
+
+
+def bitmap_intersect_over(
+    bitmaps: DataFrame,
+    set_col: str,
+    set_a,
+    set_b,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT distinct count of keys present in BOTH named bucket sets
+    — audience overlap ("users who did A and also B") straight from
+    stored bitmaps: OR words within each side, AND across sides, sum
+    popcounts. Set algebra on bitmaps is the whole point of the
+    index: HLL sketches cannot intersect without error blowup, but
+    AND of exact bitmaps is exact.
+    """
+    g = list(group_cols)
+    a = (
+        bitmaps.filter(F.col(set_col) == set_a)
+        .groupBy(*g, "word_idx")
+        .agg(F.bit_or("word").alias("wa"))
+    )
+    b = (
+        bitmaps.filter(F.col(set_col) == set_b)
+        .groupBy(*g, "word_idx")
+        .agg(F.bit_or("word").alias("wb"))
+    )
+    both = a.join(b, [*g, "word_idx"]).select(
+        *g, F.col("wa").bitwiseAND(F.col("wb")).alias("word")
+    )
+    agg = F.sum(F.bit_count("word")).cast("long").alias("n_both")
+    if g:
+        return both.groupBy(*g).agg(agg)
+    return both.agg(agg)

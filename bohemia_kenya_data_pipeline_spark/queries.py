@@ -7433,3 +7433,189 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@_register(
+    "bitmap_user_overlap",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM (SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase') t
+    """,
+)
+def bitmap_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact audience overlap from the bitmap index: users who BOTH
+    # clicked and purchased, computed by AND-ing stored per-type
+    # bitmaps — never rescanning the fact table. Oracle is the plain
+    # INTERSECT distinct count; exact equality is what HLL-family
+    # sketches structurally cannot give for intersections.
+    ev = _t(spark, sf_dir, "events")
+    bm = st.build_bitmap_index(ev, "user_id", ["event_type"])
+    return st.bitmap_intersect_over(bm, "event_type", "click", "purchase")
+
+
+@_register(
+    "interval_union_time",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL '30 minutes' AS e
+      FROM events),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    grp AS (SELECT user_id, s, e,
+                   SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                         ROWS UNBOUNDED PRECEDING) AS island
+            FROM marked),
+    islands AS (SELECT user_id, island, MIN(s) AS lo, MAX(e) AS hi
+                FROM grp GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(EPOCH_US(hi) - EPOCH_US(lo)) // 60000000 AS BIGINT)
+             AS covered_minutes
+    FROM islands GROUP BY 1
+    """,
+)
+def interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval-union coverage (sweep-line as a window plan): each
+    # event opens a 30-minute activity interval; overlapping intervals
+    # merge into islands (new island when this start exceeds the
+    # running max of prior ends), total covered time = sum of island
+    # spans. The standard gaps-and-islands generalization to ranges —
+    # one window shuffle per user, no self-join.
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prior_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prior_max_e.isNull() | (F.col("s") > prior_max_e), 1).otherwise(0),
+    )
+    grp = marked.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    # integer micros div integer minutes: exact in both engines (a
+    # double quotient CAST differs — Spark truncates, DuckDB rounds)
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(F.unix_micros("hi") - F.unix_micros("lo")).alias("__us"),
+        )
+        .select(
+            "user_id",
+            "n_islands",
+            F.expr("CAST(__us DIV 60000000 AS BIGINT)").alias("covered_minutes"),
+        )
+    )
+
+
+@_register(
+    "sequence_pattern_match",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS path
+      FROM events GROUP BY 1)
+    SELECT user_id, CAST(length(path) AS INTEGER) AS path_len,
+           regexp_matches(path, 'v.*c.*p') AS converted,
+           regexp_matches(path, '(s|c)p') AS quick_purchase
+    FROM seq
+    """,
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MATCH_RECOGNIZE-lite: compress each user's ordered event-type
+    # sequence to an initial-letter string (click/signup/error/view/
+    # purchase -> c/s/e/v/p), then detect behavioral patterns as
+    # regexes (view->click->purchase funnel with anything between;
+    # purchase straight after signup, or after click). One string_agg
+    # shuffle; the regex scan is per-user-row, JVM-side.
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ).getField("c"),
+        ).alias("path")
+    )
+    return seq.select(
+        "user_id",
+        F.length("path").alias("path_len"),
+        F.col("path").rlike("v.*c.*p").alias("converted"),
+        F.col("path").rlike("(s|c)p").alias("quick_purchase"),
+    )
+
+
+@_register(
+    "ivm_maintained_agg",
+    """
+    WITH new AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT)
+               + CASE WHEN c_custkey % 5 = 0 THEN 10000 ELSE 0 END AS cents
+      FROM customer WHERE c_custkey % 11 <> 0)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM new GROUP BY 1
+    """,
+)
+def ivm_maintained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental view maintenance end-to-end (operators/ivm.py):
+    # bootstrap per-segment balance state from the OLD snapshot, CDC
+    # the old->new transition with scd.snapshot_diff, fold the delta
+    # in with apply_delta — and the ORACLE aggregates the NEW snapshot
+    # directly. Equality proves the IVM invariant (maintained state ==
+    # recomputed state) on real data, with integer-cents sums so the
+    # check is exact, not approximately-float. The fact "table" is
+    # never re-read on the Spark side past the delta join.
+    from .operators import ivm
+    from .operators import scd as sc
+
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    old = c.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_mktsegment", cents.alias("cents")
+    )
+    new = c.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (
+            cents
+            + F.when(F.col("c_custkey") % 5 == 0, 10000).otherwise(0)
+        ).alias("cents"),
+    )
+    state = ivm.aggregate_state(old, ["c_mktsegment"], ["cents"])
+    diff = sc.snapshot_diff(old, new, ["c_custkey"])
+    delta = ivm.delta_from_snapshot_diff(
+        diff, old, new, ["c_custkey"], ["cents", "c_mktsegment"]
+    ).withColumn(
+        "c_mktsegment",
+        F.coalesce("new_c_mktsegment", "old_c_mktsegment"),
+    )
+    return ivm.apply_delta(state, delta, ["c_mktsegment"], ["cents"]).select(
+        "c_mktsegment", "n_rows", F.col("sum_cents").cast("bigint").alias("sum_cents")
+    )

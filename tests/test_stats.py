@@ -327,3 +327,26 @@ def test_bitmap_skips_null_and_negative(spark):
     df = spark.createDataFrame([(1,), (None,), (-5,), (65,)], "k long")
     bm = st.build_bitmap_index(df, "k", [])
     assert st.bitmap_distinct_over(bm).collect()[0].n_distinct == 2
+
+
+def test_bitmap_intersect_exact(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    # set A: multiples of 2 in [0,200); set B: multiples of 3
+    df = (
+        spark.range(0, 200)
+        .select(F.col("id").alias("k"))
+        .withColumn("s", F.when(F.col("k") % 2 == 0, "A"))
+        .filter(F.col("s").isNotNull())
+        .unionByName(
+            spark.range(0, 200)
+            .select(F.col("id").alias("k"))
+            .withColumn("s", F.when(F.col("k") % 3 == 0, "B"))
+            .filter(F.col("s").isNotNull())
+        )
+    )
+    bm = st.build_bitmap_index(df, "k", ["s"])
+    got = st.bitmap_intersect_over(bm, "s", "A", "B").collect()[0].n_both
+    assert got == len([k for k in range(200) if k % 6 == 0])
