@@ -426,3 +426,33 @@ def check_expectations(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def quarantine_split(
+    df: DataFrame, rules: Sequence[dict]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter ingestion split: ``(good, quarantined)`` where a
+    row is quarantined with the FIRST failing row-level rule's name
+    (ordered triage, like the correction engine's ordered case_when),
+    and ``good`` rows pass every rule.
+
+    Takes the same rule dicts as :func:`check_expectations` (row-level
+    kinds only — uniqueness/FK are table-level facts, not per-row
+    routing decisions; ValueError otherwise). Both outputs derive from
+    ONE scan each (the reason chain is a single when-cascade; no
+    per-rule pass), and the split is a filter — it pushes down to the
+    scan on both branches.
+    """
+    bad_kinds = [r["rule"] for r in rules if r["kind"] != "row"]
+    if bad_kinds:
+        raise ValueError(
+            f"quarantine_split takes row-level rules only, got: {bad_kinds}"
+        )
+    reason = F.lit(None).cast("string")
+    # build in reverse so the FIRST rule in the list wins the chain
+    for r in reversed(rules):
+        reason = F.when(~F.coalesce(r["ok"], F.lit(False)), r["rule"]).otherwise(reason)
+    tagged = df.withColumn("quarantine_reason", reason)
+    good = tagged.filter(F.col("quarantine_reason").isNull()).drop("quarantine_reason")
+    bad = tagged.filter(F.col("quarantine_reason").isNotNull())
+    return good, bad

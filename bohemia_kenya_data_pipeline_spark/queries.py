@@ -7619,3 +7619,206 @@ def ivm_maintained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm.apply_delta(state, delta, ["c_mktsegment"], ["cents"]).select(
         "c_mktsegment", "n_rows", F.col("sum_cents").cast("bigint").alias("sum_cents")
     )
+
+
+@_register(
+    "attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, touch_type,
+           CAST((EPOCH_US(ts) - EPOCH_US(touch_ts)) // 60000000 AS BIGINT)
+             AS minutes_since_touch
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND touch_ts IS NOT NULL
+      AND ts - touch_ts <= INTERVAL '7 days'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Last-touch conversion attribution: each purchase credits the
+    # most recent preceding NON-purchase event by the same user within
+    # a 7-day lookback — one IGNORE-NULLS last_value window over the
+    # user sequence (no self-join, no as-of shuffle beyond the user
+    # partition).
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    np_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    seq = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.last(non_purchase, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(np_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_ts").isNotNull()
+            & (F.unix_micros("ts") - F.unix_micros("touch_ts") <= 7 * 86400 * 1_000_000)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "touch_type",
+            F.expr(
+                "CAST((unix_micros(ts) - unix_micros(touch_ts)) DIV 60000000 AS BIGINT)"
+            ).alias("minutes_since_touch"),
+        )
+    )
+
+
+@_register(
+    "seasonality_dow_profile",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    base AS (SELECT AVG(n) AS mean_n FROM daily)
+    SELECT CAST(isodow(d) AS INTEGER) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(n), 4) AS avg_events,
+           ROUND(AVG(n) / (SELECT mean_n FROM base), 4) AS seasonal_index
+    FROM daily GROUP BY 1
+    """,
+)
+def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Day-of-week seasonality profile: average daily event volume per
+    # ISO weekday relative to the overall daily mean (index > 1 =
+    # busy day). Spark's weekday() is 0=Monday; +1 aligns it with
+    # DuckDB's isodow (1=Monday..7=Sunday) — the engines' native DOW
+    # functions disagree on both origin and numbering.
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    base = daily.agg(F.avg("n").alias("mean_n"))
+    return (
+        daily.join(F.broadcast(base))
+        .groupBy((F.weekday("d") + 1).cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.avg("n"), 4).alias("avg_events"),
+            F.round(F.avg("n") / F.max("mean_n"), 4).alias("seasonal_index"),
+        )
+    )
+
+
+@_register(
+    "quarantine_ingest",
+    """
+    WITH dirty AS (
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS user_id,
+             value,
+             CASE WHEN event_id % 89 = 0 THEN '{"noise": true}' ELSE props END
+               AS props
+      FROM events)
+    SELECT event_id,
+           CASE WHEN user_id IS NULL THEN 'not_null'
+                WHEN NOT (value IS NULL OR (value >= 0 AND value <= 400))
+                  THEN 'in_range[0,400]'
+                WHEN json_extract_string(props, '$.k') IS NULL
+                  THEN 'props_has_k'
+           END AS quarantine_reason
+    FROM dirty
+    WHERE user_id IS NULL
+       OR NOT (value IS NULL OR (value >= 0 AND value <= 400))
+       OR json_extract_string(props, '$.k') IS NULL
+    """,
+)
+def quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dead-letter split (quality.quarantine_split): rows routed to
+    # quarantine with the FIRST failing rule (ordered triage), good
+    # rows pass all three. Dirt is injected deterministically (every
+    # 97th event loses its user, every 89th its props key) so the
+    # chain's ordering is exercised; the oracle replays the same
+    # derivation and CASE chain. Both branches are single-scan
+    # filters; this query returns the quarantine side.
+    ev = _t(spark, sf_dir, "events")
+    dirty = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "value",
+        F.when(F.col("event_id") % 89 == 0, '{"noise": true}')
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    rules = [
+        ql.expect_not_null("user_id"),
+        ql.expect_in_range("value", 0, 400),
+        ql.expect_condition(
+            "props_has_k", "props", F.get_json_object("props", "$.k").isNotNull()
+        ),
+    ]
+    good, bad = ql.quarantine_split(dirty, rules)
+    return bad.select("event_id", "quarantine_reason")
+
+
+@_register(
+    "cusum_drift_alarms",
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(value - 55.0) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS p
+      FROM events),
+    s AS (SELECT user_id, ts, event_id, value,
+                 p - LEAST(0.0, MIN(p) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING))
+                   AS cusum
+          FROM d)
+    SELECT user_id, event_id, ROUND(value, 2) AS value,
+           ROUND(cusum, 4) AS cusum
+    FROM s WHERE cusum > 500.0
+    """,
+)
+def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM change-point detection WITHOUT a stateful recurrence: the
+    # textbook S_i = max(0, S_{i-1} + (x_i - k)) unrolls to the
+    # closed form S_i = P_i - min(0, min_{j<=i} P_j) over the prefix
+    # sums P — so the classic sequential drift detector becomes two
+    # running windows (sum + min), fully distributed per user and
+    # exactly mirrored in SQL. Alarms where the upper CUSUM exceeds
+    # h=500 against reference level k=55 (the events value mean is
+    # ~50; sustained upward drift accumulates). Running-frame sums
+    # evaluate left-to-right in both engines, so even the float path
+    # is order-identical.
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.sum(F.col("value") - 55.0).over(w).alias("p"),
+    )
+    s = d.select(
+        "user_id", "event_id", "value",
+        (F.col("p") - F.least(F.lit(0.0), F.min("p").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ))).alias("cusum"),
+    )
+    return s.filter(F.col("cusum") > 500.0).select(
+        "user_id", "event_id",
+        F.round("value", 2).alias("value"),
+        F.round("cusum", 4).alias("cusum"),
+    )

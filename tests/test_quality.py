@@ -189,3 +189,33 @@ def test_expectations_unique_multiple_nulls_exempt(spark):
     df = spark.createDataFrame([(1,), (2,), (2,), (None,), (None,)], "id int")
     r = ql.check_expectations(df, [ql.expect_unique("id")]).collect()[0]
     assert (r.n_violations, r.n_rows, r.passed) == (1, 5, False)
+
+
+def test_quarantine_split_first_reason_wins_and_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (None, 999.0), (4, 500.0)], "id int, amt double"
+    )
+    rules = [
+        ql.expect_not_null("id"),
+        ql.expect_in_range("amt", 0, 100),
+    ]
+    good, bad = ql.quarantine_split(df, rules)
+    # row 3 fails BOTH rules -> first rule's name wins
+    reasons = {r.id: r.quarantine_reason for r in bad.collect()}
+    assert reasons == {None: "not_null", 4: "in_range[0,100]"}
+    assert sorted(r.id for r in good.collect()) == [1, 2]  # NULL amt passes range
+    assert "quarantine_reason" not in good.columns
+
+
+def test_quarantine_split_rejects_table_level_rules(spark):
+    import pytest as _pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with _pytest.raises(ValueError, match="row-level"):
+        ql.quarantine_split(df, [ql.expect_unique("id")])
