@@ -88,3 +88,71 @@ def pagerank(
                 prev.unpersist()
             prev = ranks
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def khop_reachable(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Nodes reachable from ``seeds`` in at most ``k`` directed hops
+    (seeds themselves are hop 0). Returns ``(node, hops)`` with the
+    MINIMUM hop count — i.e. unweighted BFS shortest distance, capped.
+
+    Driver loop of k rounds; each round is frontier ⋈ edges →
+    new nodes (anti-joined against the visited set, so the frontier
+    only carries NEW nodes — the loop does O(edges within k hops)
+    work total, not O(k * edges)). Same lineage caveat as pagerank:
+    for large k, persist per round (k is small by use-case — "friends
+    of friends", 2–4).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    visited = seeds.select(F.col(node).alias("n")).distinct().withColumn(
+        "hops", F.lit(0)
+    )
+    frontier = visited
+    for hop in range(1, k + 1):
+        nxt = (
+            e.join(frontier, e.s == frontier.n)
+            .select(F.col("d").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.select(F.col("n").alias(node), "hops")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count of the UNDIRECTED graph induced by
+    ``edges`` (direction and multi-edges collapsed). One row:
+    (n_triangles).
+
+    The standard ordered-wedge algorithm: canonicalize each edge to
+    (lo, hi); wedges are (a<b) ⋈ (b<c) joined on b; a wedge closes
+    into a triangle when (a, c) is itself an edge — a second
+    equi-join, not an all-pairs check. At scale the wedge count is
+    sum(deg_hi^2)-ish; the classic mitigation (orienting edges from
+    lower- to higher-degree endpoints) keeps hub wedges from
+    exploding and drops in here as a pre-step if degree skew bites.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    wedges = ab.join(bc, "b").select("a", "b", "c")
+    closing = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

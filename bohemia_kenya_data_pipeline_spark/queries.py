@@ -7822,3 +7822,93 @@ def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         F.round("cusum", 4).alias("cusum"),
     )
+
+
+#: Nation-level trade graph: src supplier-nation -> dst customer-nation,
+#: kept when total traded value exceeds a cents-exact threshold (float
+#: SUM near a threshold would let engines disagree about edge
+#: membership; integer cents cannot).
+_TRADE_EDGE_SQL = """
+      SELECT sn.n_name AS src, cn.n_name AS dst
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+      HAVING SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) > 550000000
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sn = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("src")
+        )
+    )
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("dst")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    return (
+        li.join(sn, li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == F.col("c_custkey"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("cents"))
+        .filter(F.col("cents") > 550_000_000)
+        .select("src", "dst")
+    )
+
+
+@_register(
+    "khop_trade_reach",
+    f"""
+    WITH e AS ({_TRADE_EDGE_SQL}),
+    h1 AS (SELECT DISTINCT e.dst AS n FROM e
+           WHERE e.src = 'NATION_2' AND e.dst <> 'NATION_2'),
+    h2 AS (SELECT DISTINCT e.dst AS n FROM e JOIN h1 ON e.src = h1.n
+           WHERE e.dst <> 'NATION_2' AND e.dst NOT IN (SELECT n FROM h1))
+    SELECT 'NATION_2' AS node, 0 AS hops
+    UNION ALL SELECT n, 1 FROM h1
+    UNION ALL SELECT n, 2 FROM h2
+    """,
+)
+def khop_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BFS shortest-hops (graph.khop_reachable): nations reachable from
+    # NATION_2 in <= 2 hops over the thresholded trade graph (seed
+    # chosen for a non-trivial frontier: 10 nations at hop 1, 14 more
+    # only at hop 2 at sf0.01); each hop is
+    # a frontier join + anti-join against the visited set, so work is
+    # proportional to the reachable subgraph, not k * edges.
+    edges = _trade_edges(spark, sf_dir)
+    seeds = spark.createDataFrame([("NATION_2",)], "node string")
+    return gr.khop_reachable(edges, seeds, k=2).select(
+        "node", F.col("hops").cast("int").alias("hops")
+    )
+
+
+@_register(
+    "triangle_count_trade",
+    f"""
+    WITH raw AS ({_TRADE_EDGE_SQL}),
+    e AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+          FROM raw WHERE src <> dst)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+          FROM e ab JOIN e bc ON bc.lo = ab.hi) w
+    JOIN e cl ON cl.lo = w.a AND cl.hi = w.c
+    """,
+)
+def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triangle counting (graph.triangle_count): ordered-wedge
+    # generation + closing-edge equi-join over the undirected trade
+    # graph — the scalable formulation (no all-pairs, no explosion
+    # past wedges of the ordered orientation).
+    return gr.triangle_count(_trade_edges(spark, sf_dir))

@@ -60,3 +60,37 @@ def test_total_mass_conserved_on_cycle_union(spark):
     df = gr.pagerank(e, n_iter=5)
     total = sum(r.rank for r in df.collect())
     assert total == pytest.approx(4.0)
+
+
+def test_khop_bfs_minimum_hops(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "e")],
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.hops for r in gr.khop_reachable(e, seeds, k=2).collect()}
+    # c reachable at hop 1 via a->c (not 2 via b); d at hop 2; e beyond k
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_khop_cycle_terminates_and_no_revisit(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.hops for r in gr.khop_reachable(e, seeds, k=5).collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_triangle_count_hand_graphs(spark):
+    # one triangle + a dangling edge
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    assert gr.triangle_count(e).collect()[0].n_triangles == 1
+    # K4 has 4 triangles; direction/duplicates must not matter
+    k4 = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+         ("d", "b"), ("c", "d"), ("c", "d")],
+    )
+    assert gr.triangle_count(k4).collect()[0].n_triangles == 4
+    # triangle-free square
+    sq = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    assert gr.triangle_count(sq).collect()[0].n_triangles == 0
