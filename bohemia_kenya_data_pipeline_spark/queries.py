@@ -7912,3 +7912,86 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph — the scalable formulation (no all-pairs, no explosion
     # past wedges of the ordered orientation).
     return gr.triangle_count(_trade_edges(spark, sf_dir))
+
+
+@_register(
+    "zipf_vocabulary_fit",
+    """
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents WHERE trim(text) <> ''),
+    vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+              FROM toks WHERE token <> '' GROUP BY 1),
+    ranked AS (SELECT n,
+                      ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+               FROM vocab),
+    top AS (SELECT LN(rank) AS lr, LN(n) AS lf FROM ranked WHERE rank <= 500)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(lf, lr), 4) AS zipf_slope,
+           ROUND(regr_intercept(lf, lr), 4) AS zipf_intercept,
+           ROUND(regr_r2(lf, lr), 4) AS r2
+    FROM top
+    """,
+)
+def zipf_vocabulary_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf power-law diagnostic over the corpus vocabulary: OLS of
+    # ln(freq) on ln(rank) for the top-500 tokens (natural text gives
+    # slope near -1; a slope far off flags synthetic/templated or
+    # mis-tokenized data — a standard corpus health check). Built-in
+    # regr_* aggregates — single pass over the ranked vocab.
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = vocab.select(
+        "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))).alias("rank"),
+    )
+    top = ranked.filter(F.col("rank") <= 500).select(
+        F.log("rank").alias("lr"), F.log("n").alias("lf")
+    )
+    return top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.regr_slope("lf", "lr"), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept("lf", "lr"), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2("lf", "lr"), 4).alias("r2"),
+    )
+
+
+@_register(
+    "price_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin
+      FROM orders),
+    c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT c.bin, ROUND(c.bin * 25000.0, 1) AS bin_lo,
+           ROUND((c.bin + 1) * 25000.0, 1) AS bin_hi,
+           c.n, ROUND(c.n * 1.0 / t.tot, 4) AS share
+    FROM c, t
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-width histogram: integer bin arithmetic (FLOOR of an exact
+    # division scheme), counts + shares in two tiny aggregations —
+    # the at-scale histogram (ntile_price_quartiles covers the
+    # equi-FREQUENCY variant; this is the fixed-bin one dashboards
+    # want, shuffle of bin ids only).
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        o.select(F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t)).select(
+        "bin",
+        F.round(F.col("bin") * 25000.0, 1).alias("bin_lo"),
+        F.round((F.col("bin") + 1) * 25000.0, 1).alias("bin_hi"),
+        "n",
+        F.round(F.col("n") / F.col("tot"), 4).alias("share"),
+    )
