@@ -488,3 +488,114 @@ def audio_band_energies(
             yield out[[f.name for f in schema.fields]]
 
     return df.mapInPandas(feats, schema=schema)
+
+
+def synth_bmp_gradient(width: int, height: int) -> bytes:
+    """A real 24-bit BMP with a horizontal brightness gradient
+    (column x -> gray level floor(x * 255 / max(width-1, 1))) — the
+    image analog of synth_wav_tone: non-trivial pixel content with a
+    closed-form expected statistic."""
+    import numpy as np
+
+    x = (np.arange(width, dtype=np.float64) * 255 / max(width - 1, 1)).astype(np.uint8)
+    row = np.repeat(x, 3)  # B, G, R all equal -> gray
+    pad = (-3 * width) % 4
+    body = (row.tobytes() + b"\x00" * pad) * height
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+    )
+    return header + body
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("valid", BooleanType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_brightness", DoubleType()),
+        StructField("std_brightness", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_r", DoubleType()),
+        StructField("edge_energy", DoubleType()),
+    ]
+)
+
+
+def _bmp_pixels(payload: bytes):
+    """[H, W, 3] uint8 array (BGR) from a 24-bit BMP, or None."""
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24 or width <= 0 or height == 0:
+        return None
+    h = abs(height)
+    stride = (3 * width + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : 3 * width].reshape(h, width, 3)
+    if height > 0:  # bottom-up storage -> flip to top-down
+        rows = rows[::-1]
+    return rows
+
+
+def image_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real pixel statistics per image document — mean/std brightness,
+    per-channel means, and horizontal edge energy (mean |dI/dx|) —
+    parsed from actual BMP pixel rows (bottom-up order and 4-byte row
+    padding handled), vectorized in numpy per payload. Non-BMP /
+    non-24bpp payloads yield valid=False.
+
+    Same plan shape as audio_band_energies: Arrow-batched mapInPandas,
+    one row out per row in, scan-local at 100 TB.
+    """
+    import numpy as np
+
+    schema = StructType(
+        [StructField(id_col, LongType())] + IMAGE_STATS_SCHEMA.fields[1:]
+    )
+    empty = {f.name: None for f in IMAGE_STATS_SCHEMA.fields[1:]}
+    empty["valid"] = False
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                px = _bmp_pixels(payload)
+                if px is None:
+                    rows.append(dict(empty))
+                    continue
+                gray = px.mean(axis=2)
+                rows.append(
+                    {
+                        "valid": True,
+                        "width": int(px.shape[1]),
+                        "height": int(px.shape[0]),
+                        "mean_brightness": float(gray.mean()),
+                        "std_brightness": float(gray.std()),
+                        "mean_b": float(px[:, :, 0].mean()),
+                        "mean_g": float(px[:, :, 1].mean()),
+                        "mean_r": float(px[:, :, 2].mean()),
+                        "edge_energy": float(
+                            np.abs(np.diff(gray, axis=1)).mean()
+                        ) if px.shape[1] > 1 else 0.0,
+                    }
+                )
+            out = pd.DataFrame(rows)
+            out.insert(0, id_col, pdf[id_col].astype("int64").values)
+            yield out[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(stats, schema=schema)

@@ -7995,3 +7995,136 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("tot"), 4).alias("share"),
     )
+
+
+@_register(
+    "winsorize_prices",
+    """
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS p01,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l.l_extendedprice < c.p01
+                           OR l.l_extendedprice > c.p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, c.p01), c.p99)), 2)
+             AS winsorized_mean,
+           ROUND(AVG(l.l_extendedprice), 2) AS raw_mean
+    FROM lineitem l JOIN cuts c ON c.l_returnflag = l.l_returnflag
+    GROUP BY 1
+    """,
+)
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Winsorized (p1/p99-clipped) robust mean per group — the outlier
+    # treatment between raw mean and MAD filtering
+    # (mad_outlier_filter): exact type-7 percentiles per group
+    # broadcast back onto the fact, clip via LEAST/GREATEST, one
+    # aggregation. percentile() is Spark's exact interpolating
+    # implementation == DuckDB's quantile_cont.
+    li = _t(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99"))
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("p01"))
+                    | (F.col("l_extendedprice") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+            F.round(F.avg(clipped), 2).alias("winsorized_mean"),
+            F.round(F.avg("l_extendedprice"), 2).alias("raw_mean"),
+        )
+    )
+
+
+@_register(
+    "bpe_merge_step",
+    """
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''),
+    chars AS (
+      SELECT w, i,
+             substring(w, CAST(i AS INTEGER), 1) AS a,
+             substring(w, CAST(i AS INTEGER) + 1, 1) AS b
+      FROM toks, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+      WHERE length(w) >= 2),
+    pairs AS (SELECT a || b AS pair, CAST(COUNT(*) AS BIGINT) AS n
+              FROM chars GROUP BY 1)
+    SELECT pair, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+    FROM pairs
+    QUALIFY rnk <= 20
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One BPE-training merge step, corpus-wide: count all adjacent
+    # character pairs inside whitespace tokens and rank the merge
+    # candidates (top pair = the merge a real BPE trainer would apply
+    # next). Pure explode + substring expressions — the full trainer
+    # iterates this plan, re-tokenizing against the merge table; one
+    # step is the representative (and SQL-checkable) unit.
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    chars = toks.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(
+        F.concat(
+            F.col("w").substr(F.col("i"), F.lit(1)),
+            F.col("w").substr(F.col("i") + 1, F.lit(1)),
+        ).alias("pair")
+    )
+    pairs = chars.groupBy("pair").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        pairs.select("pair", "n", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+@_register("image_pixel_stats", None)
+def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Real image analytics over multimodal columns: deterministic
+    # gradient BMPs synthesized per doc_id (real pixel rows with
+    # bottom-up storage and 4-byte padding), then numpy pixel stats
+    # via Arrow-batched mapInPandas (multimodal.image_pixel_stats).
+    # Rows-only by design like audio_spectral_features; closed-form
+    # pixel goldens live in tests/test_multimodal.py.
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").limit(64)
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                mm.synth_bmp_gradient(8 + int(i) % 56, 8 + int(i) % 24)
+                for i in ids
+            ]
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_img = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    stats = mm.image_pixel_stats(with_img)
+    return stats.select(
+        "doc_id", "valid", "width", "height",
+        F.round("mean_brightness", 4).alias("mean_brightness"),
+        F.round("std_brightness", 4).alias("std_brightness"),
+        F.round("edge_energy", 4).alias("edge_energy"),
+    )

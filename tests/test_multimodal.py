@@ -157,3 +157,58 @@ def test_audio_stereo_averaged_and_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# image_pixel_stats (real pixel parsing)
+# ---------------------------------------------------------------------------
+
+
+def test_image_gradient_stats_closed_form(spark):
+    import numpy as np
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mm
+
+    w = 64
+    df = spark.createDataFrame(
+        [(1, mm.synth_bmp_gradient(w, 16)), (2, b"junk")], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in mm.image_pixel_stats(df).collect()}
+    g = got[1]
+    levels = np.floor(np.arange(w) * 255 / (w - 1)).astype(int)
+    # synth uses uint8 cast (truncation) of x*255/(w-1)
+    assert g.valid and g.width == w and g.height == 16
+    assert g.mean_brightness == pytest.approx(levels.mean())
+    assert g.std_brightness == pytest.approx(levels.std())
+    # gray image: all channels equal
+    assert g.mean_b == g.mean_g == g.mean_r
+    # gradient edge energy = mean absolute adjacent-column difference
+    assert g.edge_energy == pytest.approx(np.abs(np.diff(levels)).mean())
+    assert not got[2].valid and got[2].mean_brightness is None
+
+
+def test_image_stats_uniform_color_zero_std_and_edges(spark):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mm
+
+    # synth_bmp (zeroed pixels) -> black image
+    df = spark.createDataFrame(
+        [(1, mm.synth_bmp(10, 10))], "doc_id long, payload binary"
+    )
+    g = mm.image_pixel_stats(df).collect()[0]
+    assert g.valid and g.mean_brightness == 0.0
+    assert g.std_brightness == 0.0 and g.edge_energy == pytest.approx(0.0)
+
+
+def test_image_stats_row_padding_handled(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mm
+
+    # width 3 -> 9-byte rows padded to 12: padding must not leak into stats
+    df = spark.createDataFrame(
+        [(1, mm.synth_bmp_gradient(3, 4))], "doc_id long, payload binary"
+    )
+    g = mm.image_pixel_stats(df).collect()[0]
+    assert g.valid and g.width == 3 and g.height == 4
+    assert 0 < g.mean_brightness < 255
