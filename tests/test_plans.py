@@ -135,3 +135,50 @@ def test_dedup_within_gap_single_exchange(spark):
     # sessionize + first-per-session share one (user_id) exchange
     plan = _plan(QUERIES["dedup_within_gap"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_bloom_probe_streams_through_one_broadcast(spark):
+    # the orders side must reach the verify join through broadcasts
+    # only; the single hashpartitioning exchange belongs to the bloom
+    # BUILD aggregation (map-side partial bit_or present)
+    plan = _plan(QUERIES["bloom_pruned_join"](spark, SF_DIR))
+    assert "bit_or" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bitmap_rollup_single_fact_scan(spark):
+    # the fact table is scanned ONCE (index build); the rollup answers
+    # from word rows: 3 narrow aggregations (build, OR-merge, popcount)
+    opt = QUERIES["bitmap_distinct_rollup"](spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Relation [") == 1
+    assert opt.count("Aggregate [") == 3
+    plan = _plan(QUERIES["bitmap_distinct_rollup"](spark, SF_DIR))
+    assert "bit_or" in plan and "bit_count" in plan
+
+
+def test_winsorize_broadcasts_percentile_cuts(spark):
+    plan = _plan(QUERIES["winsorize_prices"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+
+
+def test_ivm_two_aggregates_no_recompute(spark):
+    # exactly TWO aggregations — state bootstrap + delta fold. A third
+    # would be the full recompute over the new snapshot that IVM
+    # exists to avoid (the oracle runs that recompute; the engine must
+    # not). Joins: snapshot diff (full outer) + 2 image joins + state
+    # merge (full outer).
+    opt = QUERIES["ivm_maintained_agg"](spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Aggregate [") == 2
+    assert opt.count("FullOuter") == 2
+
+
+def test_cusum_windows_share_one_user_shuffle(spark):
+    # prefix sum + running min are over the same (user_id, ts) spec:
+    # Catalyst must plan ONE exchange on user_id, not two
+    plan = _plan(QUERIES["cusum_drift_alarms"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_basket_supports_broadcast_back(spark):
+    plan = _plan(QUERIES["market_basket_brand_pairs"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
