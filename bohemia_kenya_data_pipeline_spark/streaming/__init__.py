@@ -22,6 +22,7 @@ result must equal the batch plan on the same data.
 from __future__ import annotations
 
 from .events import (
+    bitmap_store_sink,
     dedup_stream,
     enrich_stream,
     ewma_alert_stream,
@@ -46,5 +47,6 @@ __all__ = [
     "interval_join_streams",
     "interval_join_streams_left",
     "incremental_dedup_sink",
+    "bitmap_store_sink",
     "scd2_history_sink",
 ]

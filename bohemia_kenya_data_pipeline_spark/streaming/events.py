@@ -554,3 +554,72 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def bitmap_store_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    bucket_cols: list[str] | None = None,
+):
+    """Streaming maintenance of the EXACT bitmap distinct-count store
+    (stats.build_bitmap_index): each micro-batch builds its own
+    per-bucket word table and bit_or-merges it into the lakehouse
+    store — so "distinct users per (type, day)" stays queryable
+    mid-stream without ever rescanning the event history, and
+    union-of-bitmaps == bitmap-of-union makes the merge EXACT.
+
+    foreachBatch for the same reason as incremental_dedup_sink: the
+    merge needs the store as of the batch start. OR-ing is an
+    idempotent monoid — re-merging the same batch's bits is a no-op —
+    so at-least-once replay yields exactly-correct counts with no
+    dedup step; this is the property that makes bitmap (and bloom)
+    stores the easiest sketches to stream.
+
+    Publication is the same immutable ``v=<batch_id>`` layout as
+    scd2_history_sink (the merge lazily READS the previous store
+    while writing the next — in-place overwrite is the classic
+    self-overwrite corruption; a replayed batch whose version exists
+    skips). The store is word-table-sized (KBs per bucket), so a
+    version per trigger is cheap; maintenance.gc_versions prunes.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from ..operators import stats as _st
+
+    buckets = list(bucket_cols or ["event_type"])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = root.getFileSystem(conf)
+        versions = []
+        if fs.exists(root):
+            for st_ in fs.listStatus(root):
+                name = st_.getPath().getName()
+                if name.startswith("v="):
+                    versions.append(int(name[2:]))
+        if batch_id in versions:
+            return  # replay of a committed batch: version is immutable
+        versions = [v for v in versions if v < batch_id]
+        batch_words = _st.build_bitmap_index(batch_df, key_col, buckets)
+        if versions:
+            store = spark.read.parquet(f"{store_path}/v={max(versions)}")
+            merged = (
+                store.unionByName(batch_words)
+                .groupBy(*buckets, "word_idx")
+                .agg(F.bit_or("word").alias("word"))
+            )
+        else:
+            merged = batch_words
+        merged.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -548,3 +548,45 @@ def test_native_session_window_state_bounded_by_watermark(spark, tmp_path):
     # second session end = last_ts + 30 min > watermark -> withheld
     assert len(rows) == 10
     assert all(r.n_events == 10 for r in rows)
+
+
+def test_bitmap_store_sink_matches_batch_build(spark, tmp_path):
+    """Stream-maintained bitmap store (latest version) must equal the
+    bitmap index built in one batch over the same data, and its
+    distinct counts must equal plain countDistinct."""
+    from bohemia_kenya_data_pipeline_spark.operators import stats as sstats
+
+    src = str(tmp_path / "events")
+    store = str(tmp_path / "bitmap_store")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(u, BASE + dt.timedelta(minutes=u + j), "click" if j % 2 else "view")
+            for u in range(1, 21) for j in range(5)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # several files -> several micro-batches with maxFilesPerTrigger
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = st.bitmap_store_sink(stream, store, ckpt, key_col="user_id",
+                             bucket_cols=["event_type"])
+    q.awaitTermination(120)
+
+    import os
+    latest = max(int(d[2:]) for d in os.listdir(store) if d.startswith("v="))
+    got = spark.read.parquet(f"{store}/v={latest}")
+    want = sstats.build_bitmap_index(df, "user_id", ["event_type"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    counts = {
+        r.event_type: r.n_distinct
+        for r in sstats.bitmap_distinct_over(got, ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in df.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert counts == exact
