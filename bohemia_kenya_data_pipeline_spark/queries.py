@@ -8128,3 +8128,100 @@ def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("std_brightness", 4).alias("std_brightness"),
         F.round("edge_energy", 4).alias("edge_energy"),
     )
+
+
+@_register(
+    "embedding_drift_by_label",
+    """
+    WITH halves AS (
+      SELECT label, vec_id % 2 AS half, embedding FROM embeddings),
+    dims AS (
+      SELECT h.label, h.half, t.i - 1 AS pos,
+             AVG(h.embedding[CAST(t.i AS INTEGER)]) AS m
+      FROM halves h, UNNEST(generate_series(1, len(h.embedding))) AS t(i)
+      GROUP BY 1, 2, 3),
+    joined AS (
+      SELECT a.label, a.pos, a.m AS ma, b.m AS mb
+      FROM dims a JOIN dims b ON a.label = b.label AND a.pos = b.pos
+      WHERE a.half = 0 AND b.half = 1),
+    sums AS (
+      SELECT label, SUM(ma * mb) AS dot,
+             SQRT(SUM(ma * ma)) AS na, SQRT(SUM(mb * mb)) AS nb
+      FROM joined GROUP BY 1)
+    SELECT CAST(label AS INTEGER) AS label,
+           ROUND(1.0 - dot / (na * nb), 4) AS drift
+    FROM sums
+    """,
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding drift monitor: per label, the cosine distance between
+    # the centroid of one data half and the other (halves by vec_id
+    # parity here; in production, yesterday-vs-today). Stable
+    # representations drift ~0; a jump flags upstream
+    # encoder/pipeline change. posexplode -> per-(label, half, dim)
+    # means -> expression-level cosine; one shuffle on (label, half,
+    # pos), everything else broadcast-free arithmetic.
+    emb = _t(spark, sf_dir, "embeddings")
+    halves = emb.select(
+        "label", (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    dims = halves.groupBy("label", "half", "pos").agg(F.avg("x").alias("m"))
+    a = dims.filter(F.col("half") == 0).select("label", "pos", F.col("m").alias("ma"))
+    b = dims.filter(F.col("half") == 1).select("label", "pos", F.col("m").alias("mb"))
+    joined = a.join(b, ["label", "pos"])
+    sums = joined.groupBy("label").agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("na"),
+        F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("nb"),
+    )
+    return sums.select(
+        F.col("label").cast("int").alias("label"),
+        F.round(1.0 - F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("drift"),
+    )
+
+
+@_register(
+    "length_bucketed_batches",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE trim(text) <> ''),
+    assigned AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(n_tokens // 64 AS BIGINT) AS bucket,
+             CAST((ROW_NUMBER() OVER (PARTITION BY CAST(n_tokens // 64 AS BIGINT)
+                                      ORDER BY doc_id) - 1) // 16 AS BIGINT)
+               AS batch_idx
+      FROM toks)
+    SELECT bucket, batch_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Length-bucketed batch assignment (the padding-efficiency
+    # counterpart of pack_sequences): docs grouped into 64-token
+    # length buckets, then fixed-size batches of 16 within each
+    # bucket (deterministic doc_id order) — min/max per batch bound
+    # the padding waste a trainer pays. One window shuffle on the
+    # bucket id.
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    bucket = F.expr("CAST(n_tokens DIV 64 AS BIGINT)")
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    assigned = toks.withColumn("bucket", bucket).withColumn(
+        "batch_idx", F.expr("CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) DIV 16 AS BIGINT)")
+    )
+    return assigned.groupBy("bucket", "batch_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
