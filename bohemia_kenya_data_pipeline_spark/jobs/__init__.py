@@ -4,7 +4,7 @@ plus the corpus-curation DAG for training-data pipelines."""
 
 from .cleaning import clean_form, run_anomaly_detection, sanitize_form
 from .curation import build_pretrain_dataset, curate_corpus
-from .ingest import ingest_batch
+from .ingest import assert_expectations, gated_ingest, ingest_batch
 
 __all__ = [
     "clean_form",

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
+from ..operators import quality as ql
 
 
 def ingest_batch(
@@ -105,3 +106,42 @@ def ingest_batch(
         accepted.select(F.col(id_col).alias("new_id")), "new_id", "left_semi"
     ).select(F.col("new_id").alias("id"), "bucket", "band")
     return accepted, new_hashes, new_band_rows
+
+
+def gated_ingest(
+    batch: DataFrame,
+    route_rules: list[dict],
+    gate_rules: list[dict] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Quality-gated ingest: the load-side composition of the
+    validation operators —
+
+    1. **Route** (row-level): ``quality.quarantine_split`` sends rows
+       failing any ``route_rules`` to the dead-letter side with the
+       first failing rule's name; good rows continue.
+    2. **Gate** (table-level): ``quality.check_expectations`` runs
+       ``gate_rules`` (defaults to the route rules — they should now
+       all pass) over the SURVIVING rows, producing the batch report
+       a scheduler alerts on or :func:`assert_expectations` hard-fails.
+
+    Returns ``(good, quarantined, report)`` — all lazy; the caller
+    owns writes. The routing is one when-cascade filter per side and
+    the report costs 1 + #unique + #fk aggregation passes over the
+    good rows only.
+    """
+    good, bad = ql.quarantine_split(batch, route_rules)
+    report = ql.check_expectations(good, gate_rules or route_rules)
+    return good, bad, report
+
+
+def assert_expectations(report: DataFrame) -> None:
+    """Evaluate an expectations report and raise ValueError naming
+    every failed rule (rule, column, violation count) — the hard-gate
+    ending for gated_ingest. Triggers one action (the report is
+    rule-count-sized)."""
+    failed = [r for r in report.collect() if not r.passed]
+    if failed:
+        detail = "; ".join(
+            f"{r.rule} on {r.column}: {r.n_violations} violations" for r in failed
+        )
+        raise ValueError(f"expectations failed: {detail}")

@@ -8225,3 +8225,59 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").cast("bigint").alias("min_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
+
+
+@_register(
+    "hierarchy_closure",
+    """
+    WITH RECURSIVE nodes AS (
+      SELECT DISTINCT c_custkey AS id,
+             CASE WHEN c_custkey >= 10 THEN c_custkey // 10 END AS parent
+      FROM customer),
+    closure AS (
+      SELECT id, id AS root, 0 AS depth FROM nodes WHERE parent IS NULL
+      UNION ALL
+      SELECT n.id, c.root, c.depth + 1
+      FROM nodes n JOIN closure c ON n.parent = c.id)
+    SELECT id, root, CAST(depth AS INTEGER) AS depth
+    FROM closure
+    """,
+)
+def hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Parent-child hierarchy flattening (org charts, category trees,
+    # admin-area nesting): every node's ROOT ancestor and depth. The
+    # tree is synthesized from custkey decimal-digit nesting (parent
+    # = custkey // 10; <10 are roots), giving a real multi-level
+    # forest. Spark side is the iterative frontier pattern (depth d
+    # joins the depth-(d-1) frontier; loop ends when a round adds
+    # nothing); the ORACLE is a genuine WITH RECURSIVE CTE — the
+    # SQL-native recursion this class is usually written in.
+    c = _t(spark, sf_dir, "customer")
+    nodes = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") >= 10, F.expr("c_custkey DIV 10")).alias("parent"),
+    ).distinct()
+    closure = nodes.filter(F.col("parent").isNull()).select(
+        "id", F.col("id").alias("root"), F.lit(0).alias("depth")
+    )
+    frontier = closure
+    depth = 0
+    while True:
+        depth += 1
+        nxt = (
+            nodes.alias("n")
+            .join(frontier.alias("f"), F.col("n.parent") == F.col("f.id"))
+            .select(
+                F.col("n.id").alias("id"),
+                F.col("f.root").alias("root"),
+                F.lit(depth).alias("depth"),
+            )
+        )
+        # loop bound from DATA: stop when the frontier empties. The
+        # count is frontier-sized per round, and a tree's depth bounds
+        # rounds (custkey digits -> <= 7 here).
+        if not nxt.head(1):
+            break
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+    return closure.select("id", "root", F.col("depth").cast("int").alias("depth"))

@@ -233,3 +233,35 @@ def test_ingest_batch_end_to_end(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         jobs.ingest_batch(batch, store, index, min_band_agreement=0.0)
+
+
+def test_gated_ingest_routes_then_gates(spark):
+    from bohemia_kenya_data_pipeline_spark import jobs
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    batch = spark.createDataFrame(
+        [(1, 10.0), (2, None), (None, 5.0), (4, 900.0)], "id int, amt double"
+    )
+    route = [ql.expect_not_null("id"), ql.expect_in_range("amt", 0, 100)]
+    good, bad, report = jobs.gated_ingest(batch, route)
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert {r.quarantine_reason for r in bad.collect()} == {
+        "not_null", "in_range[0,100]"
+    }
+    # gate re-checks the same rules on survivors -> all pass
+    assert all(r.passed for r in report.collect())
+    jobs.assert_expectations(report)  # must not raise
+
+
+def test_gated_ingest_hard_gate_raises_with_detail(spark):
+    import pytest as _pytest
+
+    from bohemia_kenya_data_pipeline_spark import jobs
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    batch = spark.createDataFrame([(1,), (1,), (2,)], "id int")
+    good, bad, report = jobs.gated_ingest(
+        batch, [ql.expect_not_null("id")], gate_rules=[ql.expect_unique("id")]
+    )
+    with _pytest.raises(ValueError, match="unique on id: 1"):
+        jobs.assert_expectations(report)
