@@ -109,3 +109,44 @@ def apply_delta(
         for c in sum_cols
     ]
     return joined.select(*keys, *out_cols).filter(F.col("n_rows") > 0)
+
+
+def split_group_moves(
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    old_group_col: str,
+    new_group_col: str,
+    out_group_col: str = "g",
+) -> DataFrame:
+    """Normalize a delta whose GROUP column itself can change: an
+    'update' row whose group moved is split into an explicit delete
+    (old group, -old values) + insert (new group, +new values) pair —
+    the form :func:`apply_delta` requires (it credits (new - old) to
+    ONE group, which is only correct when the group stayed put).
+    Rows whose group did not move pass through with ``out_group_col``
+    = coalesce(new, old). Null-safe on the group compare.
+    """
+    keys = list(key_cols)
+    og, ng = F.col(old_group_col), F.col(new_group_col)
+    moved = delta.filter(
+        (F.col("change_type") == "update") & ~og.eqNullSafe(ng)
+    )
+    stay = delta.join(moved.select(*keys), keys, "left_anti").select(
+        *keys, "change_type",
+        *[c for pair in ((f"old_{s}", f"new_{s}") for s in sum_cols) for c in pair],
+        F.coalesce(ng, og).alias(out_group_col),
+    )
+    as_delete = moved.select(
+        *keys, F.lit("delete").alias("change_type"),
+        *[F.col(f"old_{s}").alias(f"old_{s}") for s in sum_cols],
+        *[F.lit(None).cast(delta.schema[f"new_{s}"].dataType).alias(f"new_{s}") for s in sum_cols],
+        og.alias(out_group_col),
+    )
+    as_insert = moved.select(
+        *keys, F.lit("insert").alias("change_type"),
+        *[F.lit(None).cast(delta.schema[f"old_{s}"].dataType).alias(f"old_{s}") for s in sum_cols],
+        *[F.col(f"new_{s}").alias(f"new_{s}") for s in sum_cols],
+        ng.alias(out_group_col),
+    )
+    return stay.unionByName(as_delete).unionByName(as_insert)

@@ -232,3 +232,81 @@ def test_pq_roundtrip_identity_when_codebook_contains_vector(spark, vec):
     df = spark.createDataFrame([(0, vec)], "vec_id INT, embedding ARRAY<DOUBLE>")
     code = sim.pq_encode(df, books).collect()[0].pq_code
     assert list(code) == [0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation families: bloom / CMS / IVM invariants under
+# randomized inputs
+# ---------------------------------------------------------------------------
+
+
+@given(
+    members=st.sets(st.integers(0, 5000), min_size=1, max_size=80),
+    probes=st.sets(st.integers(0, 5000), min_size=1, max_size=80),
+)
+@settings(**_SETTINGS)
+def test_bloom_never_false_negative_property(spark, members, probes):
+    from bohemia_kenya_data_pipeline_spark.operators import bloom as B
+
+    m = spark.createDataFrame([(k,) for k in members], "k long")
+    p = spark.createDataFrame([(k,) for k in probes], "k long")
+    bl = B.bloom_words(m, "k", n_bits=1 << 12)
+    passed = {r.k for r in B.might_contain(p, bl, "k", n_bits=1 << 12).collect()}
+    assert (members & probes) <= passed
+
+
+@given(
+    xs=st.lists(st.integers(0, 30), min_size=1, max_size=120),
+)
+@settings(**_SETTINGS)
+def test_cms_upper_bound_property(spark, xs):
+    from collections import Counter
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as sstats
+
+    df = spark.createDataFrame([(x,) for x in xs], "k int")
+    sk = sstats.build_cms(df, "k", width=16, depth=3)  # tiny: force collisions
+    probes = spark.createDataFrame([(k,) for k in set(xs)], "k int")
+    got = {r.k: r.est_n for r in sstats.cms_estimate(sk, probes, "k", width=16, depth=3).collect()}
+    true = Counter(xs)
+    assert all(got[k] >= n for k, n in true.items())
+
+
+@given(
+    old_rows=st.dictionaries(
+        st.integers(0, 30), st.tuples(st.sampled_from("abc"), st.integers(-50, 50)),
+        max_size=20,
+    ),
+    new_rows=st.dictionaries(
+        st.integers(0, 30), st.tuples(st.sampled_from("abc"), st.integers(-50, 50)),
+        max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_ivm_invariant_property(spark, old_rows, new_rows):
+    """maintained == recomputed for ARBITRARY old/new snapshots —
+    any mix of inserts, deletes, value updates, and group moves
+    (group moves arrive as 'update' rows whose group column changed;
+    apply_delta credits the NEW group with (new - old), which is only
+    correct when the group did NOT move, so the helper splits moved
+    keys into explicit delete+insert delta rows first)."""
+    from bohemia_kenya_data_pipeline_spark.operators import ivm
+    from bohemia_kenya_data_pipeline_spark.operators import scd as sc
+
+    old = spark.createDataFrame(
+        [(k, g, v) for k, (g, v) in old_rows.items()] or [(999, "z", 0)],
+        "k int, g string, v long",
+    )
+    new = spark.createDataFrame(
+        [(k, g, v) for k, (g, v) in new_rows.items()] or [(999, "z", 0)],
+        "k int, g string, v long",
+    )
+    state = ivm.aggregate_state(old, ["g"], ["v"])
+    diff = sc.snapshot_diff(old, new, ["k"])
+    delta = ivm.delta_from_snapshot_diff(diff, old, new, ["k"], ["v", "g"])
+    full_delta = ivm.split_group_moves(delta, ["k"], ["v"], "old_g", "new_g")
+    maintained = ivm.apply_delta(state, full_delta, ["g"], ["v"])
+    recomputed = ivm.aggregate_state(new, ["g"], ["v"])
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    )
