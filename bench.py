@@ -90,6 +90,11 @@ HEADLINE = [
     "retention_cohorts",
     "kaplan_meier_churn",
     "weighted_sample_docs",
+    "ivm_maintained_agg",
+    "bitmap_distinct_rollup",
+    "cusum_drift_alarms",
+    "attribution_last_touch",
+    "embedding_drift_by_label",
 ]
 
 
