@@ -355,6 +355,8 @@ def check_expectations(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     Deterministic and engine-portable: every count is a plain
     aggregate (the registered oracle mirrors the whole suite in SQL).
     """
+    if not rules:
+        raise ValueError("check_expectations needs at least one rule")
     outs: list[DataFrame] = []
     row_rules = [r for r in rules if r["kind"] == "row"]
     if row_rules:

@@ -152,7 +152,10 @@ def snapshot_diff(
 
     Unchanged keys are dropped. ``compare_cols`` defaults to every
     shared non-key column. Same key-uniqueness precondition as
-    :func:`merge_scd2` (duplicates multiply through the join).
+    :func:`merge_scd2` (duplicates multiply through the join), plus:
+    key columns must be NON-NULL on both sides — presence is detected
+    by key nullness after the outer join, so a genuinely NULL key
+    would misclassify (and can never equi-join anyway).
 
     One full-outer equi-join on the key — shuffle on both sides or
     zero-shuffle when the snapshots are bucketed on the key; the

@@ -424,6 +424,11 @@ def kaplan_meier(
     Censored subjects leave the risk set at their duration but
     contribute no factor — the estimator's whole point.
 
+    With empty ``group_cols`` the windows run unpartitioned (one
+    reducer over the DISTINCT DURATIONS — fine, that's time
+    cardinality, not subject cardinality; pass groups when curves are
+    per-arm anyway).
+
     Plan: one groupBy(duration) per group (d and leaving counts in one
     pass), then two windows over the time-ordered per-group rows
     (cumulative leavers -> n_at_risk; cumulative sum of ln factors ->

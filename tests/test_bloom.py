@@ -91,3 +91,12 @@ def test_probe_plan_is_single_broadcast_no_probe_shuffle(spark):
     # one build-side word_idx shuffle, not one per hash function
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_bit_or" in plan
+
+
+def test_empty_build_side_passes_nothing(spark):
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "k long")
+    probe = spark.range(5).select(F.col("id").alias("k"))
+    bl = B.bloom_words(empty, "k", n_bits=N_BITS)
+    assert B.might_contain(probe, bl, "k", n_bits=N_BITS).count() == 0

@@ -219,3 +219,13 @@ def test_quarantine_split_rejects_table_level_rules(spark):
     df = spark.createDataFrame([(1,)], "id int")
     with _pytest.raises(ValueError, match="row-level"):
         ql.quarantine_split(df, [ql.expect_unique("id")])
+
+
+def test_expectations_empty_rules_rejected(spark):
+    import pytest as _pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with _pytest.raises(ValueError, match="at least one rule"):
+        ql.check_expectations(df, [])

@@ -350,3 +350,15 @@ def test_bitmap_intersect_exact(spark):
     bm = st.build_bitmap_index(df, "k", ["s"])
     got = st.bitmap_intersect_over(bm, "s", "A", "B").collect()[0].n_both
     assert got == len([k for k in range(200) if k % 6 == 0])
+
+
+def test_cms_empty_sketch_estimates_zero(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    empty = spark.createDataFrame([], "k long")
+    probe = spark.range(3).select(F.col("id").alias("k"))
+    sk = st.build_cms(empty, "k", width=16, depth=2)
+    got = st.cms_estimate(sk, probe, "k", width=16, depth=2).collect()
+    assert all(r.est_n == 0 for r in got)
