@@ -348,6 +348,114 @@ def bench_giant_groups(spark, sf_dir: str, entries: dict, checks: dict) -> None:
     with_giant.unpersist()
 
 
+# ---------------------------------------------------------------------------
+# Round-4 continuation families under hostile data
+# ---------------------------------------------------------------------------
+
+
+def bench_new_families(spark, sf_dir: str, entries: dict, checks: dict) -> None:
+    from bohemia_kenya_data_pipeline_spark.operators import basket as bk
+    from bohemia_kenya_data_pipeline_spark.operators import bloom as bl
+    from bohemia_kenya_data_pipeline_spark.operators import graph as gr
+
+    # -- giant basket: one 3000-item crawler session among 20k normal
+    # 5-item baskets. Uncapped pair generation pays the 4.5M-pair
+    # quadratic block; max_basket drops it while leaving every normal
+    # basket's pairs untouched.
+    normal = (
+        spark.range(20_000 * 5)
+        .selectExpr("id % 20000 AS bid", "CAST(id % 400 AS STRING) AS item")
+    )
+    giant = spark.range(3_000).selectExpr(
+        "99999 AS bid", "CAST(100000 + id AS STRING) AS item"
+    )
+    hostile = normal.unionByName(giant)
+    n_unc = _timed(
+        entries, "basket_uncapped_giant",
+        lambda: bk.frequent_item_pairs(hostile, "bid", "item", min_support=1).count(),
+    )
+    n_cap = _timed(
+        entries, "basket_capped_giant",
+        lambda: bk.frequent_item_pairs(
+            hostile, "bid", "item", min_support=1, max_basket=100
+        ).count(),
+    )
+    n_normal_only = bk.frequent_item_pairs(
+        normal, "bid", "item", min_support=1
+    ).count()
+    checks["basket_giant_pairs_avoided"] = n_unc - n_cap
+    checks["basket_capped_equals_normal_only"] = bool(n_cap == n_normal_only)
+
+    # -- bloom pruning: selective semi join of a wide fact against 2%
+    # of keys. Record the shuffle-volume proxy (rows surviving the
+    # scan-side prune) and prove the sizing guard: a deliberately
+    # undersized bitmap is DETECTABLE from fill_factor before trusting
+    # the prune.
+    fact = spark.range(4_000_000).selectExpr(
+        "id AS k", "id % 1000 AS payload"
+    )
+    dim = spark.range(80_000).selectExpr("id * 50 AS k")  # 2% hit rate
+    def _bloom_run():
+        out = bl.bloom_pruned_semi_join(fact, dim, "k", n_bits=1 << 21)
+        return out.count()
+    n_bloom = _timed(entries, "bloom_pruned_semi_join", _bloom_run)
+    n_plain = _timed(
+        entries, "plain_semi_join",
+        lambda: fact.join(dim, "k", "semi").count(),
+    )
+    words = bl.bloom_words(dim, "k", n_bits=1 << 21)
+    pruned_rows = bl.might_contain(fact, words, "k", n_bits=1 << 21).count()
+    fill_ok = bl.bloom_stats(words, n_bits=1 << 21).collect()[0].fill_factor
+    tiny = bl.bloom_words(dim, "k", n_bits=1 << 12)
+    fill_bad = bl.bloom_stats(tiny, n_bits=1 << 12).collect()[0].fill_factor
+    checks["bloom_results_identical"] = bool(n_bloom == n_plain)
+    checks["bloom_fact_rows"] = 4_000_000
+    checks["bloom_rows_after_prune"] = pruned_rows
+    checks["bloom_prune_kept_fraction"] = round(pruned_rows / 4_000_000, 4)
+    checks["bloom_fill_sized"] = round(fill_ok, 4)
+    checks["bloom_fill_undersized"] = round(fill_bad, 4)
+    checks["bloom_undersized_detected"] = bool(fill_bad > 0.5 > fill_ok)
+
+    # -- hub-degree wedge explosion: star hub with MEDIAN id makes the
+    # ordered-wedge join generate ~n^2/4 wedges at the hub; relabeling
+    # the hub to an EXTREME id (what degree-orientation achieves
+    # data-independently) collapses the wedge count. Triangle count is
+    # graph-isomorphic so both runs must agree exactly.
+    n_star = 3000
+    ring = spark.range(n_star - 1).selectExpr(
+        "CAST(id AS STRING) AS src", "CAST(id + 1 AS STRING) AS dst"
+    )
+    hub_mid = spark.range(n_star).filter("id <> 1500").selectExpr(
+        "CAST(id AS STRING) AS src", "CAST(1500 AS STRING) AS dst"
+    )
+    # string ids sort lexicographically; pad to keep numeric order
+    def _pad(df):
+        return df.selectExpr(
+            "lpad(src, 5, '0') AS src", "lpad(dst, 5, '0') AS dst"
+        )
+    edges_mid = _pad(ring.unionByName(hub_mid))
+    tri_mid = _timed(
+        entries, "triangles_hub_median",
+        lambda: gr.triangle_count(edges_mid).collect()[0].n_triangles,
+    )
+    # isomorphic relabel: swap hub id 01500 with 00000 on BOTH
+    # endpoints — the hub becomes the globally smallest id, so the
+    # ordered-wedge join never uses it as the middle vertex
+    swap = (
+        "CASE WHEN {c} = '01500' THEN '00000' "
+        "WHEN {c} = '00000' THEN '01500' ELSE {c} END"
+    )
+    edges_ext = edges_mid.selectExpr(
+        swap.format(c="src") + " AS src", swap.format(c="dst") + " AS dst"
+    )
+    tri_ext = _timed(
+        entries, "triangles_hub_extreme",
+        lambda: gr.triangle_count(edges_ext).collect()[0].n_triangles,
+    )
+    checks["triangle_counts_agree"] = bool(tri_mid == tri_ext)
+    checks["triangles_found"] = tri_mid
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="also write the JSON record here")
@@ -363,6 +471,7 @@ def main() -> None:
     bench_lsh(spark, sf_dir, entries, checks)
     bench_salted(spark, sf_dir, entries, checks)
     bench_giant_groups(spark, sf_dir, entries, checks)
+    bench_new_families(spark, sf_dir, entries, checks)
 
     record = {
         "metric": "adversarial_skew_bench",
@@ -380,6 +489,18 @@ def main() -> None:
         },
         "entries": entries,
         "checks": checks,
+        "headline_new_families": {
+            "basket_capped_vs_uncapped_speedup": round(
+                entries["basket_uncapped_giant"]["steady_s"]
+                / entries["basket_capped_giant"]["steady_s"], 1,
+            ),
+            "bloom_prune_kept_fraction": checks["bloom_prune_kept_fraction"],
+            "bloom_undersized_detected": checks["bloom_undersized_detected"],
+            "triangles_hub_speedup": round(
+                entries["triangles_hub_median"]["steady_s"]
+                / entries["triangles_hub_extreme"]["steady_s"], 1,
+            ),
+        },
         "headline": {
             "lsh_capped_vs_uncapped_speedup": round(
                 entries["minhash_lsh_uncapped"]["steady_s"]
@@ -400,7 +521,12 @@ def main() -> None:
             "size, salting divides it by n_salts — the difference between a "
             "30 TB task and a 1 TB task at the 100 TB target. The LSH cap, by "
             "contrast, wins outright even at sf0.1 (quadratic pair blowup is "
-            "CPU, not memory)."
+            "CPU, not memory). The bloom prune shows the same local-mode "
+            "shape: a 4M-row broadcast semi join is trivial in-process, so "
+            "plain wins wall-clock here; the bloom's win condition is "
+            "bloom_rows_after_prune (2% of the fact reaches the join/shuffle "
+            "instead of 100%) — scan-side volume, the binding constraint "
+            "when the big side is 100 TB and the dim side exceeds broadcast."
         ),
     }
     line = json.dumps(record)
