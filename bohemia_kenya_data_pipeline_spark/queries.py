@@ -8281,3 +8281,191 @@ def hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         closure = closure.unionByName(nxt)
         frontier = nxt
     return closure.select("id", "root", F.col("depth").cast("int").alias("depth"))
+
+
+@_register(
+    "ab_test_proportions",
+    """
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 120
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2),
+    arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(converted) AS BIGINT) AS conv
+             FROM assign GROUP BY 1),
+    wide AS (SELECT
+               MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN conv END) AS c1
+             FROM arms)
+    SELECT n0, c0, n1, c1,
+           ROUND(c0 * 1.0 / n0, 4) AS p0,
+           ROUND(c1 * 1.0 / n1, 4) AS p1,
+           CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+             ROUND((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+                   / SQRT(((c0 + c1) * 1.0 / (n0 + n1))
+                          * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                          * (1.0 / n0 + 1.0 / n1)), 4) END AS z_stat
+    FROM wide
+    """,
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-proportion z-test (the A/B-test readout): per-user
+    # conversion flag, arm by user parity, pooled-variance z
+    # statistic — all post-agg expression math on a 2-row arm table
+    # (the p-value is downstream's normal CDF, same boundary as
+    # chi-square's). Statistically: z^2 here equals the 2x2
+    # chi-square statistic — the two queries cross-check.
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 120), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    conv_tot = F.col("c0") + F.col("c1")
+    n_tot = F.col("n0") + F.col("n1")
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0, 4).alias("p0"),
+        F.round(p1, 4).alias("p1"),
+        # degenerate pools (0% or 100% conversion) have zero variance:
+        # NULL, not a divide-by-zero
+        F.when((conv_tot > 0) & (conv_tot < n_tot), F.round(z, 4)).alias("z_stat"),
+    )
+
+
+@_register(
+    "cohort_revenue_ltv",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(time_bucket(INTERVAL '90 days', o_orderdate) AS DATE))
+               AS cohort_q
+      FROM orders GROUP BY 1),
+    aged AS (
+      SELECT f.cohort_q,
+             CAST((CAST(time_bucket(INTERVAL '90 days', o.o_orderdate) AS DATE)
+                   - f.cohort_q) / 90 AS INTEGER) AS age_q,
+             o.o_totalprice
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey),
+    per_age AS (SELECT cohort_q, age_q,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+                FROM aged GROUP BY 1, 2),
+    sizes AS (SELECT cohort_q, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM firsts GROUP BY 1)
+    SELECT p.cohort_q, p.age_q, s.cohort_size,
+           CAST(SUM(p.rev_c) OVER (PARTITION BY p.cohort_q ORDER BY p.age_q
+                                   ROWS UNBOUNDED PRECEDING)
+                // s.cohort_size AS BIGINT) AS cum_ltv_cents
+    FROM per_age p JOIN sizes s ON s.cohort_q = p.cohort_q
+    """,
+)
+def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort lifetime value: customers cohorted by first-order
+    # quarter (epoch-aligned 90-day buckets, same alignment trick as
+    # retention_cohorts: Spark window startTime offsets to DuckDB's
+    # 2000-01-03 time_bucket origin), cumulative revenue per customer
+    # by cohort age — in integer CENTS throughout (a per-age float SUM
+    # differs in the last ulp between engines' aggregation trees, and
+    # a 2-decimal round on that boundary flips cents; integer sums and
+    # integer division cannot).
+    o = _t(spark, sf_dir, "orders")
+    # days between 1970-01-01 and 2000-01-03 = 10959; 10959 % 90 = 69
+    q = F.window(
+        F.col("o_orderdate").cast("timestamp"), "90 days", "90 days", "69 days"
+    )["start"].cast("date")
+    with_q = o.select("o_custkey", "o_totalprice", q.alias("oq"))
+    firsts = with_q.groupBy("o_custkey").agg(F.min("oq").alias("cohort_q"))
+    aged = with_q.join(firsts, "o_custkey").select(
+        "cohort_q",
+        F.floor(F.datediff("oq", "cohort_q") / 90).cast("int").alias("age_q"),
+        "o_totalprice",
+    )
+    per_age = aged.groupBy("cohort_q", "age_q").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("rev_c")
+    )
+    sizes = firsts.groupBy("cohort_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_q")
+        .orderBy("age_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_c = F.sum("rev_c").over(w)
+    return (
+        per_age.join(F.broadcast(sizes), "cohort_q")
+        .select(
+            "cohort_q", "age_q", "cohort_size", cum_c.alias("__cum_c")
+        )
+        .select(
+            "cohort_q", "age_q", "cohort_size",
+            F.expr("CAST(__cum_c DIV cohort_size AS BIGINT)").alias("cum_ltv_cents"),
+        )
+    )
+
+
+@_register(
+    "dau_mau_stickiness",
+    """
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('month', ts) AS month, CAST(ts AS DATE) AS d,
+                      user_id
+      FROM events),
+    dau AS (SELECT month, d, COUNT(*) AS dau FROM daily GROUP BY 1, 2),
+    mau AS (SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+            FROM daily GROUP BY 1)
+    SELECT CAST(dau.month AS DATE) AS month,
+           CAST(ROUND(AVG(dau.dau), 0) AS BIGINT) AS avg_dau,
+           MAX(mau.mau) AS mau,
+           ROUND(AVG(dau.dau) / MAX(mau.mau), 4) AS stickiness
+    FROM dau JOIN mau ON mau.month = dau.month
+    GROUP BY 1
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DAU/MAU stickiness per month — the standard engagement ratio:
+    # distinct (month, day, user) triples once, then two rollups and
+    # a ratio. avg_dau rounds at 0 decimals on an exact .5-free
+    # average? No — ROUND(x, 0) on a .5 average is the half-up hazard;
+    # both engines see the identical double because AVG over the same
+    # integer multiset divides identically, and DuckDB/Spark agree on
+    # integer-half rounding for values below 2^52 scaled by 1 (exact
+    # halves round away from zero in Spark HALF_UP and DuckDB — same).
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.col("ts").cast("date").alias("d"),
+        "user_id",
+    ).distinct()
+    dau = daily.groupBy("month", "d").agg(F.count(F.lit(1)).alias("dau"))
+    mau = daily.groupBy("month").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .groupBy(F.col("month").cast("date").alias("month"))
+        .agg(
+            F.round(F.avg("dau"), 0).cast("bigint").alias("avg_dau"),
+            F.max("mau").alias("mau"),
+            F.round(F.avg("dau") / F.max("mau"), 4).alias("stickiness"),
+        )
+    )
