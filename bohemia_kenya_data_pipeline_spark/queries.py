@@ -8469,3 +8469,52 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dau") / F.max("mau"), 4).alias("stickiness"),
         )
     )
+
+
+@_register(
+    "table_checksum_reconcile",
+    """
+    WITH h AS (
+      SELECT CAST('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               CAST(o_totalprice AS VARCHAR) || '|' ||
+               o_orderstatus), 1, 8) AS BIGINT) AS rh
+      FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh) AS BIGINT) AS checksum
+    FROM h
+    """,
+)
+def table_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-insensitive table checksum for cross-environment
+    # reconciliation ("did the copy land intact?"): per-row portable
+    # md5-prefix hash over the business columns, summed — commutative,
+    # so partitioning/row order/engine cannot move it, and a single
+    # changed cell changes it with 2^-32 collision odds. The
+    # canonical cheap answer to comparing a 100 TB table across two
+    # systems without shipping rows (compare per-partition checksums
+    # to bisect a mismatch). NOTE the float-string hazard: double
+    # columns must be rendered identically — o_totalprice has 2-dec
+    # values whose shortest-repr CAST AS VARCHAR agrees between
+    # engines (golden-checked here by the oracle itself).
+    o = _t(spark, sf_dir, "orders")
+    rh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_totalprice").cast("string"),
+                    F.col("o_orderstatus"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return o.select(rh.alias("rh")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("rh").cast("bigint").alias("checksum"),
+    )
