@@ -8518,3 +8518,88 @@ def table_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("rh").cast("bigint").alias("checksum"),
     )
+
+
+@_register(
+    "lead_time_sla",
+    """
+    WITH lt AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS lead_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(lead_days, 0.5), 1) AS p50,
+           ROUND(quantile_cont(lead_days, 0.9), 1) AS p90,
+           ROUND(quantile_cont(lead_days, 0.99), 1) AS p99,
+           ROUND(SUM(CASE WHEN lead_days > 60 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS sla_breach_rate
+    FROM lt GROUP BY 1
+    """,
+)
+def lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Operational lead-time profile: order-to-ship latency percentiles
+    # per priority + the >60-day SLA breach rate. Exact interpolating
+    # percentiles (type-7 both engines) over integer day counts —
+    # deterministic; one join (orders broadcast at this ratio? no —
+    # orders:lineitem is 1:4, both big at 100 TB: shuffle equi-join on
+    # orderkey, or zero-shuffle when both bucketed on it).
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lead_days"),
+    )
+    return lt.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("percentile(lead_days, 0.5)"), 1).alias("p50"),
+        F.round(F.expr("percentile(lead_days, 0.9)"), 1).alias("p90"),
+        F.round(F.expr("percentile(lead_days, 0.99)"), 1).alias("p99"),
+        F.round(
+            F.sum(F.when(F.col("lead_days") > 60, 1).otherwise(0)) / F.count(F.lit(1)),
+            4,
+        ).alias("sla_breach_rate"),
+    )
+
+
+@_register(
+    "open_orders_backlog",
+    """
+    WITH completion AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS done_date FROM lineitem GROUP BY 1),
+    deltas AS (
+      SELECT o_orderdate AS d, 1 AS delta FROM orders
+      UNION ALL
+      SELECT c.done_date, -1
+      FROM completion c JOIN orders o ON o.o_orderkey = c.l_orderkey),
+    daily AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY 1)
+    SELECT d,
+           CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Backlog sweep-line: +1 on order placement, -1 when its last
+    # line ships; running sum = orders in flight per day. The
+    # interval-counting pattern that answers "how many X were open at
+    # time T" for the WHOLE timeline in one pass — no per-day
+    # point-in-time self-joins. Two shuffles (completion rollup, date
+    # rollup) + one global ordered window over DISTINCT DATES (date
+    # cardinality, not order cardinality — single reducer is fine;
+    # range-partition the window at decades of years).
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    completion = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done_date"))
+    opens = o.select(F.col("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+    closes = completion.join(o, completion.l_orderkey == o.o_orderkey).select(
+        F.col("done_date").alias("d"), F.lit(-1).alias("delta")
+    )
+    daily = opens.unionByName(closes).groupBy("d").agg(
+        F.sum("delta").cast("bigint").alias("net")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    )
