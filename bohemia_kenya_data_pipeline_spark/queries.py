@@ -8603,3 +8603,43 @@ def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d", F.sum("net").over(w).cast("bigint").alias("open_orders")
     )
+
+
+@_register(
+    "rolling_distinct_users",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    u AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+    SELECT days.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+    FROM days JOIN u ON u.d >= days.d - 6 AND u.d <= days.d
+    GROUP BY 1
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing-7-day distinct users for EVERY day — the query rolling
+    # windows cannot do with plain aggregation (distinct does not
+    # decompose over overlapping windows) and the bitmap store
+    # answers exactly: one scan builds per-day bitmaps, each output
+    # day OR-merges its 7 daily word tables (a days x 7 offset
+    # scaffold equi-joined to word rows — word-table volume, never
+    # the fact), popcount per day. The oracle brute-forces the
+    # per-day range join + COUNT(DISTINCT); equality proves the
+    # merge-window semantics on real data. At 100 TB the brute force
+    # rescans the fact 7x per day; the bitmap path rescans it never.
+    ev = _t(spark, sf_dir, "events")
+    daily = st.build_bitmap_index(
+        ev.withColumn("day", F.to_date("ts")), "user_id", ["day"]
+    )
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    offsets = spark.range(7).select(F.col("id").cast("int").alias("off"))
+    window_days = days.crossJoin(F.broadcast(offsets)).select(
+        "d", F.date_sub(F.col("d"), F.col("off")).alias("src_day")
+    )
+    merged = (
+        window_days.join(daily, window_days.src_day == daily.day)
+        .groupBy("d", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    return merged.groupBy("d").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_users_7d")
+    )
