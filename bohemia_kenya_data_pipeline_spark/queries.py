@@ -8643,3 +8643,58 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("d").agg(
         F.sum(F.bit_count("word")).cast("bigint").alias("n_users_7d")
     )
+
+
+@_register(
+    "budget_allocation_largest_remainder",
+    """
+    WITH sizes AS (
+      SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1),
+    tot AS (SELECT SUM(n) AS tot FROM sizes),
+    quotas AS (
+      SELECT seg, n, 100.0 * n / tot.tot AS quota,
+             CAST(FLOOR(100.0 * n / tot.tot) AS BIGINT) AS base
+      FROM sizes, tot),
+    spare AS (SELECT 100 - SUM(base) AS k FROM quotas),
+    ranked AS (
+      SELECT seg, n, quota, base,
+             ROW_NUMBER() OVER (ORDER BY quota - base DESC, seg) AS r
+      FROM quotas)
+    SELECT seg, n, ROUND(quota, 4) AS quota,
+           CAST(base + CASE WHEN r <= (SELECT k FROM spare)
+                            THEN 1 ELSE 0 END AS BIGINT) AS seats
+    FROM ranked
+    """,
+)
+def budget_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Largest-remainder apportionment (Hamilton's method): divide a
+    # fixed budget of 100 "seats" across segments proportional to
+    # size — floor every quota, then hand the leftover seats to the
+    # largest fractional remainders (deterministic seg tie-break).
+    # The pattern behind sampling-quota allocation, shard balancing,
+    # and budget splits; seats always sum EXACTLY to the budget,
+    # which proportional-rounding alone cannot guarantee.
+    c = _t(spark, sf_dir, "customer")
+    sizes = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = sizes.agg(F.sum("n").alias("tot"))
+    quotas = sizes.join(F.broadcast(tot)).select(
+        "seg", "n",
+        (100.0 * F.col("n") / F.col("tot")).alias("quota"),
+    ).withColumn("base", F.floor("quota").cast("bigint"))
+    spare = quotas.agg((100 - F.sum("base")).alias("k"))
+    ranked = quotas.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.col("quota") - F.col("base")), F.asc("seg")))
+        .alias("r"),
+    )
+    return ranked.join(F.broadcast(spare)).select(
+        "seg", "n",
+        F.round("quota", 4).alias("quota"),
+        (F.col("base") + F.when(F.col("r") <= F.col("k"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("seats"),
+    )
