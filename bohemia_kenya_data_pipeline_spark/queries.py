@@ -8698,3 +8698,71 @@ def budget_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> Dat
         .cast("bigint")
         .alias("seats"),
     )
+
+
+@_register(
+    "event_disorder_profile",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+      FROM events),
+    lateness AS (
+      SELECT event_type,
+             CASE WHEN high_water IS NOT NULL AND ts < high_water
+                  THEN CAST((EPOCH_US(high_water) - EPOCH_US(ts)) // 1000000
+                            AS BIGINT)
+                  ELSE 0 END AS late_s
+      FROM seq)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           ROUND(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS disorder_rate,
+           CAST(MAX(late_s) AS BIGINT) AS max_lateness_s,
+           ROUND(quantile_cont(late_s, 0.999), 1) AS p999_lateness_s
+    FROM lateness GROUP BY 1
+    """,
+)
+def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Watermark-sizing profile: treating event_id as ARRIVAL order,
+    # how out-of-order is event time per stream? lateness = how far
+    # behind the running event-time high-water-mark a row arrives —
+    # EXACTLY the quantity a streaming watermark must exceed to not
+    # drop it. max and p99.9 lateness are the numbers you set
+    # `withWatermark` from; the profile is one running-max window +
+    # one rollup, run periodically on the batch mirror of the stream.
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("high_water")
+    )
+    late = seq.select(
+        "event_type",
+        F.when(
+            F.col("high_water").isNotNull() & (F.col("ts") < F.col("high_water")),
+            F.expr(
+                "CAST((unix_micros(high_water) - unix_micros(ts)) DIV 1000000 AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("late_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_out_of_order"),
+        F.round(
+            F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0)) / F.count(F.lit(1)), 4
+        ).alias("disorder_rate"),
+        F.max("late_s").cast("bigint").alias("max_lateness_s"),
+        F.round(F.expr("percentile(late_s, 0.999)"), 1).alias("p999_lateness_s"),
+    )
