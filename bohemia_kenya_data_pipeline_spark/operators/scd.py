@@ -202,3 +202,56 @@ def snapshot_diff(
         )
         .filter((F.col("change_type") != "update") | (F.col("changed_cols") != ""))
     )
+
+
+def pit_join(
+    fact: DataFrame,
+    history: DataFrame,
+    key_cols: Sequence[str],
+    fact_ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (PIT) join — every fact row picks the ONE history
+    version valid at its timestamp: ``valid_from <= ts < valid_to``
+    (open rows have NULL valid_to = valid forever). The feature-store
+    primitive: training examples must see dimension attributes AS OF
+    the event, not today's (label leakage otherwise), and the same
+    join serves "bill at the contract terms in force on the usage
+    date".
+
+    SCD2 validity intervals are disjoint per key by construction
+    (merge_scd2 invariant), so each fact row matches at most one
+    version — the join cannot fan out.
+
+    Plan: equi-join on the key with the interval predicate as a
+    post-join filter condition — Spark plans it as a hash join on the
+    key (the selective part) with the range as a residual, which is
+    the right shape: history holds FEW versions per key, so the
+    residual scans a handful of rows per fact. No window, no
+    per-fact sort. At 100 TB: bucket both sides on the key for a
+    zero-shuffle join.
+    """
+    keys = list(key_cols)
+    f = fact.alias("f")
+    h = history.alias("h")
+    cond = None
+    for k in keys:
+        eq = F.col(f"f.{k}") == F.col(f"h.{k}")
+        cond = eq if cond is None else (cond & eq)
+    ts = F.col(f"f.{fact_ts_col}")
+    cond = (
+        cond
+        & (ts >= F.col(f"h.{valid_from}"))
+        & (F.col(f"h.{valid_to}").isNull() | (ts < F.col(f"h.{valid_to}")))
+    )
+    out = f.join(h, cond, how)
+    # fact columns + history's non-key payload columns
+    h_payload = [
+        c for c in history.columns if c not in keys
+    ]
+    return out.select(
+        *[F.col(f"f.{c}") for c in fact.columns],
+        *[F.col(f"h.{c}").alias(c) for c in h_payload],
+    )

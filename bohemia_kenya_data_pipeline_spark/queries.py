@@ -8766,3 +8766,56 @@ def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("late_s").cast("bigint").alias("max_lateness_s"),
         F.round(F.expr("percentile(late_s, 0.999)"), 1).alias("p999_lateness_s"),
     )
+
+
+@_register(
+    "pit_feature_join",
+    """
+    WITH hist AS (
+      SELECT c_custkey, ROUND(c_acctbal * 0.8, 2) AS bal,
+             DATE '1992-01-01' AS valid_from, DATE '1996-01-01' AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal, DATE '1996-01-01', NULL FROM customer)
+    SELECT o.o_orderkey, o.o_orderdate, h.bal AS bal_asof_order
+    FROM orders o
+    LEFT JOIN hist h
+      ON h.c_custkey = o.o_custkey
+     AND o.o_orderdate >= h.valid_from
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    """,
+)
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Feature-store point-in-time join (scd.pit_join): each order
+    # reads the customer balance AS OF its order date from a
+    # two-version SCD2 history (derived deterministically: pre-1996
+    # version at 80% of today's balance, open version at today's) —
+    # the no-label-leakage join every training pipeline needs. The
+    # disjoint-interval invariant means no fan-out: row counts match
+    # orders exactly.
+    from .operators import scd as sc
+
+    c = _t(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 0.8, 2).alias("bal"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit("1996-01-01").cast("date").alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1996-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    hist = v1.unionByName(v2)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_custkey")
+    out = sc.pit_join(
+        o,
+        hist.withColumnRenamed("c_custkey", "o_custkey"),
+        ["o_custkey"],
+        "o_orderdate",
+    )
+    return out.select(
+        "o_orderkey", "o_orderdate", F.col("bal").alias("bal_asof_order")
+    )

@@ -357,3 +357,32 @@ def test_snapshot_diff_multi_changed_cols_sorted(spark):
     new = spark.createDataFrame([(1, "b", 2)], "k int, zcol string, acol int")
     got = snapshot_diff(old, new, ["k"]).collect()[0]
     assert got.changed_cols == "acol,zcol"  # sorted by column name
+
+
+def test_pit_join_picks_version_valid_at_ts(spark):
+    import datetime as dt
+
+    from bohemia_kenya_data_pipeline_spark.operators.scd import pit_join
+
+    hist = spark.createDataFrame(
+        [
+            (1, "v1", dt.date(2020, 1, 1), dt.date(2021, 1, 1)),
+            (1, "v2", dt.date(2021, 1, 1), None),
+            (2, "only", dt.date(2020, 6, 1), None),
+        ],
+        "k int, attr string, valid_from date, valid_to date",
+    )
+    fact = spark.createDataFrame(
+        [
+            (10, 1, dt.date(2020, 6, 15)),   # inside v1
+            (11, 1, dt.date(2021, 1, 1)),    # boundary: v1 closes, v2 opens
+            (12, 1, dt.date(2019, 1, 1)),    # before history -> NULL
+            (13, 2, dt.date(2022, 1, 1)),    # open version
+            (14, 3, dt.date(2022, 1, 1)),    # unknown key -> NULL
+        ],
+        "fid int, k int, ts date",
+    )
+    got = {r.fid: r.attr for r in pit_join(fact, hist, ["k"], "ts").collect()}
+    assert got == {10: "v1", 11: "v2", 12: None, 13: "only", 14: None}
+    # disjoint intervals -> no fan-out
+    assert pit_join(fact, hist, ["k"], "ts").count() == 5
