@@ -8819,3 +8819,79 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "o_orderdate", F.col("bal").alias("bal_asof_order")
     )
+
+
+@_register(
+    "session_summary_stats",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    sess AS (SELECT user_id, sid,
+                    CAST(COUNT(*) AS BIGINT) AS n_events,
+                    CAST((EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // 60000000
+                         AS BIGINT) AS dur_min
+             FROM s GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS bounce_rate,
+           ROUND(quantile_cont(dur_min, 0.5), 1) AS p50_duration_min,
+           ROUND(quantile_cont(n_events, 0.5), 1) AS p50_events,
+           CAST(MAX(dur_min) AS BIGINT) AS max_duration_min
+    FROM sess
+    """,
+)
+def session_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Engagement rollup over sessionized events: session count, bounce
+    # rate (single-event sessions), median duration/depth — the
+    # summary every product dashboard derives from the sessionizer.
+    # Gaps-and-islands sessionization (same 30-min gap family as
+    # sessionize_events) + integer-minute durations (DIV, per the
+    # hazards catalog) + exact percentiles.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = o.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST((unix_micros(MAX(ts)) - unix_micros(MIN(ts))) DIV 60000000 AS BIGINT)"
+        ).alias("dur_min"),
+    )
+    return sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)) / F.count(F.lit(1)),
+            4,
+        ).alias("bounce_rate"),
+        F.round(F.expr("percentile(dur_min, 0.5)"), 1).alias("p50_duration_min"),
+        F.round(F.expr("percentile(n_events, 0.5)"), 1).alias("p50_events"),
+        F.max("dur_min").cast("bigint").alias("max_duration_min"),
+    )
