@@ -91,7 +91,7 @@ HEADLINE = [
     "kaplan_meier_churn",
     "weighted_sample_docs",
     "ivm_maintained_agg",
-    "bitmap_distinct_rollup",
+    "bitmap_user_overlap",
     "cusum_drift_alarms",
     "attribution_last_touch",
     "embedding_drift_by_label",

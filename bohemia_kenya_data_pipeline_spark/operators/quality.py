@@ -330,7 +330,9 @@ def expect_regex(column: str, pattern: str) -> dict:
 
 
 def expect_condition(name: str, column: str, ok: Column) -> dict:
-    """Escape hatch: any row-level Column predicate (TRUE == ok)."""
+    """Escape hatch: any row-level Column predicate (TRUE == ok).
+    A NULL-evaluating predicate counts as a VIOLATION in both
+    check_expectations and quarantine_split (coalesce-to-False)."""
     return {"kind": "row", "rule": name, "column": column, "ok": ok}
 
 
@@ -362,8 +364,15 @@ def check_expectations(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     if row_rules:
         aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
         for i, r in enumerate(row_rules):
+            # coalesce(ok, False): a NULL-evaluating predicate is a
+            # VIOLATION — the same convention quarantine_split uses to
+            # route rows, so the two APIs never disagree on a rule.
+            # Built-in rules are null-safe (explicit isNull branches),
+            # so this only affects custom expect_condition predicates.
             aggs.append(
-                F.sum(F.when(~r["ok"], 1).otherwise(0)).cast("long").alias(f"__v{i}")
+                F.sum(F.when(~F.coalesce(r["ok"], F.lit(False)), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__v{i}")
             )
         one = df.agg(*aggs)
         pairs = F.array(

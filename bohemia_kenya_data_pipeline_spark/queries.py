@@ -8825,14 +8825,15 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_summary_stats",
     """
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT user_id, ts,
-                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS sid
           FROM o),
     sess AS (SELECT user_id, sid,
@@ -8859,7 +8860,7 @@ def session_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     o = ev.select(
-        "user_id", "ts",
+        "user_id", "ts", "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -8871,11 +8872,14 @@ def session_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_s"),
     )
+    # sid running sum orders by the SAME total order (ts, event_id) as
+    # the new_s window — ts alone leaves boundary rows tied on ts
+    # nondeterministically assigned (ADVICE r4)
     s = o.withColumn(
         "sid",
         F.sum("new_s").over(
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )

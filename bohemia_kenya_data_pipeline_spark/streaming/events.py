@@ -324,6 +324,33 @@ def incremental_dedup_sink(
     )
 
 
+def _committed_versions(spark: SparkSession, store_path: str) -> list[int]:
+    """Version ids under ``store_path/v=<id>`` whose parquet
+    ``_SUCCESS`` marker exists. A crash mid-write leaves a ``v=`` dir
+    WITHOUT the marker (Spark's output committer creates it only at
+    job commit) — treating such a partial directory as committed
+    would (a) make a replayed batch skip itself, permanently losing
+    that batch's rows, and (b) let later versions merge from a torn
+    store. Partial directories are invisible here; the replaying
+    batch's ``mode("overwrite")`` write replaces them.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(conf)
+    versions: list[int] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v=") and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{store_path}/{name}/_SUCCESS"
+                )
+            ):
+                versions.append(int(name[2:]))
+    return sorted(versions)
+
+
 def scd2_history_sink(
     stream: DataFrame,
     history_path: str,
@@ -357,9 +384,11 @@ def scd2_history_sink(
     Replay-safe: foreachBatch is at-least-once, and a replayed batch
     would otherwise read its OWN v=<batch_id> output as 'current'
     while overwriting that same path (self-overwrite corruption). A
-    replay therefore (a) skips entirely when v=<batch_id> exists (the
-    version is immutable once written) and (b) only ever reads
-    versions strictly below its own batch id.
+    replay therefore (a) skips entirely when v=<batch_id> is COMMITTED
+    (``_SUCCESS`` marker present — a crash mid-write leaves no marker,
+    so the replay re-runs and overwrites the partial dir instead of
+    losing the batch) and (b) only ever reads committed versions
+    strictly below its own batch id.
 
     Returns the started StreamingQuery.
     """
@@ -370,16 +399,7 @@ def scd2_history_sink(
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        root = jvm.org.apache.hadoop.fs.Path(history_path)
-        fs = root.getFileSystem(conf)
-        versions = []
-        if fs.exists(root):
-            for st in fs.listStatus(root):
-                name = st.getPath().getName()
-                if name.startswith("v="):
-                    versions.append(int(name[2:]))
+        versions = _committed_versions(spark, history_path)
         if batch_id in versions:
             return  # replayed batch: its output already committed
         versions = [v for v in versions if v < batch_id]
@@ -580,8 +600,10 @@ def bitmap_store_sink(
     Publication is the same immutable ``v=<batch_id>`` layout as
     scd2_history_sink (the merge lazily READS the previous store
     while writing the next — in-place overwrite is the classic
-    self-overwrite corruption; a replayed batch whose version exists
-    skips). The store is word-table-sized (KBs per bucket), so a
+    self-overwrite corruption; a replayed batch whose version is
+    COMMITTED — ``_SUCCESS`` present, see _committed_versions — skips,
+    while a partial crash-leftover dir is overwritten). The store is
+    word-table-sized (KBs per bucket), so a
     version per trigger is cheap; maintenance.gc_versions prunes.
 
     Returns the started StreamingQuery (caller awaits/stops).
@@ -592,16 +614,7 @@ def bitmap_store_sink(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        root = jvm.org.apache.hadoop.fs.Path(store_path)
-        fs = root.getFileSystem(conf)
-        versions = []
-        if fs.exists(root):
-            for st_ in fs.listStatus(root):
-                name = st_.getPath().getName()
-                if name.startswith("v="):
-                    versions.append(int(name[2:]))
+        versions = _committed_versions(spark, store_path)
         if batch_id in versions:
             return  # replay of a committed batch: version is immutable
         versions = [v for v in versions if v < batch_id]

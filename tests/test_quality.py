@@ -211,6 +211,25 @@ def test_quarantine_split_first_reason_wins_and_partitions(spark):
     assert "quarantine_reason" not in good.columns
 
 
+def test_null_predicate_convention_matches_across_apis(spark):
+    # A custom expect_condition whose Column yields NULL must be
+    # classified the same way by check_expectations (violation count)
+    # and quarantine_split (row routing): NULL == violation.
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id int, amt double"
+    )
+    # amt > 0 evaluates to NULL on row 2 — not null-safe on purpose
+    rule = ql.expect_condition("amt_positive", "amt", F.col("amt") > 0)
+    r = ql.check_expectations(df, [rule]).collect()[0]
+    good, bad = ql.quarantine_split(df, [rule])
+    assert r.n_violations == bad.count() == 2  # NULL row + negative row
+    assert sorted(x.id for x in good.collect()) == [1]
+
+
 def test_quarantine_split_rejects_table_level_rules(spark):
     import pytest as _pytest
 

@@ -420,6 +420,56 @@ def test_scd2_history_sink_rejects_all_null_dates_and_skips_replay(spark, tmp_pa
     assert len(got) == 1 and got[0].k == 99
 
 
+def test_partial_version_dir_is_not_committed_and_gets_overwritten(
+    spark, tmp_path
+):
+    """Crash-recovery contract of the versioned sinks: a v=<batch_id>
+    directory WITHOUT the parquet _SUCCESS marker (torn mid-write) is
+    invisible to _committed_versions, so a replayed batch re-runs and
+    overwrites it instead of skipping (which would lose the batch
+    forever) — ADVICE r4 (medium)."""
+    import os
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as sstats
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = str(tmp_path / "events")
+    store = str(tmp_path / "store")
+    rows = [
+        (u, BASE + dt.timedelta(minutes=j), "click")
+        for u in range(1, 11)
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.parquet(src)
+
+    # simulate a crash mid-write of batch 0: torn junk content, and
+    # crucially NO _SUCCESS marker
+    junk = spark.createDataFrame(
+        [("junk", 0, 0)], "event_type STRING, word_idx INT, word BIGINT"
+    )
+    junk.write.parquet(f"{store}/v=0")
+    os.remove(f"{store}/v=0/_SUCCESS")
+    assert se._committed_versions(spark, store) == []
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = st.bitmap_store_sink(
+        stream, store, str(tmp_path / "ckpt"), key_col="user_id",
+        bucket_cols=["event_type"],
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    # batch 0 overwrote the torn dir; counts are the batch's, not junk
+    assert se._committed_versions(spark, store) == [0]
+    got = spark.read.parquet(f"{store}/v=0")
+    counts = {
+        r.event_type: r.n_distinct
+        for r in sstats.bitmap_distinct_over(got, ["event_type"]).collect()
+    }
+    assert counts == {"click": 10}
+
+
 def test_ewma_alert_stream_matches_batch_recurrence(spark, tmp_path):
     """The streaming EWMA must equal the batch recurrence computed in
     python over the same events — across a two-file arrival split that
