@@ -130,6 +130,169 @@ def consolidate(detections: Sequence[DataFrame]) -> DataFrame:
     )
 
 
+def safety_detector_pack(
+    safety: DataFrame, repeat_individual: DataFrame
+) -> DataFrame:
+    """The full named-rule set of the reference's richest detector
+    file, anomalies_detector/safety.R, composed instance-faithfully
+    (one output row class per rule) and consolidated into the
+    resolution contract:
+
+    - ``hh_visit_already_in_dataset`` (safety.R:94-104): >1 row per
+      (visit, hhid), each row flagged with the group's key list.
+    - ``hh_detected_multiple_clusters`` (safety.R:108-119): a
+      household reporting >1 distinct cluster across its rows.
+    - ``hh_more_than_3_members_died_or_migrated`` (safety.R:165-186):
+      per (hhid, visit) over the parent-joined repeat_individual
+      rows, >3 distinct extids with reason Died or >3 Migrated; one
+      row per parent KEY having a non-empty reason, deduplicated.
+    - ``hh_more_than_3_members_absent`` (safety.R:184-200): same with
+      >3 Absent.
+    - ``hh_gps_accuracy_too_high`` (safety.R:202-210): Accuracy > 15.
+    - ``hh_outside_cluster`` (safety.R:213-221): geo_cluster_num NULL
+      or in the study's excluded-cluster list.
+
+    Inputs use the reference column names: safety(KEY, hhid, visit,
+    cluster, wid, accuracy, geo_cluster_num), repeat_individual(
+    PARENT_KEY, extid, person_absent_reason).
+
+    Determinism deviations from the R (documented, semantics intact):
+    key lists are SORTED-DISTINCT joins (R pastes in frame order,
+    which is nondeterministic under partitioning); the accuracy
+    description prints floor(accuracy) (printing a raw double is
+    engine-dependent formatting, and FLOOR is exact).
+
+    Scale shape: rules 1/2 are one groupBy each on their grain joined
+    back to the rows (same single shuffle as a window, without
+    carrying the array per row); rules 3/4 share ONE child aggregate;
+    5/6 are pure pushed-down filters. Key lists are bounded by group
+    size — hot households cap naturally at visit cardinality.
+    """
+    excluded = [1, 4, 6, 32, 35, 47, 52, 66, 71, 76, 86, 89]
+
+    g1 = safety.groupBy("visit", "hhid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(F.array_sort(F.collect_list("KEY")), ",").alias("key_list"),
+    )
+    r1 = (
+        safety.join(g1.filter(F.col("n") > 1), ["visit", "hhid"])
+        .select(
+            "KEY",
+            F.lit("safety").alias("form_id"),
+            F.lit("hh_visit_already_in_dataset").alias("anomalies_id"),
+            F.concat(
+                F.lit("hhid:"), F.col("hhid"),
+                F.lit(" visit:"), F.col("visit").cast("string"),
+                F.lit(" already in dataset, please check these keys "),
+                F.col("key_list"),
+            ).alias("anomalies_description"),
+            F.col("wid").alias("anomalies_reports_to_wid"),
+        )
+    )
+
+    g2 = safety.groupBy("hhid").agg(
+        F.count_distinct("cluster").alias("n"),
+        F.array_join(F.array_sort(F.collect_list("KEY")), ",").alias("key_list"),
+    )
+    r2 = (
+        safety.join(g2.filter(F.col("n") > 1), ["hhid"])
+        .select(
+            "KEY",
+            F.lit("safety").alias("form_id"),
+            F.lit("hh_detected_multiple_clusters").alias("anomalies_id"),
+            F.concat(
+                F.lit("hhid:"), F.col("hhid"),
+                F.lit(
+                    " detected multiple clusters in the same households;"
+                    " here are the instanceIDs: "
+                ),
+                F.col("key_list"),
+            ).alias("anomalies_description"),
+            F.col("wid").alias("anomalies_reports_to_wid"),
+        )
+    )
+
+    merged = repeat_individual.join(
+        safety, repeat_individual["PARENT_KEY"] == safety["KEY"], "inner"
+    ).select("PARENT_KEY", "extid", "person_absent_reason", "hhid", "visit", "wid")
+    reason = F.col("person_absent_reason")
+    grp = merged.groupBy("hhid", "visit").agg(
+        F.count_distinct(F.when(reason == "Died", F.col("extid"))).alias("died"),
+        F.count_distinct(F.when(reason == "Migrated", F.col("extid"))).alias(
+            "migrated"
+        ),
+        F.count_distinct(F.when(reason == "Absent", F.col("extid"))).alias("absent"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.when(reason != "", F.col("extid")))), ","
+        ).alias("key_list"),
+    )
+    parents = (
+        merged.filter(reason != "")
+        .select("hhid", "visit", "PARENT_KEY", "wid")
+        .distinct()
+    )
+
+    def _leavers(flag, anomalies_id: str, desc) -> DataFrame:
+        return parents.join(grp.filter(flag), ["hhid", "visit"]).select(
+            F.col("PARENT_KEY").alias("KEY"),
+            F.lit("safety").alias("form_id"),
+            F.lit(anomalies_id).alias("anomalies_id"),
+            desc.alias("anomalies_description"),
+            F.col("wid").alias("anomalies_reports_to_wid"),
+        )
+
+    r3 = _leavers(
+        (F.col("died") > 3) | (F.col("migrated") > 3),
+        "hh_more_than_3_members_died_or_migrated",
+        F.concat(
+            F.lit("hhid:"), F.col("hhid"),
+            F.lit(" from visit:"), F.col("visit").cast("string"),
+            F.lit(" members "), F.col("died").cast("string"),
+            F.lit(" died and "), F.col("migrated").cast("string"),
+            F.lit(" migrated, here are the extids: "), F.col("key_list"),
+        ),
+    )
+    r4 = _leavers(
+        F.col("absent") > 3,
+        "hh_more_than_3_members_absent",
+        F.concat(
+            F.lit("hhid:"), F.col("hhid"),
+            F.lit(" from visit:"), F.col("visit").cast("string"),
+            F.lit(" members "), F.col("absent").cast("string"),
+            F.lit(" absent, here are the extids: "), F.col("key_list"),
+        ),
+    )
+
+    r5 = safety.filter(F.col("accuracy") > 15).select(
+        "KEY",
+        F.lit("safety").alias("form_id"),
+        F.lit("hh_gps_accuracy_too_high").alias("anomalies_id"),
+        F.concat(
+            F.lit("hhid:"), F.col("hhid"),
+            F.lit(" gps accuracy too high: "),
+            F.floor("accuracy").cast("bigint").cast("string"),
+        ).alias("anomalies_description"),
+        F.col("wid").alias("anomalies_reports_to_wid"),
+    )
+
+    r6 = safety.filter(
+        F.col("geo_cluster_num").isNull()
+        | F.col("geo_cluster_num").isin(excluded)
+    ).select(
+        "KEY",
+        F.lit("safety").alias("form_id"),
+        F.lit("hh_outside_cluster").alias("anomalies_id"),
+        F.concat(
+            F.lit("hhid:"), F.col("hhid"),
+            F.lit(" is outside cluster by geo but entered as cluster:"),
+            F.col("cluster").cast("string"),
+        ).alias("anomalies_description"),
+        F.col("wid").alias("anomalies_reports_to_wid"),
+    )
+
+    return consolidate([r1, r2, r3, r4, r5, r6])
+
+
 def summary_rollup(final: DataFrame) -> DataFrame:
     """A13: per-(form_id, anomalies_id) counts + snapshot_date
     (05.run_anomaly_detection.R:91-96), the 'faster query' table."""

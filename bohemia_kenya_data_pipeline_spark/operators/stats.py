@@ -204,6 +204,137 @@ def irr_by_group(
     )
 
 
+def prevalence_incidence_report(
+    evaluated: DataFrame,
+    assignment_col: str = "assignment",
+    visit_col: str = "visit_number",
+    days_col: str = "days_at_risk",
+) -> DataFrame:
+    """The COMPOSED prevalence/incidence report
+    (prevalence_incidence.qmd:25-56) in one output table: per-
+    (assignment, visit) Children/Cases/Prevalence with the
+    visit-over-visit prevalence change, child-years at risk, incidence
+    with Wald CI, the per-visit IRR across the two arms, and the
+    cumulative (visit > 1) cases / child-years / incidence-CI /
+    cumulative-IRR block — the full analysis table the reference
+    renders, not just its class-representative pieces.
+
+    Determinism note (cross-engine oracle): cumulative child-years are
+    computed as (running sum of exact day totals) / 365.25 — ONE
+    division of an exact integer-valued double sum — rather than the
+    reference's cumsum of per-visit quotients, whose FP association
+    order is engine-dependent in the last ulp. Semantics identical.
+
+    Scale shape: one shuffle to (assignment, visit) grain — a tiny
+    aggregate table (arms x visits) — then windows/joins over that
+    driver-sized frame. The 100 TB cost is the first groupBy only.
+    """
+    from pyspark.sql import Window
+
+    g = evaluated.groupBy(assignment_col, visit_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("Children"),
+        F.sum(F.when(F.col("incident_case"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("Cases"),
+        F.sum(F.coalesce(F.col(days_col), F.lit(0.0))).alias("_days"),
+    )
+    cyr = F.col("_days") / 365.25
+    inc = F.when(cyr > 0, F.col("Cases") / cyr)
+    se = F.sqrt(inc / cyr)
+    rates = g.select(
+        assignment_col,
+        visit_col,
+        "Children",
+        "Cases",
+        "_days",
+        (F.col("Cases") / F.col("Children")).alias("_prev"),
+        cyr.alias("_cyr"),
+        inc.alias("_inc"),
+        F.round(inc - Z975 * se, 6).alias("Incidence_lwr"),
+        F.round(inc + Z975 * se, 6).alias("Incidence_upr"),
+    )
+    w = Window.partitionBy(assignment_col).orderBy(visit_col)
+    lagp = F.lag("_prev").over(w)
+    rates = rates.withColumn(
+        "Prevalence_change_pct",
+        F.when(lagp > 0, F.round(100.0 * (F.col("_prev") - lagp) / lagp, 2)),
+    )
+
+    # per-visit IRR across arms, from the 6-dp-rounded incidence (same
+    # contract as irr_by_group; prod == exp(sum(ln)))
+    irr = irr_by_group(
+        rates.select(
+            assignment_col,
+            visit_col,
+            "Cases",
+            F.round(F.col("_inc"), 6).alias("Incidence"),
+        ),
+        group_col=visit_col,
+        assignment_col=assignment_col,
+    )
+
+    # cumulative (visit > 1) block: exact running day/case sums, one
+    # division at the end
+    cw = w.rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        rates.filter(F.col(visit_col) > 1)
+        .select(
+            assignment_col,
+            visit_col,
+            F.sum("Cases").over(cw).cast("bigint").alias("cumulative_cases"),
+            F.sum("_days").over(cw).alias("_cum_days"),
+        )
+    )
+    ct = F.col("_cum_days") / 365.25
+    cinc = F.when(ct > 0, F.col("cumulative_cases") / ct)
+    cse = F.sqrt(cinc / ct)
+    cum = cum.select(
+        assignment_col,
+        visit_col,
+        "cumulative_cases",
+        F.round(ct, 6).alias("cumulative_time"),
+        F.round(cinc, 6).alias("cumulative_incidence"),
+        F.round(cinc - Z975 * cse, 6).alias("cumulative_incidence_lwr"),
+        F.round(cinc + Z975 * cse, 6).alias("cumulative_incidence_upr"),
+    )
+    cum_irr = irr_by_group(
+        cum.select(
+            assignment_col,
+            visit_col,
+            F.col("cumulative_cases").alias("Cases"),
+            F.col("cumulative_incidence").alias("Incidence"),
+        ),
+        group_col=visit_col,
+        assignment_col=assignment_col,
+    ).select(
+        visit_col,
+        F.col("IRR").alias("cumulative_IRR"),
+        F.col("IRR_lwr").alias("cumulative_IRR_lwr"),
+        F.col("IRR_upr").alias("cumulative_IRR_upr"),
+    )
+
+    out = (
+        rates.select(
+            assignment_col,
+            visit_col,
+            "Children",
+            "Cases",
+            F.round(F.col("_prev"), 6).alias("Prevalence"),
+            "Prevalence_change_pct",
+            F.round(F.when(cyr > 0, F.col("_cyr")), 6).alias(
+                "Child_years_at_risk"
+            ),
+            F.round(F.col("_inc"), 6).alias("Incidence"),
+            "Incidence_lwr",
+            "Incidence_upr",
+        )
+        .join(F.broadcast(irr), visit_col, "left")
+        .join(F.broadcast(cum), [assignment_col, visit_col], "left")
+        .join(F.broadcast(cum_irr), visit_col, "left")
+    )
+    return out
+
+
 def numeric_profile(
     df: DataFrame,
     value_col: str,

@@ -248,3 +248,69 @@ def test_expectations_empty_rules_rejected(spark):
     df = spark.createDataFrame([(1,)], "id int")
     with _pytest.raises(ValueError, match="at least one rule"):
         ql.check_expectations(df, [])
+
+
+def test_safety_detector_pack_each_rule_fires_exactly(spark):
+    """Handcrafted fixture where each of the six safety.R rules fires
+    on a known set of rows — checks descriptions, key ordering, the
+    KEY=PARENT_KEY contract of the leaver rules, and the consolidated
+    resolution schema."""
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    safety = spark.createDataFrame(
+        [
+            # (KEY, hhid, visit, cluster, wid, accuracy, geo_cluster_num)
+            ("k1", "00001", 1, 10, "w1", 5.0, 20),   # dup (v1,hh1) with k2
+            ("k2", "00001", 1, 10, "w1", 5.0, 20),
+            ("k3", "00002", 1, 11, "w2", 20.0, 4),   # accuracy>15, geo in list
+            ("k4", "00002", 2, 12, "w2", 5.0, None), # 2nd cluster for hh2; geo NULL
+            ("k5", "00003", 1, 13, "w3", 5.0, 21),   # parent of the leaver rows
+        ],
+        "KEY string, hhid string, visit int, cluster int, wid string,"
+        " accuracy double, geo_cluster_num int",
+    )
+    # 4 distinct Died extids + 4 distinct Absent under k5 -> rules 3+4
+    child_rows = [("k5", f"d{i}", "Died") for i in range(4)]
+    child_rows += [("k5", f"a{i}", "Absent") for i in range(4)]
+    child_rows += [("k5", "x1", ""), ("k1", "y1", "Migrated")]
+    child = spark.createDataFrame(
+        child_rows, "PARENT_KEY string, extid string, person_absent_reason string"
+    )
+    out = ql.safety_detector_pack(safety, child).collect()
+    by_rule: dict[str, list] = {}
+    for r in out:
+        by_rule.setdefault(r.anomalies_id, []).append(r)
+
+    dup = by_rule["hh_visit_already_in_dataset"]
+    assert sorted(r.KEY for r in dup) == ["k1", "k2"]
+    assert all("please check these keys k1,k2" in r.anomalies_description
+               for r in dup)
+
+    multi = by_rule["hh_detected_multiple_clusters"]
+    assert sorted(r.KEY for r in multi) == ["k3", "k4"]
+    assert all("instanceIDs: k3,k4" in r.anomalies_description for r in multi)
+
+    died = by_rule["hh_more_than_3_members_died_or_migrated"]
+    assert [r.KEY for r in died] == ["k5"]  # KEY = PARENT_KEY, deduped
+    assert "members 4 died and 0 migrated" in died[0].anomalies_description
+    assert "extids: a0,a1,a2,a3,d0,d1,d2,d3" in died[0].anomalies_description
+
+    absent = by_rule["hh_more_than_3_members_absent"]
+    assert [r.KEY for r in absent] == ["k5"]
+    assert "members 4 absent" in absent[0].anomalies_description
+
+    assert [r.KEY for r in by_rule["hh_gps_accuracy_too_high"]] == ["k3"]
+    assert "too high: 20" in by_rule["hh_gps_accuracy_too_high"][0].anomalies_description
+
+    geo = by_rule["hh_outside_cluster"]
+    assert sorted(r.KEY for r in geo) == ["k3", "k4"]  # in-list + NULL
+
+    # consolidated contract
+    assert out[0].asDict().keys() == {
+        "resolution_id", "KEY", "form_id", "anomalies_id",
+        "anomalies_description", "resolution_status",
+        "anomalies_reports_to_wid",
+    }
+    assert all(r.resolution_status == "to_do" for r in out)
+    assert all(r.resolution_id == f"{r.form_id}__{r.KEY}__{r.anomalies_id}"
+               for r in out)
