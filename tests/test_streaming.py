@@ -214,6 +214,81 @@ def test_sessionize_stream_full_differential_with_timeouts(spark, tmp_path):
     assert len(got) == 10  # 5 users x 2 sessions, ALL emitted
 
 
+def test_sessionize_stream_slicing_invariance(spark, tmp_path):
+    """The SAME event set pushed through THREE different micro-batch
+    slicings must produce the SAME session set, equal to batch
+    sessionize (VERDICT r4 ask 8): output is a pure function of the
+    event set, not of trigger boundaries. Chronological appends keep
+    every slicing watermark-safe (no drops), so any divergence would
+    be a real state-machine bug, not late-data semantics."""
+    rows = []
+    for u in range(1, 6):
+        rows += [
+            (u, BASE + dt.timedelta(minutes=5 * j, seconds=u), "c")
+            for j in range(4)
+        ]
+        rows += [
+            (u, BASE + dt.timedelta(hours=4, minutes=7 * j, seconds=u), "c")
+            for j in range(2)
+        ]
+    rows.sort(key=lambda r: r[1])
+    full = rows + [(99, BASE + dt.timedelta(hours=10), "c")]  # watermark flush
+
+    sess = (
+        W.sessionize(spark.createDataFrame(rows, SCHEMA), "user_id", "ts",
+                     gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.collect()
+    }
+    assert len(expected) == 10
+
+    slicings = [
+        [len(full)],                      # one batch
+        [20, len(full)],                  # two batches
+        [7, 13, 20, 26, len(full)],       # five batches
+    ]
+    for si, cuts in enumerate(slicings):
+        path = str(tmp_path / f"slice{si}")
+        spark.createDataFrame(full[: cuts[0]], SCHEMA).coalesce(1).write.parquet(
+            path
+        )
+        stream = st.stream_events(spark, path, SCHEMA)
+        out = st.sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"sess_slice{si}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            prev = cuts[0]
+            for c in cuts[1:]:
+                spark.createDataFrame(full[prev:c], SCHEMA).coalesce(
+                    1
+                ).write.mode("append").parquet(path)
+                q.processAllAvailable()
+                prev = c
+            q.processAllAvailable()  # timeout-only batch
+        finally:
+            q.stop()
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql(
+                f"SELECT * FROM sess_slice{si} WHERE user_id < 99"
+            ).collect()
+        }
+        assert got == expected, f"slicing {cuts} diverged"
+
+
 def test_sessionize_timeout_evicts_state_and_drops_late_events(spark, tmp_path):
     # state-timeout eviction with out-of-order late data: after the
     # watermark passes a session and its state is evicted, a late event
