@@ -158,6 +158,28 @@ def _cleaning_dag_e2e(spark, sf_dir: str) -> None:
         clean.unpersist()
 
 
+_QUANT_CACHE: dict = {}
+
+
+def _quantized_scoring_prequantized(spark, sf_dir: str) -> None:
+    """Steady-state int8 search (VERDICT r4 ask 6): the corpus is
+    quantized ONCE and persisted (warm run pays it, like a real index
+    build at ingest); the measured steady work is integer-dot-product
+    scoring only — the number that reflects how a long-lived int8
+    index is actually used, vs `quantized_cosine_topk` above which
+    deliberately measures quantize+score end-to-end."""
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    if sf_dir not in _QUANT_CACHE:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qc = sim.quantize_embeddings(emb, "embedding", "vec_id").persist()
+        qc.count()
+        _QUANT_CACHE[sf_dir] = qc
+    qc = _QUANT_CACHE[sf_dir]
+    queries = qc.filter(F.col("vec_id") % 50 == 0)
+    _noop(sim.quantized_topk_prequantized(qc, queries, k=5))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -174,14 +196,17 @@ def main() -> None:
         (name, QUERIES[name]) for name in HEADLINE if name in QUERIES
     ]
     entries.append(("cleaning_dag_e2e", _cleaning_dag_e2e))
+    entries.append(
+        ("quantized_topk_prequantized", _quantized_scoring_prequantized)
+    )
 
     warm: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name, fn in entries:
         for run, out in ((0, warm), (1, steady)):
             t0 = time.perf_counter()
-            if name == "cleaning_dag_e2e":
-                fn(spark, sf_dir)
+            if name in ("cleaning_dag_e2e", "quantized_topk_prequantized"):
+                fn(spark, sf_dir)  # these noop-materialize internally
             else:
                 _noop(fn(spark, sf_dir))
             out[name] = round(time.perf_counter() - t0, 3)

@@ -818,24 +818,50 @@ def quantized_cosine_topk(
     Same shape as :func:`cosine_topk`: broadcast(queries) x corpus,
     one window shuffle. Zero vectors score 0.
     """
-    q = quantize_embeddings(queries, vec_col, id_col).select(
-        F.col(id_col).alias("query_id"), F.col("q").alias("qa")
+    return quantized_topk_prequantized(
+        quantize_embeddings(corpus, vec_col, id_col),
+        quantize_embeddings(queries, vec_col, id_col),
+        k=k,
+        id_col=id_col,
     )
-    c = quantize_embeddings(corpus, vec_col, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
-    )
+
+
+def quantized_topk_prequantized(
+    corpus_q: DataFrame,
+    queries_q: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scoring half of :func:`quantized_cosine_topk` over ALREADY
+    quantized frames (``(id_col, q)`` from
+    :func:`quantize_embeddings`) — the steady-state usage: a corpus
+    is quantized ONCE at ingest and persisted as the int8 table;
+    every search pays only integer dot products. The composed
+    function above is the one-shot convenience path (and the bench
+    entry that measures quantize+score); this is the one a long-lived
+    100 TB index actually runs per query batch.
+    """
     idot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # self-dots are per-VECTOR facts: compute them once per side
+    # before the cross join (|q|+|c| aggregates), not per pair
+    # (|q|*|c| of them was 2/3 of the scoring cost; same precompute
+    # pattern as cosine_topk's prenormed norms). Integer arithmetic,
+    # so the hoisted form is value-identical to the inline one.
+    q = queries_q.select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qa")
+    ).withColumn("na", idot(F.col("qa"), F.col("qa")))
+    c = corpus_q.select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
+    ).withColumn("nb", idot(F.col("qb"), F.col("qb")))
     pairs = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("dd", idot(F.col("qa"), F.col("qb")))
-        .withColumn("na", idot(F.col("qa"), F.col("qa")))
-        .withColumn("nb", idot(F.col("qb"), F.col("qb")))
         .withColumn(
             "score",
             F.round(

@@ -296,3 +296,23 @@ def test_quantized_topk_tracks_exact_cosine(spark):
     assert overlap >= 0.8
     for pair in set(exact) & set(quant):
         assert abs(exact[pair] - quant[pair]) < 0.02
+
+
+def test_quantized_prequantized_path_equals_composed(spark):
+    # the steady-state pre-quantized scoring path must produce exactly
+    # the composed quantize+score result (quantization is deterministic)
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    composed = sim.quantized_cosine_topk(emb, queries, k=5)
+    qc = sim.quantize_embeddings(emb, "embedding", "vec_id")
+    pre = sim.quantized_topk_prequantized(
+        qc, qc.filter(F.col("vec_id") % 50 == 0), k=5
+    )
+    assert sorted(map(tuple, composed.collect())) == sorted(
+        map(tuple, pre.collect())
+    )
