@@ -293,6 +293,132 @@ def safety_detector_pack(
     return consolidate([r1, r2, r3, r4, r5, r6])
 
 
+def pk_detector_pack(
+    pkday0: DataFrame, pkdays123: DataFrame, pkfollowup: DataFrame
+) -> DataFrame:
+    """All seven named rules of anomalies_detector/pk.R (pk.R:97-205),
+    composed instance-faithfully over the three linked PK forms and
+    consolidated into the resolution contract:
+
+    - ``pk_id_duplicates`` on pkday0 (pk.R:97-108): non-NULL pk_id
+      occurring >1 time, each row flagged with the group's key list.
+    - ``hh_detected_multiple_clusters`` on pkday0 AND pkdays123
+      (pk.R:111-135): household reporting >1 distinct cluster.
+    - ``pk_id_duplicates`` on pkdays123 (pk.R:138-150): duplicates at
+      the finer (pk_id, visit_day) grain.
+    - ``pkfollowup_id_duplicates`` (pk.R:153-165).
+    - ``pkdays123_mapping_mistmach`` / ``pkdfollowup_mapping_mistmach``
+      (pk.R:172-205; the reference's typo'd rule ids are preserved —
+      downstream resolution files key on them): pkday0's distinct
+      (extid, pk_id) is the mapping source of truth; a row whose
+      extid disagrees with the mapped extid flags when its pk_id has
+      >1 such disagreeing row.
+
+    Inputs use the reference column names: pkday0(KEY, hhid, cluster,
+    wid, pk_id, extid), pkdays123(same + visit_day), pkfollowup(KEY,
+    wid, pk_id, extid). Key lists are sorted joins (determinism
+    deviation, as in safety_detector_pack).
+
+    Scale shape: every rule is one groupBy on its grain joined back to
+    the rows; the mapping join is a broadcast (the source of truth is
+    participant-sized, not visit-sized).
+    """
+
+    def dup_rule(df, group_cols, form_id, anomalies_id):
+        nn = df.filter(F.col("pk_id").isNotNull())
+        g = nn.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(F.array_sort(F.collect_list("KEY")), ",").alias(
+                "key_list"
+            ),
+        )
+        return nn.join(g.filter(F.col("n") > 1), list(group_cols)).select(
+            "KEY",
+            F.lit(form_id).alias("form_id"),
+            F.lit(anomalies_id).alias("anomalies_id"),
+            F.concat(
+                F.lit("pk_id:"), F.col("pk_id"),
+                F.lit(" has duplicates, please check these keys "),
+                F.col("key_list"),
+            ).alias("anomalies_description"),
+            F.col("wid").alias("anomalies_reports_to_wid"),
+        )
+
+    def multi_cluster(df, form_id):
+        g = df.groupBy("hhid").agg(
+            F.count_distinct("cluster").alias("n"),
+            F.array_join(F.array_sort(F.collect_list("KEY")), ",").alias(
+                "key_list"
+            ),
+        )
+        return df.join(g.filter(F.col("n") > 1), ["hhid"]).select(
+            "KEY",
+            F.lit(form_id).alias("form_id"),
+            F.lit("hh_detected_multiple_clusters").alias("anomalies_id"),
+            F.concat(
+                F.lit("hhid:"), F.col("hhid"),
+                F.lit(
+                    " detected multiple clusters in the same households;"
+                    " here are the instanceIDs: "
+                ),
+                F.col("key_list"),
+            ).alias("anomalies_description"),
+            F.col("wid").alias("anomalies_reports_to_wid"),
+        )
+
+    mapping = (
+        pkday0.filter(F.col("pk_id").isNotNull())
+        .select(F.col("extid").alias("extid_truth"), "pk_id")
+        .distinct()
+    )
+
+    def mapping_mismatch(df, form_id, anomalies_id):
+        rows = df.select("KEY", "extid", "pk_id", "wid").distinct()
+        j = rows.join(F.broadcast(mapping), "pk_id", "left").filter(
+            F.col("extid") != F.col("extid_truth")
+        )
+        g = j.groupBy("pk_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(F.array_sort(F.collect_list("KEY")), ",").alias(
+                "key_list"
+            ),
+        )
+        return j.join(g.filter(F.col("n") > 1), ["pk_id"]).select(
+            "KEY",
+            F.lit(form_id).alias("form_id"),
+            F.lit(anomalies_id).alias("anomalies_id"),
+            F.concat(
+                F.lit("pk_id:"), F.col("pk_id"),
+                F.lit(" is mapped to different extids:"), F.col("extid"),
+                F.lit(" and "), F.col("extid_truth"),
+                F.lit(", please check these keys "), F.col("key_list"),
+            ).alias("anomalies_description"),
+            F.col("wid").alias("anomalies_reports_to_wid"),
+        )
+
+    return consolidate(
+        [
+            dup_rule(pkday0, ["pk_id"], "pkday0", "pk_id_duplicates"),
+            multi_cluster(pkday0, "pkday0"),
+            multi_cluster(pkdays123, "pkdays123"),
+            dup_rule(
+                pkdays123, ["pk_id", "visit_day"], "pkdays123",
+                "pk_id_duplicates",
+            ),
+            dup_rule(
+                pkfollowup, ["pk_id"], "pkfollowup",
+                "pkfollowup_id_duplicates",
+            ),
+            mapping_mismatch(
+                pkdays123, "pkdays123", "pkdays123_mapping_mistmach"
+            ),
+            mapping_mismatch(
+                pkfollowup, "pkfollowup", "pkdfollowup_mapping_mistmach"
+            ),
+        ]
+    )
+
+
 def summary_rollup(final: DataFrame) -> DataFrame:
     """A13: per-(form_id, anomalies_id) counts + snapshot_date
     (05.run_anomaly_detection.R:91-96), the 'faster query' table."""

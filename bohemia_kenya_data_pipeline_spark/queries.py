@@ -2400,6 +2400,219 @@ _SAFETY_PACK_SQL = """
 """
 
 
+_PK_PACK_SQL = """
+    WITH pkday0 AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS pkey,
+             LPAD(CAST(o_custkey AS VARCHAR), 5, '0') AS hhid,
+             CASE WHEN o_orderkey % 163 = 0
+                  THEN CAST(1 + (o_custkey + 1) % 100 AS INTEGER)
+                  ELSE CAST(1 + o_custkey % 100 AS INTEGER) END AS cluster,
+             o_orderpriority AS wid,
+             CASE WHEN o_orderkey % 23 = 0 THEN NULL
+                  WHEN o_custkey % 19 = 0
+                    THEN 'D' || CAST(o_custkey AS VARCHAR)
+                  ELSE 'U' || CAST(o_orderkey AS VARCHAR) END AS pk_id,
+             'E' || CAST(o_custkey % 500 AS VARCHAR) AS extid
+      FROM orders),
+    pkdays123 AS (
+      SELECT CAST(o_orderkey * 10 + visit_day AS VARCHAR) AS pkey,
+             LPAD(CAST(o_custkey AS VARCHAR), 5, '0') AS hhid,
+             CASE WHEN o_orderkey % 389 = 0 AND visit_day = 1
+                  THEN CAST(1 + (o_custkey + 1) % 100 AS INTEGER)
+                  ELSE CAST(1 + o_custkey % 100 AS INTEGER) END AS cluster,
+             o_orderpriority AS wid,
+             CAST(visit_day AS INTEGER) AS visit_day,
+             CASE WHEN o_orderkey % 23 = 0 THEN NULL
+                  WHEN o_custkey % 19 = 0
+                    THEN 'D' || CAST(o_custkey AS VARCHAR)
+                  ELSE 'U' || CAST(o_orderkey AS VARCHAR) END AS pk_id,
+             CASE WHEN o_orderkey % 43 = 0 AND visit_day <= 2
+                  THEN 'E' || CAST((o_custkey + 1) % 500 AS VARCHAR)
+                  ELSE 'E' || CAST(o_custkey % 500 AS VARCHAR) END AS extid
+      FROM orders CROSS JOIN (SELECT unnest([1, 2, 3]) AS visit_day)),
+    pkfollowup AS (
+      SELECT 'F' || CAST(o_orderkey AS VARCHAR) AS pkey,
+             o_orderpriority AS wid,
+             CASE WHEN o_orderkey % 23 = 0 THEN NULL
+                  WHEN o_custkey % 19 = 0
+                    THEN 'D' || CAST(o_custkey AS VARCHAR)
+                  ELSE 'U' || CAST(o_orderkey AS VARCHAR) END AS pk_id,
+             CASE WHEN o_totalprice > 350000
+                  THEN 'E' || CAST((o_custkey + 2) % 500 AS VARCHAR)
+                  ELSE 'E' || CAST(o_custkey % 500 AS VARCHAR) END AS extid
+      FROM orders WHERE o_orderkey % 3 = 0),
+    mapping AS (
+      SELECT DISTINCT extid AS extid_truth, pk_id
+      FROM pkday0 WHERE pk_id IS NOT NULL),
+    r1 AS (
+      SELECT p.pkey AS "KEY", 'pkday0' AS form_id,
+             'pk_id_duplicates' AS anomalies_id,
+             'pk_id:' || p.pk_id
+               || ' has duplicates, please check these keys '
+               || g.key_list AS anomalies_description,
+             p.wid AS anomalies_reports_to_wid
+      FROM pkday0 p
+      JOIN (SELECT pk_id, COUNT(*) AS n,
+                   array_to_string(list_sort(list(pkey)), ',') AS key_list
+            FROM pkday0 WHERE pk_id IS NOT NULL GROUP BY 1) g
+        ON g.pk_id = p.pk_id
+      WHERE g.n > 1),
+    r2 AS (
+      SELECT p.pkey, 'pkday0', 'hh_detected_multiple_clusters',
+             'hhid:' || p.hhid
+               || ' detected multiple clusters in the same households;'
+               || ' here are the instanceIDs: ' || g.key_list,
+             p.wid
+      FROM pkday0 p
+      JOIN (SELECT hhid, COUNT(DISTINCT cluster) AS n,
+                   array_to_string(list_sort(list(pkey)), ',') AS key_list
+            FROM pkday0 GROUP BY 1) g ON g.hhid = p.hhid
+      WHERE g.n > 1),
+    r3 AS (
+      SELECT p.pkey, 'pkdays123', 'hh_detected_multiple_clusters',
+             'hhid:' || p.hhid
+               || ' detected multiple clusters in the same households;'
+               || ' here are the instanceIDs: ' || g.key_list,
+             p.wid
+      FROM pkdays123 p
+      JOIN (SELECT hhid, COUNT(DISTINCT cluster) AS n,
+                   array_to_string(list_sort(list(pkey)), ',') AS key_list
+            FROM pkdays123 GROUP BY 1) g ON g.hhid = p.hhid
+      WHERE g.n > 1),
+    r4 AS (
+      SELECT p.pkey, 'pkdays123', 'pk_id_duplicates',
+             'pk_id:' || p.pk_id
+               || ' has duplicates, please check these keys '
+               || g.key_list,
+             p.wid
+      FROM pkdays123 p
+      JOIN (SELECT pk_id, visit_day, COUNT(*) AS n,
+                   array_to_string(list_sort(list(pkey)), ',') AS key_list
+            FROM pkdays123 WHERE pk_id IS NOT NULL GROUP BY 1, 2) g
+        ON g.pk_id = p.pk_id AND g.visit_day = p.visit_day
+      WHERE g.n > 1),
+    r5 AS (
+      SELECT p.pkey, 'pkfollowup', 'pkfollowup_id_duplicates',
+             'pk_id:' || p.pk_id
+               || ' has duplicates, please check these keys '
+               || g.key_list,
+             p.wid
+      FROM pkfollowup p
+      JOIN (SELECT pk_id, COUNT(*) AS n,
+                   array_to_string(list_sort(list(pkey)), ',') AS key_list
+            FROM pkfollowup WHERE pk_id IS NOT NULL GROUP BY 1) g
+        ON g.pk_id = p.pk_id
+      WHERE g.n > 1),
+    mm123 AS (
+      SELECT d.pkey, d.pk_id, d.extid, d.wid, m.extid_truth
+      FROM (SELECT DISTINCT pkey, extid, pk_id, wid FROM pkdays123) d
+      LEFT JOIN mapping m USING (pk_id)
+      WHERE d.extid <> m.extid_truth),
+    r6 AS (
+      SELECT x.pkey, 'pkdays123', 'pkdays123_mapping_mistmach',
+             'pk_id:' || x.pk_id || ' is mapped to different extids:'
+               || x.extid || ' and ' || x.extid_truth
+               || ', please check these keys ' || g.key_list,
+             x.wid
+      FROM mm123 x
+      JOIN (SELECT pk_id, COUNT(*) AS n,
+                   array_to_string(list_sort(list(pkey)), ',') AS key_list
+            FROM mm123 GROUP BY 1) g ON g.pk_id = x.pk_id
+      WHERE g.n > 1),
+    mmfu AS (
+      SELECT d.pkey, d.pk_id, d.extid, d.wid, m.extid_truth
+      FROM (SELECT DISTINCT pkey, extid, pk_id, wid FROM pkfollowup) d
+      LEFT JOIN mapping m USING (pk_id)
+      WHERE d.extid <> m.extid_truth),
+    r7 AS (
+      SELECT x.pkey, 'pkfollowup', 'pkdfollowup_mapping_mistmach',
+             'pk_id:' || x.pk_id || ' is mapped to different extids:'
+               || x.extid || ' and ' || x.extid_truth
+               || ', please check these keys ' || g.key_list,
+             x.wid
+      FROM mmfu x
+      JOIN (SELECT pk_id, COUNT(*) AS n,
+                   array_to_string(list_sort(list(pkey)), ',') AS key_list
+            FROM mmfu GROUP BY 1) g ON g.pk_id = x.pk_id
+      WHERE g.n > 1),
+    final AS (
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+      UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
+      UNION ALL SELECT * FROM r7)
+    SELECT form_id || '__' || "KEY" || '__' || anomalies_id AS resolution_id,
+           "KEY", form_id, anomalies_id, anomalies_description,
+           'to_do' AS resolution_status,
+           COALESCE(anomalies_reports_to_wid, '') AS anomalies_reports_to_wid
+    FROM final
+"""
+
+
+@_register("anomalies_pk_pack", _PK_PACK_SQL)
+def anomalies_pk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Instance-faithful port of anomalies_detector/pk.R:97-205 — all
+    # seven named rules over the three linked PK forms (day0 /
+    # days123 / followup) via quality.pk_detector_pack, including the
+    # mapping source-of-truth mismatch family (pk.R:167-205, the J8
+    # extid-mapping sibling VERDICT r4 called out as unenumerated).
+    o = _t(spark, sf_dir, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    pk_id = (
+        F.when(ok % 23 == 0, F.lit(None).cast("string"))
+        .when(ck % 19 == 0, F.concat(F.lit("D"), ck.cast("string")))
+        .otherwise(F.concat(F.lit("U"), ok.cast("string")))
+    )
+    hhid = F.lpad(ck.cast("string"), 5, "0")
+    day0 = o.select(
+        ok.cast("string").alias("KEY"),
+        hhid.alias("hhid"),
+        F.when(ok % 163 == 0, (1 + (ck + 1) % 100))
+        .otherwise(1 + ck % 100)
+        .cast("int")
+        .alias("cluster"),
+        F.col("o_orderpriority").alias("wid"),
+        pk_id.alias("pk_id"),
+        F.concat(F.lit("E"), (ck % 500).cast("string")).alias("extid"),
+    )
+    days = (
+        o.crossJoin(
+            spark.range(1, 4).select(F.col("id").alias("visit_day"))
+        )
+        .select(
+            (ok * 10 + F.col("visit_day")).cast("string").alias("KEY"),
+            hhid.alias("hhid"),
+            F.when(
+                (ok % 389 == 0) & (F.col("visit_day") == 1),
+                (1 + (ck + 1) % 100),
+            )
+            .otherwise(1 + ck % 100)
+            .cast("int")
+            .alias("cluster"),
+            F.col("o_orderpriority").alias("wid"),
+            F.col("visit_day").cast("int").alias("visit_day"),
+            pk_id.alias("pk_id"),
+            F.when(
+                (ok % 43 == 0) & (F.col("visit_day") <= 2),
+                F.concat(F.lit("E"), ((ck + 1) % 500).cast("string")),
+            )
+            .otherwise(F.concat(F.lit("E"), (ck % 500).cast("string")))
+            .alias("extid"),
+        )
+    )
+    followup = o.filter(ok % 3 == 0).select(
+        F.concat(F.lit("F"), ok.cast("string")).alias("KEY"),
+        F.col("o_orderpriority").alias("wid"),
+        pk_id.alias("pk_id"),
+        F.when(
+            F.col("o_totalprice") > 350000,
+            F.concat(F.lit("E"), ((ck + 2) % 500).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("E"), (ck % 500).cast("string")))
+        .alias("extid"),
+    )
+    return ql.pk_detector_pack(day0, days, followup)
+
+
 @_register("anomalies_safety_pack", _SAFETY_PACK_SQL)
 def anomalies_safety_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Instance-faithful port of the reference's richest detector file

@@ -314,3 +314,70 @@ def test_safety_detector_pack_each_rule_fires_exactly(spark):
     assert all(r.resolution_status == "to_do" for r in out)
     assert all(r.resolution_id == f"{r.form_id}__{r.KEY}__{r.anomalies_id}"
                for r in out)
+
+
+def test_pk_detector_pack_each_rule_fires_exactly(spark):
+    """Handcrafted fixture where each of the seven pk.R rules fires on
+    a known set of rows — checks the mapping source-of-truth join, the
+    (pk_id, visit_day) dup grain, NULL-pk exemption, and the preserved
+    reference rule-id typos."""
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    day0 = spark.createDataFrame(
+        [
+            # (KEY, hhid, cluster, wid, pk_id, extid)
+            ("d1", "00001", 1, "w1", "P1", "E1"),  # dup pk with d2
+            ("d2", "00001", 1, "w1", "P1", "E1"),
+            ("d3", "00002", 2, "w2", "P2", "E2"),  # hh2: clusters 2 and 3
+            ("d4", "00002", 3, "w2", "P3", "E3"),
+            ("d5", "00003", 4, "w3", None, "E4"),  # NULL pk: exempt from dups
+            ("d6", "00003", 4, "w3", None, "E4"),
+        ],
+        "KEY string, hhid string, cluster int, wid string, pk_id string,"
+        " extid string",
+    )
+    days = spark.createDataFrame(
+        [
+            # (KEY, hhid, cluster, wid, visit_day, pk_id, extid)
+            ("x1", "00005", 5, "w5", 1, "P2", "E9"),  # mismatch vs E2 (x1,x2)
+            ("x2", "00005", 5, "w5", 2, "P2", "E8"),  # mismatch vs E2
+            ("x3", "00005", 5, "w5", 1, "P3", "E7"),  # mismatch vs E3 but n=1
+            ("x4", "00006", 6, "w6", 1, "P1", "E1"),  # dup (P1, day 1) w/ x5
+            ("x5", "00006", 7, "w6", 1, "P1", "E1"),  # also hh6 multi-cluster
+            ("x6", "00006", 6, "w6", 2, "P1", "E1"),  # same pk, other day: no dup
+        ],
+        "KEY string, hhid string, cluster int, wid string, visit_day int,"
+        " pk_id string, extid string",
+    )
+    fu = spark.createDataFrame(
+        [
+            ("f1", "w7", "P9", "E2"),  # dup pk with f2 (P9 not in day0: no mm)
+            ("f2", "w7", "P9", "E2"),
+            ("f3", "w8", "P2", "E5"),  # mismatch vs E2 — but n=1: silent
+        ],
+        "KEY string, wid string, pk_id string, extid string",
+    )
+    out = ql.pk_detector_pack(day0, days, fu).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r.form_id, r.anomalies_id), []).append(r)
+
+    dup0 = by[("pkday0", "pk_id_duplicates")]
+    assert sorted(r.KEY for r in dup0) == ["d1", "d2"]
+    assert all("keys d1,d2" in r.anomalies_description for r in dup0)
+
+    assert sorted(r.KEY for r in by[("pkday0", "hh_detected_multiple_clusters")]) == ["d3", "d4"]
+    assert sorted(r.KEY for r in by[("pkdays123", "hh_detected_multiple_clusters")]) == ["x4", "x5", "x6"]
+
+    dup123 = by[("pkdays123", "pk_id_duplicates")]
+    assert sorted(r.KEY for r in dup123) == ["x4", "x5"]  # x6 is day 2
+
+    dupfu = by[("pkfollowup", "pkfollowup_id_duplicates")]
+    assert sorted(r.KEY for r in dupfu) == ["f1", "f2"]
+
+    mm = by[("pkdays123", "pkdays123_mapping_mistmach")]
+    assert sorted(r.KEY for r in mm) == ["x1", "x2"]  # x3's pk has n=1
+    assert any("extids:E9 and E2" in r.anomalies_description for r in mm)
+
+    assert ("pkfollowup", "pkdfollowup_mapping_mistmach") not in by  # n=1 only
+    assert all(r.resolution_status == "to_do" for r in out)
