@@ -190,27 +190,7 @@ def safety_detector_pack(
         )
     )
 
-    g2 = safety.groupBy("hhid").agg(
-        F.count_distinct("cluster").alias("n"),
-        F.array_join(F.array_sort(F.collect_list("KEY")), ",").alias("key_list"),
-    )
-    r2 = (
-        safety.join(g2.filter(F.col("n") > 1), ["hhid"])
-        .select(
-            "KEY",
-            F.lit("safety").alias("form_id"),
-            F.lit("hh_detected_multiple_clusters").alias("anomalies_id"),
-            F.concat(
-                F.lit("hhid:"), F.col("hhid"),
-                F.lit(
-                    " detected multiple clusters in the same households;"
-                    " here are the instanceIDs: "
-                ),
-                F.col("key_list"),
-            ).alias("anomalies_description"),
-            F.col("wid").alias("anomalies_reports_to_wid"),
-        )
-    )
+    r2 = _multi_cluster_rule(safety, "safety")
 
     merged = repeat_individual.join(
         safety, repeat_individual["PARENT_KEY"] == safety["KEY"], "inner"
@@ -293,6 +273,250 @@ def safety_detector_pack(
     return consolidate([r1, r2, r3, r4, r5, r6])
 
 
+def _multi_cluster_rule(df: DataFrame, form_id: str) -> DataFrame:
+    """The ``hh_detected_multiple_clusters`` rule shared verbatim by
+    five reference detector files (safety.R:108, pk.R:111/124,
+    efficacy.R:119, pfu.R:90, safetynew.R:~100): a household reporting
+    >1 distinct cluster across its rows, every row flagged with the
+    household's sorted key list."""
+    g = df.groupBy("hhid").agg(
+        F.count_distinct("cluster").alias("n"),
+        F.array_join(F.array_sort(F.collect_list("KEY")), ",").alias("key_list"),
+    )
+    return df.join(g.filter(F.col("n") > 1), ["hhid"]).select(
+        "KEY",
+        F.lit(form_id).alias("form_id"),
+        F.lit("hh_detected_multiple_clusters").alias("anomalies_id"),
+        F.concat(
+            F.lit("hhid:"), F.col("hhid"),
+            F.lit(
+                " detected multiple clusters in the same households;"
+                " here are the instanceIDs: "
+            ),
+            F.col("key_list"),
+        ).alias("anomalies_description"),
+        F.col("wid").alias("anomalies_reports_to_wid"),
+    )
+
+
+def efficacy_detector_pack(efficacy: DataFrame) -> DataFrame:
+    """All five named rules of anomalies_detector/efficacy.R:72-130,
+    instance-faithful, consolidated. Input columns (reference names):
+    KEY, hhid, visit, extid, cluster, wid, control_validity,
+    rdt_time_diff (integer minutes), accuracy.
+
+    - ``hh_2_rdt_invalid`` (:72-80): >=2 invalid control_validity
+      rows per (visit, hhid) alert the lab.
+    - ``hh_rdt_time_diff_less_than_10_mins`` (:86-92).
+    - ``ind_visit_already_in_dataset`` (:96-106): duplicate
+      (visit, extid), key list per group.
+    - ``hh_gps_accuracy_too_high`` (:110-116; printed accuracy is
+      floor()ed — same determinism note as safety_detector_pack).
+    - ``hh_detected_multiple_clusters`` (:119-129).
+    """
+    inv = efficacy.filter(F.col("control_validity") == "invalid")
+    g1 = inv.groupBy("visit", "hhid").agg(F.count(F.lit(1)).alias("n"))
+    r1 = inv.join(g1.filter(F.col("n") >= 2), ["visit", "hhid"]).select(
+        "KEY",
+        F.lit("efficacy").alias("form_id"),
+        F.lit("hh_2_rdt_invalid").alias("anomalies_id"),
+        F.concat(
+            F.lit("hhid:"), F.col("hhid"),
+            F.lit(" from visit:"), F.col("visit").cast("string"),
+            F.lit(" has "), F.col("n").cast("string"),
+            F.lit(" invalid test from control_validity"),
+        ).alias("anomalies_description"),
+        F.col("wid").alias("anomalies_reports_to_wid"),
+    )
+    r2 = efficacy.filter(F.col("rdt_time_diff") < 10).select(
+        "KEY",
+        F.lit("efficacy").alias("form_id"),
+        F.lit("hh_rdt_time_diff_less_than_10_mins").alias("anomalies_id"),
+        F.concat(
+            F.lit("hhid:"), F.col("hhid"),
+            F.lit(" from visit:"), F.col("visit").cast("string"),
+            F.lit(" rdt was collected in "),
+            F.col("rdt_time_diff").cast("string"),
+        ).alias("anomalies_description"),
+        F.col("wid").alias("anomalies_reports_to_wid"),
+    )
+    g3 = efficacy.groupBy("visit", "extid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(F.array_sort(F.collect_list("KEY")), ",").alias("key_list"),
+    )
+    r3 = efficacy.join(g3.filter(F.col("n") > 1), ["visit", "extid"]).select(
+        "KEY",
+        F.lit("efficacy").alias("form_id"),
+        F.lit("ind_visit_already_in_dataset").alias("anomalies_id"),
+        F.concat(
+            F.lit("hhid:"), F.col("hhid"),
+            F.lit(" extid:"), F.col("extid"),
+            F.lit(", visit:"), F.col("visit").cast("string"),
+            F.lit(" already in dataset; here are the instanceIDs: "),
+            F.col("key_list"),
+        ).alias("anomalies_description"),
+        F.col("wid").alias("anomalies_reports_to_wid"),
+    )
+    r4 = efficacy.filter(F.col("accuracy") > 15).select(
+        "KEY",
+        F.lit("efficacy").alias("form_id"),
+        F.lit("hh_gps_accuracy_too_high").alias("anomalies_id"),
+        F.concat(
+            F.lit("hhid:"), F.col("hhid"),
+            F.lit(" from visit:"), F.col("visit").cast("string"),
+            F.lit(" gps accuracy too high: "),
+            F.floor("accuracy").cast("bigint").cast("string"),
+        ).alias("anomalies_description"),
+        F.col("wid").alias("anomalies_reports_to_wid"),
+    )
+    r5 = _multi_cluster_rule(efficacy, "efficacy")
+    return consolidate([r1, r2, r3, r4, r5])
+
+
+def pfu_detector_pack(pfu: DataFrame) -> DataFrame:
+    """Both active rules of anomalies_detector/pfu.R:77-101:
+    ``extid_visit_already_in_dataset`` (duplicate (visit, hhid); the
+    reference prints the hhid in the extid description slot —
+    preserved verbatim, downstream tooling parses that format) and
+    ``hh_detected_multiple_clusters``."""
+    g = pfu.groupBy("visit", "hhid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(F.array_sort(F.collect_list("KEY")), ",").alias("key_list"),
+    )
+    r1 = pfu.join(g.filter(F.col("n") > 1), ["visit", "hhid"]).select(
+        "KEY",
+        F.lit("pfu").alias("form_id"),
+        F.lit("extid_visit_already_in_dataset").alias("anomalies_id"),
+        F.concat(
+            F.lit("extid:"), F.col("hhid"),
+            F.lit(" visit:"), F.col("visit").cast("string"),
+            F.lit(" already in dataset, please check these keys "),
+            F.col("key_list"),
+        ).alias("anomalies_description"),
+        F.col("wid").alias("anomalies_reports_to_wid"),
+    )
+    return consolidate([r1, _multi_cluster_rule(pfu, "pfu")])
+
+
+def safetynew_detector_pack(
+    safetynew: DataFrame, repeat_individual: DataFrame
+) -> DataFrame:
+    """All four active rules of anomalies_detector/safetynew.R:
+    ``ind_visit_already_in_dataset`` over the parent-joined individual
+    rows (duplicate (visit, extid); the reference's 'exitd:' typo in
+    the description is preserved), ``hh_detected_multiple_clusters``,
+    ``hh_gps_accuracy_too_high`` and ``hh_outside_cluster`` on the
+    parent form. Inputs: safetynew(KEY, hhid, visit, cluster, wid,
+    accuracy, geo_cluster_num), repeat_individual(KEY, PARENT_KEY,
+    extid) — the merged frame keeps the CHILD's KEY, as dplyr's
+    by=c('PARENT_KEY'='KEY') join does."""
+    excluded = [1, 4, 6, 32, 35, 47, 52, 66, 71, 76, 86, 89]
+    merged = repeat_individual.join(
+        safetynew.withColumnRenamed("KEY", "PARENT_KEY"), ["PARENT_KEY"]
+    )
+    g1 = merged.groupBy("visit", "extid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(F.array_sort(F.collect_list("KEY")), ",").alias("key_list"),
+    )
+    r1 = merged.join(g1.filter(F.col("n") > 1), ["visit", "extid"]).select(
+        "KEY",
+        F.lit("safetynew").alias("form_id"),
+        F.lit("ind_visit_already_in_dataset").alias("anomalies_id"),
+        F.concat(
+            F.lit("exitd:"), F.col("extid"),
+            F.lit(" visit:"), F.col("visit").cast("string"),
+            F.lit(" already in dataset, please check these keys "),
+            F.col("key_list"),
+        ).alias("anomalies_description"),
+        F.col("wid").alias("anomalies_reports_to_wid"),
+    )
+    r3 = safetynew.filter(F.col("accuracy") > 15).select(
+        "KEY",
+        F.lit("safetynew").alias("form_id"),
+        F.lit("hh_gps_accuracy_too_high").alias("anomalies_id"),
+        F.concat(
+            F.lit("hhid:"), F.col("hhid"),
+            F.lit(" gps accuracy too high: "),
+            F.floor("accuracy").cast("bigint").cast("string"),
+        ).alias("anomalies_description"),
+        F.col("wid").alias("anomalies_reports_to_wid"),
+    )
+    r4 = safetynew.filter(
+        F.col("geo_cluster_num").isNull()
+        | F.col("geo_cluster_num").isin(excluded)
+    ).select(
+        "KEY",
+        F.lit("safetynew").alias("form_id"),
+        F.lit("hh_outside_cluster").alias("anomalies_id"),
+        F.concat(
+            F.lit("hhid:"), F.col("hhid"),
+            F.lit(" is outside cluster by geo but entered as cluster:"),
+            F.col("cluster").cast("string"),
+        ).alias("anomalies_description"),
+        F.col("wid").alias("anomalies_reports_to_wid"),
+    )
+    return consolidate(
+        [r1, _multi_cluster_rule(safetynew, "safetynew"), r3, r4]
+    )
+
+
+def v0_detector_pack(
+    demography: DataFrame, repeat_individual: DataFrame
+) -> DataFrame:
+    """All five rules of anomalies_detector/v0.R:55-115, built from
+    the same detect_threshold / detect_duplication combinators the
+    reference composes (anomalies_utils.R:2-56):
+
+    - ``hh_strange_materials``: mud walls + concrete roof.
+    - ``hh_completed_in_less_than_4_mins``: duration = end_time -
+      start_time in whole minutes, threshold 4 (constant description,
+      per detect_threshold's contract).
+    - ``hh_duplicated``: detect_duplication on hhid.
+    - ``hh_gps_accuracy_too_high``: Accuracy > 15.
+    - ``hh_individual_age_too_high`` on the repeat-individual child:
+      age > 101.
+
+    v0.R's final columns carry no wid — consolidate() fills ''.
+    """
+    r1 = demography.filter(
+        (F.col("house_wall") == "mud") & (F.col("house_roof") == "concrete")
+    ).select(
+        "KEY",
+        F.lit("v0demography").alias("form_id"),
+        F.lit("hh_strange_materials").alias("anomalies_id"),
+        F.lit(
+            "household strange materials combination, house_wall=mud"
+            " and house_roof=concrete"
+        ).alias("anomalies_description"),
+    )
+    timed = demography.withColumn(
+        "duration",
+        # integer DIV, not float-divide-then-cast: Spark's cast
+        # truncates but DuckDB's rounds (hazards catalog)
+        F.expr(
+            "CAST((unix_micros(end_time) - unix_micros(start_time))"
+            " DIV 60000000 AS INT)"
+        ),
+    )
+    r2 = detect_threshold(
+        timed, "duration", "v0demography",
+        "hh_completed_in_less_than_4_mins",
+        "household completed in less than 4 mins (end_time - start_time)",
+        4, "less",
+    )
+    r3 = detect_duplication(demography, "hhid", "v0demography", "hh_duplicated")
+    r4 = detect_threshold(
+        demography, "Accuracy", "v0demography", "hh_gps_accuracy_too_high",
+        "household GPS accuracy too high", 15.0, "more",
+    )
+    r5 = detect_threshold(
+        repeat_individual, "age", "v0demography-repeat_individual",
+        "hh_individual_age_too_high",
+        "household repeat individual age more than 100", 101, "more",
+    )
+    return consolidate([r1, r2, r3, r4, r5])
+
+
 def pk_detector_pack(
     pkday0: DataFrame, pkdays123: DataFrame, pkfollowup: DataFrame
 ) -> DataFrame:
@@ -344,28 +568,6 @@ def pk_detector_pack(
             F.col("wid").alias("anomalies_reports_to_wid"),
         )
 
-    def multi_cluster(df, form_id):
-        g = df.groupBy("hhid").agg(
-            F.count_distinct("cluster").alias("n"),
-            F.array_join(F.array_sort(F.collect_list("KEY")), ",").alias(
-                "key_list"
-            ),
-        )
-        return df.join(g.filter(F.col("n") > 1), ["hhid"]).select(
-            "KEY",
-            F.lit(form_id).alias("form_id"),
-            F.lit("hh_detected_multiple_clusters").alias("anomalies_id"),
-            F.concat(
-                F.lit("hhid:"), F.col("hhid"),
-                F.lit(
-                    " detected multiple clusters in the same households;"
-                    " here are the instanceIDs: "
-                ),
-                F.col("key_list"),
-            ).alias("anomalies_description"),
-            F.col("wid").alias("anomalies_reports_to_wid"),
-        )
-
     mapping = (
         pkday0.filter(F.col("pk_id").isNotNull())
         .select(F.col("extid").alias("extid_truth"), "pk_id")
@@ -399,8 +601,8 @@ def pk_detector_pack(
     return consolidate(
         [
             dup_rule(pkday0, ["pk_id"], "pkday0", "pk_id_duplicates"),
-            multi_cluster(pkday0, "pkday0"),
-            multi_cluster(pkdays123, "pkdays123"),
+            _multi_cluster_rule(pkday0, "pkday0"),
+            _multi_cluster_rule(pkdays123, "pkdays123"),
             dup_rule(
                 pkdays123, ["pk_id", "visit_day"], "pkdays123",
                 "pk_id_duplicates",

@@ -2548,6 +2548,398 @@ _PK_PACK_SQL = """
 """
 
 
+_EFFICACY_PACK_SQL = """
+    WITH eff AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS ekey,
+             LPAD(CAST(o_custkey AS VARCHAR), 5, '0') AS hhid,
+             CAST((EXTRACT(YEAR FROM o_orderdate) - 1992) // 3 AS INTEGER)
+               AS visit,
+             'X' || CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_custkey
+                              ELSE o_orderkey END AS VARCHAR) AS extid,
+             CASE WHEN o_orderkey % 211 = 0
+                  THEN CAST(1 + (o_custkey + 1) % 100 AS INTEGER)
+                  ELSE CAST(1 + o_custkey % 100 AS INTEGER) END AS cluster,
+             o_orderpriority AS wid,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'invalid'
+                  WHEN o_orderkey % 13 < 7 THEN 'valid'
+                  ELSE '' END AS control_validity,
+             CAST(o_orderkey % 97 AS INTEGER) AS rdt_time_diff,
+             o_totalprice / 30000.0 AS accuracy
+      FROM orders),
+    inv AS (SELECT * FROM eff WHERE control_validity = 'invalid'),
+    r1 AS (
+      SELECT i.ekey AS "KEY", 'efficacy' AS form_id,
+             'hh_2_rdt_invalid' AS anomalies_id,
+             'hhid:' || i.hhid || ' from visit:' || CAST(i.visit AS VARCHAR)
+               || ' has ' || CAST(g.n AS VARCHAR)
+               || ' invalid test from control_validity'
+               AS anomalies_description,
+             i.wid AS anomalies_reports_to_wid
+      FROM inv i
+      JOIN (SELECT visit, hhid, COUNT(*) AS n FROM inv GROUP BY 1, 2) g
+        ON g.visit = i.visit AND g.hhid = i.hhid
+      WHERE g.n >= 2),
+    r2 AS (
+      SELECT ekey, 'efficacy', 'hh_rdt_time_diff_less_than_10_mins',
+             'hhid:' || hhid || ' from visit:' || CAST(visit AS VARCHAR)
+               || ' rdt was collected in ' || CAST(rdt_time_diff AS VARCHAR),
+             wid
+      FROM eff WHERE rdt_time_diff < 10),
+    r3 AS (
+      SELECT e.ekey, 'efficacy', 'ind_visit_already_in_dataset',
+             'hhid:' || e.hhid || ' extid:' || e.extid || ', visit:'
+               || CAST(e.visit AS VARCHAR)
+               || ' already in dataset; here are the instanceIDs: '
+               || g.key_list,
+             e.wid
+      FROM eff e
+      JOIN (SELECT visit, extid, COUNT(*) AS n,
+                   array_to_string(list_sort(list(ekey)), ',') AS key_list
+            FROM eff GROUP BY 1, 2) g
+        ON g.visit = e.visit AND g.extid = e.extid
+      WHERE g.n > 1),
+    r4 AS (
+      SELECT ekey, 'efficacy', 'hh_gps_accuracy_too_high',
+             'hhid:' || hhid || ' from visit:' || CAST(visit AS VARCHAR)
+               || ' gps accuracy too high: '
+               || CAST(CAST(FLOOR(accuracy) AS BIGINT) AS VARCHAR),
+             wid
+      FROM eff WHERE accuracy > 15),
+    r5 AS (
+      SELECT e.ekey, 'efficacy', 'hh_detected_multiple_clusters',
+             'hhid:' || e.hhid
+               || ' detected multiple clusters in the same households;'
+               || ' here are the instanceIDs: ' || g.key_list,
+             e.wid
+      FROM eff e
+      JOIN (SELECT hhid, COUNT(DISTINCT cluster) AS n,
+                   array_to_string(list_sort(list(ekey)), ',') AS key_list
+            FROM eff GROUP BY 1) g ON g.hhid = e.hhid
+      WHERE g.n > 1),
+    final AS (
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+      UNION ALL SELECT * FROM r5)
+    SELECT form_id || '__' || "KEY" || '__' || anomalies_id AS resolution_id,
+           "KEY", form_id, anomalies_id, anomalies_description,
+           'to_do' AS resolution_status,
+           COALESCE(anomalies_reports_to_wid, '') AS anomalies_reports_to_wid
+    FROM final
+"""
+
+
+@_register("anomalies_efficacy_pack", _EFFICACY_PACK_SQL)
+def anomalies_efficacy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Instance-faithful port of anomalies_detector/efficacy.R:72-130 —
+    # all five named rules (lab-alert invalid-RDT pairs, too-fast RDT,
+    # duplicate individual-visit, GPS accuracy, multi-cluster hh) via
+    # quality.efficacy_detector_pack.
+    o = _t(spark, sf_dir, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    eff = o.select(
+        ok.cast("string").alias("KEY"),
+        F.lpad(ck.cast("string"), 5, "0").alias("hhid"),
+        F.expr("CAST((year(o_orderdate) - 1992) DIV 3 AS INT)").alias("visit"),
+        F.concat(
+            F.lit("X"),
+            F.when(ok % 7 == 0, ck).otherwise(ok).cast("string"),
+        ).alias("extid"),
+        F.when(ok % 211 == 0, (1 + (ck + 1) % 100))
+        .otherwise(1 + ck % 100)
+        .cast("int")
+        .alias("cluster"),
+        F.col("o_orderpriority").alias("wid"),
+        F.when(ok % 13 == 0, F.lit("invalid"))
+        .when(ok % 13 < 7, F.lit("valid"))
+        .otherwise(F.lit(""))
+        .alias("control_validity"),
+        (ok % 97).cast("int").alias("rdt_time_diff"),
+        (F.col("o_totalprice") / 30000.0).alias("accuracy"),
+    )
+    return ql.efficacy_detector_pack(eff)
+
+
+_PFU_PACK_SQL = """
+    WITH pfu AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS fkey,
+             LPAD(CAST(o_custkey AS VARCHAR), 5, '0') AS hhid,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS visit,
+             CASE WHEN o_orderkey % 173 = 0
+                  THEN CAST(1 + (o_custkey + 1) % 100 AS INTEGER)
+                  ELSE CAST(1 + o_custkey % 100 AS INTEGER) END AS cluster,
+             o_orderpriority AS wid
+      FROM orders WHERE o_orderkey % 5 = 1),
+    r1 AS (
+      SELECT p.fkey AS "KEY", 'pfu' AS form_id,
+             'extid_visit_already_in_dataset' AS anomalies_id,
+             'extid:' || p.hhid || ' visit:' || CAST(p.visit AS VARCHAR)
+               || ' already in dataset, please check these keys '
+               || g.key_list AS anomalies_description,
+             p.wid AS anomalies_reports_to_wid
+      FROM pfu p
+      JOIN (SELECT visit, hhid, COUNT(*) AS n,
+                   array_to_string(list_sort(list(fkey)), ',') AS key_list
+            FROM pfu GROUP BY 1, 2) g
+        ON g.visit = p.visit AND g.hhid = p.hhid
+      WHERE g.n > 1),
+    r2 AS (
+      SELECT p.fkey, 'pfu', 'hh_detected_multiple_clusters',
+             'hhid:' || p.hhid
+               || ' detected multiple clusters in the same households;'
+               || ' here are the instanceIDs: ' || g.key_list,
+             p.wid
+      FROM pfu p
+      JOIN (SELECT hhid, COUNT(DISTINCT cluster) AS n,
+                   array_to_string(list_sort(list(fkey)), ',') AS key_list
+            FROM pfu GROUP BY 1) g ON g.hhid = p.hhid
+      WHERE g.n > 1),
+    final AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    SELECT form_id || '__' || "KEY" || '__' || anomalies_id AS resolution_id,
+           "KEY", form_id, anomalies_id, anomalies_description,
+           'to_do' AS resolution_status,
+           COALESCE(anomalies_reports_to_wid, '') AS anomalies_reports_to_wid
+    FROM final
+"""
+
+
+@_register("anomalies_pfu_pack", _PFU_PACK_SQL)
+def anomalies_pfu_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Instance-faithful port of anomalies_detector/pfu.R:77-101 (the
+    # two active rules; the file's commented-out block is safety.R's
+    # rule set, already covered by anomalies_safety_pack). The
+    # reference prints hhid in the extid description slot — preserved.
+    o = _t(spark, sf_dir, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    pfu = o.filter(ok % 5 == 1).select(
+        ok.cast("string").alias("KEY"),
+        F.lpad(ck.cast("string"), 5, "0").alias("hhid"),
+        F.year("o_orderdate").cast("int").alias("visit"),
+        F.when(ok % 173 == 0, (1 + (ck + 1) % 100))
+        .otherwise(1 + ck % 100)
+        .cast("int")
+        .alias("cluster"),
+        F.col("o_orderpriority").alias("wid"),
+    )
+    return ql.pfu_detector_pack(pfu)
+
+
+_SAFETYNEW_PACK_SQL = """
+    WITH sn AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS skey,
+             LPAD(CAST(o_custkey AS VARCHAR), 5, '0') AS hhid,
+             CAST((EXTRACT(YEAR FROM o_orderdate) - 1992) // 3 AS INTEGER)
+               AS visit,
+             CASE WHEN o_orderkey % 151 = 0
+                  THEN CAST(1 + (o_custkey + 1) % 100 AS INTEGER)
+                  ELSE CAST(1 + o_custkey % 100 AS INTEGER) END AS cluster,
+             o_orderpriority AS wid,
+             o_totalprice / 30000.0 AS accuracy,
+             CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 90 AS INTEGER) END AS geo_cluster_num
+      FROM orders WHERE o_orderkey % 5 = 2),
+    child AS (
+      SELECT 'L' || CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) || '-'
+               || CAST(l_partkey AS VARCHAR) || '-'
+               || CAST(l_suppkey AS VARCHAR) AS ckey,
+             CAST(l_orderkey AS VARCHAR) AS parent_key,
+             'E' || CAST(l_partkey * 16 + l_linenumber AS VARCHAR) AS extid
+      FROM lineitem),
+    merged AS (
+      SELECT c.ckey, c.extid, s.visit, s.wid
+      FROM child c JOIN sn s ON c.parent_key = s.skey),
+    r1 AS (
+      SELECT m.ckey AS "KEY", 'safetynew' AS form_id,
+             'ind_visit_already_in_dataset' AS anomalies_id,
+             'exitd:' || m.extid || ' visit:' || CAST(m.visit AS VARCHAR)
+               || ' already in dataset, please check these keys '
+               || g.key_list AS anomalies_description,
+             m.wid AS anomalies_reports_to_wid
+      FROM merged m
+      JOIN (SELECT visit, extid, COUNT(*) AS n,
+                   array_to_string(list_sort(list(ckey)), ',') AS key_list
+            FROM merged GROUP BY 1, 2) g
+        ON g.visit = m.visit AND g.extid = m.extid
+      WHERE g.n > 1),
+    r2 AS (
+      SELECT s.skey, 'safetynew', 'hh_detected_multiple_clusters',
+             'hhid:' || s.hhid
+               || ' detected multiple clusters in the same households;'
+               || ' here are the instanceIDs: ' || g.key_list,
+             s.wid
+      FROM sn s
+      JOIN (SELECT hhid, COUNT(DISTINCT cluster) AS n,
+                   array_to_string(list_sort(list(skey)), ',') AS key_list
+            FROM sn GROUP BY 1) g ON g.hhid = s.hhid
+      WHERE g.n > 1),
+    r3 AS (
+      SELECT skey, 'safetynew', 'hh_gps_accuracy_too_high',
+             'hhid:' || hhid || ' gps accuracy too high: '
+               || CAST(CAST(FLOOR(accuracy) AS BIGINT) AS VARCHAR),
+             wid
+      FROM sn WHERE accuracy > 15),
+    r4 AS (
+      SELECT skey, 'safetynew', 'hh_outside_cluster',
+             'hhid:' || hhid
+               || ' is outside cluster by geo but entered as cluster:'
+               || CAST(cluster AS VARCHAR),
+             wid
+      FROM sn
+      WHERE geo_cluster_num IS NULL
+         OR geo_cluster_num IN (1,4,6,32,35,47,52,66,71,76,86,89)),
+    final AS (
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+    SELECT form_id || '__' || "KEY" || '__' || anomalies_id AS resolution_id,
+           "KEY", form_id, anomalies_id, anomalies_description,
+           'to_do' AS resolution_status,
+           COALESCE(anomalies_reports_to_wid, '') AS anomalies_reports_to_wid
+    FROM final
+"""
+
+
+@_register("anomalies_safetynew_pack", _SAFETYNEW_PACK_SQL)
+def anomalies_safetynew_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Instance-faithful port of anomalies_detector/safetynew.R (all
+    # four active rules; the 'exitd:' description typo is preserved —
+    # downstream tooling parses the reference format). The merged
+    # frame keeps the CHILD's KEY, as dplyr's by=c('PARENT_KEY'='KEY')
+    # join does.
+    o = _t(spark, sf_dir, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    sn = o.filter(ok % 5 == 2).select(
+        ok.cast("string").alias("KEY"),
+        F.lpad(ck.cast("string"), 5, "0").alias("hhid"),
+        F.expr("CAST((year(o_orderdate) - 1992) DIV 3 AS INT)").alias("visit"),
+        F.when(ok % 151 == 0, (1 + (ck + 1) % 100))
+        .otherwise(1 + ck % 100)
+        .cast("int")
+        .alias("cluster"),
+        F.col("o_orderpriority").alias("wid"),
+        (F.col("o_totalprice") / 30000.0).alias("accuracy"),
+        F.when(ok % 89 == 0, F.lit(None))
+        .otherwise(ok % 90)
+        .cast("int")
+        .alias("geo_cluster_num"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    child = li.select(
+        F.concat(
+            F.lit("L"), F.col("l_orderkey").cast("string"), F.lit("-"),
+            F.col("l_linenumber").cast("string"), F.lit("-"),
+            F.col("l_partkey").cast("string"), F.lit("-"),
+            F.col("l_suppkey").cast("string"),
+        ).alias("KEY"),
+        F.col("l_orderkey").cast("string").alias("PARENT_KEY"),
+        F.concat(
+            F.lit("E"),
+            (F.col("l_partkey") * 16 + F.col("l_linenumber")).cast("string"),
+        ).alias("extid"),
+    )
+    return ql.safetynew_detector_pack(sn, child)
+
+
+_V0_PACK_SQL = """
+    WITH v0 AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS vkey,
+             LPAD(CAST(o_custkey AS VARCHAR), 5, '0') AS hhid,
+             ['mud', 'brick', 'wood'][CAST(o_orderkey % 3 AS INTEGER) + 1]
+               AS house_wall,
+             ['thatch', 'concrete', 'iron'][CAST(o_custkey % 3 AS INTEGER) + 1]
+               AS house_roof,
+             CAST((o_orderkey + o_custkey) % 53 AS INTEGER) AS duration,
+             o_totalprice / 30000.0 AS accuracy
+      FROM orders WHERE o_orderkey % 13 = 3),
+    v0c AS (
+      SELECT 'L' || CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) || '-'
+               || CAST(l_partkey AS VARCHAR) || '-'
+               || CAST(l_suppkey AS VARCHAR) AS ckey,
+             CAST((l_partkey + l_suppkey) % 110 AS INTEGER) AS age
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderkey % 13 = 3),
+    r1 AS (
+      SELECT vkey AS "KEY", 'v0demography' AS form_id,
+             'hh_strange_materials' AS anomalies_id,
+             'household strange materials combination, house_wall=mud'
+               || ' and house_roof=concrete' AS anomalies_description
+      FROM v0 WHERE house_wall = 'mud' AND house_roof = 'concrete'),
+    r2 AS (
+      SELECT vkey, 'v0demography', 'hh_completed_in_less_than_4_mins',
+             'household completed in less than 4 mins (end_time - start_time)'
+      FROM v0 WHERE duration < 4),
+    r3 AS (
+      SELECT v.vkey, 'v0demography', 'hh_duplicated',
+             'hhid:' || v.hhid || ' duplicated ' || CAST(g.n AS VARCHAR)
+               || ' times'
+      FROM v0 v
+      JOIN (SELECT hhid, COUNT(*) AS n FROM v0
+            WHERE hhid IS NOT NULL GROUP BY 1) g ON g.hhid = v.hhid
+      WHERE g.n >= 2),
+    r4 AS (
+      SELECT vkey, 'v0demography', 'hh_gps_accuracy_too_high',
+             'household GPS accuracy too high'
+      FROM v0 WHERE accuracy > 15),
+    r5 AS (
+      SELECT ckey, 'v0demography-repeat_individual',
+             'hh_individual_age_too_high',
+             'household repeat individual age more than 100'
+      FROM v0c WHERE age > 101),
+    final AS (
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+      UNION ALL SELECT * FROM r5)
+    SELECT form_id || '__' || "KEY" || '__' || anomalies_id AS resolution_id,
+           "KEY", form_id, anomalies_id, anomalies_description,
+           'to_do' AS resolution_status,
+           '' AS anomalies_reports_to_wid
+    FROM final
+"""
+
+
+@_register("anomalies_v0_pack", _V0_PACK_SQL)
+def anomalies_v0_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Instance-faithful port of anomalies_detector/v0.R:55-115 — all
+    # five rules, composed from the same detect_threshold /
+    # detect_duplication combinators the reference uses
+    # (anomalies_utils.R:2-56); v0's output carries no wid column.
+    o = _t(spark, sf_dir, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    walls = F.array(F.lit("mud"), F.lit("brick"), F.lit("wood"))
+    roofs = F.array(F.lit("thatch"), F.lit("concrete"), F.lit("iron"))
+    demo = o.filter(ok % 13 == 3).select(
+        ok.cast("string").alias("KEY"),
+        F.lpad(ck.cast("string"), 5, "0").alias("hhid"),
+        F.element_at(walls, (ok % 3 + 1).cast("int")).alias("house_wall"),
+        F.element_at(roofs, (ck % 3 + 1).cast("int")).alias("house_roof"),
+        F.col("o_orderdate").cast("timestamp").alias("start_time"),
+        (
+            F.col("o_orderdate").cast("timestamp")
+            + F.make_dt_interval(mins=((ok + ck) % 53).cast("int"))
+        ).alias("end_time"),
+        (F.col("o_totalprice") / 30000.0).alias("Accuracy"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    child = (
+        li.join(
+            o.filter(ok % 13 == 3).select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(
+                F.lit("L"), F.col("l_orderkey").cast("string"), F.lit("-"),
+                F.col("l_linenumber").cast("string"), F.lit("-"),
+                F.col("l_partkey").cast("string"), F.lit("-"),
+                F.col("l_suppkey").cast("string"),
+            ).alias("KEY"),
+            ((F.col("l_partkey") + F.col("l_suppkey")) % 110)
+            .cast("int")
+            .alias("age"),
+        )
+    )
+    return ql.v0_detector_pack(demo, child)
+
+
 @_register("anomalies_pk_pack", _PK_PACK_SQL)
 def anomalies_pk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Instance-faithful port of anomalies_detector/pk.R:97-205 — all

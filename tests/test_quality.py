@@ -381,3 +381,99 @@ def test_pk_detector_pack_each_rule_fires_exactly(spark):
 
     assert ("pkfollowup", "pkdfollowup_mapping_mistmach") not in by  # n=1 only
     assert all(r.resolution_status == "to_do" for r in out)
+
+
+def test_efficacy_pfu_safetynew_v0_packs_fire_exactly(spark):
+    """Small fixtures for the four remaining detector files — with the
+    six-file set this makes detector coverage instance-faithful for
+    every reference detector."""
+    import datetime as dt
+
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+
+    eff = spark.createDataFrame(
+        [
+            # KEY, hhid, visit, extid, cluster, wid, validity, tdiff, acc
+            ("e1", "00001", 1, "X1", 1, "w", "invalid", 30, 5.0),
+            ("e2", "00001", 1, "X2", 1, "w", "invalid", 30, 5.0),  # pair -> r1
+            ("e3", "00002", 1, "X3", 2, "w", "invalid", 5, 20.0),  # alone: no r1; r2+r4
+            ("e4", "00003", 1, "X4", 3, "w", "valid", 30, 5.0),
+            ("e5", "00003", 1, "X4", 4, "w", "", 30, 5.0),  # dup extid + multi-cluster
+        ],
+        "KEY string, hhid string, visit int, extid string, cluster int,"
+        " wid string, control_validity string, rdt_time_diff int,"
+        " accuracy double",
+    )
+    out = ql.efficacy_detector_pack(eff).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.anomalies_id, []).append(r.KEY)
+    assert sorted(by["hh_2_rdt_invalid"]) == ["e1", "e2"]
+    assert by["hh_rdt_time_diff_less_than_10_mins"] == ["e3"]
+    assert sorted(by["ind_visit_already_in_dataset"]) == ["e4", "e5"]
+    assert by["hh_gps_accuracy_too_high"] == ["e3"]
+    assert sorted(by["hh_detected_multiple_clusters"]) == ["e4", "e5"]
+
+    pfu = spark.createDataFrame(
+        [
+            ("p1", "00001", 1, 1, "w"),
+            ("p2", "00001", 1, 1, "w"),  # dup (visit, hhid)
+            ("p3", "00002", 1, 2, "w"),
+            ("p4", "00002", 2, 3, "w"),  # multi-cluster hh2
+        ],
+        "KEY string, hhid string, visit int, cluster int, wid string",
+    )
+    rows = ql.pfu_detector_pack(pfu).collect()
+    dup = [r for r in rows if r.anomalies_id == "extid_visit_already_in_dataset"]
+    assert sorted(r.KEY for r in dup) == ["p1", "p2"]
+    # reference prints the hhid in the extid slot — preserved verbatim
+    assert all(r.anomalies_description.startswith("extid:00001 ") for r in dup)
+
+    sn = spark.createDataFrame(
+        [
+            ("s1", "00001", 1, 1, "w", 5.0, 20),
+            ("s2", "00002", 1, 2, "w", 20.0, 4),    # gps + outside (in list)
+            ("s3", "00003", 1, 3, "w", 5.0, None),  # outside (NULL geo)
+        ],
+        "KEY string, hhid string, visit int, cluster int, wid string,"
+        " accuracy double, geo_cluster_num int",
+    )
+    snc = spark.createDataFrame(
+        [("c1", "s1", "E1"), ("c2", "s1", "E1"), ("c3", "s2", "E2")],
+        "KEY string, PARENT_KEY string, extid string",
+    )
+    rows = ql.safetynew_detector_pack(sn, snc).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.anomalies_id, []).append(r)
+    ind = by["ind_visit_already_in_dataset"]
+    assert sorted(r.KEY for r in ind) == ["c1", "c2"]  # CHILD keys kept
+    assert all(r.anomalies_description.startswith("exitd:E1 ") for r in ind)
+    assert [r.KEY for r in by["hh_gps_accuracy_too_high"]] == ["s2"]
+    assert sorted(r.KEY for r in by["hh_outside_cluster"]) == ["s2", "s3"]
+    assert "hh_detected_multiple_clusters" not in by
+
+    base = dt.datetime(2026, 1, 1)
+    demo = spark.createDataFrame(
+        [
+            ("v1", "00001", "mud", "concrete", base, base + dt.timedelta(minutes=10), 5.0),
+            ("v2", "00002", "wood", "iron", base, base + dt.timedelta(minutes=2), 5.0),
+            ("v3", "00003", "mud", "iron", base, base + dt.timedelta(minutes=10), 20.0),
+            ("v4", "00003", "brick", "iron", base, base + dt.timedelta(minutes=10), 5.0),
+        ],
+        "KEY string, hhid string, house_wall string, house_roof string,"
+        " start_time timestamp, end_time timestamp, Accuracy double",
+    )
+    kid = spark.createDataFrame(
+        [("k1", 105), ("k2", 50)], "KEY string, age int"
+    )
+    rows = ql.v0_detector_pack(demo, kid).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.anomalies_id, []).append(r)
+    assert [r.KEY for r in by["hh_strange_materials"]] == ["v1"]
+    assert [r.KEY for r in by["hh_completed_in_less_than_4_mins"]] == ["v2"]
+    assert sorted(r.KEY for r in by["hh_duplicated"]) == ["v3", "v4"]
+    assert [r.KEY for r in by["hh_gps_accuracy_too_high"]] == ["v3"]
+    assert [r.KEY for r in by["hh_individual_age_too_high"]] == ["k1"]
+    assert all(r.anomalies_reports_to_wid == "" for r in rows)  # v0: no wid
