@@ -552,6 +552,7 @@ def nearest_neighbor_bucketed(
     round_m: int = 1,
     cell_m: float = 5000.0,
     lat_ref: float = 0.0,
+    levels: int = 3,
 ) -> DataFrame:
     """J12 at scale: exact nearest facility WITHOUT broadcasting the
     facility side — the grid-bucketed fallback the module docstring
@@ -595,9 +596,31 @@ def nearest_neighbor_bucketed(
         points, facilities, point_id, facility_id,
         point_lat, point_lon, fac_lat, fac_lon, round_m, cell_m, lat_ref,
     )
-    leftovers = p.join(accepted.select("_pid"), "_pid", "left_anti")
+    accepted_levels = [accepted]
+    remaining = p.join(accepted.select("_pid"), "_pid", "left_anti")
+    # Hierarchical escalation BEFORE the terminal cross join: re-run
+    # the accept pass on the leftovers at 4x coarser cells per level.
+    # Measured necessity (BENCH_scale_r05.json, area-scaled replica):
+    # at ~constant point/facility density the leftover FRACTION is
+    # constant (~10%), so a single-level fallback's join volume is
+    # leftovers x ALL facilities = F^2 — the one superlinear term in
+    # the whole plan. Each escalation level is a linear grid join and
+    # multiplies the accept radius by 4, so the residual that reaches
+    # the cross join decays geometrically; 'levels' bounds plan depth.
+    for k in range(1, levels):
+        # leftovers shrink geometrically; narrow their partitioning so
+        # each escalation stage schedules a handful of tasks, not a
+        # full shuffle-width of near-empty ones
+        remaining = remaining.coalesce(8)
+        _, _, acc_k = _bucketed_accept(
+            remaining, f, "_pid", "_fid",
+            "_plat", "_plon", "_flat", "_flon",
+            round_m, cell_m * (4.0 ** k), lat_ref,
+        )
+        accepted_levels.append(acc_k)
+        remaining = remaining.join(acc_k.select("_pid"), "_pid", "left_anti")
     fallback = (
-        F.broadcast(leftovers)
+        F.broadcast(remaining)
         .crossJoin(f)
         .withColumn(
             "dist_m",
@@ -612,7 +635,10 @@ def nearest_neighbor_bucketed(
             "_pid", F.col("_best._fid").alias("_fid"), F.col("_best.dist_m").alias("dist_m")
         )
     )
-    return accepted.unionByName(fallback).select(
+    out = accepted_levels[0]
+    for acc_k in accepted_levels[1:]:
+        out = out.unionByName(acc_k)
+    return out.unionByName(fallback).select(
         F.col("_pid").alias(point_id),
         F.col("_fid").alias(facility_id),
         "dist_m",

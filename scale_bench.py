@@ -125,10 +125,49 @@ def _cosine_fixedq(spark, sf_dir: str, n1_max: int):
     return sim.cosine_topk(emb, q, k=5)
 
 
+def _nearest_area_scaled(spark, sf_dir: str, n1_max: int):
+    # spatial_nearest in its DESIGNED regime: the replica's key offsets
+    # let us place each copy in its own 1-degree latitude band, so a
+    # bigger dataset grows AREA at constant density (the real-world
+    # scale-up), not density in a fixed box. Measures the grid join's
+    # true corpus slope; the registered entry's F^2 is a density
+    # artifact (see QUADRATIC note).
+    from bohemia_kenya_data_pipeline_spark.operators import spatial as sp
+
+    # replica index = (key-1) DIV (1x max_key + 1): build_replica offsets
+    # copy i's keys by i*(max+1), so this recovers i on any scale dir
+    c_off = (
+        spark.read.parquet(os.path.join(SRC, "customer.parquet"))
+        .agg(F.max("c_custkey")).collect()[0][0] + 1
+    )
+    s_off = (
+        spark.read.parquet(os.path.join(SRC, "supplier.parquet"))
+        .agg(F.max("s_suppkey")).collect()[0][0] + 1
+    )
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    ck = F.col("c_custkey")
+    copy = F.expr(f"CAST((c_custkey - 1) DIV {c_off} AS DOUBLE)")
+    pts = c.select(
+        ck.alias("id"),
+        (F.lit(-4.0) + copy + ((ck % 997) + 0.5) / 1000.0).alias("lat"),
+        (F.lit(39.0) + (((ck * 7) % 997) + 0.5) / 1000.0).alias("lon"),
+    )
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    sk = F.col("s_suppkey")
+    scopy = F.expr(f"CAST((s_suppkey - 1) DIV {s_off} AS DOUBLE)")
+    hf = s.select(
+        sk.alias("hf_id"),
+        (F.lit(-4.0) + scopy + ((sk * sk) % 97) / 100.0).alias("lat"),
+        (F.lit(39.0) + ((sk * 13) % 89) / 100.0).alias("lon"),
+    )
+    return sp.nearest_neighbor_bucketed(pts, hf)
+
+
 FIXEDQ = {
     "quantized_fixedq": _quantized_fixedq,
     "ivf_ann_fixedq": _ivf_ann_fixedq,
     "cosine_fixedq": _cosine_fixedq,
+    "spatial_nearest_area_scaled": _nearest_area_scaled,
 }
 
 
@@ -228,6 +267,16 @@ def main() -> None:
         print(f"{name}: 1x={t1}s {factor}x={tf}s slope={slope}",
               file=sys.stderr, flush=True)
 
+    only = os.environ.get("SCALE_ENTRIES")
+    if only:
+        keep = set(only.split(","))
+        LINEAR[:] = [n for n in LINEAR if n in keep]
+        for n in list(QUADRATIC):
+            if n not in keep:
+                del QUADRATIC[n]
+        for n in list(FIXEDQ):
+            if n not in keep:
+                del FIXEDQ[n]
     for name in LINEAR:
         if name == "cleaning_dag_e2e":
             measure(name, big, lambda d: _cleaning_dag_e2e(spark, d))
@@ -237,11 +286,19 @@ def main() -> None:
     for name, note in QUADRATIC.items():
         measure(name, small, lambda d, q=QUERIES[name]: _noop(q(spark, d)))
         results[name]["note"] = note
+    fixedq_notes = {
+        "spatial_nearest_area_scaled": (
+            "area grows with data at constant density (the real-world "
+            "scale-up): slope measures the grid join itself, not the "
+            "replica's density artifact"
+        ),
+    }
     for name, fn in FIXEDQ.items():
         measure(name, big, lambda d, f=fn: _noop(f(spark, d, n1_max)))
-        results[name]["note"] = (
+        results[name]["note"] = fixedq_notes.get(
+            name,
             "fixed query batch (the production regime): slope isolates "
-            "corpus growth"
+            "corpus growth",
         )
 
     print(json.dumps({
