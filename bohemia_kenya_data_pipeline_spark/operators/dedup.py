@@ -876,3 +876,168 @@ def minhash_index_query(
         .select("new_id", "index_id")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-cluster) dedup — SemDeDup-style
+# ---------------------------------------------------------------------------
+
+
+def semantic_anchor_vectors(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_anchors: int = 8,
+) -> list[list[float]]:
+    """Deterministic anchor vectors for semantic-dedup bucketing: the
+    ``n_anchors`` corpus vectors with the smallest md5(id) — the same
+    order-stable, RNG-free seeding rule as IVF centroid init
+    (``similarity.ivf_train_centroids``). Driver traffic is k×dim
+    doubles (centroid-like metadata), scale-safe.
+
+    Anchors can be swapped for trained IVF centroids when available;
+    the md5-seeded anchors are the engine-portable default that a SQL
+    oracle can reproduce exactly (no Lloyd iterations to mirror).
+    """
+    rows = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h")
+        .limit(n_anchors)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot pick anchors from an empty corpus")
+    return [list(r.v) for r in rows]
+
+
+def assign_semantic_cluster(
+    emb: DataFrame,
+    anchors: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, v, nv, cid): nearest-anchor assignment by ROUNDED cosine
+    (4 dp) with smallest-anchor-index tie-break.
+
+    Rounding before the argmax is load-bearing for engine portability:
+    raw float cosines can differ in the last ulp across engines
+    (different fold orders), flipping the argmax when two anchors are
+    nearly tied. Rounded scores either agree or tie; ties break on the
+    anchor index identically everywhere. Pure Column expressions —
+    the anchor fold runs map-side in the scan stage, no shuffle.
+    """
+    from .similarity import cosine, norm
+
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in a]) for a in anchors]
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
+        "nv", norm(F.col("v"))
+    )
+    scores = F.transform(cents, lambda a: F.round(cosine(F.col("v"), a), 4))
+    # array_position returns the FIRST index of the max — smallest
+    # anchor index wins ties (1-based -> 0-based)
+    cid = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return base.withColumn("cid", cid)
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_anchors: int = 8,
+    threshold: float = 0.8,
+    anchors: list[list[float]] | None = None,
+    max_cluster_size: int | None = None,
+    cap_strategy: str = "sample",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): bucket embeddings by nearest anchor/centroid,
+    generate candidate pairs ONLY within a bucket (equi-join on cid),
+    verify with exact cosine >= ``threshold``.
+
+    Complements ``embedding_neardup_pairs`` (sign-LSH): LSH recall
+    follows the band S-curve, while cluster bucketing is data-adaptive
+    — semantically dense regions land in one bucket, so high-threshold
+    duplicates pair with near-perfect recall when clusters are larger
+    than duplicate groups.
+
+    Scale story (100 TB): assignment is a map-side fold over k anchor
+    literals (no shuffle); the only shuffle is the cid equi-join.
+    Within-cluster candidates are quadratic in CLUSTER size, the same
+    hazard as an LSH hot bucket — ``max_cluster_size`` applies the
+    shared ``_cap_buckets`` guard (deterministic sample or drop), and
+    ``semantic_cluster_stats`` prices the cap before the join runs.
+    For web-scale corpora raise ``n_anchors`` so mean cluster size
+    stays O(corpus / n_anchors) bounded; anchors stay driver metadata
+    (k×dim doubles, same contract as IVF centroids).
+
+    Returns (id_a, id_b, cid, cosine) with id_a < id_b, cosine
+    rounded to 4 dp.
+    """
+    from .similarity import cosine_prenormed
+
+    if anchors is None:
+        anchors = semantic_anchor_vectors(emb, vec_col, id_col, n_anchors)
+    assigned = assign_semantic_cluster(emb, anchors, vec_col, id_col)
+    assigned = _cap_buckets(assigned, ["cid"], "id", max_cluster_size, cap_strategy)
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na"), "cid"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb"), "cid"
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cid", "cosine")
+    )
+
+
+def semantic_cluster_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_anchors: int = 8,
+    anchors: list[list[float]] | None = None,
+    min_size: int = 2,
+) -> DataFrame:
+    """(cid, n_members) per semantic cluster with at least ``min_size``
+    members — the spill report for sizing ``max_cluster_size`` (run
+    with ``min_size = cap + 1`` to see exactly what a cap would clip,
+    same contract as the LSH bucket stats)."""
+    if anchors is None:
+        anchors = semantic_anchor_vectors(emb, vec_col, id_col, n_anchors)
+    rows = assign_semantic_cluster(emb, anchors, vec_col, id_col)
+    return _bucket_stats(rows, ["cid"], min_size)
+
+
+def drop_semantic_dups(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_anchors: int = 8,
+    threshold: float = 0.8,
+    anchors: list[list[float]] | None = None,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Semantic-dedup *apply*: keep every semantically-unpaired row and
+    the min-id representative of each duplicate cluster (pairs closed
+    transitively via :func:`connected_components` — same apply contract
+    as :func:`drop_neardup_clusters`)."""
+    pairs = semantic_dedup_pairs(
+        emb, vec_col, id_col, n_anchors, threshold, anchors, max_cluster_size
+    )
+    return drop_neardup_clusters(emb, pairs, id_col)

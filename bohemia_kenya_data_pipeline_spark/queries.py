@@ -9759,3 +9759,41 @@ def session_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_events, 0.5)"), 1).alias("p50_events"),
         F.max("dur_min").cast("bigint").alias("max_duration_min"),
     )
+
+
+# ===========================================================================
+# Round 5 continuation: semantic dedup, drift, mixture, as-of join
+# ===========================================================================
+
+
+@_register(
+    "semantic_dedup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    an AS (SELECT v AS av,
+                  ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j
+           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+    sc AS (SELECT e.vec_id, e.v, an.j,
+                  ROUND(list_cosine_similarity(e.v, an.av), 4) AS cs
+           FROM e CROSS JOIN an),
+    asg AS (SELECT vec_id, v, CAST(j AS INTEGER) AS cid FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, j) AS rn
+             FROM sc) WHERE rn = 1),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cid,
+                 ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cid, cosine FROM p WHERE cosine >= 0.3
+    """,
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-style semantic dedup (cluster-bucketed cosine pairs):
+    # md5-seeded anchors (engine-portable, the IVF init rule), map-side
+    # nearest-anchor assignment on ROUNDED cosine (argmax ulp
+    # portability), within-cluster equi-join + exact cosine verify.
+    # The oracle mirrors the whole path: anchor choice, rounded-argmax
+    # assignment with anchor-index tie-break, pair generation,
+    # threshold.
+    return dd.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), n_anchors=8, threshold=0.3
+    )
