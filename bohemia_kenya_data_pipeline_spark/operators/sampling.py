@@ -247,3 +247,88 @@ def weighted_sample_top_k(
     if keep_priority:
         return out
     return out.drop("__ws_priority")
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """(group, n_orig, rate): per-group keep rates for temperature-
+    based mixture rebalancing — group weights ∝ count^alpha
+    (multilingual-LM sampling, e.g. Conneau & Lample 2019 §3.1), so
+    alpha < 1 flattens the mixture (up-weights rare domains/languages)
+    and alpha = 1 keeps natural proportions. The total expected sample
+    is ``budget_frac`` of the corpus; per-group rates clamp at 1.0
+    (a group can't be sampled above its size — the standard cap, which
+    shifts mass to the remaining groups only via the budget, never
+    silently).
+
+    One count aggregate + a 1-row totals broadcast — rates are
+    group-cardinality-sized metadata.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not 0 < budget_frac <= 1:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orig")
+    )
+    totals = counts.agg(
+        F.sum("n_orig").alias("_total"),
+        F.sum(F.pow("n_orig", F.lit(float(alpha)))).alias("_sw"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_g").alias(group_col),
+            "n_orig",
+            F.least(
+                F.lit(1.0),
+                (F.col("_total") * budget_frac)
+                * (F.pow("n_orig", F.lit(float(alpha))) / F.col("_sw"))
+                / F.col("n_orig"),
+            ).alias("rate"),
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-resampled domain mixture: keep each group at the
+    data-driven rate from :func:`temperature_mix_rates`, selecting
+    rows deterministically by key hash (partition- and engine-
+    invariant, like every sampler in this module).
+
+    Unlike :func:`stratified_sample_by_hash` (literal caller-supplied
+    fractions) the rates here are COMPUTED from the group counts, so
+    the hash-uniform is compared against a rate COLUMN: the 32-bit
+    digest prefix becomes u = hex/2^32 (exact — a power-of-two
+    divide), and `rate >= 1.0 OR u < rate` keeps clamped groups whole
+    without an 8-hex-chars boundary case. Selection is one broadcast
+    join of group-cardinality rate metadata onto the scan — no data-
+    side shuffle; membership within a group is a nested subset under a
+    shrinking budget (same-hash ordering).
+
+    NULL keys are dropped, NULL groups keep rate of their own NULL
+    group (counted like any other value) — but a NULL key can never
+    be selected (no reproducible identity), matching
+    :func:`sample_by_hash`.
+    """
+    rates = temperature_mix_rates(df, group_col, alpha, budget_frac)
+    u = (
+        F.conv(_hash_hex(F.col(key_col), seed), 16, 10).cast("bigint")
+        / F.lit(float(_HEX_SPACE))
+    )
+    return (
+        df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+        .filter((F.col("rate") >= 1.0) | (u < F.col("rate")))
+        .drop("rate")
+    )

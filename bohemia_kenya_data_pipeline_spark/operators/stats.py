@@ -738,3 +738,121 @@ def bitmap_intersect_over(
     if g:
         return both.groupBy(*g).agg(agg)
     return both.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: Population Stability Index (PSI)
+# ---------------------------------------------------------------------------
+
+
+def population_stability(
+    base: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-4,
+    scale: int = 100,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    snapshot of a numeric column — the standard drift gate for model
+    features and corpus statistics (PSI < 0.1 stable, 0.1-0.25 watch,
+    > 0.25 drifted).
+
+    Equi-width buckets are derived from the BASELINE min/max (current
+    values outside the baseline range clamp into the edge buckets, the
+    convention that makes new-range drift visible as edge-bucket mass).
+    Bucket math is integer end-to-end: values are scaled to integer
+    units (``scale``, e.g. cents) and the bucket index is an integer
+    multiply-divide — float boundary ulps can't flip a row's bucket,
+    cross-engine or cross-run. ``eps`` guards empty-bucket shares
+    before the log-ratio (the standard PSI zero-share convention).
+
+    Scale notes (100 TB): two scans (one per snapshot), each feeding a
+    map-side-combined ``n_buckets``-group aggregate; the baseline
+    bounds are a 1-row broadcast; the bucket scaffold/share math runs
+    on ``n_buckets`` rows of driver-size data. Engine-portability:
+    per-bucket terms are quantized to integer micro-units before the
+    grand total so the PSI sum is exact integer addition, immune to
+    float summation order (hazards #1-#3 in SCALING.md).
+
+    Returns one row per bucket: (bucket, n_base, n_cur, p, q,
+    psi_term, psi_total) — psi_total repeated on every row.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    spark = base.sparkSession
+
+    def cents(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.round(F.col(col) * scale, 0).cast("bigint").alias("c")
+        ).filter(F.col("c").isNotNull())
+
+    b, c = cents(base), cents(cur)
+    bounds = b.agg(
+        F.min("c").alias("minc"), F.max("c").alias("maxc")
+    )
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        # (c - minc) * nb DIV span, clamped. DIV truncates toward zero
+        # in Spark but floors in DuckDB for negative numerators — the
+        # GREATEST(0, ...) clamp absorbs the divergence (both engines
+        # land at 0 for any below-range value).
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "bucket",
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.expr(
+                            f"CAST((c - minc) * {n_buckets} DIV (maxc - minc + 1) AS INT)"
+                        ),
+                    ),
+                ),
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    nb = bucketed(b).withColumnRenamed("n", "n_base")
+    nc = bucketed(c).withColumnRenamed("n", "n_cur")
+    scaffold = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    full = (
+        scaffold.join(F.broadcast(nb), "bucket", "left")
+        .join(F.broadcast(nc), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    shares = full.select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        (F.col("n_base") / F.sum("n_base").over(w)).alias("p_raw"),
+        (F.col("n_cur") / F.sum("n_cur").over(w)).alias("q_raw"),
+    )
+    padj = F.greatest(F.col("p_raw"), F.lit(float(eps)))
+    qadj = F.greatest(F.col("q_raw"), F.lit(float(eps)))
+    term = (padj - qadj) * F.log(padj / qadj)
+    # quantize each term to integer micro-units BEFORE summing: the
+    # grand total becomes exact integer addition (order-invariant and
+    # engine-portable); ROUND-then-CAST because a bare bigint cast
+    # truncates in Spark but rounds in DuckDB
+    termed = shares.withColumn(
+        "term_u", F.round(term * 1_000_000, 0).cast("bigint")
+    )
+    return termed.select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        F.round("p_raw", 6).alias("p"),
+        F.round("q_raw", 6).alias("q"),
+        (F.col("term_u") / 1_000_000).alias("psi_term"),
+        (F.sum("term_u").over(w) / 1_000_000).alias("psi_total"),
+    )

@@ -244,3 +244,103 @@ def pack_sequences(
             "bigint"
         ),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    matched_ts_col: str = "asof_ts",
+) -> DataFrame:
+    """Generic as-of join (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics): for every left row, attach ``value_cols`` from the
+    single right row with the largest ``right_ts`` <= ``left_ts``
+    (direction='backward', inclusive) or the smallest >= (forward),
+    within the same ``by`` keys. Unmatched left rows keep NULLs
+    (left-join contract); ``matched_ts_col`` carries the matched right
+    timestamp. ``tolerance_seconds`` voids matches farther than the
+    bound (match ts AND values null out together).
+
+    Scale-first plan — union + fill-down, NOT a range join: a range-
+    predicate join explodes to (left × right-rows-before) candidate
+    pairs per key before picking the max; skewed keys make that
+    quadratic. Here both sides union into one stream, one shuffle on
+    ``by``, and a running last-non-null window fills each left row
+    from the nearest preceding right row — O(n log n) per key with no
+    pair blowup, the same discipline as the sessionizer. At 100 TB:
+    the window's sort rides the union's single exchange; AQE handles
+    moderate key skew, and a giant key degrades to its own sorted
+    partition, never to a pair explosion.
+
+    CONTRACT: right must be unique per (by, right_ts) — pre-aggregate
+    duplicates (e.g. keep-last) or the filled value is the union
+    sort's tiebreak pick, not a defined winner. Matches DuckDB ASOF
+    (which is likewise ambiguous under duplicate right timestamps).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    by = list(by)
+    vals = list(value_cols)
+    for c in (matched_ts_col, "_is_left"):
+        if c in left.columns:
+            raise ValueError(f"left already has a column named {c!r}")
+    r = right.select(
+        *by,
+        F.col(right_ts).alias(matched_ts_col),
+        *[F.col(v).alias(f"_r_{v}") for v in vals],
+        F.lit(0).alias("_is_left"),
+    )
+    keep = [c for c in left.columns]
+    l_ = left.select(
+        *keep,
+        F.lit(None).cast(r.schema[matched_ts_col].dataType).alias(matched_ts_col),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in vals],
+        F.lit(1).alias("_is_left"),
+    )
+    # right rows sort BEFORE left rows at equal ts (backward) so the
+    # at-or-before match is inclusive; forward mirrors with desc order
+    ts_order = F.col("_ts_u") if direction == "backward" else F.col("_ts_u").desc()
+    u = (
+        l_.unionByName(r.withColumns({c: F.lit(None).cast(left.schema[c].dataType) for c in keep if c not in by + [matched_ts_col]}), allowMissingColumns=True)
+        .withColumn(
+            "_ts_u",
+            F.when(F.col("_is_left") == 1, F.col(left_ts)).otherwise(
+                F.col(matched_ts_col)
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_order, F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumns(
+        {
+            matched_ts_col: F.last(matched_ts_col, ignorenulls=True).over(w),
+            **{f"_r_{v}": F.last(f"_r_{v}", ignorenulls=True).over(w) for v in vals},
+        }
+    )
+    out = filled.filter(F.col("_is_left") == 1)
+    if tolerance_seconds is not None:
+        dist = F.abs(
+            F.col(left_ts).cast("double") - F.col(matched_ts_col).cast("double")
+        )
+        ok = F.col(matched_ts_col).isNotNull() & (dist <= float(tolerance_seconds))
+        out = out.withColumns(
+            {
+                **{
+                    f"_r_{v}": F.when(ok, F.col(f"_r_{v}")) for v in vals
+                },
+                matched_ts_col: F.when(ok, F.col(matched_ts_col)),
+            }
+        )
+    return out.select(
+        *keep,
+        F.col(matched_ts_col),
+        *[F.col(f"_r_{v}").alias(v) for v in vals],
+    )

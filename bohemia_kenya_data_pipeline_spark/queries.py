@@ -9797,3 +9797,112 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.semantic_dedup_pairs(
         _t(spark, sf_dir, "embeddings"), n_anchors=8, threshold=0.3
     )
+
+
+@_register(
+    "psi_price_drift",
+    """
+    WITH b AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+               FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+    cu AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+           FROM orders WHERE o_orderdate >= DATE '1998-01-01'),
+    bounds AS (SELECT MIN(c) AS minc, MAX(c) AS maxc FROM b),
+    nb AS (SELECT LEAST(9, GREATEST(0, CAST((c - minc) * 10 // (maxc - minc + 1) AS INTEGER))) AS bucket,
+                  COUNT(*) AS n FROM b CROSS JOIN bounds GROUP BY 1),
+    nc AS (SELECT LEAST(9, GREATEST(0, CAST((c - minc) * 10 // (maxc - minc + 1) AS INTEGER))) AS bucket,
+                  COUNT(*) AS n FROM cu CROSS JOIN bounds GROUP BY 1),
+    sc AS (SELECT CAST(g AS INTEGER) AS bucket FROM generate_series(0, 9) t(g)),
+    full_b AS (SELECT sc.bucket,
+                      CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_base,
+                      CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_cur
+               FROM sc LEFT JOIN nb USING (bucket) LEFT JOIN nc USING (bucket)),
+    sh AS (SELECT bucket, n_base, n_cur,
+                  n_base * 1.0 / SUM(n_base) OVER () AS p_raw,
+                  n_cur * 1.0 / SUM(n_cur) OVER () AS q_raw
+           FROM full_b),
+    tm AS (SELECT *,
+                  CAST(ROUND((GREATEST(p_raw, 0.0001) - GREATEST(q_raw, 0.0001))
+                             * LN(GREATEST(p_raw, 0.0001) / GREATEST(q_raw, 0.0001))
+                             * 1000000, 0) AS BIGINT) AS term_u
+           FROM sh)
+    SELECT bucket, n_base, n_cur,
+           ROUND(p_raw, 6) AS p, ROUND(q_raw, 6) AS q,
+           term_u / 1000000.0 AS psi_term,
+           CAST(SUM(term_u) OVER () AS BIGINT) / 1000000.0 AS psi_total
+    FROM tm
+    """,
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Population Stability Index over the order-price distribution,
+    # baseline (pre-1998) vs current (1998+). Integer-cents bucket
+    # math and integer-micro-unit PSI terms make the whole statistic
+    # engine-exact (SCALING.md hazards #1-#3); the eps guard handles
+    # empty buckets on either side.
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1998-01-01")
+    cur = orders.filter(F.col("o_orderdate") >= "1998-01-01")
+    return st.population_stability(base, cur, "o_totalprice", n_buckets=10)
+
+
+@_register(
+    "temperature_mix_sample",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT SUM(n) AS total, SUM(POWER(n, 0.5)) AS sw FROM c),
+    r AS (SELECT lang,
+                 LEAST(1.0, (total * 0.5) * (POWER(n, 0.5) / sw) / n) AS rate
+          FROM c CROSS JOIN t),
+    d AS (SELECT doc_id, lang, source,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+          FROM documents)
+    SELECT d.doc_id, d.lang, d.source
+    FROM d JOIN r USING (lang)
+    WHERE r.rate >= 1.0 OR d.u < r.rate
+    """,
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature-based mixture rebalancing (weights ∝ count^0.5):
+    # rare languages keep a HIGHER per-row rate than dominant ones, at
+    # a fixed 50% overall budget. Rates are computed from the data
+    # (one count agg + 1-row totals broadcast), selection is the
+    # hash-uniform compared against the rate COLUMN — deterministic,
+    # partition-invariant, and mirrored exactly by the oracle.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return smp.temperature_mix(
+        docs, key_col="doc_id", group_col="lang", alpha=0.5, budget_frac=0.5
+    )
+
+
+@_register(
+    "asof_last_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, MAX(value) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+           c.ts AS asof_ts, c.click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Generic as-of join (merge_asof semantics): each purchase picks
+    # the user's latest at-or-before click. The Spark plan is the
+    # union + fill-down formulation (ONE shuffle on user_id, no range-
+    # join pair blowup); the oracle is DuckDB's native ASOF LEFT JOIN
+    # — two entirely different algorithms, same contract. Right side
+    # pre-aggregated unique per (user_id, ts) per the operator
+    # contract (both engines are tiebreak-ambiguous under duplicate
+    # right timestamps).
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").groupBy("user_id", "ts").agg(
+        F.max("value").alias("click_value")
+    )
+    return W.asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["click_value"]
+    )

@@ -84,3 +84,74 @@ def test_approx_count_distinct_rsd_sweep_sf01(spark):
         for k, n in exact.items():
             tol = max(5 * rsd * n, 2)
             assert abs(approx[k] - n) <= tol, (rsd, k, n, approx[k])
+
+
+# ---------------------------------------------------------------------------
+# Generic as-of join (windows.asof_join)
+# ---------------------------------------------------------------------------
+
+
+def _asof_frames(spark):
+    import datetime as dt
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10), "p1"), (1, T(2024, 1, 1, 12), "p2"),
+         (2, T(2024, 1, 1, 9), "p3")],
+        ["uid", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 9, 30), 5.0), (1, T(2024, 1, 1, 11), 7.0),
+         (1, T(2024, 1, 1, 12), 9.0), (3, T(2024, 1, 1, 8), 1.0)],
+        ["uid", "rts", "val"],
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_unmatched(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import windows as W
+
+    left, right = _asof_frames(spark)
+    got = {
+        r.tag: r.val
+        for r in W.asof_join(left, right, ["uid"], "ts", "rts", ["val"]).collect()
+    }
+    # p2's equal-timestamp right row matches (inclusive <=); p3's key
+    # has no right rows at all -> NULL (left-join contract)
+    assert got == {"p1": 5.0, "p2": 9.0, "p3": None}
+
+
+def test_asof_forward_direction(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import windows as W
+
+    left, right = _asof_frames(spark)
+    got = {
+        r.tag: r.val
+        for r in W.asof_join(
+            left, right, ["uid"], "ts", "rts", ["val"], direction="forward"
+        ).collect()
+    }
+    assert got == {"p1": 7.0, "p2": 9.0, "p3": None}
+
+
+def test_asof_tolerance_voids_far_matches(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import windows as W
+
+    left, right = _asof_frames(spark)
+    out = W.asof_join(
+        left, right, ["uid"], "ts", "rts", ["val"], tolerance_seconds=60
+    ).collect()
+    got = {r.tag: (r.val, r.asof_ts) for r in out}
+    # only p2's exact-timestamp match is within 60s; ts and value null
+    # out TOGETHER
+    assert got["p2"][0] == 9.0 and got["p2"][1] is not None
+    assert got["p1"] == (None, None) and got["p3"] == (None, None)
+
+
+def test_asof_partition_invariance(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import windows as W
+
+    left, right = _asof_frames(spark)
+    a = W.asof_join(left.coalesce(1), right.coalesce(1), ["uid"], "ts", "rts", ["val"])
+    b = W.asof_join(left.repartition(7), right.repartition(5), ["uid"], "ts", "rts", ["val"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -359,3 +359,71 @@ def test_weighted_sample_per_stratum_k(spark):
     got = smp.weighted_sample_top_k(df, "k", "w", 5, strata_cols=["g"])
     per = {r.g: r.n for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert per == {"0": 5, "1": 5, "2": 5}
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture resampling
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark):
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(25)]
+    return spark.createDataFrame(rows, ["doc_id", "grp"])
+
+
+def test_temperature_rates_flatten_mixture(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    rates = {
+        r.grp: r.rate
+        for r in smp.temperature_mix_rates(
+            _skewed(spark), "grp", alpha=0.5, budget_frac=0.5
+        ).collect()
+    }
+    # alpha<1 up-weights the rare group: its keep RATE must exceed the
+    # dominant group's
+    assert rates["small"] > rates["big"]
+    # alpha=1 keeps natural proportions: every group gets the budget rate
+    nat = {
+        r.grp: r.rate
+        for r in smp.temperature_mix_rates(
+            _skewed(spark), "grp", alpha=1.0, budget_frac=0.5
+        ).collect()
+    }
+    assert abs(nat["big"] - 0.5) < 1e-12 and abs(nat["small"] - 0.5) < 1e-12
+
+
+def test_temperature_rate_clamps_at_one(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    # alpha=0 gives equal weight per group; the tiny group's target
+    # (overall_budget/2 = 106 rows) exceeds its 25 members -> clamp
+    rates = {
+        r.grp: r.rate
+        for r in smp.temperature_mix_rates(
+            _skewed(spark), "grp", alpha=0.0, budget_frac=0.5
+        ).collect()
+    }
+    assert rates["small"] == 1.0
+    sampled = smp.temperature_mix(_skewed(spark), "doc_id", "grp", 0.0, 0.5)
+    small = sampled.filter("grp = 'small'").count()
+    assert small == 25  # clamped group kept whole
+
+
+def test_temperature_mix_partition_invariant(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    df = _skewed(spark)
+    a = smp.temperature_mix(df.coalesce(1), "doc_id", "grp", 0.5, 0.4)
+    b = smp.temperature_mix(df.repartition(13), "doc_id", "grp", 0.5, 0.4)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+
+
+def test_temperature_mix_hits_budget_approximately(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    df = _skewed(spark)
+    n = smp.temperature_mix(df, "doc_id", "grp", 0.5, 0.5).count()
+    assert abs(n - 0.5 * 425) < 0.12 * 425  # hash-binomial tolerance

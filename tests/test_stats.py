@@ -362,3 +362,52 @@ def test_cms_empty_sketch_estimates_zero(spark):
     sk = st.build_cms(empty, "k", width=16, depth=2)
     got = st.cms_estimate(sk, probe, "k", width=16, depth=2).collect()
     assert all(r.est_n == 0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# PSI population stability
+# ---------------------------------------------------------------------------
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], ["x"])
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    vals = list(range(100))
+    out = st.population_stability(
+        _vals(spark, vals), _vals(spark, vals), "x", n_buckets=5
+    ).collect()
+    assert len(out) == 5
+    assert all(r.psi_total == 0.0 for r in out)
+    assert all(r.psi_term == 0.0 for r in out)
+    assert all(r.n_base == r.n_cur for r in out)
+
+
+def test_psi_detects_shift(spark):
+    # baseline uniform over [0,100); current massed in the top fifth
+    base = _vals(spark, range(100))
+    cur = _vals(spark, [90 + i % 10 for i in range(100)])
+    out = st.population_stability(base, cur, "x", n_buckets=5).collect()
+    psi = out[0].psi_total
+    assert psi > 0.25  # "drifted" by the standard PSI rubric
+    by_bucket = {r.bucket: r for r in out}
+    assert by_bucket[4].q > by_bucket[4].p  # mass moved to the top bucket
+    assert by_bucket[0].n_cur == 0  # bottom bucket emptied (eps guard active)
+
+
+def test_psi_out_of_range_current_clamps_to_edges(spark):
+    base = _vals(spark, range(10, 20))
+    cur = _vals(spark, [-5, -4, 100, 200])  # entirely outside baseline range
+    out = {r.bucket: r for r in st.population_stability(
+        base, cur, "x", n_buckets=4
+    ).collect()}
+    assert out[0].n_cur == 2 and out[3].n_cur == 2
+    assert sum(r.n_cur for r in out.values()) == 4  # nothing dropped
+
+
+def test_psi_total_is_sum_of_terms(spark):
+    base = _vals(spark, range(50))
+    cur = _vals(spark, [x * 0.7 for x in range(50)])
+    rows = st.population_stability(base, cur, "x", n_buckets=5).collect()
+    assert abs(rows[0].psi_total - sum(r.psi_term for r in rows)) < 1e-9
