@@ -460,3 +460,101 @@ def dedup_lines(
     return ids.join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
+
+
+#: Gopher "required words" (Rae et al. 2021, A1.1): a doc must contain
+#: at least 2 of these to pass the stop-word rule.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rules quality filter (Rae et al. 2021, Appendix A1.1 —
+    the de-facto standard pretraining quality gate, reused by
+    RefinedWeb/Dolma/FineWeb): per-document boolean flags for each
+    rule plus the overall ``pass_gopher`` verdict, with the supporting
+    counts so downstream reports can explain WHY a doc failed.
+
+    Rules (thresholds as in the paper):
+      word count in [50, 100000]; mean word length in [3, 10];
+      symbol-to-word ratio (# or ...) < 0.1; < 90% of lines starting
+      with a bullet; < 30% of lines ending with an ellipsis; > 80% of
+      words containing an alphabetic character; >= 2 of the 8 Gopher
+      required words present.
+
+    Every threshold is evaluated as INTEGER cross-multiplication
+    (``10*n_symbol < n_words`` instead of ``n_symbol/n_words < 0.1``)
+    — no float ratio ever exists, so bucket-boundary ulps can't flip
+    a flag, cross-engine or cross-run (SCALING.md hazard #2). Line
+    ratios on a doc with no non-empty lines pass vacuously (such docs
+    already fail the word-count rule).
+
+    Pure Column expressions over one bound tokenization and one bound
+    line split (``bind_once`` — Catalyst does no CSE inside lambdas);
+    map-side, no shuffle, scan-stage evaluation at any scale.
+    """
+    text = F.col(text_col)
+    req = F.array(*[F.lit(wd) for wd in GOPHER_REQUIRED_WORDS])
+
+    def flags(toks: Column) -> Column:
+        lines = F.filter(
+            F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+            lambda ln: ln != "",
+        )
+
+        def lines_flags(ls: Column) -> Column:
+            n_words = F.size(toks)
+            word_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+            n_symbol = (
+                F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+                + F.floor(
+                    (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+                    / 3
+                ).cast("int")
+            )
+            n_lines = F.size(ls)
+            n_bullet = F.size(
+                F.filter(ls, lambda ln: F.substring(ln, 1, 1).isin("•", "‣", "-", "*"))
+            )
+            n_ellipsis = F.size(
+                F.filter(ls, lambda ln: ln.endswith("...") | ln.endswith("…"))
+            )
+            n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+            n_stop = F.size(
+                F.array_intersect(
+                    F.array_distinct(F.transform(toks, lambda t: F.lower(t))), req
+                )
+            )
+            return F.struct(
+                n_words.alias("n_words"),
+                word_chars.alias("word_chars"),
+                n_symbol.alias("n_symbol"),
+                n_lines.alias("n_lines"),
+                n_bullet.alias("n_bullet"),
+                n_ellipsis.alias("n_ellipsis"),
+                n_alpha.alias("n_alpha_words"),
+                n_stop.alias("n_required_words"),
+                ((n_words >= 50) & (n_words <= 100000)).alias("flag_word_count"),
+                (
+                    (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+                ).alias("flag_mean_word_len"),
+                (10 * n_symbol < n_words).alias("flag_symbol_ratio"),
+                ((n_lines == 0) | (10 * n_bullet < 9 * n_lines)).alias("flag_bullet_lines"),
+                ((n_lines == 0) | (10 * n_ellipsis < 3 * n_lines)).alias(
+                    "flag_ellipsis_lines"
+                ),
+                (5 * n_alpha > 4 * n_words).alias("flag_alpha_words"),
+                (n_stop >= 2).alias("flag_required_words"),
+            )
+
+        return bind_once(lines, lines_flags)
+
+    s = bind_once(tokens(text), flags)
+    out = df.select(F.col(id_col), s.alias("_g")).select(id_col, "_g.*")
+    flag_cols = [c for c in out.columns if c.startswith("flag_")]
+    cond = flag_cols[0]
+    acc = F.col(cond)
+    for c in flag_cols[1:]:
+        acc = acc & F.col(c)
+    return out.withColumn("pass_gopher", acc)

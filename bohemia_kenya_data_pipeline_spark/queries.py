@@ -9906,3 +9906,56 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.asof_join(
         purchases, clicks, ["user_id"], "ts", "ts", ["click_value"]
     )
+
+
+_GOPHER_REQ_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+@_register(
+    "gopher_quality_gate",
+    f"""
+    WITH w AS (SELECT doc_id, text, {_SQL_TOKS.format(c='text')} AS w FROM documents),
+    l AS (SELECT doc_id, text, w,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            x -> trim(x)), x -> x <> '') AS ls
+          FROM w),
+    c AS (SELECT doc_id,
+                 CAST(len(w) AS INTEGER) AS n_words,
+                 CAST(COALESCE(list_aggregate(list_transform(w, t -> length(t)),
+                                              'sum'), 0) AS INTEGER) AS word_chars,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                      + (length(text) - length(replace(text, '...', ''))) // 3
+                      AS INTEGER) AS n_symbol,
+                 CAST(len(ls) AS INTEGER) AS n_lines,
+                 CAST(len(list_filter(ls, x -> left(x, 1) IN ('•', '‣', '-', '*')))
+                      AS INTEGER) AS n_bullet,
+                 CAST(len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))
+                      AS INTEGER) AS n_ellipsis,
+                 CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+                      AS INTEGER) AS n_alpha_words,
+                 CAST(len(list_intersect(list_distinct(list_transform(w, t -> lower(t))),
+                                         {_GOPHER_REQ_SQL})) AS INTEGER)
+                      AS n_required_words
+          FROM l),
+    f AS (SELECT *,
+                 (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+                 (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+                   AS flag_mean_word_len,
+                 (10 * n_symbol < n_words) AS flag_symbol_ratio,
+                 (n_lines = 0 OR 10 * n_bullet < 9 * n_lines) AS flag_bullet_lines,
+                 (n_lines = 0 OR 10 * n_ellipsis < 3 * n_lines) AS flag_ellipsis_lines,
+                 (5 * n_alpha_words > 4 * n_words) AS flag_alpha_words,
+                 (n_required_words >= 2) AS flag_required_words
+          FROM c)
+    SELECT *,
+           (flag_word_count AND flag_mean_word_len AND flag_symbol_ratio
+            AND flag_bullet_lines AND flag_ellipsis_lines AND flag_alpha_words
+            AND flag_required_words) AS pass_gopher
+    FROM f
+    """,
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-rules quality gate (Rae et al. 2021 A1.1): per-rule flags
+    # + verdict, all thresholds as integer cross-multiplications (no
+    # float ratio exists anywhere — engine-exact by construction).
+    return tx.gopher_quality_flags(_t(spark, sf_dir, "documents"))

@@ -477,3 +477,72 @@ def test_efficacy_pfu_safetynew_v0_packs_fire_exactly(spark):
     assert [r.KEY for r in by["hh_gps_accuracy_too_high"]] == ["v3"]
     assert [r.KEY for r in by["hh_individual_age_too_high"]] == ["k1"]
     assert all(r.anomalies_reports_to_wid == "" for r in rows)  # v0: no wid
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (text.gopher_quality_flags)
+# ---------------------------------------------------------------------------
+
+
+def _gopher(spark, docs):
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {r.doc_id: r for r in tx.gopher_quality_flags(df).collect()}
+
+
+def test_gopher_clean_doc_passes(spark):
+    clean = " ".join(
+        ["the quick brown fox jumps over the lazy dog and that have with be to of"]
+        * 5
+    )  # 80 words, all alpha, plenty of required words
+    got = _gopher(spark, [(1, clean)])[1]
+    assert got.pass_gopher
+    assert got.n_words == 80 and got.flag_word_count
+    assert got.n_required_words == 8
+
+
+def test_gopher_short_doc_fails_word_count_only_that_rule(spark):
+    got = _gopher(spark, [(1, "the cat sat and that have with be")])[1]
+    assert not got.flag_word_count and not got.pass_gopher
+    assert got.flag_required_words and got.flag_alpha_words
+
+
+def test_gopher_symbol_ratio_rule(spark):
+    base = ("word " * 60).strip()
+    noisy = base + " " + "#" * 10  # 61 words, 10 '#' -> ratio >= 0.1
+    got = _gopher(spark, [(1, noisy)])[1]
+    assert got.n_symbol == 10 and not got.flag_symbol_ratio
+    ok = base + " ##"  # 2 symbols over 61 words -> fine
+    assert _gopher(spark, [(2, ok)])[2].flag_symbol_ratio
+
+
+def test_gopher_ellipsis_counts_as_symbol_and_line_rule(spark):
+    text = "\n".join(["the good line that it is..."] * 2 + ["plain line here"])
+    got = _gopher(spark, [(1, text)])[1]
+    assert got.n_ellipsis == 2 and got.n_lines == 3
+    assert not got.flag_ellipsis_lines  # 2/3 > 0.3
+
+
+def test_gopher_bullet_line_rule(spark):
+    bullets = "\n".join(["- item one", "- item two", "• item three", "tail"])
+    got = _gopher(spark, [(1, bullets)])[1]
+    assert got.n_bullet == 3 and got.n_lines == 4
+    assert got.flag_bullet_lines  # 3/4 = 0.75 < 0.9 -> still passes
+    # every line a bullet (1.0 >= 0.9) -> fails
+    allb = "\n".join(["- a", "- b"])
+    assert not _gopher(spark, [(2, allb)])[2].flag_bullet_lines
+
+
+def test_gopher_alpha_words_rule(spark):
+    nums = ("123 456 " * 30).strip()  # 60 words, zero alphabetic
+    got = _gopher(spark, [(1, nums)])[1]
+    assert got.n_alpha_words == 0 and not got.flag_alpha_words
+
+
+def test_gopher_mean_word_length_rule(spark):
+    tiny = ("a b " * 30).strip()  # mean length 1 < 3
+    got = _gopher(spark, [(1, tiny)])[1]
+    assert not got.flag_mean_word_len
+    long_words = ("extraordinarily " * 55).strip()  # mean 16 > 10
+    assert not _gopher(spark, [(2, long_words)])[2].flag_mean_word_len
