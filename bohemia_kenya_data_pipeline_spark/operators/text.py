@@ -558,3 +558,66 @@ def gopher_quality_flags(
     for c in flag_cols[1:]:
         acc = acc & F.col(c)
     return out.withColumn("pass_gopher", acc)
+
+
+def js_divergence(
+    base: DataFrame,
+    cur: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence (base 2, so 0 <= JSD <= 1) between the
+    unigram token distributions of two corpora — the text-side drift
+    gate complementing :func:`~..stats.population_stability` (PSI) for
+    numerics: corpus refreshes, domain rebalances, and contamination
+    events all move the token mixture before they move any numeric
+    profile.
+
+    JSD = 0.5·KL(P||M) + 0.5·KL(Q||M), M = (P+Q)/2, with 0·log(0) = 0
+    (absent terms contribute only via the other side's half).
+
+    Engine/scale notes: one token-count aggregate per corpus (map-side
+    combined), a full-outer join on the term, then per-term
+    contributions quantized to integer NANO-units before the grand
+    total — the vocabulary-sized sum is exact integer addition,
+    order-invariant and immune to libm log ulps flipping a float total
+    (same discipline as the PSI terms; SCALING.md hazards #2-#3).
+
+    Returns one row: (n_terms_base, n_terms_cur, n_shared, jsd_bits).
+    """
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"n_{side}"))
+        )
+
+    b, c = counts(base, "b"), counts(cur, "c")
+    joined = b.join(c, "term", "full_outer").select(
+        "term",
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.coalesce("n_c", F.lit(0)).alias("n_c"),
+    )
+    tot = joined.agg(
+        F.sum("n_b").alias("tb"), F.sum("n_c").alias("tc")
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    p = F.col("n_b") / F.col("tb")
+    q = F.col("n_c") / F.col("tc")
+    m = (p + q) / 2
+    ln2 = 0.6931471805599453
+    contrib = (
+        F.when(F.col("n_b") > 0, 0.5 * p * F.log(p / m) / ln2).otherwise(F.lit(0.0))
+        + F.when(F.col("n_c") > 0, 0.5 * q * F.log(q / m) / ln2).otherwise(F.lit(0.0))
+    )
+    per_term = j.select(
+        (F.col("n_b") > 0).cast("int").alias("in_b"),
+        (F.col("n_c") > 0).cast("int").alias("in_c"),
+        F.round(contrib * 1_000_000_000, 0).cast("bigint").alias("c_nano"),
+    )
+    return per_term.agg(
+        F.sum("in_b").cast("bigint").alias("n_terms_base"),
+        F.sum("in_c").cast("bigint").alias("n_terms_cur"),
+        F.sum(F.col("in_b") * F.col("in_c")).cast("bigint").alias("n_shared"),
+        (F.sum("c_nano") / 1_000_000_000).alias("jsd_bits"),
+    )

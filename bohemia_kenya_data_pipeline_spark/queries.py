@@ -9959,3 +9959,50 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + verdict, all thresholds as integer cross-multiplications (no
     # float ratio exists anywhere — engine-exact by construction).
     return tx.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "jsd_lang_drift",
+    f"""
+    WITH bt AS (SELECT unnest({_SQL_TOKS.format(c='text')}) AS term
+                FROM documents WHERE lang = 'en'),
+    ct AS (SELECT unnest({_SQL_TOKS.format(c='text')}) AS term
+           FROM documents WHERE lang <> 'en'),
+    b AS (SELECT term, COUNT(*) AS n_b FROM bt GROUP BY 1),
+    c AS (SELECT term, COUNT(*) AS n_c FROM ct GROUP BY 1),
+    fj AS (SELECT COALESCE(b.term, c.term) AS term,
+                  COALESCE(n_b, 0) AS n_b, COALESCE(n_c, 0) AS n_c
+           FROM b FULL OUTER JOIN c ON b.term = c.term),
+    t AS (SELECT SUM(n_b) AS tb, SUM(n_c) AS tc FROM fj),
+    pt AS (SELECT CASE WHEN n_b > 0 THEN 1 ELSE 0 END AS in_b,
+                  CASE WHEN n_c > 0 THEN 1 ELSE 0 END AS in_c,
+                  CAST(ROUND((
+                    CASE WHEN n_b > 0 THEN
+                      0.5 * (n_b * 1.0 / tb)
+                          * LN((n_b * 1.0 / tb) / (((n_b * 1.0 / tb) + (n_c * 1.0 / tc)) / 2))
+                          / 0.6931471805599453
+                    ELSE 0 END
+                    + CASE WHEN n_c > 0 THEN
+                        0.5 * (n_c * 1.0 / tc)
+                            * LN((n_c * 1.0 / tc) / (((n_b * 1.0 / tb) + (n_c * 1.0 / tc)) / 2))
+                            / 0.6931471805599453
+                      ELSE 0 END) * 1000000000, 0) AS BIGINT) AS c_nano
+           FROM fj CROSS JOIN t)
+    SELECT CAST(SUM(in_b) AS BIGINT) AS n_terms_base,
+           CAST(SUM(in_c) AS BIGINT) AS n_terms_cur,
+           CAST(SUM(in_b * in_c) AS BIGINT) AS n_shared,
+           CAST(SUM(c_nano) AS BIGINT) / 1000000000.0 AS jsd_bits
+    FROM pt
+    """,
+)
+def jsd_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jensen-Shannon divergence between the English and non-English
+    # token distributions — the text-distribution drift gate (PSI's
+    # companion). Per-term contributions are quantized to integer
+    # nano-units before the vocabulary-sized sum, so the total is
+    # order-invariant exact integer addition in both engines.
+    docs = _t(spark, sf_dir, "documents")
+    return tx.js_divergence(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    )

@@ -546,3 +546,40 @@ def test_gopher_mean_word_length_rule(spark):
     assert not got.flag_mean_word_len
     long_words = ("extraordinarily " * 55).strip()  # mean 16 > 10
     assert not _gopher(spark, [(2, long_words)])[2].flag_mean_word_len
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence (text.js_divergence)
+# ---------------------------------------------------------------------------
+
+
+def _jsd(spark, base_docs, cur_docs):
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    b = spark.createDataFrame([(t,) for t in base_docs], ["text"])
+    c = spark.createDataFrame([(t,) for t in cur_docs], ["text"])
+    return tx.js_divergence(b, c).collect()[0]
+
+
+def test_jsd_identical_corpora_is_zero(spark):
+    docs = ["alpha beta gamma", "beta gamma delta delta"]
+    r = _jsd(spark, docs, docs)
+    assert r.jsd_bits == 0.0
+    assert r.n_terms_base == r.n_terms_cur == r.n_shared == 4
+
+
+def test_jsd_disjoint_corpora_is_one_bit(spark):
+    r = _jsd(spark, ["aa bb cc"], ["xx yy zz"])
+    assert abs(r.jsd_bits - 1.0) < 1e-6  # disjoint supports -> max JSD (base 2)
+    assert r.n_shared == 0
+
+
+def test_jsd_partial_overlap_between_zero_and_one(spark):
+    r = _jsd(spark, ["aa bb aa bb"], ["aa bb xx yy"])
+    assert 0.0 < r.jsd_bits < 1.0
+    assert r.n_shared == 2
+
+
+def test_jsd_symmetric(spark):
+    a, b = ["aa bb cc cc"], ["bb cc dd"]
+    assert abs(_jsd(spark, a, b).jsd_bits - _jsd(spark, b, a).jsd_bits) < 1e-9
