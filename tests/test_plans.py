@@ -182,3 +182,44 @@ def test_cusum_windows_share_one_user_shuffle(spark):
 def test_basket_supports_broadcast_back(spark):
     plan = _plan(QUERIES["market_basket_brand_pairs"](spark, SF_DIR))
     assert "BroadcastExchange" in plan
+
+
+def test_asof_join_single_union_exchange(spark):
+    # union + fill-down as-of plan: ONE hash exchange on the by-keys
+    # carries the window; no range/theta join (which would explode to
+    # pair candidates), no extra shuffle of either side
+    plan = _plan(QUERIES["asof_last_click"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 2  # clicks pre-agg + window
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_mix_rates_broadcast_no_data_shuffle(spark):
+    # the data side must receive the rates by BROADCAST; the only hash
+    # exchanges belong to the group-count aggregates (rate metadata)
+    plan = _plan(QUERIES["temperature_mix_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_flags_scan_local(spark):
+    # pure Column expressions: no shuffle, no join, no aggregation
+    plan = _plan(QUERIES["gopher_quality_gate"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semantic_dedup_one_cluster_exchange(spark):
+    # anchor assignment is a map-side literal fold; the ONLY exchanges
+    # are the cid equi-join's (both sides hash on cid)
+    plan = _plan(QUERIES["semantic_dedup_pairs"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan  # never a cross join
+    # anchor scores/argmax must not introduce an aggregate before join
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_psi_bucket_aggregates_are_narrow(spark):
+    # two snapshot scans feed 10-group aggregates; the scaffold joins
+    # are broadcasts of bucket-cardinality metadata
+    plan = _plan(QUERIES["psi_price_drift"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
