@@ -95,6 +95,14 @@ HEADLINE = [
     "cusum_drift_alarms",
     "attribution_last_touch",
     "embedding_drift_by_label",
+    # round-5 continuation: semantic dedup, drift gates, as-of join,
+    # Gopher quality, temperature remix
+    "semantic_dedup_pairs",
+    "asof_last_click",
+    "gopher_quality_gate",
+    "psi_price_drift",
+    "temperature_mix_sample",
+    "jsd_lang_drift",
 ]
 
 

@@ -752,20 +752,38 @@ def population_stability(
     n_buckets: int = 10,
     eps: float = 1e-4,
     scale: int = 100,
+    bucket_mode: str = "width",
 ) -> DataFrame:
     """Population Stability Index between a baseline and a current
     snapshot of a numeric column — the standard drift gate for model
     features and corpus statistics (PSI < 0.1 stable, 0.1-0.25 watch,
     > 0.25 drifted).
 
-    Equi-width buckets are derived from the BASELINE min/max (current
-    values outside the baseline range clamp into the edge buckets, the
-    convention that makes new-range drift visible as edge-bucket mass).
-    Bucket math is integer end-to-end: values are scaled to integer
-    units (``scale``, e.g. cents) and the bucket index is an integer
-    multiply-divide — float boundary ulps can't flip a row's bucket,
-    cross-engine or cross-run. ``eps`` guards empty-bucket shares
-    before the log-ratio (the standard PSI zero-share convention).
+    ``bucket_mode='width'``: equi-width buckets from the BASELINE
+    min/max (current values outside the baseline range clamp into the
+    edge buckets, the convention that makes new-range drift visible as
+    edge-bucket mass). ``bucket_mode='quantile'``: equal-frequency
+    buckets at baseline order statistics — the textbook PSI
+    formulation, robust to heavy tails (an equi-width bucketing of a
+    log-normal feature parks 99% of mass in bucket 0). Cuts are TRUE
+    order statistics computed with integer ranks (``ceil(i*N/nb)`` as
+    ``(i*N + nb - 1) DIV nb``), never interpolated floats — so the
+    whole statistic stays engine-exact in quantile mode too. Heavy
+    ties can merge adjacent cuts (some buckets legitimately empty; the
+    eps guard covers them).
+
+    Bucket math is integer end-to-end in BOTH modes: values are scaled
+    to integer units (``scale``, e.g. cents) and bucket indexes come
+    from integer multiply-divides or integer-cut comparisons — float
+    boundary ulps can't flip a row's bucket, cross-engine or
+    cross-run. ``eps`` guards empty-bucket shares before the
+    log-ratio (the standard PSI zero-share convention).
+
+    Quantile-mode scale note: the cut derivation runs a cumulative
+    window over the DISTINCT baseline values — bounded by value
+    cardinality, not row count (quantized features keep this small;
+    same single-partition-over-distincts shape as the weighted-median
+    query, with the same caveat in its plan).
 
     Scale notes (100 TB): two scans (one per snapshot), each feeding a
     map-side-combined ``n_buckets``-group aggregate; the baseline
@@ -782,6 +800,10 @@ def population_stability(
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if bucket_mode not in ("width", "quantile"):
+        raise ValueError(
+            f"bucket_mode must be 'width' or 'quantile', got {bucket_mode!r}"
+        )
     spark = base.sparkSession
 
     def cents(df: DataFrame) -> DataFrame:
@@ -790,32 +812,77 @@ def population_stability(
         ).filter(F.col("c").isNotNull())
 
     b, c = cents(base), cents(cur)
-    bounds = b.agg(
-        F.min("c").alias("minc"), F.max("c").alias("maxc")
-    )
 
-    def bucketed(df: DataFrame) -> DataFrame:
-        # (c - minc) * nb DIV span, clamped. DIV truncates toward zero
-        # in Spark but floors in DuckDB for negative numerators — the
-        # GREATEST(0, ...) clamp absorbs the divergence (both engines
-        # land at 0 for any below-range value).
-        return (
-            df.crossJoin(F.broadcast(bounds))
-            .withColumn(
-                "bucket",
-                F.least(
-                    F.lit(n_buckets - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.expr(
-                            f"CAST((c - minc) * {n_buckets} DIV (maxc - minc + 1) AS INT)"
+    if bucket_mode == "width":
+        bounds = b.agg(
+            F.min("c").alias("minc"), F.max("c").alias("maxc")
+        )
+
+        def bucketed(df: DataFrame) -> DataFrame:
+            # (c - minc) * nb DIV span, clamped. DIV truncates toward
+            # zero in Spark but floors in DuckDB for negative
+            # numerators — the GREATEST(0, ...) clamp absorbs the
+            # divergence (both engines land at 0 below-range).
+            return (
+                df.crossJoin(F.broadcast(bounds))
+                .withColumn(
+                    "bucket",
+                    F.least(
+                        F.lit(n_buckets - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.expr(
+                                f"CAST((c - minc) * {n_buckets} DIV (maxc - minc + 1) AS INT)"
+                            ),
                         ),
                     ),
-                ),
+                )
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
             )
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    else:
+        # quantile cuts as exact order statistics, integer ranks only:
+        # cut_i = smallest value with at least ceil(i*N/nb) baseline
+        # rows at-or-below it. One groupBy on the value + a cumulative
+        # window over DISTINCT values (cardinality-bounded).
+        from pyspark.sql import Window as _W
+
+        cnts = b.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        tot = cnts.agg(F.sum("n").alias("base_total"))
+        cum = cnts.withColumn(
+            "cum",
+            F.sum("n").over(
+                _W.orderBy("c").rowsBetween(_W.unboundedPreceding, 0)
+            ),
         )
+        pos = spark.range(1, n_buckets).select(F.col("id").alias("i"))
+        cuts = (
+            cum.crossJoin(F.broadcast(pos))
+            .crossJoin(F.broadcast(tot))
+            .filter(
+                F.col("cum")
+                >= F.expr(f"(i * base_total + {n_buckets} - 1) DIV {n_buckets}")
+            )
+            .groupBy("i")
+            .agg(F.min("c").alias("cut"))
+        )
+        cut_arr = cuts.agg(F.array_sort(F.collect_list("cut")).alias("cuts"))
+
+        def bucketed(df: DataFrame) -> DataFrame:
+            # bucket = number of cuts strictly below the value — pure
+            # integer comparisons against a broadcast 1-row cut array
+            return (
+                df.crossJoin(F.broadcast(cut_arr))
+                .withColumn(
+                    "bucket",
+                    F.size(
+                        F.filter(F.col("cuts"), lambda x: x < F.col("c"))
+                    ).cast("int"),
+                )
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            )
 
     nb = bucketed(b).withColumnRenamed("n", "n_base")
     nc = bucketed(c).withColumnRenamed("n", "n_cur")

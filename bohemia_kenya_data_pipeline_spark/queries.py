@@ -10006,3 +10006,56 @@ def jsd_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("lang") == "en"),
         docs.filter(F.col("lang") != "en"),
     )
+
+
+@_register(
+    "psi_price_drift_quantile",
+    """
+    WITH b AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+               FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+    cu AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+           FROM orders WHERE o_orderdate >= DATE '1998-01-01'),
+    cnts AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM cnts),
+    cum AS (SELECT c, CAST(SUM(n) OVER (ORDER BY c) AS BIGINT) AS cum FROM cnts),
+    pos AS (SELECT CAST(g AS BIGINT) AS i FROM generate_series(1, 9) t(g)),
+    cuts AS (SELECT i, MIN(c) AS cut
+             FROM cum CROSS JOIN pos CROSS JOIN tot
+             WHERE cum >= (i * N + 9) // 10 GROUP BY i),
+    arr AS (SELECT list(cut ORDER BY cut) AS cuts FROM cuts),
+    nb AS (SELECT CAST(len(list_filter(arr.cuts, x -> x < c)) AS INTEGER) AS bucket,
+                  COUNT(*) AS n FROM b CROSS JOIN arr GROUP BY 1),
+    nc AS (SELECT CAST(len(list_filter(arr.cuts, x -> x < c)) AS INTEGER) AS bucket,
+                  COUNT(*) AS n FROM cu CROSS JOIN arr GROUP BY 1),
+    sc AS (SELECT CAST(g AS INTEGER) AS bucket FROM generate_series(0, 9) t(g)),
+    full_b AS (SELECT sc.bucket,
+                      CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_base,
+                      CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_cur
+               FROM sc LEFT JOIN nb USING (bucket) LEFT JOIN nc USING (bucket)),
+    sh AS (SELECT bucket, n_base, n_cur,
+                  n_base * 1.0 / SUM(n_base) OVER () AS p_raw,
+                  n_cur * 1.0 / SUM(n_cur) OVER () AS q_raw
+           FROM full_b),
+    tm AS (SELECT *,
+                  CAST(ROUND((GREATEST(p_raw, 0.0001) - GREATEST(q_raw, 0.0001))
+                             * LN(GREATEST(p_raw, 0.0001) / GREATEST(q_raw, 0.0001))
+                             * 1000000, 0) AS BIGINT) AS term_u
+           FROM sh)
+    SELECT bucket, n_base, n_cur,
+           ROUND(p_raw, 6) AS p, ROUND(q_raw, 6) AS q,
+           term_u / 1000000.0 AS psi_term,
+           CAST(SUM(term_u) OVER () AS BIGINT) / 1000000.0 AS psi_total
+    FROM tm
+    """,
+)
+def psi_price_drift_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PSI in its textbook equal-frequency form: cuts are TRUE baseline
+    # order statistics at integer ranks ceil(i*N/10) — zero floats in
+    # the whole bucketing path, so the engines agree bit-for-bit even
+    # on tie-heavy data.
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1998-01-01")
+    cur = orders.filter(F.col("o_orderdate") >= "1998-01-01")
+    return st.population_stability(
+        base, cur, "o_totalprice", n_buckets=10, bucket_mode="quantile"
+    )

@@ -71,6 +71,13 @@ LINEAR = [
     "resolution_delete_set",
     "sessionize_events",
     "minhash_lsh_pairs_capped",
+    # round-5 continuation: union+fill-down as-of join, scan-local
+    # Gopher flags, narrow-aggregate drift gates, broadcast-rate remix
+    "asof_last_click",
+    "gopher_quality_gate",
+    "psi_price_drift",
+    "temperature_mix_sample",
+    "jsd_lang_drift",
 ]
 
 #: quadratic BY CONSTRUCTION (query set = fixed fraction of corpus, or
@@ -94,6 +101,14 @@ QUADRATIC = {
         "right plan; the synthetic replica violates its density "
         "assumption, the fix is coordinate-space scaling, not a plan "
         "change"
+    ),
+    "semantic_dedup_pairs": (
+        "the replica clones every embedding F times, so every semantic "
+        "cluster is F x denser and within-cluster pairs grow F^2 — the "
+        "same density artifact as the spatial entry, but ALSO the real "
+        "semdedup failure mode on duplicate-heavy corpora; the designed "
+        "bound is max_cluster_size (see semantic_dedup_capped) plus the "
+        "drop_exact_duplicates-first contract"
     ),
 }
 
@@ -163,11 +178,24 @@ def _nearest_area_scaled(spark, sf_dir: str, n1_max: int):
     return sp.nearest_neighbor_bucketed(pts, hf)
 
 
+def _semantic_dedup_capped(spark, sf_dir: str, n1_max: int):
+    # the production regime on a duplicate-heavy corpus: per-cluster
+    # membership capped, so pair volume is bounded at 8*C(cap,2) while
+    # assignment + the cid shuffle stay linear in corpus size
+    from bohemia_kenya_data_pipeline_spark.operators import dedup as dd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.semantic_dedup_pairs(
+        emb, n_anchors=8, threshold=0.3, max_cluster_size=200
+    )
+
+
 FIXEDQ = {
     "quantized_fixedq": _quantized_fixedq,
     "ivf_ann_fixedq": _ivf_ann_fixedq,
     "cosine_fixedq": _cosine_fixedq,
     "spatial_nearest_area_scaled": _nearest_area_scaled,
+    "semantic_dedup_capped": _semantic_dedup_capped,
 }
 
 
@@ -287,6 +315,10 @@ def main() -> None:
         measure(name, small, lambda d, q=QUERIES[name]: _noop(q(spark, d)))
         results[name]["note"] = note
     fixedq_notes = {
+        "semantic_dedup_capped": (
+            "max_cluster_size=200 bounds within-cluster pairs; slope "
+            "measures assignment + cid shuffle, the linear part"
+        ),
         "spatial_nearest_area_scaled": (
             "area grows with data at constant density (the real-world "
             "scale-up): slope measures the grid join itself, not the "

@@ -411,3 +411,46 @@ def test_psi_total_is_sum_of_terms(spark):
     cur = _vals(spark, [x * 0.7 for x in range(50)])
     rows = st.population_stability(base, cur, "x", n_buckets=5).collect()
     assert abs(rows[0].psi_total - sum(r.psi_term for r in rows)) < 1e-9
+
+
+def test_psi_quantile_mode_equal_frequency_baseline(spark):
+    # uniform baseline: every quantile bucket holds ~N/nb baseline rows
+    base = _vals(spark, range(100))
+    out = st.population_stability(
+        base, base, "x", n_buckets=5, bucket_mode="quantile"
+    ).collect()
+    assert sorted(r.n_base for r in out) == [20] * 5
+    assert all(r.psi_total == 0.0 for r in out)
+
+
+def test_psi_quantile_mode_tie_heavy_buckets_can_merge(spark):
+    # 90% of baseline mass on one value: cuts collapse, some buckets
+    # legitimately empty, statistic still defined via the eps guard
+    base = _vals(spark, [5.0] * 90 + list(range(10)))
+    cur = _vals(spark, range(100))
+    out = st.population_stability(
+        base, cur, "x", n_buckets=5, bucket_mode="quantile"
+    ).collect()
+    assert sum(r.n_base for r in out) == 100
+    assert sum(r.n_cur for r in out) == 100
+    assert out[0].psi_total > 0
+
+
+def test_psi_quantile_detects_shift_width_misses(spark):
+    # log-normal-ish heavy tail: equi-width parks everything in bucket
+    # 0 and sees little drift; quantile buckets expose the median shift
+    base = _vals(spark, [1.0] * 80 + [2.0] * 15 + [10000.0] * 5)
+    cur = _vals(spark, [2.0] * 80 + [1.0] * 15 + [10000.0] * 5)
+    w = st.population_stability(base, cur, "x", n_buckets=5).collect()
+    q = st.population_stability(
+        base, cur, "x", n_buckets=5, bucket_mode="quantile"
+    ).collect()
+    assert q[0].psi_total > w[0].psi_total
+
+
+def test_psi_rejects_unknown_bucket_mode(spark):
+    import pytest as _pytest
+
+    base = _vals(spark, range(10))
+    with _pytest.raises(ValueError, match="bucket_mode"):
+        st.population_stability(base, base, "x", bucket_mode="log")
