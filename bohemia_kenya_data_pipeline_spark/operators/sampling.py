@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: 16**8 — one past the largest 8-hex-char value ("ffffffff").
@@ -331,4 +331,36 @@ def temperature_mix(
         df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
         .filter((F.col("rate") >= 1.0) | (u < F.col("rate")))
         .drop("rate")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str | Sequence[str],
+    key_col: str,
+    max_rows: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group, chosen by hash order —
+    the per-domain cap of a crawl pipeline (no single host may
+    contribute more than N documents), and the generic anti-skew
+    guard for any group-bounded sampling need.
+
+    Hash order (not insertion or value order) makes the kept subset a
+    deterministic pseudo-random sample of each group, stable across
+    partitionings and engines; ties on the hash break by the key
+    itself. One window shuffle on the group key(s) — the same
+    exchange any per-group bound needs. Groups under the cap pass
+    whole (rank <= cap needs no separate count).
+    """
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*groups).orderBy(
+        _hash_hex(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("_cap_rk", F.row_number().over(w))
+        .filter(F.col("_cap_rk") <= max_rows)
+        .drop("_cap_rk")
     )

@@ -621,3 +621,53 @@ def js_divergence(
         F.sum(F.col("in_b") * F.col("in_c")).cast("bigint").alias("n_shared"),
         (F.sum("c_nano") / 1_000_000_000).alias("jsd_bits"),
     )
+
+
+#: Minimal public-suffix exceptions for registrable-domain extraction —
+#: the common two-level TLDs. A production deployment swaps in the full
+#: Mozilla PSL (a broadcast lookup table, same plan shape); the short
+#: literal keeps the expression engine-portable for the oracle.
+MINI_PUBLIC_SUFFIXES = ["co.uk", "com.au", "co.jp", "com.br", "co.in", "co.ke"]
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Web-corpus URL featurization: scheme, host (userinfo/port
+    stripped), registrable domain (last two labels, or three under a
+    known two-level public suffix), TLD, path depth, query-param count
+    — the columns a crawl-curation pipeline groups, caps, and
+    dedups by (per-domain caps, domain mixing, URL-keyed dedup).
+
+    Pure RE2-safe regex + array expressions (no lookarounds, no
+    backrefs), scan-local at any scale; malformed URLs yield ''/0
+    rather than NULLs so downstream group-bys keep them countable.
+    """
+    url = F.col(url_col)
+    scheme = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(url, r"://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    two = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    three = F.concat_ws(".", F.element_at(labels, -3), two)
+    psl = F.array(*[F.lit(s) for s in MINI_PUBLIC_SUFFIXES])
+    registrable = (
+        F.when(host == "", F.lit(""))
+        .when((n >= 3) & F.array_contains(psl, two), three)
+        .when(n >= 2, two)
+        .otherwise(host)
+    )
+    return df.withColumns(
+        {
+            "scheme": scheme,
+            "host": host,
+            "registrable_domain": registrable,
+            "tld": F.when(host == "", F.lit("")).otherwise(F.element_at(labels, -1)),
+            "path_depth": F.size(
+                F.filter(F.split(path, "/"), lambda t: t != "")
+            ).cast("int"),
+            "n_query_params": F.when(query == "", F.lit(0))
+            .otherwise(F.size(F.split(query, "&")))
+            .cast("int"),
+        }
+    )

@@ -10059,3 +10059,67 @@ def psi_price_drift_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.population_stability(
         base, cur, "o_totalprice", n_buckets=10, bucket_mode="quantile"
     )
+
+
+@_register(
+    "domain_cap_sample",
+    """
+    WITH d AS (SELECT doc_id,
+                      'https://' || source || '.example.'
+                        || CASE WHEN lang = 'en' THEN 'co.uk' ELSE 'com' END
+                        || '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+                        || CASE WHEN doc_id % 3 = 0 THEN '?ref=rss&utm=1' ELSE '' END
+                        AS url
+               FROM documents),
+    f AS (SELECT doc_id, url,
+                 regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host,
+                 regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+                 regexp_extract(url, '\\?([^#]*)', 1) AS q
+          FROM d),
+    g AS (SELECT doc_id, host,
+                 string_split(host, '.') AS labels,
+                 CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+                      AS INTEGER) AS path_depth,
+                 CAST(CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END
+                      AS INTEGER) AS n_query_params
+          FROM f),
+    h AS (SELECT doc_id, host, path_depth, n_query_params,
+                 labels[-1] AS tld,
+                 labels[-2] || '.' || labels[-1] AS two,
+                 CASE WHEN len(labels) >= 3
+                        AND list_contains(['co.uk', 'com.au', 'co.jp', 'com.br',
+                                           'co.in', 'co.ke'],
+                                          labels[-2] || '.' || labels[-1])
+                      THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                      WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+                      ELSE host END AS registrable_domain
+          FROM g)
+    SELECT doc_id, host, registrable_domain, tld, path_depth, n_query_params
+    FROM h
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY host
+        ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8), doc_id
+    ) <= 8
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Web-curation composition: URL synthesis -> url_features (scheme/
+    # host/registrable-domain/TLD/path/query parsing, RE2-safe regex)
+    # -> per-host cap of 8 docs by hash order (the crawl pipeline's
+    # "no host dominates the corpus" guard). The oracle mirrors the
+    # parsing AND the cap (QUALIFY over the same md5 order).
+    from .operators import sampling as _smp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example."),
+        F.when(F.col("lang") == "en", F.lit("co.uk")).otherwise(F.lit("com")),
+        F.lit("/"), F.col("lang"), F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?ref=rss&utm=1")).otherwise(F.lit("")),
+    )
+    feats = tx.url_features(docs.withColumn("url", url))
+    capped = _smp.cap_per_group(feats, "host", "doc_id", 8)
+    return capped.select(
+        "doc_id", "host", "registrable_domain", "tld", "path_depth", "n_query_params"
+    )

@@ -583,3 +583,33 @@ def test_jsd_partial_overlap_between_zero_and_one(spark):
 def test_jsd_symmetric(spark):
     a, b = ["aa bb cc cc"], ["bb cc dd"]
     assert abs(_jsd(spark, a, b).jsd_bits - _jsd(spark, b, a).jsd_bits) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# URL featurization (text.url_features)
+# ---------------------------------------------------------------------------
+
+
+def _urls(spark, urls):
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "url"])
+    return {r.i: r for r in tx.url_features(df).collect()}
+
+
+def test_url_features_full_parse(spark):
+    r = _urls(spark, ["https://user:p@www.news.example.co.uk:8080/a/b/c?x=1&y=2#frag"])[0]
+    assert r.scheme == "https"
+    assert r.host == "www.news.example.co.uk"  # userinfo + port stripped
+    assert r.registrable_domain == "example.co.uk"  # PSL-aware
+    assert r.tld == "uk"
+    assert r.path_depth == 3
+    assert r.n_query_params == 2
+
+
+def test_url_features_simple_and_bare(spark):
+    got = _urls(spark, ["http://example.com", "ftp://a.b.c.org/x", "not a url"])
+    assert got[0].registrable_domain == "example.com" and got[0].path_depth == 0
+    assert got[1].registrable_domain == "c.org" and got[1].scheme == "ftp"
+    assert got[2].host == "" and got[2].registrable_domain == ""
+    assert got[2].n_query_params == 0

@@ -427,3 +427,25 @@ def test_temperature_mix_hits_budget_approximately(spark):
     df = _skewed(spark)
     n = smp.temperature_mix(df, "doc_id", "grp", 0.5, 0.5).count()
     assert abs(n - 0.5 * 425) < 0.12 * 425  # hash-binomial tolerance
+
+
+def test_cap_per_group_keeps_whole_small_groups(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    rows = [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = smp.cap_per_group(df, "g", "k", 5)
+    got = {g: 0 for g in ("big", "small")}
+    for r in out.collect():
+        got[r.g] += 1
+    assert got == {"big": 5, "small": 3}
+
+
+def test_cap_per_group_deterministic_and_partition_invariant(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import sampling as smp
+
+    rows = [(i, i % 4) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    a = sorted(r.k for r in smp.cap_per_group(df.coalesce(1), "g", "k", 7).collect())
+    b = sorted(r.k for r in smp.cap_per_group(df.repartition(11), "g", "k", 7).collect())
+    assert a == b and len(a) == 28
