@@ -10123,3 +10123,49 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select(
         "doc_id", "host", "registrable_domain", "tld", "path_depth", "n_query_params"
     )
+
+
+@_register(
+    "split_no_leakage",
+    "WITH RECURSIVE "
+    + _lsh_pairs_sql(16, 4)
+    + """,
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    j AS (SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS sk
+          FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(sk AS VARCHAR) || '|42'), 1, 8) < 'cccccccd'
+                THEN 'train' ELSE 'test' END AS split,
+           sk AS split_key
+    FROM j
+    """,
+)
+def split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-safe train/test split: near-dup docs must land on the
+    # SAME side (hash-splitting raw doc_ids leaks eval answers into
+    # training via paraphrase-level duplicates). Split key = connected
+    # component of the LSH near-dup graph (unpaired docs key on
+    # themselves), then the standard 80/20 hash threshold. The oracle
+    # mirrors components (recursive CTE) AND the split hash.
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    comps = dd.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    keyed = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn("split_key", F.coalesce("component", F.col("doc_id")))
+    )
+    from .operators import sampling as _smp
+
+    return _smp.split_by_hash(
+        keyed, "split_key", {"train": 0.8, "test": 0.2}
+    ).select("doc_id", "split", "split_key")

@@ -85,3 +85,30 @@ def test_partition_invariance(spark):
     p1 = dedup.semantic_dedup_pairs(emb.coalesce(1), n_anchors=3, threshold=0.99)
     p7 = dedup.semantic_dedup_pairs(emb.repartition(7), n_anchors=3, threshold=0.99)
     assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p7.collect()))
+
+
+def test_split_no_leakage_components_stay_together(spark):
+    # components of near-identical docs must share a split label
+    from bohemia_kenya_data_pipeline_spark.operators import dedup, sampling as smp
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "grp%d" % (i // 3)) for i in range(30)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30, 3)] + [(i + 1, i + 2) for i in range(0, 30, 3)],
+        ["id_a", "id_b"],
+    )
+    comps = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    keyed = docs.join(comps, "doc_id", "left").withColumn(
+        "split_key", F.coalesce("component", F.col("doc_id"))
+    )
+    out = smp.split_by_hash(keyed, "split_key", {"train": 0.8, "test": 0.2})
+    per_comp = (
+        out.groupBy("split_key")
+        .agg(F.countDistinct("split").alias("n_labels"))
+        .collect()
+    )
+    assert all(r.n_labels == 1 for r in per_comp)
+    labels = {r.split for r in out.collect()}
+    assert labels <= {"train", "test"}
