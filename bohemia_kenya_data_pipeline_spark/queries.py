@@ -10169,3 +10169,105 @@ def split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _smp.split_by_hash(
         keyed, "split_key", {"train": 0.8, "test": 0.2}
     ).select("doc_id", "split", "split_key")
+
+
+@_register(
+    "dsir_importance_sample",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, unnest({_SQL_TOKS.format(c='text')}) AS token
+                 FROM documents),
+    cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    corpus_r AS (SELECT token, SUM(c) AS cf_r FROM cnt GROUP BY 1),
+    corpus_t AS (SELECT token, COUNT(*) AS cf_t FROM tok WHERE lang = 'en' GROUP BY 1),
+    vocab AS (SELECT COALESCE(r.token, t.token) AS token,
+                     COALESCE(cf_r, 0) AS cf_r, COALESCE(cf_t, 0) AS cf_t
+              FROM corpus_r r FULL OUTER JOIN corpus_t t ON r.token = t.token),
+    tots AS (SELECT CAST(SUM(cf_t) AS BIGINT) AS nt,
+                    CAST(SUM(cf_r) AS BIGINT) AS nr,
+                    CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    lr AS (SELECT token,
+                  LN((cf_t + 1.0) / (nt + v)) - LN((cf_r + 1.0) / (nr + v)) AS lrat
+           FROM vocab CROSS JOIN tots),
+    perdoc AS (SELECT cnt.doc_id,
+                      ROUND(SUM(cnt.c * lr.lrat) / SUM(cnt.c), 6) AS log_ratio
+               FROM cnt JOIN lr USING (token) GROUP BY cnt.doc_id),
+    keyed AS (SELECT doc_id, log_ratio,
+                     LN(-LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8))::BIGINT
+                             + 0.5) / 4294967296.0)) - log_ratio AS gkey
+              FROM perdoc)
+    SELECT doc_id, log_ratio,
+           CAST(ROW_NUMBER() OVER (ORDER BY gkey, doc_id) AS INTEGER) AS rank
+    FROM keyed
+    QUALIFY rank <= 100
+    """,
+)
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    # importance weight = target-LM / raw-LM likelihood ratio under
+    # add-1-smoothed unigram LMs over the UNION vocabulary, then
+    # weighted sampling WITHOUT replacement via the Gumbel-top-k trick
+    # — rank by ln(-ln(u)) - log_ratio with a hash-derived u, which
+    # orders exactly like u^(1/w) but never exponentiates the weight
+    # (u = (hash32 + 0.5)/2^32 stays strictly inside (0,1), dodging
+    # the Spark-NULL/DuckDB-inf ln(0) hazard). Deterministic,
+    # partition-invariant, mirrored exactly by the oracle.
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tx.tokens(F.col("text"))).alias("token")
+    )
+    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    corpus_r = cnt.groupBy("token").agg(F.sum("c").alias("cf_r"))
+    corpus_t = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cf_t"))
+    )
+    vocab = (
+        corpus_r.join(corpus_t, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("cf_r", F.lit(0)).alias("cf_r"),
+            F.coalesce("cf_t", F.lit(0)).alias("cf_t"),
+        )
+    )
+    tots = vocab.agg(
+        F.sum("cf_t").cast("bigint").alias("nt"),
+        F.sum("cf_r").cast("bigint").alias("nr"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lr = vocab.crossJoin(F.broadcast(tots)).select(
+        "token",
+        (
+            F.log((F.col("cf_t") + 1.0) / (F.col("nt") + F.col("v")))
+            - F.log((F.col("cf_r") + 1.0) / (F.col("nr") + F.col("v")))
+        ).alias("lrat"),
+    )
+    perdoc = (
+        cnt.join(lr, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.col("lrat")) / F.sum("c"), 6
+            ).alias("log_ratio")
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|42"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    keyed = perdoc.withColumn("gkey", F.log(-F.log(u)) - F.col("log_ratio"))
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), THEN rank the k survivors; a bare global
+    # row_number window would funnel the whole corpus through one task
+    top = keyed.orderBy("gkey", "doc_id").limit(100)
+    w = Window.orderBy("gkey", "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "log_ratio", "rank")
+    )
