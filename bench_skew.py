@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -456,6 +457,94 @@ def bench_new_families(spark, sf_dir: str, entries: dict, checks: dict) -> None:
     checks["triangles_found"] = tri_mid
 
 
+
+
+def bench_asof_giant_key(spark, sf_dir: str, entries: dict, checks: dict) -> None:
+    """As-of join under a giant key: the union+fill-down plan
+    (windows.asof_join) is O(n log n) in the key's row count, while the
+    naive range-join-then-argmax formulation generates (purchase x
+    prior-clicks) candidate PAIRS — quadratic in the hot key. Measured
+    at two inflation levels so the record shows the naive slope ~2 vs
+    the operator's ~1, with result identity asserted at the small size
+    (the same reason the LSH cap and salted join exist: bound pair
+    growth, never generate it)."""
+    from bohemia_kenya_data_pipeline_spark.operators import windows as W
+
+    def giant_events(inflate: int) -> DataFrame:
+        rep = F.explode(F.array(*[F.lit(i) for i in range(inflate)]))
+        ev = (
+            _events(spark, sf_dir)
+            .withColumn("rep", rep)
+            .withColumn("event_id", F.col("event_id") * inflate + F.col("rep"))
+            .withColumn(
+                "ts",
+                F.col("ts")
+                + F.make_interval(
+                    secs=F.pmod(F.hash("event_id"), F.lit(86400)).cast("double")
+                ),
+            )
+            .drop("rep")
+        )
+        cut = int(HOT_FRACTION * 10)
+        return ev.withColumn(
+            "user_id",
+            F.when(
+                F.pmod(F.hash("event_id"), F.lit(10)) < cut, F.lit(GIANT_USER)
+            ).otherwise(F.col("user_id")),
+        )
+
+    def sides(inflate: int):
+        ev = giant_events(inflate)
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("click_value"))
+        )
+        return purchases, clicks
+
+    def asof_run(inflate: int):
+        p_, c_ = sides(inflate)
+        _noop(W.asof_join(p_, c_, ["user_id"], "ts", "ts", ["click_value"]))
+
+    def naive_run(inflate: int):
+        # the formulation asof_join exists to avoid: range join emits
+        # every (purchase, earlier-click) pair, then argmax per purchase
+        p_, c_ = sides(inflate)
+        j = p_.join(
+            c_.withColumnRenamed("ts", "cts"),
+            (p_["user_id"] == c_["user_id"]) & (F.col("cts") <= p_["ts"]),
+        )
+        agg = j.groupBy("event_id").agg(F.max("cts").alias("asof_ts"))
+        _noop(agg)
+
+    for inflate in (2, 8):
+        _timed(entries, f"asof_union_filldown_x{inflate}", lambda i=inflate: asof_run(i))
+        _timed(entries, f"asof_naive_rangejoin_x{inflate}", lambda i=inflate: naive_run(i))
+    for kind in ("union_filldown", "naive_rangejoin"):
+        t2 = entries[f"asof_{kind}_x2"]["steady_s"]
+        t8 = entries[f"asof_{kind}_x8"]["steady_s"]
+        checks[f"asof_{kind}_slope"] = round(
+            math.log(max(t8, 1e-3) / max(t2, 1e-3)) / math.log(4), 2
+        )
+    # result identity at the small size: fill-down matched ts == the
+    # range join's MAX(cts) per purchase
+    p_, c_ = sides(2)
+    a = (
+        W.asof_join(p_, c_, ["user_id"], "ts", "ts", ["click_value"])
+        .select("event_id", "asof_ts")
+    )
+    n = p_.join(
+        c_.withColumnRenamed("ts", "cts"),
+        (p_["user_id"] == c_["user_id"]) & (F.col("cts") <= p_["ts"]),
+    ).groupBy("event_id").agg(F.max("cts").alias("asof_ts"))
+    checks["asof_result_identical"] = (
+        a.exceptAll(n).count() == 0 and n.exceptAll(a.filter(F.col("asof_ts").isNotNull())).count() == 0
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="also write the JSON record here")
@@ -472,6 +561,7 @@ def main() -> None:
     bench_salted(spark, sf_dir, entries, checks)
     bench_giant_groups(spark, sf_dir, entries, checks)
     bench_new_families(spark, sf_dir, entries, checks)
+    bench_asof_giant_key(spark, sf_dir, entries, checks)
 
     record = {
         "metric": "adversarial_skew_bench",

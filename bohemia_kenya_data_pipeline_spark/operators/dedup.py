@@ -1041,3 +1041,26 @@ def drop_semantic_dups(
         emb, vec_col, id_col, n_anchors, threshold, anchors, max_cluster_size
     )
     return drop_neardup_clusters(emb, pairs, id_col)
+
+
+def drop_exact_duplicates_best(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup apply: per distinct text keep the row with
+    the HIGHEST ``quality_col`` (ties break on min id) instead of the
+    min-id row — the curation policy when duplicates differ in
+    metadata (longest extraction, freshest crawl, best source score).
+    One window over the same md5-content shuffle the min-id apply
+    uses; deterministic under ties by construction.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_dd_rk", F.row_number().over(w))
+        .filter(F.col("_dd_rk") == 1)
+        .drop("_dd_rk")
+    )

@@ -10271,3 +10271,22 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "log_ratio", "rank")
     )
+
+
+@_register(
+    "dedup_apply_best",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                               ORDER BY n_chars DESC, doc_id) = 1
+    """,
+)
+def dedup_apply_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-aware dedup apply: per content hash keep the LONGEST
+    # duplicate (ties min id) — the "keep the most complete version"
+    # curation policy, vs dedup_apply's min-id rule.
+    kept = dd.drop_exact_duplicates_best(
+        _t(spark, sf_dir, "documents"), quality_col="n_chars"
+    )
+    return kept.select("doc_id", "lang", "source", "n_chars")

@@ -181,3 +181,15 @@ def test_edit1_pairs_max_len_skips_not_truncates(spark):
     # long strings are skipped entirely (even identical ones); the
     # short substitution pair is still found
     assert got == {(3, 4)}
+
+
+def test_drop_exact_duplicates_best_keeps_highest_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "same text", 5.0), (2, "same text", 9.0), (3, "same text", 9.0),
+         (4, "other", 1.0)],
+        ["doc_id", "text", "score"],
+    )
+    kept = dedup.drop_exact_duplicates_best(df, quality_col="score")
+    got = sorted(r.doc_id for r in kept.collect())
+    # highest score wins; tie between 2 and 3 breaks on min id
+    assert got == [2, 4]
