@@ -1064,3 +1064,98 @@ def drop_exact_duplicates_best(
         .filter(F.col("_dd_rk") == 1)
         .drop("_dd_rk")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection (the token-level dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — suffix-array duplicate spans, re-expressed relationally):
+    find every maximal token range that appears verbatim in at least
+    ``min_docs`` distinct documents.
+
+    A position ``p`` in a document is *duplicated* when its ``n``-token
+    shingle starting at ``p`` also occurs in another document.
+    Overlapping / adjacent duplicated positions are merged into maximal
+    spans (gaps-and-islands over the position axis), so a boilerplate
+    paragraph shows up once as ``[span_start, span_end]``, not as
+    dozens of overlapping n-grams. Downstream, the spans are the
+    cut-list for substring-level dedup (remove the range, keep the
+    rest of the document — unlike document-level dedup which throws
+    the whole doc away).
+
+    Plan (no suffix array needed — hashing gives the same n-gram
+    equality classes): positional shingles (scan-local explode) →
+    32-bit md5 shingle hash → distinct (hash, doc) → hash groupBy
+    keeping hashes spanning >= min_docs docs → SEMI join back onto the
+    positions (no fan-out: each position matches at most once, so a
+    shingle duplicated across 10^5 docs costs its postings, never the
+    cross product) → per-doc ordered window merging islands. Shuffles:
+    one on hash (distinct+count), one on (doc) for the merge window.
+    100 TB: every stage is linear in corpus token count; hot
+    boilerplate shingles aggregate to one counter row map-side.
+
+    Returns (id, span_start, span_end, span_tokens) with 1-based
+    token positions, span_end inclusive.
+    """
+
+    def grams(tk: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+        )
+
+    pos = (
+        df.filter(F.size(tokens(text_col)) >= n)
+        .select(F.col(id_col), F.posexplode(bind_once(tokens(text_col), grams)))
+        .select(
+            id_col,
+            (F.col("pos") + 1).alias("pos"),
+            token_hash64(F.col("col")).alias("h"),
+        )
+    )
+    dup_h = (
+        pos.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dup_pos = pos.join(dup_h, "h", "semi")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_pos.withColumn("prev_end", F.max(F.col("pos") + n - 1).over(w_prev))
+    flagged = flagged.withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end") + 1), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_s").over(w_run))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            F.max(F.col("pos") + n - 1).cast("bigint").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -671,3 +671,133 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
             .cast("int"),
         }
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 full-text retrieval: top-k documents per query under the
+    Robertson/Sparck-Jones ranking function with the Lucene idf variant
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (always positive, so a term
+    appearing in most documents cannot flip scores negative).
+
+    ``queries`` is a small (query_id, query_text) table — the search
+    workload. Per (query, doc) score:
+
+        sum over query terms t of
+            idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Per-term contributions are quantized to integer micro-units and
+    summed as BIGINTs, so the total is order-invariant exact addition
+    (float sums re-associate across partitions; see js_divergence).
+
+    Plan shape (the inverted-index query plan): the (doc, token) tf
+    table is the posting list; query terms and their per-term df stats
+    are tiny and BROADCAST onto it, so scoring touches only postings
+    of queried terms — no full-corpus scan per query. Document length
+    ``dl`` is computed scan-local on the base table (no join against
+    the full tf aggregate), and the final top-k is one window over the
+    (query, candidate-doc) set. 100 TB: postings shuffle once on
+    (doc, token) for the tf aggregate; everything query-sized is
+    broadcast; candidate set is |docs containing a query term|, not
+    |docs| x |queries|.
+
+    Returns (query_id, doc_id, score_micros, rank), rank 1..k by
+    descending score with doc-id tie-break.
+    """
+    q_terms = queries.select(
+        "query_id", F.explode(F.array_distinct(tokens("query_text"))).alias("token")
+    )
+    tf = _doc_token_counts(docs, text_col, id_col).withColumnRenamed("c", "tf")
+    dl = docs.select(F.col(id_col), token_count(text_col).cast("bigint").alias("dl"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    avg = dl.crossJoin(F.broadcast(n_docs)).select(
+        (F.sum("dl") * F.lit(1.0) / F.first("n_docs")).alias("avgdl"),
+        F.first("n_docs").alias("n_docs"),
+    )
+    # df restricted to queried terms first (broadcast semi join), so the
+    # doc-frequency aggregate only counts postings we will score anyway.
+    dfreq = (
+        tf.join(F.broadcast(q_terms.select("token").distinct()), "token", "semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    term_stats = (
+        q_terms.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(avg))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(term_stats), "token")
+        .join(dl, id_col)
+        .withColumn(
+            "w_micros",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl")))
+                * 1e6
+            ).cast("bigint"),
+        )
+    )
+    scored = contrib.groupBy("query_id", id_col).agg(
+        F.sum("w_micros").alias("score_micros")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micros"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score_micros", "rank")
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    by_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram-LM mean negative log-likelihood (``unigram_logprob``)
+    and split each ``by_col`` group (per-language, as CCNet does) into
+    equal-count quality buckets — head (lowest nll), middle, tail.
+
+    Bucket boundaries are TRUE order statistics: rank each group by the
+    rounded nll (doc-id tie-break) and assign
+    ``bucket_idx = (rank - 1) * n_buckets DIV group_count`` — pure
+    integer arithmetic, so bucket membership cannot drift with float
+    quantile interpolation or summation order. Groups split into sizes
+    differing by at most 1.
+
+    Plan: one explode+agg for the LM (shared `_doc_token_counts`
+    pre-aggregate), a doc-keyed join to recover ``by_col``, and ONE
+    window shuffle on the group key. Returns
+    (doc_id, by_col, n_tokens, mean_nll, bucket).
+    """
+    nll = unigram_logprob(docs, text_col, id_col)
+    grp = nll.join(docs.select(F.col(id_col), F.col(by_col)), id_col)
+    w = Window.partitionBy(by_col).orderBy(F.asc("mean_nll"), F.asc(id_col))
+    wn = Window.partitionBy(by_col)
+    ranked = grp.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(wn)
+    )
+    # integer DIV: bucket membership is exact order-statistic arithmetic
+    bucket_idx = F.expr(f"(( __rn - 1) * {int(n_buckets)}) div __cnt").cast("int")
+    bucket = (
+        F.when(bucket_idx == 0, "head")
+        .when(bucket_idx == n_buckets - 1, "tail")
+        .otherwise("middle")
+    )
+    return ranked.select(
+        id_col, by_col, "n_tokens", "mean_nll", bucket.alias("bucket")
+    )

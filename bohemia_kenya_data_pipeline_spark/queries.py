@@ -10290,3 +10290,116 @@ def dedup_apply_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), quality_col="n_chars"
     )
     return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+_BM25_QUERIES = [
+    (1, "spark window agg"),
+    (2, "customer query fast"),
+    (3, "vector stream merge slow"),
+]
+
+
+@_register(
+    "bm25_search_topk",
+    f"""
+    WITH q AS (SELECT * FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)})
+               AS v(query_id, query_text)),
+    qt AS (SELECT query_id, unnest(list_distinct({_SQL_TOKS.format(c='query_text')})) AS token
+           FROM q),
+    tok AS (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len({_SQL_TOKS.format(c='text')}) AS dl FROM documents),
+    stats AS (SELECT SUM(dl) * 1.0 / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf
+              WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+    ts AS (SELECT qt.query_id, qt.token,
+                  ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS idf,
+                  stats.avgdl
+           FROM qt JOIN dfreq USING (token) CROSS JOIN stats),
+    contrib AS (
+      SELECT ts.query_id, tf.doc_id,
+             CAST(ROUND(ts.idf * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ts.avgdl)) * 1e6)
+                  AS BIGINT) AS w_micros
+      FROM tf JOIN ts USING (token) JOIN dl USING (doc_id)),
+    scored AS (SELECT query_id, doc_id, SUM(w_micros) AS score_micros
+               FROM contrib GROUP BY 1, 2)
+    SELECT query_id, doc_id, score_micros,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_micros DESC, doc_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 retrieval: top-10 docs for three fixed search queries over
+    # the inverted-index plan (postings shuffle once; query-sized
+    # term stats broadcast). k1=1.2, b=0.75 (so k1+1=2.2, 1-b=0.25).
+    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    return tx.bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=10)
+
+
+@_register(
+    "perplexity_buckets",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS token
+                 FROM documents),
+    cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT token, SUM(c) AS cf FROM cnt GROUP BY 1),
+    tot AS (SELECT SUM(cf) AS n_total FROM corpus),
+    nll AS (SELECT cnt.doc_id,
+                   CAST(SUM(cnt.c) AS BIGINT) AS n_tokens,
+                   ROUND(-SUM(cnt.c * ln(corpus.cf / (1.0 * tot.n_total))) / SUM(cnt.c), 6)
+                     AS mean_nll
+            FROM cnt JOIN corpus USING (token) CROSS JOIN tot
+            GROUP BY cnt.doc_id),
+    ranked AS (SELECT nll.*, d.lang,
+                      ROW_NUMBER() OVER (PARTITION BY d.lang
+                                         ORDER BY mean_nll ASC, nll.doc_id ASC) AS rn,
+                      COUNT(*) OVER (PARTITION BY d.lang) AS cnt_g
+               FROM nll JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, n_tokens, mean_nll,
+           CASE ((rn - 1) * 3) // cnt_g
+                WHEN 0 THEN 'head' WHEN 2 THEN 'tail' ELSE 'middle' END AS bucket
+    FROM ranked
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style per-language head/middle/tail quality bucketing by
+    # unigram-LM perplexity; integer order-statistic boundaries.
+    return tx.perplexity_buckets(_t(spark, sf_dir, "documents"), n_buckets=3)
+
+
+@_register(
+    "duplicate_spans",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS w FROM documents),
+    sh AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+11], ' ') AS sh
+           FROM w, unnest(range(1, len(w) - 10)) AS u(i)
+           WHERE len(w) >= 12),
+    h AS (SELECT doc_id, pos, {_SQL_HASH64.format(x='sh')} AS h FROM sh),
+    duph AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM h)
+             GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM h SEMI JOIN duph USING (h)),
+    isl AS (SELECT doc_id, pos,
+                   MAX(pos + 11) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+            FROM dup),
+    flag AS (SELECT doc_id, pos,
+                    CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS new_s
+             FROM isl),
+    grp AS (SELECT doc_id, pos, SUM(new_s) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM flag)
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos + 11) AS BIGINT) AS span_end,
+           CAST(MAX(pos + 11) - MIN(pos) + 1 AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, island
+    """,
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-level exact substring dedup (Lee et al. 2022 duplicate
+    # spans): maximal 12-gram-anchored token ranges shared verbatim by
+    # >= 2 documents. The SQL mirrors positions 1-based, span_end
+    # inclusive (pos + 11 = pos + n - 1 for n=12).
+    return dd.duplicate_spans(_t(spark, sf_dir, "documents"), n=12)
