@@ -700,13 +700,14 @@ def bm25_topk(
     Plan shape (the inverted-index query plan): the (doc, token) tf
     table is the posting list; query terms and their per-term df stats
     are tiny and BROADCAST onto it, so scoring touches only postings
-    of queried terms — no full-corpus scan per query. Document length
-    ``dl`` is computed scan-local on the base table (no join against
-    the full tf aggregate), and the final top-k is one window over the
-    (query, candidate-doc) set. 100 TB: postings shuffle once on
-    (doc, token) for the tf aggregate; everything query-sized is
-    broadcast; candidate set is |docs containing a query term|, not
-    |docs| x |queries|.
+    of queried terms — postings are broadcast-semi-filtered to the
+    query vocabulary at the scan, so NOTHING corpus-sized ever
+    shuffles. Document length ``dl`` is computed scan-local and rides
+    the filtered tf shuffle as a per-group constant; the final top-k
+    is one window over the (query, candidate-doc) set. 100 TB: two
+    column-pruned corpus scans (postings filter + avgdl), zero
+    corpus-sized shuffles; candidate set is |docs containing a query
+    term|, not |docs| x |queries|.
 
     Returns (query_id, doc_id, score_micros, rank), rank 1..k by
     descending score with doc-id tie-break.
@@ -714,20 +715,23 @@ def bm25_topk(
     q_terms = queries.select(
         "query_id", F.explode(F.array_distinct(tokens("query_text"))).alias("token")
     )
-    tf = _doc_token_counts(docs, text_col, id_col).withColumnRenamed("c", "tf")
-    dl = docs.select(F.col(id_col), token_count(text_col).cast("bigint").alias("dl"))
-    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    avg = dl.crossJoin(F.broadcast(n_docs)).select(
-        (F.sum("dl") * F.lit(1.0) / F.first("n_docs")).alias("avgdl"),
-        F.first("n_docs").alias("n_docs"),
+    # Postings are semi-filtered to the query vocabulary BEFORE any
+    # aggregate (broadcast semi join against the exploded scan), so
+    # nothing corpus-sized ever shuffles — only matching postings do.
+    # dl rides through that filtered shuffle as a per-group constant.
+    base = docs.select(
+        F.col(id_col),
+        token_count(text_col).cast("bigint").alias("dl"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).join(F.broadcast(q_terms.select("token").distinct()), "token", "semi")
+    tf = base.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
-    # df restricted to queried terms first (broadcast semi join), so the
-    # doc-frequency aggregate only counts postings we will score anyway.
-    dfreq = (
-        tf.join(F.broadcast(q_terms.select("token").distinct()), "token", "semi")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+    avg = docs.select(token_count(text_col).cast("bigint").alias("dl")).agg(
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     term_stats = (
         q_terms.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(avg))
@@ -738,7 +742,6 @@ def bm25_topk(
     )
     contrib = (
         tf.join(F.broadcast(term_stats), "token")
-        .join(dl, id_col)
         .withColumn(
             "w_micros",
             F.round(

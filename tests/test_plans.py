@@ -223,3 +223,21 @@ def test_psi_bucket_aggregates_are_narrow(spark):
     plan = _plan(QUERIES["psi_price_drift"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_semi_filters_postings_before_any_shuffle(spark):
+    # the inverted-index contract: the corpus never shuffles — postings
+    # are broadcast-semi-filtered to the query vocabulary at the scan
+    plan = _plan(QUERIES["bm25_search_topk"](spark, SF_DIR))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" not in phys
+    assert "LeftSemi" in phys and "BroadcastHashJoin" in phys
+
+
+def test_duplicate_spans_three_exchanges(spark):
+    # one (hash,doc) distinct+count, one island window on doc — the
+    # semi join back must NOT add a corpus-sized exchange
+    plan = _plan(QUERIES["duplicate_spans"](spark, SF_DIR))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange hashpartitioning") == 3
+    assert "SortMergeJoin" not in phys
