@@ -1159,3 +1159,58 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level dedup APPLY (the transform Lee et al. 2022 run
+    after finding duplicate spans): cut every token range reported by
+    :func:`duplicate_spans` out of each document and keep the rest —
+    unlike document-level dedup, a doc sharing one boilerplate
+    paragraph loses only that paragraph.
+
+    Plan: spans are aggregated to one per-doc array (few spans per
+    doc by construction — they are maximal and disjoint), LEFT-joined
+    back onto the corpus, and the cut happens scan-local as a single
+    positional ``filter`` lambda over the token array (keep token i
+    unless some span covers i+1). One extra equi-join on the doc key
+    beyond the span-finding plan itself; no explode of covered
+    positions, no reassembly aggregation. Docs with no spans pass
+    through verbatim; a doc duplicated wall-to-wall keeps an empty
+    string (caller policy whether to drop).
+
+    Returns (id, text_clean, n_tokens_kept, n_tokens_removed).
+    """
+    spans = duplicate_spans(df, n=n, text_col=text_col, id_col=id_col, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — bound per-element predicate
+        F.col("spans"),
+        lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+    )
+
+    def cut(tk: Column) -> Column:
+        kept = F.filter(tk, lambda t, i: ~covered(i))
+        return F.struct(
+            F.array_join(kept, " ").alias("text_clean"),
+            F.size(kept).cast("bigint").alias("n_tokens_kept"),
+            (F.size(tk) - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+        )
+
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    joined = df.join(per_doc, id_col, "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), empty)
+    )
+    out = joined.withColumn("__c", bind_once(tokens(text_col), cut))
+    return out.select(
+        id_col,
+        F.col("__c.text_clean").alias("text_clean"),
+        F.col("__c.n_tokens_kept").alias("n_tokens_kept"),
+        F.col("__c.n_tokens_removed").alias("n_tokens_removed"),
+    )

@@ -10403,3 +10403,52 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # >= 2 documents. The SQL mirrors positions 1-based, span_end
     # inclusive (pos + 11 = pos + n - 1 for n=12).
     return dd.duplicate_spans(_t(spark, sf_dir, "documents"), n=12)
+
+
+@_register(
+    "substring_dedup_apply",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS w FROM documents),
+    sh AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+11], ' ') AS sh
+           FROM w, unnest(range(1, len(w) - 10)) AS u(i)
+           WHERE len(w) >= 12),
+    h AS (SELECT doc_id, pos, {_SQL_HASH64.format(x='sh')} AS h FROM sh),
+    duph AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM h)
+             GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM h SEMI JOIN duph USING (h)),
+    isl AS (SELECT doc_id, pos,
+                   MAX(pos + 11) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+            FROM dup),
+    flag AS (SELECT doc_id, pos,
+                    CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS new_s
+             FROM isl),
+    grp AS (SELECT doc_id, pos, SUM(new_s) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM flag),
+    spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos + 11) AS e
+              FROM grp GROUP BY doc_id, island),
+    tokpos AS (SELECT doc_id, i AS pos, w[i] AS tok
+               FROM w, unnest(range(1, len(w) + 1)) AS u(i)),
+    covered AS (SELECT doc_id, v.pos
+                FROM spans, unnest(range(s, e + 1)) AS v(pos)),
+    kept AS (SELECT t.doc_id, t.pos, t.tok
+             FROM tokpos t ANTI JOIN covered c USING (doc_id, pos)),
+    agg AS (SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    n AS (SELECT doc_id, len(w) AS n_toks FROM w)
+    SELECT d.doc_id,
+           COALESCE(agg.text_clean, '') AS text_clean,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(n.n_toks - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM documents d JOIN n USING (doc_id) LEFT JOIN agg USING (doc_id)
+    """,
+)
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Substring-level dedup apply: cut every cross-document duplicated
+    # token range (n=12 anchors) and keep the remainder. The oracle
+    # mirrors semantics via position anti-join + ordered string_agg;
+    # the Spark plan cuts scan-local with a positional filter lambda.
+    return dd.remove_duplicate_spans(_t(spark, sf_dir, "documents"), n=12)

@@ -211,3 +211,46 @@ def test_internal_repeat_within_single_doc_not_duplicated(spark):
         (2, "n1 n2 n3 n4 n5 n6"),
     ]
     assert _spans(spark, rows) == []
+
+
+# ------------------------------------------- remove_duplicate_spans
+def test_remove_spans_cuts_only_the_shared_range(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "u1 u2 c1 c2 c3 u3"),
+            (2, "c1 c2 c3 v1 v2 v3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dd.remove_duplicate_spans(df, n=3).collect()}
+    assert out[1]["text_clean"] == "u1 u2 u3"
+    assert out[1]["n_tokens_kept"] == 3 and out[1]["n_tokens_removed"] == 3
+    assert out[2]["text_clean"] == "v1 v2 v3"
+
+
+def test_remove_spans_passthrough_and_wall_to_wall(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 a4"),   # fully duplicated -> empty
+            (2, "a1 a2 a3 a4"),
+            (3, "z1 z2 z3 z4"),   # unique -> untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dd.remove_duplicate_spans(df, n=3).collect()}
+    assert out[1]["text_clean"] == "" and out[1]["n_tokens_removed"] == 4
+    assert out[3]["text_clean"] == "z1 z2 z3 z4" and out[3]["n_tokens_removed"] == 0
+
+
+def test_remove_spans_multiple_islands(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 keep1 keep2 keep3 keep4 b1 b2 b3"),
+            (2, "a1 a2 a3 q1 q2 q3 q4 q5 q6 q7"),
+            (3, "p1 p2 p3 p4 p5 p6 p7 b1 b2 b3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dd.remove_duplicate_spans(df, n=3).collect()}
+    assert out[1]["text_clean"] == "keep1 keep2 keep3 keep4"
+    assert out[1]["n_tokens_removed"] == 6
