@@ -344,3 +344,84 @@ def asof_join(
         F.col(matched_ts_col),
         *[F.col(f"_r_{v}").alias(v) for v in vals],
     )
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "day",
+) -> DataFrame:
+    """Regularize an irregular time series: bucket each key's
+    observations onto a fixed grid, emit EVERY grid cell between the
+    key's first and last observation, and linearly interpolate the
+    value across interior gaps (the resample→interpolate step every
+    sensor/metrics pipeline runs before modeling).
+
+    Observed cells carry the bucket mean computed in integer cents
+    (exact rational — a float SUM would re-associate across partitions
+    and flip the last decimals between engines); interpolated cells
+    blend the previous/next observed means by integer day distance.
+    Leading/trailing cells outside the observed range do not exist by
+    construction (the grid spans min..max per key).
+
+    Plan: one (key, bucket) aggregate, a per-key min/max + sequence
+    explode for the grid (linear in emitted cells), one co-keyed LEFT
+    join, and ONE window shuffle on the key for both fill directions
+    (last-non-null behind, first-non-null ahead). 100 TB: every stage
+    is keyed on ``key_col``; no global window, no driver state.
+
+    Returns (key, bucket_ts, value_filled DOUBLE round-6, src
+    'observed' | 'interpolated').
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    obs = (
+        df.select(F.col(key_col), b.alias("bucket_ts"),
+                  F.round(F.col(value_col) * 100).cast("bigint").alias("cents"))
+        .groupBy(key_col, "bucket_ts")
+        .agg(F.sum("cents").alias("sum_c"), F.count(F.lit(1)).alias("n"))
+    )
+    step = {"day": 86400, "hour": 3600, "week": 604800}[bucket]
+    idx = (F.unix_timestamp(F.col("bucket_ts")) / step).cast("bigint")
+    obs = obs.withColumn("t", idx)
+    grid = (
+        obs.groupBy(key_col)
+        .agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+        .select(key_col, F.explode(F.sequence("t0", "t1")).alias("t"))
+    )
+    joined = grid.join(obs.select(key_col, "t", "sum_c", "n"), [key_col, "t"], "left")
+    w_back = Window.partitionBy(key_col).orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_fwd = Window.partitionBy(key_col).orderBy("t").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    filled = (
+        joined
+        .withColumn("p_sum", F.last("sum_c", ignorenulls=True).over(w_back))
+        .withColumn("p_n", F.last("n", ignorenulls=True).over(w_back))
+        .withColumn("p_t", F.last(F.when(F.col("sum_c").isNotNull(), F.col("t")),
+                                  ignorenulls=True).over(w_back))
+        .withColumn("n_sum", F.first("sum_c", ignorenulls=True).over(w_fwd))
+        .withColumn("n_n", F.first("n", ignorenulls=True).over(w_fwd))
+        .withColumn("n_t", F.first(F.when(F.col("sum_c").isNotNull(), F.col("t")),
+                                   ignorenulls=True).over(w_fwd))
+    )
+    # observed mean and the linear blend, both from exact integer state
+    p_val = F.col("p_sum") / (F.col("p_n") * 100.0)
+    n_val = F.col("n_sum") / (F.col("n_n") * 100.0)
+    interp = p_val + (n_val - p_val) * (F.col("t") - F.col("p_t")) / (
+        F.col("n_t") - F.col("p_t")
+    )
+    value = F.when(
+        F.col("sum_c").isNotNull(), F.col("sum_c") / (F.col("n") * 100.0)
+    ).otherwise(interp)
+    return filled.select(
+        key_col,
+        F.timestamp_seconds(F.col("t") * step).alias("bucket_ts"),
+        F.round(value, 6).alias("value_filled"),
+        F.when(F.col("sum_c").isNotNull(), "observed")
+        .otherwise("interpolated")
+        .alias("src"),
+    )

@@ -10452,3 +10452,51 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mirrors semantics via position anti-join + ordered string_agg;
     # the Spark plan cuts scan-local with a positional filter lambda.
     return dd.remove_duplicate_spans(_t(spark, sf_dir, "documents"), n=12)
+
+
+@_register(
+    "gap_fill_purchase_series",
+    """
+    WITH obs AS (
+      SELECT user_id,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS t,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_c,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2),
+    rng AS (SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, g.t FROM rng, unnest(range(t0, t1 + 1)) AS g(t)),
+    j AS (SELECT grid.user_id, grid.t, o.sum_c, o.n
+          FROM grid LEFT JOIN obs o USING (user_id, t)),
+    f AS (SELECT *,
+            LAST_VALUE(sum_c IGNORE NULLS) OVER wb AS p_sum,
+            LAST_VALUE(n IGNORE NULLS) OVER wb AS p_n,
+            LAST_VALUE(CASE WHEN sum_c IS NOT NULL THEN t END IGNORE NULLS)
+              OVER wb AS p_t,
+            FIRST_VALUE(sum_c IGNORE NULLS) OVER wf AS n_sum,
+            FIRST_VALUE(n IGNORE NULLS) OVER wf AS n_n,
+            FIRST_VALUE(CASE WHEN sum_c IS NOT NULL THEN t END IGNORE NULLS)
+              OVER wf AS n_t
+          FROM j
+          WINDOW wb AS (PARTITION BY user_id ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id ORDER BY t
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id,
+           make_timestamp(t * 86400 * 1000000) AS bucket_ts,
+           ROUND(CASE WHEN sum_c IS NOT NULL THEN sum_c / (n * 100.0)
+                      ELSE (p_sum / (p_n * 100.0))
+                           + ((n_sum / (n_n * 100.0)) - (p_sum / (p_n * 100.0)))
+                             * (t - p_t) / (n_t - p_t) END, 6) AS value_filled,
+           CASE WHEN sum_c IS NOT NULL THEN 'observed'
+                ELSE 'interpolated' END AS src
+    FROM f
+    """,
+)
+def gap_fill_purchase_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-series regularization: per-user daily purchase-value grid
+    # with linear interpolation across interior gaps; bucket means in
+    # integer cents so both engines blend identical exact inputs.
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return W.gap_fill_interpolate(ev, key_col="user_id", ts_col="ts",
+                                  value_col="value", bucket="day")
