@@ -879,3 +879,45 @@ def quantized_topk_prequantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    group_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the standard way
+    to combine heterogeneous rankers (BM25 + dense ANN + priors) in
+    hybrid search: fused score = sum over rankers of 1/(k + rank).
+
+    Each input carries (group, id, rank); candidates missing from a
+    ranker simply contribute nothing (RRF over the union). Per-ranker
+    contributions are quantized to integer nano-units so the fused sum
+    is order-invariant exact addition, then re-ranked per group with
+    id tie-break.
+
+    Plan: unionByName of the (already small, top-k-sized) rankings,
+    one groupBy on (group, id), one window per group. Nothing here is
+    corpus-sized — RRF runs downstream of rankers that already cut to
+    top-k. Returns (group, id, rrf_nanos, rank).
+    """
+    slim = [
+        r.select(
+            F.col(group_col),
+            F.col(id_col),
+            F.round(F.lit(1e9) / (F.col(rank_col) + k)).cast("bigint").alias("c_nanos"),
+        )
+        for r in rankings
+    ]
+    u = slim[0]
+    for s in slim[1:]:
+        u = u.unionByName(s)
+    fused = u.groupBy(group_col, id_col).agg(F.sum("c_nanos").alias("rrf_nanos"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("rrf_nanos"), F.asc(id_col))
+    out = fused.withColumn("rank", F.row_number().over(w).cast("int"))
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out.select(group_col, id_col, "rrf_nanos", "rank")

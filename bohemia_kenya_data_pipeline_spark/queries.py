@@ -10299,10 +10299,10 @@ _BM25_QUERIES = [
 ]
 
 
-@_register(
-    "bm25_search_topk",
-    f"""
-    WITH q AS (SELECT * FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)})
+#: shared CTE chain ending in bm25r(query_id, doc_id, score_micros, rank)
+#: — reused verbatim by the hybrid RRF oracle.
+_BM25_CTE = f"""
+    q AS (SELECT * FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)})
                AS v(query_id, query_text)),
     qt AS (SELECT query_id, unnest(list_distinct({_SQL_TOKS.format(c='query_text')})) AS token
            FROM q),
@@ -10323,12 +10323,20 @@ _BM25_QUERIES = [
                   AS BIGINT) AS w_micros
       FROM tf JOIN ts USING (token) JOIN dl USING (doc_id)),
     scored AS (SELECT query_id, doc_id, SUM(w_micros) AS score_micros
-               FROM contrib GROUP BY 1, 2)
-    SELECT query_id, doc_id, score_micros,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY score_micros DESC, doc_id) AS INT) AS rank
-    FROM scored
-    QUALIFY rank <= 10
+               FROM contrib GROUP BY 1, 2),
+    bm25r AS (SELECT query_id, doc_id, score_micros,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY score_micros DESC, doc_id) AS INT)
+                       AS rank
+              FROM scored)"""
+
+
+@_register(
+    "bm25_search_topk",
+    f"""
+    WITH {_BM25_CTE}
+    SELECT query_id, doc_id, score_micros, rank FROM bm25r
+    WHERE rank <= 10
     """,
 )
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10500,3 +10508,53 @@ def gap_fill_purchase_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return W.gap_fill_interpolate(ev, key_col="user_id", ts_col="ts",
                                   value_col="value", bucket="day")
+
+
+@_register(
+    "hybrid_rank_fusion",
+    f"""
+    WITH {_BM25_CTE},
+    bm AS (SELECT query_id, doc_id, rank FROM bm25r WHERE rank <= 10),
+    quality AS (SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS INT)
+                         AS rank
+                FROM documents
+                QUALIFY rank <= 10),
+    qq AS (SELECT q.query_id, quality.doc_id, quality.rank
+           FROM quality CROSS JOIN (SELECT DISTINCT query_id FROM q) q),
+    u AS (SELECT query_id, doc_id,
+                 CAST(ROUND(1e9 / (rank + 60)) AS BIGINT) AS c_nanos FROM bm
+          UNION ALL
+          SELECT query_id, doc_id,
+                 CAST(ROUND(1e9 / (rank + 60)) AS BIGINT) AS c_nanos FROM qq),
+    fused AS (SELECT query_id, doc_id, SUM(c_nanos) AS rrf_nanos
+              FROM u GROUP BY 1, 2)
+    SELECT query_id, doc_id, rrf_nanos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_nanos DESC, doc_id) AS INT) AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """,
+)
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hybrid retrieval: RRF-fuse the BM25 relevance ranking with a
+    # corpus-wide quality prior (longest docs), k=60 — the standard
+    # lexical+prior hybrid shape (swap the prior for a dense ANN
+    # ranking in production; rrf_fuse is ranker-agnostic).
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    bm = tx.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
+    # distributed top-k FIRST (TakeOrderedAndProject), THEN rank the 10
+    # survivors — a bare global row_number window would funnel the
+    # whole corpus through one task (same shape as dsir_importance_sample)
+    wq = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    quality = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(wq).cast("int"))
+    )
+    qq = quality.crossJoin(
+        F.broadcast(qdf.select("query_id").distinct())
+    ).select("query_id", "doc_id", "rank")
+    return sim.rrf_fuse([bm, qq], k=60, top_k=10)

@@ -254,3 +254,34 @@ def test_remove_spans_multiple_islands(spark):
     out = {r["doc_id"]: r for r in dd.remove_duplicate_spans(df, n=3).collect()}
     assert out[1]["text_clean"] == "keep1 keep2 keep3 keep4"
     assert out[1]["n_tokens_removed"] == 6
+
+
+# ------------------------------------------------------- RRF fusion
+def test_rrf_hand_computed_and_union_semantics(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], ["query_id", "doc_id", "rank"]
+    )
+    r2 = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2)], ["query_id", "doc_id", "rank"]
+    )
+    out = {r["doc_id"]: r for r in sim.rrf_fuse([r1, r2], k=60).collect()}
+    c = lambda rk: round(1e9 / (rk + 60))  # noqa: E731
+    # doc 20 appears in both rankers and must win
+    assert out[20]["rrf_nanos"] == c(1) + c(2)
+    assert out[10]["rrf_nanos"] == c(1)
+    assert out[30]["rrf_nanos"] == c(2)
+    assert out[20]["rank"] == 1
+    # doc 10 (rank 1 in r1) beats doc 30 (rank 2 in r2); tie impossible
+    assert out[10]["rank"] == 2 and out[30]["rank"] == 3
+
+
+def test_rrf_tie_breaks_on_id_and_top_k_cuts(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    r1 = spark.createDataFrame(
+        [(1, 5, 1), (1, 3, 1)], ["query_id", "doc_id", "rank"]
+    )  # identical contributions -> id tie-break
+    out = sim.rrf_fuse([r1], k=60, top_k=1).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 3
