@@ -1091,14 +1091,18 @@ def duplicate_spans(
 
     Plan (no suffix array needed — hashing gives the same n-gram
     equality classes): positional shingles (scan-local explode) →
-    32-bit md5 shingle hash → distinct (hash, doc) → hash groupBy
-    keeping hashes spanning >= min_docs docs → SEMI join back onto the
+    120-bit md5 shingle key, carried as TWO 60-bit bigints (h1, h2 =
+    md5 hex chars 1-15 / 16-30; a single 32-bit key would collide with
+    certainty at corpus scale and silently cut spans from unique
+    documents, and 2^120 makes a false equality astronomically
+    unlikely at any corpus size) → distinct (key, doc) → key groupBy
+    keeping keys spanning >= min_docs docs → SEMI join back onto the
     positions (no fan-out: each position matches at most once, so a
     shingle duplicated across 10^5 docs costs its postings, never the
     cross product) → per-doc ordered window merging islands. Shuffles:
-    one on hash (distinct+count), one on (doc) for the merge window.
-    100 TB: every stage is linear in corpus token count; hot
-    boilerplate shingles aggregate to one counter row map-side.
+    one on the 16-byte key (distinct+count), one on (doc) for the
+    merge window. 100 TB: every stage is linear in corpus token count;
+    hot boilerplate shingles aggregate to one counter row map-side.
 
     Returns (id, span_start, span_end, span_tokens) with 1-based
     token positions, span_end inclusive.
@@ -1110,24 +1114,26 @@ def duplicate_spans(
             lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
         )
 
+    md = F.md5(F.col("col"))
     pos = (
         df.filter(F.size(tokens(text_col)) >= n)
         .select(F.col(id_col), F.posexplode(bind_once(tokens(text_col), grams)))
         .select(
             id_col,
             (F.col("pos") + 1).alias("pos"),
-            token_hash64(F.col("col")).alias("h"),
+            F.conv(F.substring(md, 1, 15), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(md, 16, 15), 16, 10).cast("bigint").alias("h2"),
         )
     )
     dup_h = (
-        pos.select("h", id_col)
+        pos.select("h1", "h2", id_col)
         .distinct()
-        .groupBy("h")
+        .groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("h")
+        .select("h1", "h2")
     )
-    dup_pos = pos.join(dup_h, "h", "semi")
+    dup_pos = pos.join(dup_h, ["h1", "h2"], "semi")
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")

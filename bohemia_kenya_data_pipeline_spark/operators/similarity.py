@@ -904,6 +904,8 @@ def rrf_fuse(
     corpus-sized — RRF runs downstream of rankers that already cut to
     top-k. Returns (group, id, rrf_nanos, rank).
     """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
     slim = [
         r.select(
             F.col(group_col),

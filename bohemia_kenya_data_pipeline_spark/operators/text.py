@@ -782,10 +782,17 @@ def perplexity_buckets(
     quantile interpolation or summation order. Groups split into sizes
     differing by at most 1.
 
+    Zero-token documents (empty/whitespace text) have no defined
+    perplexity; rather than silently dropping them (the LM join is
+    inner), they come back with n_tokens=0, mean_nll NULL, and the
+    'tail' bucket — the conservative curation call (an empty doc is
+    never head-quality), and every input row is accounted for.
+
     Plan: one explode+agg for the LM (shared `_doc_token_counts`
-    pre-aggregate), a doc-keyed join to recover ``by_col``, and ONE
-    window shuffle on the group key. Returns
-    (doc_id, by_col, n_tokens, mean_nll, bucket).
+    pre-aggregate), a doc-keyed join to recover ``by_col``, ONE
+    window shuffle on the group key, and a cheap anti-join union for
+    the empty docs. Returns (doc_id, by_col, n_tokens, mean_nll,
+    bucket).
     """
     nll = unigram_logprob(docs, text_col, id_col)
     grp = nll.join(docs.select(F.col(id_col), F.col(by_col)), id_col)
@@ -801,6 +808,17 @@ def perplexity_buckets(
         .when(bucket_idx == n_buckets - 1, "tail")
         .otherwise("middle")
     )
-    return ranked.select(
+    scored = ranked.select(
         id_col, by_col, "n_tokens", "mean_nll", bucket.alias("bucket")
     )
+    empty = (
+        docs.join(nll.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(by_col),
+            F.lit(0).cast("bigint").alias("n_tokens"),
+            F.lit(None).cast("double").alias("mean_nll"),
+            F.lit("tail").alias("bucket"),
+        )
+    )
+    return scored.unionByName(empty)

@@ -385,10 +385,22 @@ def gap_fill_interpolate(
     step = {"day": 86400, "hour": 3600, "week": 604800}[bucket]
     idx = (F.unix_timestamp(F.col("bucket_ts")) / step).cast("bigint")
     obs = obs.withColumn("t", idx)
+    # grid carries the key's FIRST truncated timestamp alongside its
+    # grid index: emitted bucket_ts is reconstructed as
+    # ts0 + (t - t0) * step, preserving date_trunc's phase. Re-deriving
+    # from t * step alone would snap 'week' buckets to the epoch phase
+    # (a Thursday — 4 days early vs date_trunc's Mondays) and shift
+    # 'day' buckets under non-UTC session timezones.
     grid = (
         obs.groupBy(key_col)
-        .agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
-        .select(key_col, F.explode(F.sequence("t0", "t1")).alias("t"))
+        .agg(
+            F.min("t").alias("t0"),
+            F.max("t").alias("t1"),
+            F.min("bucket_ts").alias("ts0"),
+        )
+        .select(
+            key_col, "t0", "ts0", F.explode(F.sequence("t0", "t1")).alias("t")
+        )
     )
     joined = grid.join(obs.select(key_col, "t", "sum_c", "n"), [key_col, "t"], "left")
     w_back = Window.partitionBy(key_col).orderBy("t").rowsBetween(
@@ -419,7 +431,9 @@ def gap_fill_interpolate(
     ).otherwise(interp)
     return filled.select(
         key_col,
-        F.timestamp_seconds(F.col("t") * step).alias("bucket_ts"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.col("ts0")) + (F.col("t") - F.col("t0")) * step
+        ).alias("bucket_ts"),
         F.round(value, 6).alias("value_filled"),
         F.when(F.col("sum_c").isNotNull(), "observed")
         .otherwise("interpolated")

@@ -1219,6 +1219,14 @@ _SQL_SHINGLES2 = (
 #: DuckDB fragment: stable 32-bit token hash (matches dedup.token_hash64).
 _SQL_HASH64 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
+#: DuckDB fragment: 120-bit shingle identity as two 60-bit md5 halves
+#: (matches dedup.duplicate_spans — a 32-bit key collides at corpus
+#: scale and would cut spans from unique documents).
+_SQL_SPANKEY = (
+    "('0x' || substr(md5({x}), 1, 15))::BIGINT AS h1, "
+    "('0x' || substr(md5({x}), 16, 15))::BIGINT AS h2"
+)
+
 
 def _minhash_sig_sql(num_hashes: int) -> str:
     """CTE chain computing minhash signature columns s0..s{n-1} per doc."""
@@ -10370,6 +10378,10 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE ((rn - 1) * 3) // cnt_g
                 WHEN 0 THEN 'head' WHEN 2 THEN 'tail' ELSE 'middle' END AS bucket
     FROM ranked
+    UNION ALL
+    SELECT d.doc_id, d.lang, CAST(0 AS BIGINT) AS n_tokens,
+           CAST(NULL AS DOUBLE) AS mean_nll, 'tail' AS bucket
+    FROM documents d ANTI JOIN nll USING (doc_id)
     """,
 )
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10385,10 +10397,10 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+11], ' ') AS sh
            FROM w, unnest(range(1, len(w) - 10)) AS u(i)
            WHERE len(w) >= 12),
-    h AS (SELECT doc_id, pos, {_SQL_HASH64.format(x='sh')} AS h FROM sh),
-    duph AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM h)
-             GROUP BY h HAVING COUNT(*) >= 2),
-    dup AS (SELECT doc_id, pos FROM h SEMI JOIN duph USING (h)),
+    h AS (SELECT doc_id, pos, {_SQL_SPANKEY.format(x='sh')} FROM sh),
+    duph AS (SELECT h1, h2 FROM (SELECT DISTINCT h1, h2, doc_id FROM h)
+             GROUP BY h1, h2 HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM h SEMI JOIN duph USING (h1, h2)),
     isl AS (SELECT doc_id, pos,
                    MAX(pos + 11) OVER (PARTITION BY doc_id ORDER BY pos
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -10420,10 +10432,10 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+11], ' ') AS sh
            FROM w, unnest(range(1, len(w) - 10)) AS u(i)
            WHERE len(w) >= 12),
-    h AS (SELECT doc_id, pos, {_SQL_HASH64.format(x='sh')} AS h FROM sh),
-    duph AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM h)
-             GROUP BY h HAVING COUNT(*) >= 2),
-    dup AS (SELECT doc_id, pos FROM h SEMI JOIN duph USING (h)),
+    h AS (SELECT doc_id, pos, {_SQL_SPANKEY.format(x='sh')} FROM sh),
+    duph AS (SELECT h1, h2 FROM (SELECT DISTINCT h1, h2, doc_id FROM h)
+             GROUP BY h1, h2 HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM h SEMI JOIN duph USING (h1, h2)),
     isl AS (SELECT doc_id, pos,
                    MAX(pos + 11) OVER (PARTITION BY doc_id ORDER BY pos
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -10467,14 +10479,17 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH obs AS (
       SELECT user_id,
+             date_trunc('day', ts) AS bts,
              CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS t,
              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_c,
              COUNT(*) AS n
       FROM events WHERE event_type = 'purchase'
-      GROUP BY 1, 2),
-    rng AS (SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM obs GROUP BY 1),
-    grid AS (SELECT user_id, g.t FROM rng, unnest(range(t0, t1 + 1)) AS g(t)),
-    j AS (SELECT grid.user_id, grid.t, o.sum_c, o.n
+      GROUP BY 1, 2, 3),
+    rng AS (SELECT user_id, MIN(t) AS t0, MAX(t) AS t1, MIN(bts) AS ts0
+            FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, t0, ts0, g.t
+             FROM rng, unnest(range(t0, t1 + 1)) AS g(t)),
+    j AS (SELECT grid.user_id, grid.t0, grid.ts0, grid.t, o.sum_c, o.n
           FROM grid LEFT JOIN obs o USING (user_id, t)),
     f AS (SELECT *,
             LAST_VALUE(sum_c IGNORE NULLS) OVER wb AS p_sum,
@@ -10491,7 +10506,7 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                  wf AS (PARTITION BY user_id ORDER BY t
                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT user_id,
-           make_timestamp(t * 86400 * 1000000) AS bucket_ts,
+           make_timestamp(epoch_us(ts0) + (t - t0) * 86400 * 1000000) AS bucket_ts,
            ROUND(CASE WHEN sum_c IS NOT NULL THEN sum_c / (n * 100.0)
                       ELSE (p_sum / (p_n * 100.0))
                            + ((n_sum / (n_n * 100.0)) - (p_sum / (p_n * 100.0)))

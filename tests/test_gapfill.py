@@ -77,3 +77,40 @@ def test_hour_bucket_mode(spark):
     assert got[(1, dt.datetime(2024, 1, 1, 1))] == (3.0, "interpolated")
     assert got[(1, dt.datetime(2024, 1, 1, 2))] == (5.0, "interpolated")
     assert len([k for k in got if k[0] == 1]) == 4
+
+
+def test_week_bucket_phase_matches_date_trunc(spark):
+    # 2024-01-01 and 2024-01-15 are both Mondays (date_trunc('week')
+    # anchors). Emitted bucket_ts must stay on Mondays — not snap to
+    # the unix-epoch week phase (a Thursday, 4 days earlier).
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12), 0.0),
+        (1, dt.datetime(2024, 1, 15, 12), 14.0),
+    ]
+    got = _run(spark, rows, bucket="week")
+    assert got[(1, dt.datetime(2024, 1, 1))] == (0.0, "observed")
+    assert got[(1, dt.datetime(2024, 1, 8))] == (7.0, "interpolated")
+    assert got[(1, dt.datetime(2024, 1, 15))] == (14.0, "observed")
+    assert all(k[1].weekday() == 0 for k in got)
+
+
+def test_day_bucket_phase_survives_non_utc_session_tz(spark):
+    # Under a non-UTC session timezone the day boundary is offset from
+    # epoch multiples of 86400; emitted bucket_ts must equal the
+    # date_trunc('day') values, not unix-aligned midnights.
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")  # +05:45
+    try:
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 8), 10.0),
+            (1, dt.datetime(2024, 1, 3, 8), 30.0),
+        ]
+        got = _run(spark, rows)
+        # collect() renders in the driver's UTC: Kathmandu midnight is
+        # 18:15 UTC the prior day. Pre-fix the operator emitted
+        # epoch-aligned 00:00 UTC midnights instead.
+        assert got[(1, dt.datetime(2023, 12, 31, 18, 15))] == (10.0, "observed")
+        assert got[(1, dt.datetime(2024, 1, 1, 18, 15))] == (20.0, "interpolated")
+        assert got[(1, dt.datetime(2024, 1, 2, 18, 15))] == (30.0, "observed")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

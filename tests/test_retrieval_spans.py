@@ -285,3 +285,31 @@ def test_rrf_tie_breaks_on_id_and_top_k_cuts(spark):
     )  # identical contributions -> id tie-break
     out = sim.rrf_fuse([r1], k=60, top_k=1).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 3
+
+
+def test_perplexity_empty_docs_bucketed_tail_not_dropped(spark):
+    # zero-token docs have no defined perplexity; they must still come
+    # back (n_tokens=0, mean_nll NULL, bucket='tail'), never vanish.
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a", "en"),
+            (2, "a a zz", "en"),
+            (3, "", "en"),
+            (4, "   ", "fr"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["doc_id"]: r for r in tx.perplexity_buckets(docs, n_buckets=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for d in (3, 4):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["mean_nll"] is None
+        assert out[d]["bucket"] == "tail"
+
+
+def test_rrf_empty_rankings_raises_value_error(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one ranking"):
+        sim.rrf_fuse([])
