@@ -103,6 +103,11 @@ HEADLINE = [
     "psi_price_drift",
     "temperature_mix_sample",
     "jsd_lang_drift",
+    # round-6: production-regime ANN (fixed query batch, pruned probes)
+    # promoted from scale_bench constructions to oracled entries
+    "ivf_ann_fixedq",
+    "cosine_fixedq",
+    "quantized_fixedq",
 ]
 
 

@@ -10573,3 +10573,153 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(qdf.select("query_id").distinct())
     ).select("query_id", "doc_id", "rank")
     return sim.rrf_fuse([bm, qq], k=60, top_k=10)
+
+
+# --------------------------------------------------------------------
+# Production-regime ANN (fixed query batch) — the regime ANN actually
+# runs in at 100 TB: a small fixed set of queries against a growing
+# corpus (corpus-only scaling, measured slope 0.156-0.94 in
+# BENCH_scale_r05.json). Until round 6 these existed only as
+# scale_bench.py constructions; registering them makes the
+# approximate-probe path (n_probe < n_centroids) a checked contract.
+# The fixed batch is `vec_id % 50 = 0 AND vec_id < 500` — exactly 10
+# queries at every sf, so cost never scales with the query set.
+
+
+def _fixed_query_batch(emb: DataFrame) -> DataFrame:
+    return emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+
+
+#: Deterministic IVF centroids for the fixed-batch entry: LCG
+#: hyperplanes (no RNG state), unit-normalized inside ivf_topk's
+#: centroid literal. The SQL mirror embeds repr() of the SAME
+#: unit-normalized doubles, so assignment and probing compare
+#: bit-identical centroid values on both engines. Literal (pre-trained)
+#: centroids are the production shape — training is amortized across
+#: calls (and the training path itself is hash-checked end-to-end by
+#: the exhaustive-probe `ivf_topk` entry).
+_IVF_FIXED_RAW = sim.random_hyperplanes(dim=64, n_planes=8, seed=7)
+
+
+def _cents_values_sql(raw: list[list[float]]) -> str:
+    rows = ",\n        ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(v) for v in sim._unit(c))
+        )
+        for i, c in enumerate(raw)
+    )
+    return f"cents(cid, cv) AS (VALUES\n        {rows})"
+
+
+@_register(
+    "cosine_fixedq",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qv, cv), 4) AS score
+          FROM q, c WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def cosine_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact cosine in the production regime: 10 fixed queries broadcast
+    # against the corpus — per-query cost linear in corpus size, total
+    # cost independent of how big the corpus-resident query pool grows
+    # (measured slope 0.84 at 10x, BENCH_scale_r05.json).
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, _fixed_query_batch(emb), k=5)
+
+
+@_register(
+    "quantized_fixedq",
+    """
+    WITH coded AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x / (list_max(list_transform(embedding::DOUBLE[],
+                          y -> abs(y))) / 127.0) + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+      WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(a.q, b.q), p -> p[1]*p[2])) AS dd,
+             list_sum(list_transform(a.q, x -> x*x)) AS na,
+             list_sum(list_transform(b.q, x -> x*x)) AS nb
+      FROM coded a JOIN coded b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % 50 = 0 AND a.vec_id < 500),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(CASE WHEN na > 0 AND nb > 0
+                        THEN dd / (sqrt(na) * sqrt(nb)) ELSE 0.0 END, 6) AS score
+      FROM pairs)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def quantized_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8-scored cosine, fixed query batch: integer pair math (no
+    # cross-engine float accumulation), corpus-only scaling (slope 0.94
+    # at 10x).
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.quantized_cosine_topk(emb, _fixed_query_batch(emb), k=5)
+
+
+@_register(
+    "ivf_ann_fixedq",
+    f"""
+    WITH {_cents_values_sql(_IVF_FIXED_RAW)},
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (SELECT neighbor_id, v, cid,
+                      ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                         ORDER BY list_dot_product(v, cv) DESC, cid)
+                        AS rn
+               FROM c CROSS JOIN cents),
+    corpus AS (SELECT neighbor_id, v, cid FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+    probe AS (SELECT query_id, qv, cid,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY list_dot_product(qv, cv) DESC, cid)
+                       AS rn
+              FROM q CROSS JOIN cents),
+    probes AS (SELECT query_id, qv, cid FROM probe WHERE rn <= 2),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qv, v), 4) AS score
+          FROM probes JOIN corpus USING (cid)
+          WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def ivf_ann_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The PRODUCTION IVF regime, now a checked contract: pre-trained
+    # (literal) centroids, pruned probes (n_probe=2 of 8), fixed query
+    # batch. Candidates come from the cid equi-join — expected 1/4 of
+    # the corpus per query, never a cross join (slope 0.156 at 10x).
+    # The oracle mirrors assignment (argmax dot, ties -> smaller cid),
+    # probe selection (top-2 dot desc, cid asc), the bucket join, and
+    # exact-cosine scoring over the SAME unit-normalized centroid
+    # doubles — approximate-by-construction on both engines, so the
+    # hash compare checks the approximation itself, not just recall.
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        _fixed_query_batch(emb),
+        k=5,
+        n_centroids=8,
+        n_probe=2,
+        centroids=_IVF_FIXED_RAW,
+    )
