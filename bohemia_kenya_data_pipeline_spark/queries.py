@@ -10525,56 +10525,6 @@ def gap_fill_purchase_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   value_col="value", bucket="day")
 
 
-@_register(
-    "hybrid_rank_fusion",
-    f"""
-    WITH {_BM25_CTE},
-    bm AS (SELECT query_id, doc_id, rank FROM bm25r WHERE rank <= 10),
-    quality AS (SELECT doc_id,
-                       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS INT)
-                         AS rank
-                FROM documents
-                QUALIFY rank <= 10),
-    qq AS (SELECT q.query_id, quality.doc_id, quality.rank
-           FROM quality CROSS JOIN (SELECT DISTINCT query_id FROM q) q),
-    u AS (SELECT query_id, doc_id,
-                 CAST(ROUND(1e9 / (rank + 60)) AS BIGINT) AS c_nanos FROM bm
-          UNION ALL
-          SELECT query_id, doc_id,
-                 CAST(ROUND(1e9 / (rank + 60)) AS BIGINT) AS c_nanos FROM qq),
-    fused AS (SELECT query_id, doc_id, SUM(c_nanos) AS rrf_nanos
-              FROM u GROUP BY 1, 2)
-    SELECT query_id, doc_id, rrf_nanos,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY rrf_nanos DESC, doc_id) AS INT) AS rank
-    FROM fused
-    QUALIFY rank <= 10
-    """,
-)
-def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Hybrid retrieval: RRF-fuse the BM25 relevance ranking with a
-    # corpus-wide quality prior (longest docs), k=60 — the standard
-    # lexical+prior hybrid shape (swap the prior for a dense ANN
-    # ranking in production; rrf_fuse is ranker-agnostic).
-    docs = _t(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
-    bm = tx.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
-    # distributed top-k FIRST (TakeOrderedAndProject), THEN rank the 10
-    # survivors — a bare global row_number window would funnel the
-    # whole corpus through one task (same shape as dsir_importance_sample)
-    wq = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    quality = (
-        docs.select("doc_id", "n_chars")
-        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
-        .limit(10)
-        .withColumn("rank", F.row_number().over(wq).cast("int"))
-    )
-    qq = quality.crossJoin(
-        F.broadcast(qdf.select("query_id").distinct())
-    ).select("query_id", "doc_id", "rank")
-    return sim.rrf_fuse([bm, qq], k=60, top_k=10)
-
-
 # --------------------------------------------------------------------
 # Production-regime ANN (fixed query batch) — the regime ANN actually
 # runs in at 100 TB: a small fixed set of queries against a growing
@@ -10723,3 +10673,83 @@ def ivf_ann_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=2,
         centroids=_IVF_FIXED_RAW,
     )
+
+
+#: Dense-leg query vectors for hybrid retrieval: BM25 query_id q maps
+#: to the embedding of vec_id q*100 — a deterministic stand-in for an
+#: encoder (the container has none), identical on both engines.
+_HYBRID_QVEC_IDS = [q * 100 for q, _ in _BM25_QUERIES]
+
+
+@_register(
+    "hybrid_rank_fusion",
+    f"""
+    WITH {_BM25_CTE},
+    bm AS (SELECT query_id, doc_id, rank FROM bm25r WHERE rank <= 10),
+    {_cents_values_sql(_IVF_FIXED_RAW)},
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (SELECT neighbor_id, v, cid,
+                      ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                         ORDER BY list_dot_product(v, cv) DESC, cid)
+                        AS rn
+               FROM c CROSS JOIN cents),
+    corpus AS (SELECT neighbor_id, v, cid FROM assign WHERE rn = 1),
+    dq AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id IN ({", ".join(str(v) for v in _HYBRID_QVEC_IDS)})),
+    probe AS (SELECT vec_id, qv, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY list_dot_product(qv, cv) DESC, cid)
+                       AS rn
+              FROM dq CROSS JOIN cents),
+    probes AS (SELECT vec_id, qv, cid FROM probe WHERE rn <= 2),
+    ds AS (SELECT vec_id, neighbor_id,
+                  ROUND(list_cosine_similarity(qv, v), 4) AS score
+           FROM probes JOIN corpus USING (cid)
+           WHERE vec_id <> neighbor_id),
+    dr AS (SELECT vec_id, neighbor_id, score,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+           FROM ds),
+    dense AS (SELECT CAST(vec_id // 100 AS BIGINT) AS query_id,
+                     neighbor_id AS doc_id, rank
+              FROM dr WHERE rank <= 10),
+    u AS (SELECT query_id, doc_id,
+                 CAST(ROUND(1e9 / (rank + 60)) AS BIGINT) AS c_nanos FROM bm
+          UNION ALL
+          SELECT query_id, doc_id,
+                 CAST(ROUND(1e9 / (rank + 60)) AS BIGINT) AS c_nanos FROM dense),
+    fused AS (SELECT query_id, doc_id, SUM(c_nanos) AS rrf_nanos
+              FROM u GROUP BY 1, 2)
+    SELECT query_id, doc_id, rrf_nanos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_nanos DESC, doc_id) AS INT) AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """,
+)
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The standard production retrieval stack, end to end and oracle-
+    # checked: BM25 (lexical) RRF-fused with a production-regime dense
+    # ANN leg (IVF, literal centroids, n_probe=2 of 8) — k=60. The
+    # dense query vector for BM25 query q is the embedding of
+    # vec_id q*100 (deterministic encoder stand-in); vec_id and doc_id
+    # share a key domain, so the IVF neighbor list IS a document
+    # ranking. Both legs are top-10-sized before fusion — RRF never
+    # touches anything corpus-sized.
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    bm = tx.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = sim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id").isin(_HYBRID_QVEC_IDS)),
+        k=10,
+        n_centroids=8,
+        n_probe=2,
+        centroids=_IVF_FIXED_RAW,
+    ).select(
+        (F.col("query_id") / 100).cast("bigint").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return sim.rrf_fuse([bm, dense], k=60, top_k=10)
