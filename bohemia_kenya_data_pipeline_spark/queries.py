@@ -10753,3 +10753,111 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     return sim.rrf_fuse([bm, dense], k=60, top_k=10)
+
+
+@_register(
+    "randomization_preselection",
+    """
+    WITH dob AS (SELECT o_custkey AS extid, MIN(o_orderdate) AS dob
+                 FROM orders GROUP BY 1),
+    base AS (SELECT c_custkey AS extid, c_nationkey AS cluster,
+                    c_acctbal, c_custkey // 10 AS hhid
+             FROM customer),
+    pri AS (SELECT extid, cluster, hhid,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                                           ORDER BY c_acctbal DESC, extid)
+                        AS INTEGER) AS priority_number
+            FROM base),
+    efficacy AS (SELECT cluster, extid, hhid, priority_number
+                 FROM pri WHERE priority_number <= 35),
+    he AS (SELECT * FROM base WHERE hhid % 7 = 0),
+    ntd_eff AS (SELECT e.cluster, e.extid, e.priority_number
+                FROM efficacy e WHERE e.hhid % 7 = 0),
+    pool AS (SELECT he.cluster, he.extid
+             FROM he
+             ANTI JOIN efficacy ON he.extid = efficacy.extid
+             JOIN dob ON he.extid = dob.extid
+             WHERE dob.dob < DATE '1995-01-01'),
+    shuffled AS (SELECT cluster, extid,
+                        CAST(ROW_NUMBER() OVER (
+                          PARTITION BY cluster
+                          ORDER BY md5(CAST(extid AS VARCHAR) || '|1001'), extid)
+                          AS INTEGER) AS cs
+                 FROM pool),
+    safety AS (SELECT cluster, extid, cs FROM shuffled WHERE cs <= 50)
+    SELECT cluster, extid, 'efficacy' AS cohort, priority_number AS selection_number
+    FROM efficacy
+    UNION ALL
+    SELECT cluster, extid, 'ntd_efficacy' AS cohort, priority_number
+    FROM ntd_eff
+    UNION ALL
+    SELECT cluster, extid, 'ntd_safety' AS cohort, cs FROM safety
+    """,
+)
+def randomization_preselection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Composed randomization-preselection instance — the last reference
+    # entry-point family (randomize.R:1104-1193) as one query:
+    #   1. priority numbering: cumsum-of-1 per cluster in descending
+    #      priority order (randomize.R:1104-1113 — distance_to_edge
+    #      stands in as c_acctbal; ties broken by id);
+    #   2. efficacy cohort = priority_number <= 35 per cluster
+    #      (randomize.R:1131-1139);
+    #   3. ntd_efficacy = efficacy members of health-economics
+    #      households, hhid derived from the id (substr(extid,1,5) in
+    #      the reference; extid//10 here) (randomize.R:1160-1168);
+    #   4. ntd_safety = HE-household individuals NOT efficacy-selected,
+    #      dob eligibility band (dob < cutoff, randomize.R:1169-1183),
+    #      seeded shuffle, cumsum <= 50 per cluster. The reference's
+    #      sample_n is R-RNG; the engine's contract (SURVEY §4) is a
+    #      seeded md5 shuffle — deterministic, partition-invariant,
+    #      and therefore oracle-checkable rather than golden-only.
+    # dob analog: customer's first order date (adds the J1+A4 stage the
+    # reference gets from v0demography). Plan: one window per cluster
+    # for priority, one for the shuffle; efficacy is dimension-sized
+    # (35 x clusters) so the anti join broadcasts; the dob join is a
+    # key equi-join. No corpus-sized single-reducer stage anywhere.
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("extid"),
+        F.col("c_nationkey").alias("cluster"),
+        "c_acctbal",
+        (F.col("c_custkey") / 10).cast("bigint").alias("hhid"),
+    )
+    dob = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("extid"))
+        .agg(F.min("o_orderdate").alias("dob"))
+    )
+    w_pri = Window.partitionBy("cluster").orderBy(
+        F.col("c_acctbal").desc(), F.col("extid")
+    )
+    pri = cust.withColumn(
+        "priority_number", F.row_number().over(w_pri).cast("int")
+    )
+    efficacy = pri.filter(F.col("priority_number") <= 35).select(
+        "cluster", "extid", "hhid", "priority_number"
+    )
+    he = cust.filter(F.col("hhid") % 7 == 0)
+    ntd_eff = efficacy.filter(F.col("hhid") % 7 == 0)
+    pool = (
+        he.join(F.broadcast(efficacy.select("extid")), "extid", "left_anti")
+        .join(dob, "extid")
+        .filter(F.col("dob") < F.lit("1995-01-01").cast("date"))
+        .select("cluster", "extid")
+    )
+    w_shuf = Window.partitionBy("cluster").orderBy(
+        F.md5(F.concat(F.col("extid").cast("string"), F.lit("|1001"))),
+        F.col("extid"),
+    )
+    safety = (
+        pool.withColumn("cs", F.row_number().over(w_shuf).cast("int"))
+        .filter(F.col("cs") <= 50)
+    )
+    lab = lambda df, name, num: df.select(  # noqa: E731
+        "cluster", "extid", F.lit(name).alias("cohort"),
+        F.col(num).alias("selection_number"),
+    )
+    return (
+        lab(efficacy, "efficacy", "priority_number")
+        .unionByName(lab(ntd_eff, "ntd_efficacy", "priority_number"))
+        .unionByName(lab(safety, "ntd_safety", "cs"))
+    )
