@@ -439,3 +439,67 @@ def gap_fill_interpolate(
         .otherwise("interpolated")
         .alias("src"),
     )
+
+
+def distributed_global_rank(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over ``order_by`` WITHOUT a
+    single-reducer sort — the 100 TB replacement for
+    ``Window.orderBy(...)`` (whose empty partitionBy funnels every row
+    through one task).
+
+    ``order_by`` must be a total order (include a unique tiebreak
+    column) or ranks are nondeterministic.
+
+    Plan: range-repartition on the order keys (partition i holds keys
+    <= partition i+1's), local row_number per range partition, then
+    per-partition counts cumulated into offsets — a <=P-row metadata
+    aggregate (same size class as centroid state) computed from the
+    SAME range exchange (Catalyst reuses it — asserted in
+    tests/test_plans.py) and broadcast back. rank = offset + local rn.
+    Every stage is distributed over P partitions; the only
+    single-partition window runs over P rows of metadata.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    loc = part.withColumn("__lrn", F.row_number().over(w_local))
+    # offsets: exclusive prefix sum of per-partition counts (P rows)
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        loc.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("bigint"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def ntile_from_rank(rn: Column, n_total: Column, n_buckets: int) -> Column:
+    """SQL NTILE(n) reconstructed from an exact global rank: the first
+    ``n_total mod n`` buckets take ``q+1`` rows (q = n_total div n),
+    the rest take q — bit-identical to the window NTILE, but computable
+    from :func:`distributed_global_rank` output with no global sort.
+    Pure integer arithmetic; the q=0 tiny-input case is guarded (all
+    rows then land in the first r buckets via the q+1 branch).
+    """
+    q = F.floor(n_total / n_buckets).cast("bigint")
+    r = (n_total % n_buckets).cast("bigint")
+    cut = r * (q + 1)
+    in_big = F.floor((rn + q) / (q + 1))
+    in_small = r + F.floor((rn - cut + F.greatest(q, F.lit(1)) - 1) / F.greatest(q, F.lit(1)))
+    return F.when(rn <= cut, in_big).otherwise(in_small).cast("int")

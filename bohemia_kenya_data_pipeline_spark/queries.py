@@ -10861,3 +10861,82 @@ def randomization_preselection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lab(ntd_eff, "ntd_efficacy", "priority_number"))
         .unionByName(lab(safety, "ntd_safety", "cs"))
     )
+
+
+@_register(
+    "rfm_segments_scalable",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm)
+    SELECT o_custkey, last_order, frequency, monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'core' END AS segment
+    FROM scored
+    """,
+)
+def rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rfm_segments WITHOUT the three global-NTILE single-reducer sorts
+    # — the 100 TB variant the rfm_segments docstring promises. Each
+    # quintile score is reconstructed from an exact distributed global
+    # rank (range-repartition + reused-exchange offsets,
+    # W.distributed_global_rank) pushed through the integer NTILE
+    # closed form (W.ntile_from_rank) — hash-identical to the window
+    # NTILE oracle, but every stage is distributed over P partitions
+    # (plan-asserted: no Exchange SinglePartition over the fact rows).
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    tot = rfm.groupBy().agg(F.count(F.lit(1)).alias("__N"))
+    base = rfm.crossJoin(F.broadcast(tot))
+    # each ranking branches from the SAME base subplan (never from the
+    # accumulated join) so the rfm aggregate exchange is reused across
+    # the three branches instead of re-derived per join
+    scored = base
+    for dim, score in (
+        ("last_order", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        ranked = W.distributed_global_rank(
+            base.select("o_custkey", dim, "__N"),
+            [dim, "o_custkey"],
+            out_col="__rn",
+        ).select(
+            "o_custkey",
+            W.ntile_from_rank(F.col("__rn"), F.col("__N"), 5).alias(score),
+        )
+        scored = scored.join(ranked, "o_custkey")
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("core")
+    )
+    return scored.select(
+        "o_custkey", "last_order", "frequency", "monetary",
+        "r_score", "f_score", "m_score", seg.alias("segment"),
+    )

@@ -1,0 +1,64 @@
+"""Goldens for windows.distributed_global_rank / ntile_from_rank —
+equivalence with the single-reducer Window forms they replace, across
+partition counts and the q=0 tiny-input edge."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import windows as W
+
+
+def _vals(spark, n, mod):
+    # repeated values force the unique tiebreak to matter
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") % mod).alias("v")
+    )
+
+
+def test_rank_matches_global_window(spark):
+    df = _vals(spark, 97, 7)
+    got = {
+        r["id"]: r["rn"]
+        for r in W.distributed_global_rank(
+            df, ["v", "id"], num_partitions=5
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rank_partition_count_invariant(spark):
+    df = _vals(spark, 50, 3)
+    one = W.distributed_global_rank(df, ["v", "id"], num_partitions=1)
+    many = W.distributed_global_rank(
+        df.repartition(8), ["v", "id"], num_partitions=13
+    )
+    assert {(r["id"], r["rn"]) for r in one.collect()} == {
+        (r["id"], r["rn"]) for r in many.collect()
+    }
+
+
+def test_ntile_from_rank_matches_window_ntile(spark):
+    for n, k in [(97, 5), (100, 5), (7, 5), (3, 5), (12, 4)]:
+        df = _vals(spark, n, 6)
+        ranked = W.distributed_global_rank(df, ["v", "id"], num_partitions=4)
+        got = {
+            r["id"]: r["b"]
+            for r in ranked.select(
+                "id", W.ntile_from_rank(F.col("rn"), F.lit(n), k).alias("b")
+            ).collect()
+        }
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want, (n, k)

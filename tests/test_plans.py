@@ -241,3 +241,16 @@ def test_duplicate_spans_three_exchanges(spark):
     phys = plan.split("== Physical Plan ==")[-1]
     assert phys.count("Exchange hashpartitioning") == 3
     assert "SortMergeJoin" not in phys
+
+
+def test_rfm_scalable_no_global_ntile_sort(spark):
+    # the scalable RFM variant must not funnel fact rows through a
+    # global NTILE window; ranks come from range repartition + local
+    # windows keyed by the range-partition id. The only empty-partition
+    # window runs over the <=P-row offset metadata.
+    plan = _plan(QUERIES["rfm_segments_scalable"](spark, SF_DIR))
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "row_number()" in line:
+            assert "__pid" in line
