@@ -108,6 +108,10 @@ HEADLINE = [
     "ivf_ann_fixedq",
     "cosine_fixedq",
     "quantized_fixedq",
+    # round-6: curation DAG with the Lee et al. substring-dedup stage
+    "pretrain_mix_spans",
+    "rfm_segments_scalable",
+    "randomization_preselection",
 ]
 
 

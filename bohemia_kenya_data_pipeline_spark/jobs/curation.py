@@ -64,11 +64,26 @@ def build_pretrain_dataset(
     token_budget: int = 20_000,
     pack_tokens: int = 512,
     seed: int = 42,
+    substring_dedup: bool = False,
+    span_n: int = 12,
+    span_min_docs: int = 2,
 ) -> DataFrame:
     """The full pretraining-mixture pipeline as ONE lazy plan:
-    corpus line-dedup (boilerplate removal) → exact document dedup →
-    per-domain mixture sampling → per-domain token budget → sequence
-    packing into training shards.
+    corpus line-dedup (boilerplate removal) → [optional substring-level
+    span cut] → exact document dedup → per-domain mixture sampling →
+    per-domain token budget → sequence packing into training shards.
+
+    ``substring_dedup=True`` inserts the Lee et al. 2022 span-cut
+    stage (``dedup.remove_duplicate_spans``) between line dedup and
+    exact dedup: every token range of >= ``span_n`` tokens shared by
+    >= ``span_min_docs`` documents is cut from ALL of them, keeping
+    the unique remainder — the dedup mode Lee et al. recommend over
+    whole-document dropping (a doc sharing one boilerplate paragraph
+    loses only that paragraph). Docs cut to nothing are dropped; the
+    cut text is whitespace-normalized (token re-join), which exact
+    dedup downstream then sees. Adds two shuffles (the 120-bit shingle
+    key distinct+count and the per-doc merge window), both linear in
+    corpus token count.
 
     Returns (id, domain, n_tokens, cum_tokens, chunk_id) — one row per
     surviving document with its shard assignment. Every stage is the
@@ -88,6 +103,17 @@ def build_pretrain_dataset(
     deduped_lines = tx.dedup_lines(
         docs, text_col, id_col, split_regex=line_split_regex
     ).filter(F.length(F.col(text_col)) > 0)
+    if substring_dedup:
+        cut = dd.remove_duplicate_spans(
+            deduped_lines,
+            n=span_n,
+            text_col=text_col,
+            id_col=id_col,
+            min_docs=span_min_docs,
+        )
+        deduped_lines = cut.filter(F.col("n_tokens_kept") > 0).select(
+            F.col(id_col), F.col("text_clean").alias(text_col)
+        )
     exact = dd.drop_exact_duplicates(deduped_lines, text_col, id_col)
     with_domain = exact.join(domains, id_col).withColumn(
         "n_tokens", tx.token_count(text_col).cast("bigint")

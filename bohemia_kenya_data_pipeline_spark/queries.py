@@ -10940,3 +10940,101 @@ def rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "last_order", "frequency", "monetary",
         "r_score", "f_score", "m_score", seg.alias("segment"),
     )
+
+
+@_register(
+    "pretrain_mix_spans",
+    f"""
+    WITH prep AS (
+      SELECT doc_id,
+             string_split(replace(text, ' table ', chr(10)), chr(10)) AS ls
+      FROM documents),
+    lines AS (
+      SELECT doc_id, ls[CAST(n AS INTEGER)+1] AS line, CAST(n AS INTEGER) AS pos
+      FROM prep, UNNEST(range(len(ls))) AS t(n)),
+    firsts AS (
+      SELECT doc_id, line, pos,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+      FROM lines),
+    rebuilt AS (
+      SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS text
+      FROM firsts WHERE rk = 1 GROUP BY doc_id),
+    nonempty AS (
+      SELECT doc_id, text FROM rebuilt WHERE LENGTH(text) > 0),
+    w AS (SELECT doc_id, {{toks}} AS w FROM nonempty),
+    sh AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+11], ' ') AS sh
+           FROM w, unnest(range(1, len(w) - 10)) AS u(i)
+           WHERE len(w) >= 12),
+    h AS (SELECT doc_id, pos, {{spankey}} FROM sh),
+    duph AS (SELECT h1, h2 FROM (SELECT DISTINCT h1, h2, doc_id FROM h)
+             GROUP BY h1, h2 HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM h SEMI JOIN duph USING (h1, h2)),
+    isl AS (SELECT doc_id, pos,
+                   MAX(pos + 11) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+            FROM dup),
+    flag AS (SELECT doc_id, pos,
+                    CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS new_s
+             FROM isl),
+    grp AS (SELECT doc_id, pos, SUM(new_s) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM flag),
+    spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos + 11) AS e
+              FROM grp GROUP BY doc_id, island),
+    tokpos AS (SELECT doc_id, i AS pos, w[i] AS tok
+               FROM w, unnest(range(1, len(w) + 1)) AS u(i)),
+    covered AS (SELECT doc_id, v.pos
+                FROM spans, unnest(range(s, e + 1)) AS v(pos)),
+    kept AS (SELECT t.doc_id, t.pos, t.tok
+             FROM tokpos t ANTI JOIN covered c USING (doc_id, pos)),
+    cutdocs AS (SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id),
+    exact AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        FROM cutdocs) WHERE doc_id = rep),
+    with_domain AS (
+      SELECT e.doc_id, d.lang,
+             CAST(len({{etoks}}) AS BIGINT) AS n_tokens
+      FROM exact e JOIN documents d ON e.doc_id = d.doc_id),
+    mixed AS (
+      SELECT * FROM with_domain
+      WHERE CASE
+        WHEN lang = 'en' THEN substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < 'e6666666'
+        WHEN lang = 'de' THEN substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < '9999999a'
+        ELSE substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < '1999999a'
+      END),
+    budgeted AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                 PARTITION BY lang
+                 ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM mixed) WHERE running - n_tokens < 20000)
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(FLOOR((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) / 512.0)
+                AS BIGINT) AS chunk_id
+    FROM budgeted
+    WINDOW w AS (PARTITION BY lang
+                 ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """.replace("{toks}", _SQL_TOKS.format(c="text"))
+       .replace("{spankey}", _SQL_SPANKEY.format(x="sh"))
+       .replace("{etoks}", _SQL_TOKS.format(c="e.text")),
+)
+def pretrain_mix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The flagship curation DAG WITH the Lee et al. 2022 substring
+    # stage wired in (jobs.build_pretrain_dataset(substring_dedup=
+    # True)): line dedup -> duplicate-span cut (n=12, min_docs=2) ->
+    # exact dedup -> mixture sample -> token budget -> shard packing,
+    # one lazy plan, oracle-checked end-to-end including the span cut.
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " table ", "\n").alias("text"), "lang"
+    )
+    return jobs.build_pretrain_dataset(
+        d, mix={"en": 0.9, "de": 0.6}, default_mix=0.1, substring_dedup=True
+    )

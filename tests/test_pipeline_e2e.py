@@ -265,3 +265,59 @@ def test_gated_ingest_hard_gate_raises_with_detail(spark):
     )
     with _pytest.raises(ValueError, match="unique on id: 1"):
         jobs.assert_expectations(report)
+
+
+def test_pretrain_dataset_substring_dedup_stage(spark):
+    # substring_dedup=True cuts the shared 12-token boilerplate from
+    # BOTH docs but keeps each doc's unique remainder — the Lee et al.
+    # span-cut contract, inside the composed DAG. Without the flag the
+    # same docs survive intact (line dedup alone can't see sub-line
+    # duplication), so exact dedup keeps both.
+    from bohemia_kenya_data_pipeline_spark import jobs
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler}", "en"),
+            (2, f"{boiler} delta epsilon zeta", "en"),
+            (3, "completely unique document text here", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    kw = dict(mix={"en": 1.0}, token_budget=10_000, pack_tokens=512)
+    plain = {
+        r["doc_id"]: r["n_tokens"]
+        for r in jobs.build_pretrain_dataset(docs, **kw).collect()
+    }
+    cut = {
+        r["doc_id"]: r["n_tokens"]
+        for r in jobs.build_pretrain_dataset(
+            docs, substring_dedup=True, **kw
+        ).collect()
+    }
+    assert plain == {1: 15, 2: 15, 3: 5}
+    # span cut removes the 12 boilerplate tokens from each sharer
+    assert cut == {1: 3, 2: 3, 3: 5}
+
+
+def test_pretrain_dataset_span_cut_drops_wall_to_wall_dupes(spark):
+    from bohemia_kenya_data_pipeline_spark import jobs
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler, "en"),
+            (2, boiler + " tail words", "en"),
+            (3, "unique doc body stays put", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        r["doc_id"]: r["n_tokens"]
+        for r in jobs.build_pretrain_dataset(
+            docs, substring_dedup=True, mix={"en": 1.0}
+        ).collect()
+    }
+    # doc 1 is cut to nothing -> dropped; doc 2 keeps its unique tail
+    assert 1 not in out
+    assert out[2] == 2 and out[3] == 5
