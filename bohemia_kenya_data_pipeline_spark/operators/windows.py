@@ -446,6 +446,8 @@ def distributed_global_rank(
     order_by: Sequence[str | Column],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    sample_per_partition: int = 100,
+    seed: int = 17,
 ) -> DataFrame:
     """Exact global ROW_NUMBER over ``order_by`` WITHOUT a
     single-reducer sort — the 100 TB replacement for
@@ -453,28 +455,71 @@ def distributed_global_rank(
     through one task).
 
     ``order_by`` must be a total order (include a unique tiebreak
-    column) or ranks are nondeterministic.
+    column) with NON-NULL keys, or ranks are nondeterministic.
 
-    Plan: range-repartition on the order keys (partition i holds keys
-    <= partition i+1's), local row_number per range partition, then
-    per-partition counts cumulated into offsets — a <=P-row metadata
-    aggregate (same size class as centroid state) computed from the
-    SAME range exchange (Catalyst reuses it — asserted in
-    tests/test_plans.py) and broadcast back. rank = offset + local rn.
-    Every stage is distributed over P partitions; the only
-    single-partition window runs over P rows of metadata.
+    Deliberately NOT ``repartitionByRange``: Spark's range exchange
+    samples boundaries with a fresh random seed per materialization,
+    so two plan branches over the same input can land rows in
+    DIFFERENT partitions unless AQE happens to reuse the exchange —
+    offsets computed on one branch silently disagree with local ranks
+    on the other (observed: ranks off by 2 on a 15k-row input).
+    Instead the range bucket is a PURE ROW FUNCTION: boundary key
+    tuples are collected once from a deterministic md5 hash-sample
+    (~``num_partitions * sample_per_partition`` rows of driver state,
+    same size class as IVF centroids) and folded into the plan as
+    struct literals; bucket = count of boundaries <= row key. Every
+    branch then agrees by construction, runs included.
+
+    Plan: scan-local bucket assignment → local row_number per bucket
+    (one hash-partition window over P buckets) → per-bucket counts
+    cumulated into offsets (a <=P-row metadata window) broadcast back.
+    rank = offset + local rn. No stage funnels fact rows through one
+    task; boundary skew only affects balance, never correctness.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(num_partitions, *cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    key = F.struct(*[c.alias(f"k{i}") for i, c in enumerate(cols)])
+
+    n = df.count()
+    boundaries: list = []
+    if n > num_partitions:
+        target = num_partitions * sample_per_partition
+        frac = min(1.0, target / n)
+        cap = format(max(1, int(frac * 16**8)), "08x")
+        h = F.md5(
+            F.concat_ws("|", *[c.cast("string") for c in cols], F.lit(seed))
+        )
+        sample = sorted(
+            tuple(r["__k"]) for r in
+            df.filter(F.substring(h, 1, 8) < F.lit(cap))
+            .select(key.alias("__k"))
+            .collect()
+        )
+        if sample:
+            step = max(1, len(sample) // num_partitions)
+            cuts = sorted({sample[i] for i in range(step, len(sample), step)})
+            boundaries = cuts[: num_partitions - 1]
+    if boundaries:
+        lits = F.array(
+            *[
+                F.struct(*[F.lit(v).alias(f"k{i}") for i, v in enumerate(b)])
+                for b in boundaries
+            ]
+        )
+        bucket = F.aggregate(
+            lits,
+            F.lit(0),
+            lambda acc, b: acc + F.when(key >= b, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    part = df.withColumn("__pid", bucket)
     w_local = Window.partitionBy("__pid").orderBy(*cols)
     loc = part.withColumn("__lrn", F.row_number().over(w_local))
-    # offsets: exclusive prefix sum of per-partition counts (P rows)
+    # offsets: exclusive prefix sum of per-bucket counts (<=P rows)
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = (
         part.groupBy("__pid")

@@ -11038,3 +11038,40 @@ def pretrain_mix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.build_pretrain_dataset(
         d, mix={"en": 0.9, "de": 0.6}, default_mix=0.1, substring_dedup=True
     )
+
+
+@_register(
+    "ntile_price_quartiles_scalable",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders)
+    SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+    FROM t GROUP BY 1
+    """,
+)
+def ntile_price_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ntile_price_quartiles over FACT rows without the global
+    # single-reducer NTILE sort: exact distributed rank (range
+    # repartition + reused-exchange offsets) + the integer NTILE closed
+    # form, then the same quartile rollup — hash-identical to the
+    # window-NTILE oracle. This is the variant to point at a fact
+    # table; the plain entry stays for dim-scale use.
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tot = o.groupBy().agg(F.count(F.lit(1)).alias("__N"))
+    ranked = W.distributed_global_rank(
+        o.crossJoin(F.broadcast(tot)),
+        ["o_totalprice", "o_orderkey"],
+        out_col="__rn",
+    )
+    t = ranked.select(
+        "o_totalprice",
+        W.ntile_from_rank(F.col("__rn"), F.col("__N"), 4).alias("quartile"),
+    )
+    return t.groupBy("quartile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -250,7 +250,6 @@ def test_rfm_scalable_no_global_ntile_sort(spark):
     # window runs over the <=P-row offset metadata.
     plan = _plan(QUERIES["rfm_segments_scalable"](spark, SF_DIR))
     assert "ntile" not in plan
-    assert "rangepartitioning" in plan
     for line in plan.splitlines():
         if "Window" in line and "row_number()" in line:
             assert "__pid" in line
