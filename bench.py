@@ -58,6 +58,10 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "cosine_topk",
     "ivf_topk",
+    # NOTE r5: warm time rose 3.25->4.42 s when the single-level
+    # fallback became hierarchical escalation (spatial.py:543) — the
+    # local cost of cutting the constant-density scale slope from 1.88
+    # to 0.217 (BENCH_scale_r05.json). Expected; don't re-investigate.
     "spatial_nearest_hf_bucketed",
     "chunk_documents",
     "quality_features",

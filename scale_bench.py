@@ -333,6 +333,39 @@ def main() -> None:
             "corpus growth",
         )
 
+    # Deep pass (VERDICT r5 ask 5): the entries whose 10x slope was
+    # >= 0.8 get a 30x point to confirm the slope holds and no memory
+    # knee appears past 10x. slope_tail isolates the 10x->30x segment:
+    # a knee shows up as slope_tail >> slope (the 1x->30x average).
+    deep = int(os.environ.get("SCALE_FACTOR_DEEP", "0"))
+    if deep:
+        DEEP_Q = ["market_basket_brand_pairs", "tpch_q21_waiting_supplier"]
+        DEEP_F = ["quantized_fixedq", "cosine_fixedq"]
+        if only:
+            DEEP_Q = [n for n in DEEP_Q if n in keep]
+            DEEP_F = [n for n in DEEP_F if n in keep]
+        dirs[deep] = build_replica(spark, deep)
+
+        def deepen(name, make):
+            if name not in results:
+                measure(name, big, make)
+            td = _time(lambda: make(dirs[deep]))
+            r = results[name]
+            r[f"t_{deep}x"] = td
+            r["slope_deep"] = round(
+                math.log(max(td, 1e-3) / max(r["t_1x"], 1e-3))
+                / math.log(deep), 3)
+            r["slope_tail"] = round(
+                math.log(max(td, 1e-3) / max(r[f"t_{big}x"], 1e-3))
+                / math.log(deep / big), 3)
+            print(f"{name}: {deep}x={td}s slope_deep={r['slope_deep']} "
+                  f"slope_tail={r['slope_tail']}", file=sys.stderr, flush=True)
+
+        for name in DEEP_Q:
+            deepen(name, lambda d, q=QUERIES[name]: _noop(q(spark, d)))
+        for name in DEEP_F:
+            deepen(name, lambda d, f=FIXEDQ[name]: _noop(f(spark, d, n1_max)))
+
     print(json.dumps({
         "metric": "scale_slopes",
         "factors": sorted(dirs),
