@@ -11075,3 +11075,44 @@ def ntile_price_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@_register(
+    "semantic_dedup_capped",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    an AS (SELECT v AS av,
+                  ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j
+           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+    sc AS (SELECT e.vec_id, e.v, an.j,
+                  ROUND(list_cosine_similarity(e.v, an.av), 4) AS cs
+           FROM e CROSS JOIN an),
+    asg AS (SELECT vec_id, v, CAST(j AS INTEGER) AS cid FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, j) AS rn
+             FROM sc) WHERE rn = 1),
+    capped AS (SELECT vec_id, v, cid FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                                             ORDER BY vec_id) AS rk
+                FROM asg) WHERE rk <= 30),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cid,
+                 ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+          FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cid, cosine FROM p WHERE cosine >= 0.3
+    """,
+)
+def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The PRODUCTION SemDeDup regime on duplicate-heavy corpora:
+    # per-cluster membership capped (deterministic id-ordered sample,
+    # _cap_buckets strategy='sample') so pair volume is bounded at
+    # k*C(cap,2) while assignment + the cid shuffle stay linear.
+    # cap=30 BINDS at gate scale (mean cluster ~62 of 500 vectors), so
+    # the hash compare checks the capped path itself, not a no-op.
+    # Bench-only until r6 (scale_bench semantic_dedup_capped, slope of
+    # the linear part); now a checked contract like the fixedq ANN set.
+    return dd.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        n_anchors=8,
+        threshold=0.3,
+        max_cluster_size=30,
+    )
