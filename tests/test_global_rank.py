@@ -62,3 +62,19 @@ def test_ntile_from_rank_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, (n, k)
+
+
+def test_rank_branches_agree_within_one_action(spark):
+    # regression for the repartitionByRange hazard: the offsets branch
+    # and the local-rank branch must see the SAME bucket assignment in
+    # every execution (range-exchange boundary sampling is re-randomized
+    # per materialization; literal boundary buckets are not). Run the
+    # same plan repeatedly and demand identical, gap-free ranks.
+    df = _vals(spark, 2000, 17)
+    r = W.distributed_global_rank(df, ["v", "id"], num_partitions=8)
+    baseline = sorted((row["id"], row["rn"]) for row in r.collect())
+    ranks = [rn for _, rn in baseline]
+    assert sorted(ranks) == list(range(1, 2001))
+    for _ in range(2):
+        again = sorted((row["id"], row["rn"]) for row in r.collect())
+        assert again == baseline
