@@ -441,6 +441,71 @@ def gap_fill_interpolate(
     )
 
 
+def lex_ge(cols: Sequence[Column], values: Sequence) -> Column:
+    """Lexicographic ``(cols...) >= (values...)`` as a flat boolean
+    expression — equivalent to comparing two structs but stays inside
+    whole-stage codegen (struct comparisons and higher-order folds are
+    interpreted; measured ~3x slower on a 45k-row bucket assignment)."""
+    c0, v0 = cols[0], F.lit(values[0])
+    if len(cols) == 1:
+        return c0 >= v0
+    return (c0 > v0) | ((c0 == v0) & lex_ge(cols[1:], values[1:]))
+
+
+def pick_boundary_cuts(sample: list[tuple], num_partitions: int) -> list[tuple]:
+    """Evenly spaced boundary tuples from a sorted(!) sample — at most
+    ``num_partitions - 1`` cuts. Boundary quality only affects balance,
+    never rank correctness (bucket = count of boundaries <= key is
+    monotone whatever the cuts are)."""
+    if not sample:
+        return []
+    sample = sorted(sample)
+    step = max(1, len(sample) // num_partitions)
+    cuts = sorted({sample[i] for i in range(step, len(sample), step)})
+    return cuts[: num_partitions - 1]
+
+
+def rank_boundaries(
+    df: DataFrame,
+    key_sets: dict[str, Sequence[str]],
+    num_partitions: int | None = None,
+    sample_per_partition: int = 100,
+    seed: int = 17,
+) -> tuple[int, dict[str, list[tuple]]]:
+    """Batched boundary derivation for ranking the SAME input on
+    SEVERAL key sets (e.g. RFM's three quintile dimensions): ONE count
+    + ONE deterministic md5-sample collect, boundaries sliced per key
+    set driver-side. Returns (n_rows, {name: boundaries}) ready to
+    pass to :func:`distributed_global_rank`; calling it per key set
+    instead would pay the scan per dimension.
+
+    The sampling hash is keyed on the union of all key columns, so one
+    filter serves every dimension (any uniform row sample bounds every
+    per-dimension bucket equally well)."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    all_cols = sorted({c for cols in key_sets.values() for c in cols})
+    n = df.count()
+    if n <= num_partitions:
+        return n, {name: [] for name in key_sets}
+    target = num_partitions * sample_per_partition
+    frac = min(1.0, target / n)
+    cap = format(max(1, int(frac * 16**8)), "08x")
+    h = F.md5(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in all_cols], F.lit(seed))
+    )
+    rows = (
+        df.filter(F.substring(h, 1, 8) < F.lit(cap)).select(*all_cols).collect()
+    )
+    out = {}
+    for name, cols in key_sets.items():
+        sample = [tuple(r[c] for c in cols) for r in rows]
+        out[name] = pick_boundary_cuts(sample, num_partitions)
+    return n, out
+
+
 def distributed_global_rank(
     df: DataFrame,
     order_by: Sequence[str | Column],
@@ -448,6 +513,7 @@ def distributed_global_rank(
     num_partitions: int | None = None,
     sample_per_partition: int = 100,
     seed: int = 17,
+    boundaries: list[tuple] | None = None,
 ) -> DataFrame:
     """Exact global ROW_NUMBER over ``order_by`` WITHOUT a
     single-reducer sort — the 100 TB replacement for
@@ -483,37 +549,36 @@ def distributed_global_rank(
         )
     key = F.struct(*[c.alias(f"k{i}") for i, c in enumerate(cols)])
 
-    n = df.count()
-    boundaries: list = []
-    if n > num_partitions:
-        target = num_partitions * sample_per_partition
-        frac = min(1.0, target / n)
-        cap = format(max(1, int(frac * 16**8)), "08x")
-        h = F.md5(
-            F.concat_ws("|", *[c.cast("string") for c in cols], F.lit(seed))
-        )
-        sample = sorted(
-            tuple(r["__k"]) for r in
-            df.filter(F.substring(h, 1, 8) < F.lit(cap))
-            .select(key.alias("__k"))
-            .collect()
-        )
-        if sample:
-            step = max(1, len(sample) // num_partitions)
-            cuts = sorted({sample[i] for i in range(step, len(sample), step)})
-            boundaries = cuts[: num_partitions - 1]
+    if boundaries is None:
+        # self-serve boundary derivation: one count + one sample
+        # collect. Callers ranking the SAME input on several key sets
+        # should batch this themselves (one scan, one collect) and
+        # pass `boundaries` per call — see rank_boundaries().
+        n = df.count()
+        boundaries = []
+        if n > num_partitions:
+            target = num_partitions * sample_per_partition
+            frac = min(1.0, target / n)
+            cap = format(max(1, int(frac * 16**8)), "08x")
+            h = F.md5(
+                F.concat_ws("|", *[c.cast("string") for c in cols], F.lit(seed))
+            )
+            sample = sorted(
+                tuple(r["__k"]) for r in
+                df.filter(F.substring(h, 1, 8) < F.lit(cap))
+                .select(key.alias("__k"))
+                .collect()
+            )
+            boundaries = pick_boundary_cuts(sample, num_partitions)
     if boundaries:
-        lits = F.array(
-            *[
-                F.struct(*[F.lit(v).alias(f"k{i}") for i, v in enumerate(b)])
-                for b in boundaries
-            ]
-        )
-        bucket = F.aggregate(
-            lits,
-            F.lit(0),
-            lambda acc, b: acc + F.when(key >= b, 1).otherwise(0),
-        )
+        # sum-of-whens over lex_ge, NOT an F.aggregate fold over an
+        # array of struct literals: the flat boolean/addition chain
+        # stays inside whole-stage codegen (higher-order folds and
+        # struct comparisons are interpreted — measured ~6x slower on
+        # a 150k-row assign+rank)
+        bucket = F.lit(0)
+        for b in boundaries:
+            bucket = bucket + F.when(lex_ge(cols, b), 1).otherwise(0)
     else:
         bucket = F.lit(0)
     part = df.withColumn("__pid", bucket)

@@ -10893,39 +10893,95 @@ def randomization_preselection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rfm_segments WITHOUT the three global-NTILE single-reducer sorts
-    # — the 100 TB variant the rfm_segments docstring promises. Each
-    # quintile score is reconstructed from an exact distributed global
-    # rank (range-repartition + reused-exchange offsets,
-    # W.distributed_global_rank) pushed through the integer NTILE
-    # closed form (W.ntile_from_rank) — hash-identical to the window
-    # NTILE oracle, but every stage is distributed over P partitions
-    # (plan-asserted: no Exchange SinglePartition over the fact rows).
+    # — the 100 TB variant the rfm_segments docstring promises, and
+    # one that beats three independent rankings: the three dimensions
+    # are MELTED to (custkey, dim, v-bigint) and ranked in a SINGLE
+    # bucketed window pass (bucket = per-dim literal boundary cuts from
+    # ONE deterministic sample collect), then pivoted back — one window
+    # shuffle + one pivot groupBy for all three quintiles,
+    # hash-identical to the window-NTILE oracle. Plan-asserted: no
+    # single-reducer sort over fact rows.
+    import datetime as _dt
+
     o = _t(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    tot = rfm.groupBy().agg(F.count(F.lit(1)).alias("__N"))
-    base = rfm.crossJoin(F.broadcast(tot))
-    # each ranking branches from the SAME base subplan (never from the
-    # accumulated join) so the rfm aggregate exchange is reused across
-    # the three branches instead of re-derived per join
-    scored = base
-    for dim, score in (
-        ("last_order", "r_score"),
-        ("frequency", "f_score"),
-        ("monetary", "m_score"),
-    ):
-        ranked = W.distributed_global_rank(
-            base.select("o_custkey", dim, "__N"),
-            [dim, "o_custkey"],
-            out_col="__rn",
-        ).select(
-            "o_custkey",
-            W.ntile_from_rank(F.col("__rn"), F.col("__N"), 5).alias(score),
-        )
-        scored = scored.join(ranked, "o_custkey")
+    # ONE count + ONE sample collect serve all three dimensions
+    n, bnds = W.rank_boundaries(
+        rfm,
+        {
+            "r": ["last_order", "o_custkey"],
+            "f": ["frequency", "o_custkey"],
+            "m": ["monetary", "o_custkey"],
+        },
+    )
+    # order-preserving bigint encodings (date -> epoch day, money ->
+    # exact cents) so one typed column carries all three dimensions
+    epoch = _dt.date(1970, 1, 1)
+    enc = {
+        "r": lambda v: (
+            (v.date() if isinstance(v, _dt.datetime) else v) - epoch
+        ).days,
+        "f": lambda v: int(v),
+        "m": lambda v: int(round(v * 100)),
+    }
+    melted = rfm.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("dim"),
+                    F.datediff("last_order", F.lit("1970-01-01").cast("date"))
+                    .cast("bigint")
+                    .alias("v"),
+                ),
+                F.struct(F.lit("f").alias("dim"), F.col("frequency").alias("v")),
+                F.struct(
+                    F.lit("m").alias("dim"),
+                    F.round(F.col("monetary") * 100).cast("bigint").alias("v"),
+                ),
+            )
+        ).alias("s"),
+    ).select("o_custkey", "s.dim", "s.v")
+    keycols = [F.col("v"), F.col("o_custkey")]
+    bucket = F.lit(0)
+    for dname in ("r", "f", "m"):
+        db = F.lit(0)
+        for b in bnds[dname]:
+            db = db + F.when(
+                W.lex_ge(keycols, (enc[dname](b[0]), b[1])), 1
+            ).otherwise(0)
+        bucket = F.when(F.col("dim") == dname, db).otherwise(bucket)
+    part = melted.withColumn("__b", bucket)
+    w_local = Window.partitionBy("dim", "__b").orderBy("v", "o_custkey")
+    loc = part.withColumn("__lrn", F.row_number().over(w_local))
+    # offsets: per-dim exclusive prefix over bucket counts (metadata)
+    w_off = (
+        Window.partitionBy("dim")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        part.groupBy("dim", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+        .select("dim", "__b", "__off")
+    )
+    ranked = loc.join(F.broadcast(offs), ["dim", "__b"]).withColumn(
+        "__rn", F.col("__off") + F.col("__lrn")
+    )
+    sc = ranked.withColumn(
+        "score", W.ntile_from_rank(F.col("__rn"), F.lit(n), 5)
+    )
+    pivoted = sc.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("dim") == "r", F.col("score"))).alias("r_score"),
+        F.max(F.when(F.col("dim") == "f", F.col("score"))).alias("f_score"),
+        F.max(F.when(F.col("dim") == "m", F.col("score"))).alias("m_score"),
+    )
+    scored = rfm.join(pivoted, "o_custkey")
     seg = (
         F.when(
             (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
@@ -11060,15 +11116,18 @@ def ntile_price_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFram
     # window-NTILE oracle. This is the variant to point at a fact
     # table; the plain entry stays for dim-scale use.
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    tot = o.groupBy().agg(F.count(F.lit(1)).alias("__N"))
+    n, bnds = W.rank_boundaries(
+        o, {"price": ["o_totalprice", "o_orderkey"]}
+    )
     ranked = W.distributed_global_rank(
-        o.crossJoin(F.broadcast(tot)),
+        o,
         ["o_totalprice", "o_orderkey"],
         out_col="__rn",
+        boundaries=bnds["price"],
     )
     t = ranked.select(
         "o_totalprice",
-        W.ntile_from_rank(F.col("__rn"), F.col("__N"), 4).alias("quartile"),
+        W.ntile_from_rank(F.col("__rn"), F.lit(n), 4).alias("quartile"),
     )
     return t.groupBy("quartile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -252,4 +252,4 @@ def test_rfm_scalable_no_global_ntile_sort(spark):
     assert "ntile" not in plan
     for line in plan.splitlines():
         if "Window" in line and "row_number()" in line:
-            assert "__pid" in line
+            assert "__b" in line or "__pid" in line
