@@ -111,6 +111,7 @@ HEADLINE = [
     # promoted from scale_bench constructions to oracled entries
     "ivf_ann_fixedq",
     "cosine_fixedq",
+    "cosine_fixedq_arrow",
     "quantized_fixedq",
     # round-6: curation DAG with the Lee et al. substring-dedup stage
     "pretrain_mix_spans",

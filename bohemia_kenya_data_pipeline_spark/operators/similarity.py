@@ -923,3 +923,109 @@ def rrf_fuse(
     if top_k is not None:
         out = out.filter(F.col("rank") <= top_k)
     return out.select(group_col, id_col, "rrf_nanos", "rank")
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_keep: int | None = None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k, Arrow-vectorized: same contract
+    as :func:`cosine_topk` (scores rounded to 4 dp, self-matches
+    excluded, (score desc, neighbor_id) tie-break) but the scoring is
+    a numpy matmul inside ``mapInPandas`` instead of a per-pair
+    ``zip_with``/``aggregate`` fold.
+
+    Why it exists: the expression fold is a Catalyst higher-order
+    function — interpreted per element, never codegen'd — and the 30x
+    scale run (`BENCH_scale_r06.json`) showed it becoming GC-bound
+    (cosine_fixedq slope_tail 1.18). One BLAS (B×dim)@(dim×Q) per
+    Arrow batch does the same arithmetic at memory-bandwidth speed.
+    This is the narrow case where SCALING.md's "Python stays off the
+    hot path" inverts: the JVM-side formulation is the interpreted
+    one, and the Arrow batch transfer buys vectorized compute.
+
+    Plan: the query batch is collected driver-side (it is tiny BY
+    CONTRACT — the production fixed-batch regime; raises if > 10k) and
+    broadcast to every task; the corpus streams through ONE
+    mapInPandas pass emitting the per-batch top ``batch_keep``
+    (default ``3k``) candidates per query; the exact global top-k per
+    query comes from one window over the ~(batches × Q × 3k)-row
+    candidate set. ``batch_keep > k`` absorbs rounded-score ties at
+    the raw-score cutoff (a row infinitesimally below the kth raw
+    score can still win after 4-dp rounding on the neighbor-id
+    tie-break; a >2k-deep tie cluster inside one batch is the only
+    way to get this wrong, at vanishing probability).
+
+    Returns (query_id, neighbor_id, score, rank).
+    """
+    if batch_keep is None:
+        batch_keep = 3 * k
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
+    ).collect()
+    if len(q_rows) > 10_000:
+        raise ValueError(
+            f"{len(q_rows)} query vectors: cosine_topk_arrow broadcasts "
+            "the query batch — pass the fixed production batch, not a "
+            "corpus-sized query set (use lsh_topk/ivf_topk for that)"
+        )
+    if not q_rows:
+        raise ValueError("empty query batch")
+    qids = np.asarray([r["qid"] for r in q_rows], dtype=np.int64)
+    qm = np.asarray([list(r["qv"]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = 1.0
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qm, qn))
+
+    def score_batches(batches):
+        b_qids, b_qm, b_qn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            c = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(c, axis=1)
+            cn[cn == 0.0] = 1.0
+            s = (c @ b_qm.T) / cn[:, None] / b_qn[None, :]
+            keep = min(batch_keep, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(b_qids)):
+                col = s[:, j]
+                mask = ids != b_qids[j]
+                cand_idx = np.flatnonzero(mask)
+                if len(cand_idx) > keep:
+                    part = cand_idx[
+                        np.argpartition(-col[cand_idx], keep - 1)[:keep]
+                    ]
+                else:
+                    part = cand_idx
+                out_q.append(np.full(len(part), b_qids[j], dtype=np.int64))
+                out_n.append(ids[part])
+                out_s.append(col[part])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).mapInPandas(
+        score_batches, "query_id bigint, neighbor_id bigint, score double"
+    )
+    rounded = cand.withColumn("score", F.round(F.col("score"), 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

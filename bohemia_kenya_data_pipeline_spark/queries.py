@@ -11175,3 +11175,30 @@ def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
         max_cluster_size=30,
     )
+
+
+@_register(
+    "cosine_fixedq_arrow",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qv, cv), 4) AS score
+          FROM q, c WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def cosine_fixedq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Arrow-vectorized exact baseline (numpy matmul in ONE
+    # mapInPandas corpus pass) against the same brute-force oracle as
+    # cosine_fixedq — the fix for the 30x finding that the per-pair
+    # zip_with/aggregate fold goes GC-bound (slope_tail 1.18). Same
+    # results, memory-bandwidth scoring.
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_arrow(emb, _fixed_query_batch(emb), k=5)

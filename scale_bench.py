@@ -140,6 +140,12 @@ def _cosine_fixedq(spark, sf_dir: str, n1_max: int):
     return sim.cosine_topk(emb, q, k=5)
 
 
+def _cosine_fixedq_arrow(spark, sf_dir: str, n1_max: int):
+    # the r6 fix for the fold's GC knee: numpy matmul in mapInPandas
+    emb, q = _fixed_queries(spark, sf_dir, n1_max)
+    return sim.cosine_topk_arrow(emb, q, k=5)
+
+
 def _nearest_area_scaled(spark, sf_dir: str, n1_max: int):
     # spatial_nearest in its DESIGNED regime: the replica's key offsets
     # let us place each copy in its own 1-degree latitude band, so a
@@ -194,6 +200,7 @@ FIXEDQ = {
     "quantized_fixedq": _quantized_fixedq,
     "ivf_ann_fixedq": _ivf_ann_fixedq,
     "cosine_fixedq": _cosine_fixedq,
+    "cosine_fixedq_arrow": _cosine_fixedq_arrow,
     "spatial_nearest_area_scaled": _nearest_area_scaled,
     "semantic_dedup_capped": _semantic_dedup_capped,
 }
@@ -340,7 +347,7 @@ def main() -> None:
     deep = int(os.environ.get("SCALE_FACTOR_DEEP", "0"))
     if deep:
         DEEP_Q = ["market_basket_brand_pairs", "tpch_q21_waiting_supplier"]
-        DEEP_F = ["quantized_fixedq", "cosine_fixedq"]
+        DEEP_F = ["quantized_fixedq", "cosine_fixedq", "cosine_fixedq_arrow"]
         if only:
             DEEP_Q = [n for n in DEEP_Q if n in keep]
             DEEP_F = [n for n in DEEP_F if n in keep]

@@ -316,3 +316,33 @@ def test_quantized_prequantized_path_equals_composed(spark):
     assert sorted(map(tuple, composed.collect())) == sorted(
         map(tuple, pre.collect())
     )
+
+
+def test_cosine_topk_arrow_matches_fold_path(spark):
+    # the Arrow matmul path must reproduce the expression-fold path
+    # exactly at the 4-dp contract: same neighbors, same rounded
+    # scores, same ranks
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in sim.cosine_topk(emb, q, k=5).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in sim.cosine_topk_arrow(emb, q, k=5).collect()
+    }
+    assert a == b
+
+
+def test_cosine_topk_arrow_rejects_corpus_sized_query_set(spark):
+    import pytest
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="empty query batch"):
+        sim.cosine_topk_arrow(emb, emb.limit(0), k=5)
