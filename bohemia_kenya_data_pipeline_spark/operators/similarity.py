@@ -1029,3 +1029,105 @@ def cosine_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def quantized_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_keep: int | None = None,
+) -> DataFrame:
+    """Int8-scored cosine top-k, Arrow-vectorized — the numpy-matmul
+    counterpart of :func:`quantized_cosine_topk` (same contract:
+    symmetric per-vector quantization scale = max|v|/127,
+    q = floor(v/scale + 0.5), score = dot(q_a,q_b) /
+    (|q_a| |q_b|) rounded to 6 dp, self-matches excluded,
+    (score desc, neighbor_id) tie-break).
+
+    Unlike the float path, parity here is EXACT by construction: the
+    pair math is integer dot products (no accumulation-order hazard),
+    and the final division/sqrt are single IEEE operations identical
+    on every engine — asserted against the expression-fold path in
+    tests/test_similarity.py. Plan: query batch quantized driver-side
+    and broadcast; ONE mapInPandas corpus pass quantizes and scores
+    each Arrow batch as an int64 matmul, emitting the per-batch top
+    ``batch_keep`` (default 3k) per query; exact global top-k from one
+    window over the reduced candidate set.
+    """
+    if batch_keep is None:
+        batch_keep = 3 * k
+
+    def _quant(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        scales = np.abs(m).max(axis=1) / 127.0
+        safe = np.where(scales > 0, scales, 1.0)
+        q = np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+        q[scales == 0] = 0
+        return q, scales
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
+    ).collect()
+    if len(q_rows) > 10_000:
+        raise ValueError(
+            f"{len(q_rows)} query vectors: quantized_topk_arrow broadcasts "
+            "the query batch — pass the fixed production batch"
+        )
+    if not q_rows:
+        raise ValueError("empty query batch")
+    qids = np.asarray([r["qid"] for r in q_rows], dtype=np.int64)
+    qq, _ = _quant(np.asarray([list(r["qv"]) for r in q_rows], dtype=np.float64))
+    qn = np.sqrt((qq * qq).sum(axis=1).astype(np.float64))
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qq, qn))
+
+    def score_batches(batches):
+        b_qids, b_qq, b_qn = bq.value
+        qn_safe = np.where(b_qn > 0, b_qn, 1.0)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            cm = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+            cq, _ = _quant(cm)
+            cn = np.sqrt((cq * cq).sum(axis=1).astype(np.float64))
+            cn_safe = np.where(cn > 0, cn, 1.0)
+            dd = cq @ b_qq.T
+            s = dd / cn_safe[:, None] / qn_safe[None, :]
+            s[cn == 0, :] = 0.0
+            s[:, b_qn == 0] = 0.0
+            keep = min(batch_keep, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(b_qids)):
+                col = s[:, j]
+                cand_idx = np.flatnonzero(ids != b_qids[j])
+                if len(cand_idx) > keep:
+                    cand_idx = cand_idx[
+                        np.argpartition(-col[cand_idx], keep - 1)[:keep]
+                    ]
+                out_q.append(np.full(len(cand_idx), b_qids[j], dtype=np.int64))
+                out_n.append(ids[cand_idx])
+                out_s.append(col[cand_idx])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).mapInPandas(
+        score_batches, "query_id bigint, neighbor_id bigint, score double"
+    )
+    rounded = cand.withColumn("score", F.round(F.col("score"), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -11202,3 +11202,39 @@ def cosine_fixedq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # results, memory-bandwidth scoring.
     emb = _t(spark, sf_dir, "embeddings")
     return sim.cosine_topk_arrow(emb, _fixed_query_batch(emb), k=5)
+
+
+@_register(
+    "quantized_fixedq_arrow",
+    """
+    WITH coded AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x / (list_max(list_transform(embedding::DOUBLE[],
+                          y -> abs(y))) / 127.0) + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+      WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(a.q, b.q), p -> p[1]*p[2])) AS dd,
+             list_sum(list_transform(a.q, x -> x*x)) AS na,
+             list_sum(list_transform(b.q, x -> x*x)) AS nb
+      FROM coded a JOIN coded b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % 50 = 0 AND a.vec_id < 500),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(CASE WHEN na > 0 AND nb > 0
+                        THEN dd / (sqrt(na) * sqrt(nb)) ELSE 0.0 END, 6) AS score
+      FROM pairs)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def quantized_fixedq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-vectorized int8 scoring (int64 matmul per batch) against
+    # the same oracle as quantized_fixedq — exact parity by
+    # construction (integer pair math, single IEEE sqrt/div).
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.quantized_topk_arrow(emb, _fixed_query_batch(emb), k=5)

@@ -146,6 +146,11 @@ def _cosine_fixedq_arrow(spark, sf_dir: str, n1_max: int):
     return sim.cosine_topk_arrow(emb, q, k=5)
 
 
+def _quantized_fixedq_arrow(spark, sf_dir: str, n1_max: int):
+    emb, q = _fixed_queries(spark, sf_dir, n1_max)
+    return sim.quantized_topk_arrow(emb, q, k=5)
+
+
 def _nearest_area_scaled(spark, sf_dir: str, n1_max: int):
     # spatial_nearest in its DESIGNED regime: the replica's key offsets
     # let us place each copy in its own 1-degree latitude band, so a
@@ -201,6 +206,7 @@ FIXEDQ = {
     "ivf_ann_fixedq": _ivf_ann_fixedq,
     "cosine_fixedq": _cosine_fixedq,
     "cosine_fixedq_arrow": _cosine_fixedq_arrow,
+    "quantized_fixedq_arrow": _quantized_fixedq_arrow,
     "spatial_nearest_area_scaled": _nearest_area_scaled,
     "semantic_dedup_capped": _semantic_dedup_capped,
 }
@@ -347,7 +353,8 @@ def main() -> None:
     deep = int(os.environ.get("SCALE_FACTOR_DEEP", "0"))
     if deep:
         DEEP_Q = ["market_basket_brand_pairs", "tpch_q21_waiting_supplier"]
-        DEEP_F = ["quantized_fixedq", "cosine_fixedq", "cosine_fixedq_arrow"]
+        DEEP_F = ["quantized_fixedq", "cosine_fixedq", "cosine_fixedq_arrow",
+                  "quantized_fixedq_arrow"]
         if only:
             DEEP_Q = [n for n in DEEP_Q if n in keep]
             DEEP_F = [n for n in DEEP_F if n in keep]

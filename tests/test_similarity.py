@@ -346,3 +346,17 @@ def test_cosine_topk_arrow_rejects_corpus_sized_query_set(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="empty query batch"):
         sim.cosine_topk_arrow(emb, emb.limit(0), k=5)
+
+
+def test_quantized_topk_arrow_matches_fold_path(spark):
+    # integer pair math: the Arrow matmul path must be EXACTLY equal
+    # to the expression-fold path (no rounding-boundary tolerance)
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    a = sorted(map(tuple, sim.quantized_cosine_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, sim.quantized_topk_arrow(emb, q, k=5).collect()))
+    assert a == b
