@@ -78,3 +78,44 @@ def test_rank_branches_agree_within_one_action(spark):
     for _ in range(2):
         again = sorted((row["id"], row["rn"]) for row in r.collect())
         assert again == baseline
+
+
+def test_rank_boundaries_batched_matches_per_call(spark):
+    # the batched helper must yield boundaries that produce the same
+    # ranks as the operator's self-serve path
+    df = _vals(spark, 300, 11)
+    n, bnds = W.rank_boundaries(
+        df, {"a": ["v", "id"], "b": ["id"]}, num_partitions=6
+    )
+    assert n == 300
+    got = {
+        r["id"]: r["rn"]
+        for r in W.distributed_global_rank(
+            df, ["v", "id"], boundaries=bnds["a"], num_partitions=6
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in W.distributed_global_rank(
+            df, ["v", "id"], num_partitions=6
+        ).collect()
+    }
+    assert got == want
+
+
+def test_lex_ge_matches_struct_semantics(spark):
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    rows = [(a, b) for a, b in itertools.product(range(3), range(3))]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    for bound in [(0, 0), (1, 2), (2, 0)]:
+        got = {
+            (r["x"], r["y"])
+            for r in df.filter(
+                W.lex_ge([F.col("x"), F.col("y")], bound)
+            ).collect()
+        }
+        want = {t for t in rows if t >= bound}
+        assert got == want, bound
