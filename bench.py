@@ -62,6 +62,9 @@ HEADLINE = [
     # fallback became hierarchical escalation (spatial.py:543) — the
     # local cost of cutting the constant-density scale slope from 1.88
     # to 0.217 (BENCH_scale_r05.json). Expected; don't re-investigate.
+    # NOTE r6: steady band measured 2.4-3.3 s across r5/r6 records and
+    # a 5-repeat re-run (machine-load noise class, BASELINE.md) — a
+    # 1.3x swing between two single measurements is not a regression.
     "spatial_nearest_hf_bucketed",
     "chunk_documents",
     "quality_features",
