@@ -1015,10 +1015,12 @@ def cosine_topk_arrow(
                 }
             )
 
-    cand = corpus.select(
-        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
-    ).mapInPandas(
-        score_batches, "query_id bigint, neighbor_id bigint, score double"
+    cand = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+        .mapInPandas(
+            score_batches, "query_id bigint, neighbor_id bigint, score double"
+        )
     )
     rounded = cand.withColumn("score", F.round(F.col("score"), 4))
     w = Window.partitionBy("query_id").orderBy(
@@ -1117,10 +1119,12 @@ def quantized_topk_arrow(
                 }
             )
 
-    cand = corpus.select(
-        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
-    ).mapInPandas(
-        score_batches, "query_id bigint, neighbor_id bigint, score double"
+    cand = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+        .mapInPandas(
+            score_batches, "query_id bigint, neighbor_id bigint, score double"
+        )
     )
     rounded = cand.withColumn("score", F.round(F.col("score"), 6))
     w = Window.partitionBy("query_id").orderBy(
