@@ -34,9 +34,16 @@ def bind_once(col: Column, fn) -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenizer → array<string> (empty tokens removed)."""
+    """Whitespace tokenizer → array<string> (empty tokens removed).
+
+    ``array_remove`` rather than a ``F.filter`` lambda: split-on-\s+
+    after trim can only produce "" (for empty input), and the native
+    expression stays in whole-stage codegen where the higher-order
+    filter is interpreted per element — this function sits under every
+    text operator's hot path (measured on bm25: 3 corpus tokenizations
+    dominated the query)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return F.array_remove(F.split(F.trim(c), r"\s+"), "")
 
 
 def bpe_ish_tokens(text: Column | str) -> Column:
@@ -719,11 +726,17 @@ def bm25_topk(
     # aggregate (broadcast semi join against the exploded scan), so
     # nothing corpus-sized ever shuffles — only matching postings do.
     # dl rides through that filtered shuffle as a per-group constant.
-    base = docs.select(
-        F.col(id_col),
-        token_count(text_col).cast("bigint").alias("dl"),
-        F.explode(tokens(text_col)).alias("token"),
-    ).join(F.broadcast(q_terms.select("token").distinct()), "token", "semi")
+    # tokenize ONCE per row (two-step projection), not once for dl and
+    # again for the explode — the tokenizer is the scan's hot loop
+    base = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .select(
+            F.col(id_col),
+            F.size("__tk").cast("bigint").alias("dl"),
+            F.explode("__tk").alias("token"),
+        )
+        .join(F.broadcast(q_terms.select("token").distinct()), "token", "semi")
+    )
     tf = base.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )

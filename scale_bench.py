@@ -78,6 +78,11 @@ LINEAR = [
     "psi_price_drift",
     "temperature_mix_sample",
     "jsd_lang_drift",
+    # round-6 composed/scalable entries
+    "pretrain_mix_spans",
+    "rfm_segments_scalable",
+    "randomization_preselection",
+    "hybrid_rank_fusion",
 ]
 
 #: quadratic BY CONSTRUCTION (query set = fixed fraction of corpus, or
@@ -354,7 +359,7 @@ def main() -> None:
     if deep:
         DEEP_Q = ["market_basket_brand_pairs", "tpch_q21_waiting_supplier"]
         DEEP_F = ["quantized_fixedq", "cosine_fixedq", "cosine_fixedq_arrow",
-                  "quantized_fixedq_arrow"]
+                  "quantized_fixedq_arrow", "ivf_ann_fixedq"]
         if only:
             DEEP_Q = [n for n in DEEP_Q if n in keep]
             DEEP_F = [n for n in DEEP_F if n in keep]
