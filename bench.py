@@ -117,6 +117,7 @@ HEADLINE = [
     "cosine_fixedq_arrow",
     "quantized_fixedq",
     "quantized_fixedq_arrow",
+    "ivf_ann_fixedq_arrow",
     # round-6: curation DAG with the Lee et al. substring-dedup stage
     "pretrain_mix_spans",
     "rfm_segments_scalable",

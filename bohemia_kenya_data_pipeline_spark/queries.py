@@ -11238,3 +11238,50 @@ def quantized_fixedq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (integer pair math, single IEEE sqrt/div).
     emb = _t(spark, sf_dir, "embeddings")
     return sim.quantized_topk_arrow(emb, _fixed_query_batch(emb), k=5)
+
+
+@_register(
+    "ivf_ann_fixedq_arrow",
+
+    f"""
+    WITH {_cents_values_sql(_IVF_FIXED_RAW)},
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (SELECT neighbor_id, v, cid,
+                      ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                         ORDER BY list_dot_product(v, cv) DESC, cid)
+                        AS rn
+               FROM c CROSS JOIN cents),
+    corpus AS (SELECT neighbor_id, v, cid FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+    probe AS (SELECT query_id, qv, cid,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY list_dot_product(qv, cv) DESC, cid)
+                       AS rn
+              FROM q CROSS JOIN cents),
+    probes AS (SELECT query_id, qv, cid FROM probe WHERE rn <= 2),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qv, v), 4) AS score
+          FROM probes JOIN corpus USING (cid)
+          WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def ivf_ann_fixedq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-vectorized IVF (assignment argmax + probe-masked scoring
+    # as numpy matmuls in one corpus pass) against the SAME mirrored
+    # oracle as ivf_ann_fixedq — the fix for the interpreted
+    # _nearest_cid fold that dominated the fold path at scale.
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk_arrow(
+        emb,
+        _fixed_query_batch(emb),
+        centroids=_IVF_FIXED_RAW,
+        k=5,
+        n_probe=2,
+    )

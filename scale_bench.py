@@ -156,6 +156,14 @@ def _quantized_fixedq_arrow(spark, sf_dir: str, n1_max: int):
     return sim.quantized_topk_arrow(emb, q, k=5)
 
 
+def _ivf_ann_fixedq_arrow(spark, sf_dir: str, n1_max: int):
+    emb, q = _fixed_queries(spark, sf_dir, n1_max)
+    cents = sim.ivf_train_centroids(
+        emb, n_centroids=8, n_iters=2, train_fraction=0.2
+    )
+    return sim.ivf_topk_arrow(emb, q, centroids=cents, k=5, n_probe=2)
+
+
 def _nearest_area_scaled(spark, sf_dir: str, n1_max: int):
     # spatial_nearest in its DESIGNED regime: the replica's key offsets
     # let us place each copy in its own 1-degree latitude band, so a
@@ -212,6 +220,7 @@ FIXEDQ = {
     "cosine_fixedq": _cosine_fixedq,
     "cosine_fixedq_arrow": _cosine_fixedq_arrow,
     "quantized_fixedq_arrow": _quantized_fixedq_arrow,
+    "ivf_ann_fixedq_arrow": _ivf_ann_fixedq_arrow,
     "spatial_nearest_area_scaled": _nearest_area_scaled,
     "semantic_dedup_capped": _semantic_dedup_capped,
 }
@@ -359,7 +368,8 @@ def main() -> None:
     if deep:
         DEEP_Q = ["market_basket_brand_pairs", "tpch_q21_waiting_supplier"]
         DEEP_F = ["quantized_fixedq", "cosine_fixedq", "cosine_fixedq_arrow",
-                  "quantized_fixedq_arrow", "ivf_ann_fixedq"]
+                  "quantized_fixedq_arrow", "ivf_ann_fixedq",
+                  "ivf_ann_fixedq_arrow"]
         if only:
             DEEP_Q = [n for n in DEEP_Q if n in keep]
             DEEP_F = [n for n in DEEP_F if n in keep]

@@ -360,3 +360,23 @@ def test_quantized_topk_arrow_matches_fold_path(spark):
     a = sorted(map(tuple, sim.quantized_cosine_topk(emb, q, k=5).collect()))
     b = sorted(map(tuple, sim.quantized_topk_arrow(emb, q, k=5).collect()))
     assert a == b
+
+
+def test_ivf_topk_arrow_matches_fold_path(spark):
+    # Arrow IVF (vectorized assignment + probe-masked scoring) must
+    # reproduce the fold path exactly at the 4-dp contract with the
+    # same literal centroids and pruned probes
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = sim.random_hyperplanes(dim=64, n_planes=8, seed=7)
+    a = sorted(map(tuple, sim.ivf_topk(
+        emb, q, k=5, n_centroids=8, n_probe=2, centroids=cents
+    ).collect()))
+    b = sorted(map(tuple, sim.ivf_topk_arrow(
+        emb, q, centroids=cents, k=5, n_probe=2
+    ).collect()))
+    assert a == b
