@@ -10740,13 +10740,14 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
     bm = tx.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
     emb = _t(spark, sf_dir, "embeddings")
-    dense = sim.ivf_topk(
+    # Arrow IVF leg (exact parity with the fold path — tested) keeps
+    # the dense ranking off the interpreted fold
+    dense = sim.ivf_topk_arrow(
         emb,
         emb.filter(F.col("vec_id").isin(_HYBRID_QVEC_IDS)),
-        k=10,
-        n_centroids=8,
-        n_probe=2,
         centroids=_IVF_FIXED_RAW,
+        k=10,
+        n_probe=2,
     ).select(
         (F.col("query_id") / 100).cast("bigint").alias("query_id"),
         F.col("neighbor_id").alias("doc_id"),
