@@ -964,9 +964,11 @@ def cosine_topk_arrow(
     """
     if batch_keep is None:
         batch_keep = 3 * k
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
-    ).collect()
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv"))
+        .collect()
+    )
     if len(q_rows) > 10_000:
         raise ValueError(
             f"{len(q_rows)} query vectors: cosine_topk_arrow broadcasts "
@@ -1068,9 +1070,11 @@ def quantized_topk_arrow(
         q[scales == 0] = 0
         return q, scales
 
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
-    ).collect()
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv"))
+        .collect()
+    )
     if len(q_rows) > 10_000:
         raise ValueError(
             f"{len(q_rows)} query vectors: quantized_topk_arrow broadcasts "
@@ -1168,9 +1172,11 @@ def ivf_topk_arrow(
     if batch_keep is None:
         batch_keep = 3 * k
     cents = np.asarray([_unit(c) for c in centroids], dtype=np.float64)
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
-    ).collect()
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv"))
+        .collect()
+    )
     if len(q_rows) > 10_000:
         raise ValueError(
             f"{len(q_rows)} query vectors: ivf_topk_arrow broadcasts the "

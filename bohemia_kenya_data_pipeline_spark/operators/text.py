@@ -34,7 +34,7 @@ def bind_once(col: Column, fn) -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenizer → array<string> (empty tokens removed).
+    r"""Whitespace tokenizer → array<string> (empty tokens removed).
 
     ``array_remove`` rather than a ``F.filter`` lambda: split-on-\s+
     after trim can only produce "" (for empty input), and the native
@@ -47,11 +47,17 @@ def tokens(text: Column | str) -> Column:
 
 
 def bpe_ish_tokens(text: Column | str) -> Column:
-    """BPE-ish regex tokenizer: punctuation split off into separate
-    tokens (approximates subword pre-tokenization)."""
+    r"""BPE-ish regex tokenizer: punctuation split off into separate
+    tokens (approximates subword pre-tokenization).
+
+    Same codegen-safe idiom as :func:`tokens`: after ``trim``, a
+    \s+ split can only emit "" for fully-empty input, and
+    ``array_remove`` drops every "" occurrence natively — the previous
+    ``F.filter`` lambda was an interpreted island (the exact pattern
+    the round-6 tokenizer fix removed from ``tokens``)."""
     c = F.col(text) if isinstance(text, str) else text
     spaced = F.regexp_replace(c, r"([^\w\s])", r" $1 ")
-    return F.filter(F.split(F.trim(spaced), r"\s+"), lambda t: t != "")
+    return F.array_remove(F.split(F.trim(spaced), r"\s+"), "")
 
 
 def token_count(text: Column | str) -> Column:

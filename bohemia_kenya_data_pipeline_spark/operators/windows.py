@@ -390,7 +390,13 @@ def gap_fill_interpolate(
     # ts0 + (t - t0) * step, preserving date_trunc's phase. Re-deriving
     # from t * step alone would snap 'week' buckets to the epoch phase
     # (a Thursday — 4 days early vs date_trunc's Mondays) and shift
-    # 'day' buckets under non-UTC session timezones.
+    # 'day' buckets under non-UTC FIXED-OFFSET session timezones (the
+    # covered case, e.g. Asia/Kathmandu). DST zones are NOT supported
+    # for bucket='day'/'week': date_trunc'd days there are 23/25 h
+    # apart across a transition while the t = unix/86400 grid and this
+    # reconstruction both assume exact 86400 s spacing, so emitted
+    # buckets would drift 1 h off date_trunc midnights after the
+    # transition. Run with a fixed-offset or UTC session timezone.
     grid = (
         obs.groupBy(key_col)
         .agg(
@@ -491,14 +497,20 @@ def rank_boundaries(
     if n <= num_partitions:
         return n, {name: [] for name in key_sets}
     target = num_partitions * sample_per_partition
-    frac = min(1.0, target / n)
-    cap = format(max(1, int(frac * 16**8)), "08x")
-    h = F.md5(
-        F.concat_ws("|", *[F.col(c).cast("string") for c in all_cols], F.lit(seed))
-    )
-    rows = (
-        df.filter(F.substring(h, 1, 8) < F.lit(cap)).select(*all_cols).collect()
-    )
+    frac = target / n
+    sampled = df
+    if frac < 1.0:
+        # frac >= 1.0 means "take everything" — applying the hash cap
+        # there would format 16**8 as the 9-char '100000000', and the
+        # 8-char lexicographic compare then keeps only hashes starting
+        # with '0' (~1/16 of rows) exactly when a full sample was
+        # intended. Balance-only, but skip the filter instead.
+        cap = format(max(1, int(frac * 16**8)), "08x")
+        h = F.md5(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in all_cols], F.lit(seed))
+        )
+        sampled = df.filter(F.substring(h, 1, 8) < F.lit(cap))
+    rows = sampled.select(*all_cols).collect()
     out = {}
     for name, cols in key_sets.items():
         sample = [tuple(r[c] for c in cols) for r in rows]
@@ -558,16 +570,19 @@ def distributed_global_rank(
         boundaries = []
         if n > num_partitions:
             target = num_partitions * sample_per_partition
-            frac = min(1.0, target / n)
-            cap = format(max(1, int(frac * 16**8)), "08x")
-            h = F.md5(
-                F.concat_ws("|", *[c.cast("string") for c in cols], F.lit(seed))
-            )
+            frac = target / n
+            sampled = df
+            if frac < 1.0:
+                # see rank_boundaries: at frac >= 1.0 the 8-char cap
+                # compare would under-sample ~1/16 instead of taking all
+                cap = format(max(1, int(frac * 16**8)), "08x")
+                h = F.md5(
+                    F.concat_ws("|", *[c.cast("string") for c in cols], F.lit(seed))
+                )
+                sampled = df.filter(F.substring(h, 1, 8) < F.lit(cap))
             sample = sorted(
                 tuple(r["__k"]) for r in
-                df.filter(F.substring(h, 1, 8) < F.lit(cap))
-                .select(key.alias("__k"))
-                .collect()
+                sampled.select(key.alias("__k")).collect()
             )
             boundaries = pick_boundary_cuts(sample, num_partitions)
     if boundaries:

@@ -7081,13 +7081,17 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "quantized_cosine_topk",
     """
-    WITH coded AS (
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS mx
+      FROM embeddings),
+    coded AS (
       SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-               x -> CAST(floor(x / (list_max(list_transform(embedding::DOUBLE[],
-                          y -> abs(y))) / 127.0) + 0.5) AS BIGINT)) AS q
-      FROM embeddings
-      WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+             CASE WHEN mx > 0
+                  THEN list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5)
+                                                   AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM base),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              list_sum(list_transform(list_zip(a.q, b.q), p -> p[1]*p[2])) AS dd,
@@ -7109,9 +7113,10 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int8-scored cosine top-k: scales cancel in the cosine ratio, so
     # the pair math is integer dot products (no float accumulation
-    # order to diverge cross-engine) plus two sqrts. The synthetic
-    # corpus has no zero vectors, so the SQL mirror can quantize
-    # inline without the zero-scale branch.
+    # order to diverge cross-engine) plus two sqrts. The SQL mirror
+    # keeps zero vectors with an all-zero code (score 0) exactly like
+    # the engine — dropping them in the oracle was a latent divergence
+    # should a zero embedding ever enter the dataset (round-7 fix).
     emb = _t(spark, sf_dir, "embeddings")
     return sim.quantized_cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
 
@@ -10590,13 +10595,17 @@ def cosine_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "quantized_fixedq",
     """
-    WITH coded AS (
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS mx
+      FROM embeddings),
+    coded AS (
       SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-               x -> CAST(floor(x / (list_max(list_transform(embedding::DOUBLE[],
-                          y -> abs(y))) / 127.0) + 0.5) AS BIGINT)) AS q
-      FROM embeddings
-      WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+             CASE WHEN mx > 0
+                  THEN list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5)
+                                                   AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM base),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              list_sum(list_transform(list_zip(a.q, b.q), p -> p[1]*p[2])) AS dd,
@@ -11208,13 +11217,17 @@ def cosine_fixedq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "quantized_fixedq_arrow",
     """
-    WITH coded AS (
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS mx
+      FROM embeddings),
+    coded AS (
       SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-               x -> CAST(floor(x / (list_max(list_transform(embedding::DOUBLE[],
-                          y -> abs(y))) / 127.0) + 0.5) AS BIGINT)) AS q
-      FROM embeddings
-      WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+             CASE WHEN mx > 0
+                  THEN list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5)
+                                                   AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM base),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              list_sum(list_transform(list_zip(a.q, b.q), p -> p[1]*p[2])) AS dd,

@@ -95,9 +95,12 @@ def test_week_bucket_phase_matches_date_trunc(spark):
 
 
 def test_day_bucket_phase_survives_non_utc_session_tz(spark):
-    # Under a non-UTC session timezone the day boundary is offset from
-    # epoch multiples of 86400; emitted bucket_ts must equal the
-    # date_trunc('day') values, not unix-aligned midnights.
+    # Under a non-UTC FIXED-OFFSET session timezone the day boundary is
+    # offset from epoch multiples of 86400; emitted bucket_ts must equal
+    # the date_trunc('day') values, not unix-aligned midnights. DST
+    # zones are documented as unsupported for day/week buckets (the
+    # 86400 s grid can't track 23/25 h date_trunc'd days) — this covers
+    # the supported fixed-offset case.
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")  # +05:45
     try:

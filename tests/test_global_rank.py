@@ -119,3 +119,38 @@ def test_lex_ge_matches_struct_semantics(spark):
         }
         want = {t for t in rows if t >= bound}
         assert got == want, bound
+
+
+def test_full_sample_regime_collects_all_rows(spark):
+    """Round-7 ADVICE fix: when target sample >= n (frac >= 1.0), the
+    8-hex-char cap compare used to format 16**8 as a 9-char string and
+    keep only hashes starting with '0' (~1/16 of rows). The boundary
+    sample must now be the FULL key set, so the cuts equal
+    pick_boundary_cuts over every key exactly."""
+    df = _vals(spark, 60, 60)  # distinct keys so cuts are predictable
+    # num_partitions=4, sample_per_partition=100 -> target=400 >= 60
+    n, bounds = W.rank_boundaries(
+        df, {"k": ["v", "id"]}, num_partitions=4, sample_per_partition=100
+    )
+    assert n == 60
+    all_keys = sorted((r["v"], r["id"]) for r in df.collect())
+    assert bounds["k"] == W.pick_boundary_cuts(all_keys, 4)
+    # and the under-sampled regime would have produced FEWER than the
+    # expected 3 cuts with high probability on 60 rows (~4 survivors);
+    # full-sample guarantees exactly num_partitions-1
+    assert len(bounds["k"]) == 3
+    # ranks stay exact either way (monotonicity) — sanity-check via the
+    # self-serve path which shares the fixed sampling code
+    got = {
+        r["id"]: r["rn"]
+        for r in W.distributed_global_rank(
+            df, ["v", "id"], num_partitions=4, sample_per_partition=100
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want

@@ -613,3 +613,38 @@ def test_url_features_simple_and_bare(spark):
     assert got[1].registrable_domain == "c.org" and got[1].scheme == "ftp"
     assert got[2].host == "" and got[2].registrable_domain == ""
     assert got[2].n_query_params == 0
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer codegen-safety (round-7: bpe_ish_tokens F.filter -> array_remove)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_ish_tokens_golden(spark):
+    """Parity golden for the round-7 array_remove rewrite: punctuation
+    split off as its own tokens, no empty tokens, empty/whitespace-only
+    input yields an empty array (the interpreted F.filter lambda it
+    replaced had identical semantics)."""
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (0, "Hello, world! It's 9am."),
+            (1, "  spaced   out  "),
+            (2, ""),
+            (3, "   "),
+            (4, "no-punct words only"),
+        ],
+        ["i", "text"],
+    )
+    got = {r.i: list(r.t) for r in df.select("i", tx.bpe_ish_tokens("text").alias("t")).collect()}
+    assert got[0] == ["Hello", ",", "world", "!", "It", "'", "s", "9am", "."]
+    assert got[1] == ["spaced", "out"]
+    assert got[2] == []
+    assert got[3] == []
+    assert got[4] == ["no", "-", "punct", "words", "only"]
+    # the codegen invariant: no higher-order filter lambda in the expression
+    expr = str(df.select(tx.bpe_ish_tokens("text").alias("t"))._jdf.queryExecution().analyzed())
+    assert "array_remove" in expr and "filter(" not in expr.lower().replace("pushedfilters", "")

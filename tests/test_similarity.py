@@ -380,3 +380,80 @@ def test_ivf_topk_arrow_matches_fold_path(spark):
         emb, q, centroids=cents, k=5, n_probe=2
     ).collect()))
     assert a == b
+
+
+def test_arrow_paths_tolerate_null_query_vector(spark):
+    """Round-7 ADVICE fix: a NULL query-side embedding used to reach
+    list(r['qv']) on the driver and raise TypeError in the three Arrow
+    functions while the fold paths tolerated it. Contract now: NULL
+    query vectors are dropped (no output rows for that qid); non-null
+    queries are unaffected."""
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q_ok = emb.filter(F.col("vec_id") % 100 == 0)
+    null_q = spark.createDataFrame(
+        [(999_999, None)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    q = q_ok.select("vec_id", "embedding").unionByName(null_q)
+    for fn in (sim.cosine_topk_arrow, sim.quantized_topk_arrow):
+        rows = fn(emb, q, k=3).collect()
+        qids = {r["query_id"] for r in rows}
+        assert 999_999 not in qids
+        assert qids == {r["vec_id"] for r in q_ok.select("vec_id").collect()}
+    cents = sim.ivf_train_centroids(emb, n_centroids=4, n_iters=2)
+    rows = sim.ivf_topk_arrow(emb, q, centroids=cents, n_probe=2, k=3).collect()
+    qids = {r["query_id"] for r in rows}
+    assert 999_999 not in qids and len(qids) > 0
+
+
+def test_quantized_oracle_keeps_zero_vectors(spark, duck):
+    """Round-7 ADVICE fix: the quantized SQL oracles dropped zero
+    vectors (WHERE list_max(abs) > 0) while the engine keeps them with
+    all-zero codes scoring 0.0. Engine and oracle must agree on a
+    corpus CONTAINING a zero vector — both as neighbor and as query."""
+    import duckdb
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+    from bohemia_kenya_data_pipeline_spark.queries import ORACLES
+
+    data = [
+        (0, [0.0, 0.0, 0.0]),        # zero QUERY (vec_id % 50 == 0)
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0]),        # zero NEIGHBOR
+        (50, [0.0, 1.0, 0.0]),       # second query, non-zero
+        (4, [-0.5, -0.5, 0.0]),
+    ]
+    emb = spark.createDataFrame(data, "vec_id INT, embedding ARRAY<DOUBLE>")
+    from pyspark.sql import functions as F
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.score)
+        for r in sim.quantized_cosine_topk(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), k=5
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v!r}::DOUBLE[])" for i, v in data)
+        + ") t(vec_id, embedding)"
+    )
+    want = sorted(
+        (qid, rank, nid, score)
+        for qid, nid, score, rank in con.execute(
+            ORACLES["quantized_cosine_topk"]
+        ).fetchall()
+    )
+    con.close()
+    assert len(got) == len(want) and len(got) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) < 1e-9
+    # the zero query scores everything 0.0 and still emits k rows
+    zero_q = [r for r in got if r[0] == 0]
+    assert len(zero_q) == 5 and all(r[3] == 0.0 for r in zero_q)
+    # the zero neighbor appears (score 0.0) rather than being dropped
+    assert any(r[2] == 3 for r in got)
