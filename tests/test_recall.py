@@ -1,0 +1,297 @@
+"""Measured recall gates for every lossy retrieval regime (round-7
+VERDICT ask 1): the approximate paths were hash-checked as *the
+deterministic path each defines*, and SCALING.md stated analytic
+recall — this suite turns those claims into asserted facts against
+exact ground truth on the sf0.01 embeddings fixture.
+
+Every input is deterministic (fixed fixture, fixed seeds, literal
+centroids/codebooks), so measured recall is a constant, not a random
+variable — floors sit just below the measured value and a real
+regression (plane reseed, probe-pruning bug, codebook drift) trips
+them immediately. Measured values are published in COVERAGE.md.
+
+| regime | measured |
+|---|---|
+| ivf fixed hyperplane centroids, n_probe=2/8   | 0.240@5 / 0.420@10 |
+| ivf trained centroids (8, 5 iters), n_probe=2 | 0.620@5 / 0.530@10 |
+| lsh_topk 4 planes x 8 tables                  | 0.700@5 / 0.660@10 |
+| pq_topk trained codebooks (8x16)              | 0.260@5 / 0.320@10 |
+| pq_topk literal LCG codebooks                 | 0.040@5 (oracle baseline) |
+| embedding_neardup_pairs thr=0.3               | 0.690 pair recall |
+| embedding_neardup_pairs thr=0.8 (planted)     | 1.000 pair recall |
+
+The synthetic embeddings are near-uniform on the sphere — ANN's worst
+case (documented in SCALING.md) — so absolute numbers are LOW bounds
+on clustered real-world behavior; what the gate protects is that they
+never silently get WORSE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import dedup as dd
+from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+from bohemia_kenya_data_pipeline_spark.queries import _IVF_FIXED_RAW, _PQ_CB
+
+# the driver's gate fixture — identical embeddings table at every SF,
+# named explicitly because the VERDICT contract is "measured on the
+# sf0.01 fixture"
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    # the production fixed query batch (queries._fixed_query_batch)
+    return corpus.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+
+
+@pytest.fixture(scope="module")
+def ground_truth(corpus):
+    """Exact cosine top-k per fixed query, computed independently in
+    numpy (500x500 — trivially exact) with the engine's tie contract:
+    score rounded to 4 dp, then (score desc, neighbor_id asc)."""
+    rows = corpus.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = np.round(Vn @ Vn.T, 4)
+    qidx = np.where((ids % 50 == 0) & (ids < 500))[0]
+
+    def topk(k: int) -> dict[int, list[int]]:
+        out = {}
+        for qi in qidx:
+            order = sorted(
+                (j for j in range(len(ids)) if j != qi),
+                key=lambda j: (-C[qi, j], ids[j]),
+            )
+            out[int(ids[qi])] = [int(ids[j]) for j in order[:k]]
+        return out
+
+    return {"ids": ids, "V": V, "C": C, "topk": topk}
+
+
+def _recall_at_k(df, truth: dict[int, list[int]], k: int) -> float:
+    got: dict[int, set[int]] = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(set(truth[q]) & got.get(q, set())) for q in truth)
+    return hits / (len(truth) * k)
+
+
+# ---------------------------------------------------------------------------
+# IVF — production regime (the exact config the ivf_ann_fixedq oracle runs)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_fixedq_production_recall(spark, corpus, queries, ground_truth):
+    # literal hyperplane centroids, n_probe=2 of 8 — measured 0.240@5 /
+    # 0.420@10. Hyperplane centroids don't adapt to the data, which is
+    # why the trained regime below beats this at equal probe volume.
+    r5 = _recall_at_k(
+        sim.ivf_topk(corpus, queries, k=5, centroids=_IVF_FIXED_RAW, n_probe=2),
+        ground_truth["topk"](5), 5,
+    )
+    r10 = _recall_at_k(
+        sim.ivf_topk(corpus, queries, k=10, centroids=_IVF_FIXED_RAW, n_probe=2),
+        ground_truth["topk"](10), 10,
+    )
+    assert r5 >= 0.20, r5
+    assert r10 >= 0.40, r10
+
+
+def test_ivf_fixedq_arrow_same_recall(spark, corpus, queries, ground_truth):
+    # the production Arrow path must not trade recall for speed: same
+    # centroids, same probes, same measured recall as the fold path
+    truth = ground_truth["topk"](10)
+    fold = _recall_at_k(
+        sim.ivf_topk(corpus, queries, k=10, centroids=_IVF_FIXED_RAW, n_probe=2),
+        truth, 10,
+    )
+    arrow = _recall_at_k(
+        sim.ivf_topk_arrow(corpus, queries, centroids=_IVF_FIXED_RAW, n_probe=2, k=10),
+        truth, 10,
+    )
+    assert arrow == fold, (arrow, fold)
+
+
+def test_ivf_trained_recall_beats_hyperplane_centroids(
+    spark, corpus, queries, ground_truth
+):
+    # data-adaptive (k-means) centroids at the SAME candidate volume —
+    # measured 0.620@5 / 0.530@10 vs 0.240/0.420 for hyperplane
+    # centroids: the docstring claim "recall at equal candidate volume
+    # is typically higher" as an asserted fact.
+    r5 = _recall_at_k(
+        sim.ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=2, n_iters=5),
+        ground_truth["topk"](5), 5,
+    )
+    r10 = _recall_at_k(
+        sim.ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=2, n_iters=5),
+        ground_truth["topk"](10), 10,
+    )
+    assert r5 >= 0.55, r5
+    assert r10 >= 0.50, r10
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH top-k
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_topk_recall(spark, corpus, queries, ground_truth):
+    # 4 planes x 8 tables (the defaults every caller gets) — measured
+    # 0.700@5 / 0.660@10
+    r5 = _recall_at_k(
+        sim.lsh_topk(corpus, queries, k=5), ground_truth["topk"](5), 5
+    )
+    r10 = _recall_at_k(
+        sim.lsh_topk(corpus, queries, k=10), ground_truth["topk"](10), 10
+    )
+    assert r5 >= 0.65, r5
+    assert r10 >= 0.60, r10
+
+
+# ---------------------------------------------------------------------------
+# PQ — trained codebooks are the recall-bearing config
+# ---------------------------------------------------------------------------
+
+
+def test_pq_trained_recall_and_literal_baseline(spark, corpus, queries, ground_truth):
+    # trained 8x16 codebooks: measured 0.260@5 / 0.320@10. The literal
+    # LCG codebooks the pq_topk ORACLE uses measure 0.040@5 — they
+    # exist to hash-check encode+ADC+ranking cross-engine, not to
+    # retrieve; assert the gap so nobody ships the oracle config.
+    truth5 = ground_truth["topk"](5)
+    books = sim.pq_train_codebooks(corpus, n_subspaces=8, n_codewords=16, n_iters=4)
+    trained5 = _recall_at_k(sim.pq_topk(corpus, queries, books, k=5), truth5, 5)
+    trained10 = _recall_at_k(
+        sim.pq_topk(corpus, queries, books, k=10), ground_truth["topk"](10), 10
+    )
+    literal5 = _recall_at_k(sim.pq_topk(corpus, queries, _PQ_CB, k=5), truth5, 5)
+    assert trained5 >= 0.20, trained5
+    assert trained10 >= 0.25, trained10
+    assert trained5 >= 3 * literal5, (trained5, literal5)
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH near-dup pair generation
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_pair_recall_low_threshold(spark, corpus, ground_truth):
+    # SCALING.md's analytic 1-(1-p^k)^L = 0.69 @ cos 0.3 — measured
+    # 0.690 on the fixture (990 true pairs). The asserted floor makes
+    # the analytic S-curve a checked contract.
+    ids, C = ground_truth["ids"], ground_truth["C"]
+    iu = np.triu_indices(len(ids), 1)
+    m = C[iu] >= 0.3
+    true_pairs = {
+        (min(int(ids[a]), int(ids[b])), max(int(ids[a]), int(ids[b])))
+        for a, b in zip(iu[0][m], iu[1][m])
+    }
+    assert len(true_pairs) > 500  # non-degenerate ground truth
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_neardup_pairs(corpus, threshold=0.3).collect()
+    }
+    # every emitted pair is exact-verified, so precision is 1.0 by
+    # construction — check it anyway (a verify-stage regression would
+    # silently inflate recall)
+    assert got <= true_pairs
+    recall = len(true_pairs & got) / len(true_pairs)
+    assert recall >= 0.65, recall
+
+
+def test_neardup_pair_recall_high_cosine_planted(spark, corpus):
+    # the fixture has no cos >= 0.8 pairs, so plant 20 deterministic
+    # near-duplicates (5% relative perturbation) and require the
+    # ~0.98-at-cos-0.8 analytic claim to hold on them — measured 1.000.
+    rows = corpus.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    pert = []
+    for vid in ids[:20]:
+        v = V[np.where(ids == vid)[0][0]]
+        noise = np.array([((vid * 31 + j * 17) % 97 - 48) / 2000.0 for j in range(64)])
+        nv = v + np.linalg.norm(v) * noise * 0.05
+        pert.append((int(10_000 + vid), [float(x) for x in nv]))
+    aug = corpus.select("vec_id", "embedding").unionByName(
+        corpus.sparkSession.createDataFrame(pert, "vec_id INT, embedding ARRAY<DOUBLE>")
+    )
+    ids2 = np.concatenate([ids, [p[0] for p in pert]])
+    V2 = np.vstack([V, np.array([p[1] for p in pert])])
+    V2n = V2 / np.linalg.norm(V2, axis=1, keepdims=True)
+    C2 = np.round(V2n @ V2n.T, 4)
+    iu = np.triu_indices(len(ids2), 1)
+    m = C2[iu] >= 0.8
+    true_pairs = {
+        (min(int(ids2[a]), int(ids2[b])), max(int(ids2[a]), int(ids2[b])))
+        for a, b in zip(iu[0][m], iu[1][m])
+    }
+    assert len(true_pairs) >= 20  # the planted pairs exist
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_neardup_pairs(aug, threshold=0.8).collect()
+    }
+    recall = len(true_pairs & got) / len(true_pairs)
+    assert recall >= 0.95, recall
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — end-to-end approximation bound (VERDICT r6 ask 5)
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_fusion_tracks_exact_fusion(spark):
+    """The dense leg of hybrid_rank_fusion is approximate (IVF,
+    n_probe=2/8); this bounds the END-TO-END error: RRF-fuse the same
+    BM25 leg with the EXACT cosine top-10 dense leg and require the
+    production fusion to stay close — measured overlap@10 0.667, mean
+    nDCG@10 0.760, per-query nDCG >= 0.624 (all deterministic)."""
+    import math
+
+    from bohemia_kenya_data_pipeline_spark import queries as Q
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    SF = SF_DIR
+    approx = Q.QUERIES["hybrid_rank_fusion"](spark, SF)
+    docs = Q._t(spark, SF, "documents")
+    qdf = spark.createDataFrame(Q._BM25_QUERIES, ["query_id", "query_text"])
+    bm = tx.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
+    emb = Q._t(spark, SF, "embeddings")
+    dense_exact = sim.cosine_topk(
+        emb, emb.filter(F.col("vec_id").isin(Q._HYBRID_QVEC_IDS)), k=10
+    ).select(
+        (F.col("query_id") / 100).cast("bigint").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    exact = sim.rrf_fuse([bm, dense_exact], k=60, top_k=10)
+
+    def ranking(df):
+        acc: dict[int, list[tuple[int, int]]] = {}
+        for r in df.collect():
+            acc.setdefault(r.query_id, []).append((r["rank"], r.doc_id))
+        return {k: [d for _, d in sorted(v)] for k, v in acc.items()}
+
+    a, e = ranking(approx), ranking(exact)
+    assert set(a) == set(e) and len(e) >= 3
+    overlaps, ndcgs = [], []
+    for qid in e:
+        ex, ap = e[qid], a[qid]
+        overlaps.append(len(set(ex) & set(ap)) / len(ex))
+        rel = {d: len(ex) - i for i, d in enumerate(ex)}
+        dcg = sum(rel.get(d, 0) / math.log2(i + 2) for i, d in enumerate(ap))
+        idcg = sum((len(ex) - i) / math.log2(i + 2) for i in range(len(ex)))
+        ndcgs.append(dcg / idcg)
+    assert min(ndcgs) >= 0.55, ndcgs
+    assert sum(ndcgs) / len(ndcgs) >= 0.70, ndcgs
+    assert sum(overlaps) / len(overlaps) >= 0.60, overlaps
