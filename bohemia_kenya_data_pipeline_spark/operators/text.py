@@ -676,8 +676,11 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
             "host": host,
             "registrable_domain": registrable,
             "tld": F.when(host == "", F.lit("")).otherwise(F.element_at(labels, -1)),
+            # array_remove, not an F.filter lambda: removing "" segments
+            # is the codegen-safe idiom (see tokens()); the interpreted
+            # higher-order filter is reserved for genuine predicates
             "path_depth": F.size(
-                F.filter(F.split(path, "/"), lambda t: t != "")
+                F.array_remove(F.split(path, "/"), "")
             ).cast("int"),
             "n_query_params": F.when(query == "", F.lit(0))
             .otherwise(F.size(F.split(query, "&")))

@@ -366,7 +366,11 @@ def main() -> None:
     # a knee shows up as slope_tail >> slope (the 1x->30x average).
     deep = int(os.environ.get("SCALE_FACTOR_DEEP", "0"))
     if deep:
-        DEEP_Q = ["market_basket_brand_pairs", "tpch_q21_waiting_supplier"]
+        # r7: pretrain_mix_spans / rfm_segments_scalable added (VERDICT
+        # r6 ask 6) — confirm no knee where the span postings and the
+        # boundary-bucket windows get hot past 10x
+        DEEP_Q = ["market_basket_brand_pairs", "tpch_q21_waiting_supplier",
+                  "pretrain_mix_spans", "rfm_segments_scalable"]
         DEEP_F = ["quantized_fixedq", "cosine_fixedq", "cosine_fixedq_arrow",
                   "quantized_fixedq_arrow", "ivf_ann_fixedq",
                   "ivf_ann_fixedq_arrow"]
