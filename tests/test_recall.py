@@ -295,3 +295,111 @@ def test_hybrid_fusion_tracks_exact_fusion(spark):
     assert min(ndcgs) >= 0.55, ndcgs
     assert sum(ndcgs) / len(ndcgs) >= 0.70, ndcgs
     assert sum(overlaps) / len(overlaps) >= 0.60, overlaps
+
+
+# ---------------------------------------------------------------------------
+# Lossy PAIR generators (round-7 extension: same contract, dedup family)
+# ---------------------------------------------------------------------------
+
+
+def _doc_jaccard_truth(docs_df, thr: float) -> set[tuple[int, int]]:
+    """Exact word-2gram Jaccard pairs >= thr, computed driver-side
+    (500-doc fixture — trivially exact)."""
+    import itertools
+
+    sets = {}
+    for r in docs_df.select("doc_id", "text").collect():
+        toks = r.text.split()
+        sets[r.doc_id] = set(zip(toks, toks[1:]))
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        A, B = sets[a], sets[b]
+        u = len(A | B)
+        if u and len(A & B) / u >= thr:
+            out.add((a, b))
+    return out
+
+
+def test_minhash_banding_candidate_recall(spark):
+    # 16 hashes x 4 bands (r=4): analytic candidate probability
+    # 1-(1-J^4)^4 = 0.877 at J=0.8 and ~1 as J -> 1. The fixture's 25
+    # true J>=0.5 pairs are all planted near-exact dups (J>=0.8), and
+    # every one is caught — measured recall 1.000, 26 candidates total
+    # (the S-curve's low-J suppression working as designed).
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    truth = _doc_jaccard_truth(docs, 0.5)
+    assert len(truth) >= 20  # non-degenerate ground truth
+    cand = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(docs).collect()}
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.95, recall
+    # and candidate volume stays linear-ish, not quadratic: the 500-doc
+    # corpus must not generate more than a few times the true-pair count
+    assert len(cand) <= 10 * len(truth), len(cand)
+
+
+def test_ngram_jaccard_verify_recall_and_precision(spark):
+    # generate->verify: recall inherits the banding S-curve (measured
+    # 1.000 on the fixture's pairs), precision is EXACT by construction
+    # — the verify stage computes true Jaccard, so no emitted pair may
+    # fall below threshold.
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    truth = _doc_jaccard_truth(docs, 0.5)
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2).collect()
+    }
+    assert got == truth, (len(got), len(truth), len(got & truth))
+
+
+def test_semantic_dedup_recall_regimes(spark, corpus):
+    # SemDeDup-style anchor clustering finds pairs that share an argmax
+    # anchor. Planted cos>=0.8 near-dups (its design regime): measured
+    # recall 1.000 — near-identical vectors agree on the argmax. At
+    # cos 0.3 on near-uniform data most pairs straddle anchor
+    # boundaries: measured 0.257 — asserted as a floor AND a ceiling
+    # band so the documented boundary-loss behavior stays visible
+    # (a silent jump to ~1.0 would mean the cluster join went quadratic).
+    rows = corpus.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    pert = []
+    for vid in ids[:20]:
+        v = V[np.where(ids == vid)[0][0]]
+        noise = np.array([((vid * 31 + j * 17) % 97 - 48) / 2000.0 for j in range(64)])
+        pert.append((int(10_000 + vid), [float(x) for x in v + np.linalg.norm(v) * noise * 0.05]))
+    aug = corpus.select("vec_id", "embedding").unionByName(
+        corpus.sparkSession.createDataFrame(pert, "vec_id INT, embedding ARRAY<DOUBLE>")
+    )
+    ids2 = np.concatenate([ids, [p[0] for p in pert]])
+    V2 = np.vstack([V, np.array([p[1] for p in pert])])
+    V2n = V2 / np.linalg.norm(V2, axis=1, keepdims=True)
+    C2 = np.round(V2n @ V2n.T, 4)
+    iu = np.triu_indices(len(ids2), 1)
+    m = C2[iu] >= 0.8
+    truth_hi = {
+        (min(int(ids2[a]), int(ids2[b])), max(int(ids2[a]), int(ids2[b])))
+        for a, b in zip(iu[0][m], iu[1][m])
+    }
+    got_hi = {
+        (r.id_a, r.id_b)
+        for r in dd.semantic_dedup_pairs(aug, n_anchors=8, threshold=0.8).collect()
+    }
+    assert len(truth_hi) >= 20
+    assert len(truth_hi & got_hi) / len(truth_hi) >= 0.95
+
+    # low-threshold regime on the raw corpus: boundary losses expected
+    Cn = np.round((V / np.linalg.norm(V, axis=1, keepdims=True)) @ (V / np.linalg.norm(V, axis=1, keepdims=True)).T, 4)
+    iu0 = np.triu_indices(len(ids), 1)
+    m0 = Cn[iu0] >= 0.3
+    truth_lo = {
+        (min(int(ids[a]), int(ids[b])), max(int(ids[a]), int(ids[b])))
+        for a, b in zip(iu0[0][m0], iu0[1][m0])
+    }
+    got_lo = {
+        (r.id_a, r.id_b)
+        for r in dd.semantic_dedup_pairs(corpus, n_anchors=8, threshold=0.3).collect()
+    }
+    recall_lo = len(truth_lo & got_lo) / len(truth_lo)
+    assert 0.20 <= recall_lo <= 0.60, recall_lo
+    # every emitted pair is exact-verified within its cluster
+    assert got_lo <= truth_lo
