@@ -403,3 +403,37 @@ def test_semantic_dedup_recall_regimes(spark, corpus):
     assert 0.20 <= recall_lo <= 0.60, recall_lo
     # every emitted pair is exact-verified within its cluster
     assert got_lo <= truth_lo
+
+
+# ---------------------------------------------------------------------------
+# Knob monotonicity — recall vs candidate-volume knobs
+# ---------------------------------------------------------------------------
+
+
+def test_recall_monotone_in_probe_and_table_knobs(spark, corpus, queries, ground_truth):
+    """More candidate volume must never lose recall: IVF's top-n_probe
+    probe list is a prefix (candidates superset as n_probe grows) and
+    LSH's table planes are a prefix of the seeded plane pool
+    (candidates superset as n_tables grows) — a per-table reseed or
+    probe-ordering bug breaks the subset property and shows up here as
+    a non-monotone step. Measured sweeps on the fixture:
+    IVF n_probe 1/2/4/8 -> 0.28 / 0.42 / 0.68 / 1.00 (exhaustive
+    probes recover exact top-k exactly); LSH n_tables 2/4/8 ->
+    0.16 / 0.44 / 0.66."""
+    truth = ground_truth["topk"](10)
+    ivf = [
+        _recall_at_k(
+            sim.ivf_topk(corpus, queries, k=10, centroids=_IVF_FIXED_RAW, n_probe=p),
+            truth, 10,
+        )
+        for p in (1, 2, 4, 8)
+    ]
+    assert ivf == sorted(ivf), ivf
+    assert ivf[-1] == 1.0, ivf  # n_probe == n_centroids degenerates to exact
+    assert ivf[2] - ivf[0] >= 0.2, ivf  # the knob actually buys recall
+    lsh = [
+        _recall_at_k(sim.lsh_topk(corpus, queries, k=10, n_tables=L), truth, 10)
+        for L in (2, 4, 8)
+    ]
+    assert lsh == sorted(lsh), lsh
+    assert lsh[-1] - lsh[0] >= 0.2, lsh
