@@ -1,0 +1,98 @@
+"""Empty-input robustness probes (round 7): a 100 TB pipeline stage
+routinely receives an empty upstream frame (a filter that matched
+nothing, a fresh partition, a quarantined batch). The contract probed
+here: every operator either returns an EMPTY frame with its normal
+schema or raises a CLEAR ValueError — never a cryptic IndexError /
+TypeError from an unguarded ``collect()[0]`` or driver-side reshape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import dedup as dd
+from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+from bohemia_kenya_data_pipeline_spark.operators import text as tx
+from bohemia_kenya_data_pipeline_spark.operators import windows as W
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id BIGINT, text STRING")
+
+
+def _empty_emb(spark):
+    return spark.createDataFrame([], "vec_id INT, embedding ARRAY<DOUBLE>")
+
+
+def _some_emb(spark):
+    return spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(4)]) for i in range(6)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+
+
+def test_dedup_pair_generators_empty(spark):
+    docs = _empty_docs(spark)
+    assert dd.minhash_lsh_pairs(docs).count() == 0
+    assert dd.ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+    assert dd.embedding_neardup_pairs(_empty_emb(spark), dim=4).count() == 0
+
+
+def test_rank_and_boundaries_empty(spark):
+    df = spark.createDataFrame([], "v BIGINT, id BIGINT")
+    n, bounds = W.rank_boundaries(df, {"k": ["v", "id"]}, num_partitions=4)
+    assert n == 0 and bounds == {"k": []}
+    out = W.distributed_global_rank(df, ["v", "id"], num_partitions=4)
+    assert out.count() == 0
+    assert "rn" in out.columns
+
+
+def test_gap_fill_empty(spark):
+    df = spark.createDataFrame([], "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    assert W.gap_fill_interpolate(df).count() == 0
+
+
+def test_bm25_empty_corpus(spark):
+    docs = _empty_docs(spark)
+    qdf = spark.createDataFrame([(1, "hello world")], ["query_id", "query_text"])
+    assert tx.bm25_topk(docs, qdf, k=5).count() == 0
+
+
+def test_arrow_ann_empty_corpus_returns_empty(spark):
+    emb = _some_emb(spark)
+    empty = _empty_emb(spark)
+    # non-empty queries against an empty corpus: no neighbors, no crash
+    assert sim.cosine_topk_arrow(empty, emb, k=3).count() == 0
+    assert sim.quantized_topk_arrow(empty, emb, k=3).count() == 0
+
+
+def test_arrow_ann_empty_query_batch_is_loud(spark):
+    emb = _some_emb(spark)
+    empty = _empty_emb(spark)
+    with pytest.raises(ValueError, match="empty query batch"):
+        sim.cosine_topk_arrow(emb, empty, k=3)
+    with pytest.raises(ValueError, match="empty query batch"):
+        sim.quantized_topk_arrow(emb, empty, k=3)
+
+
+def test_fold_ann_empty_inputs(spark):
+    emb = _some_emb(spark)
+    empty = _empty_emb(spark)
+    assert sim.cosine_topk(empty, emb, k=3).count() == 0
+    assert sim.cosine_topk(emb, empty, k=3).count() == 0
+    assert sim.quantized_cosine_topk(empty, emb, k=3).count() == 0
+
+
+def test_ivf_training_empty_corpus_is_loud_or_empty(spark):
+    # training needs >= n_centroids vectors; an empty corpus must fail
+    # with the documented thin-sample error, not a cryptic index error
+    empty = _empty_emb(spark)
+    with pytest.raises(ValueError):
+        sim.ivf_train_centroids(empty, n_centroids=4, n_iters=1)
+
+
+def test_text_quality_empty(spark):
+    docs = _empty_docs(spark)
+    assert tx.quality_features(docs).count() == 0
+    assert tx.dedup_lines(docs).count() == 0
