@@ -154,3 +154,51 @@ def test_full_sample_regime_collects_all_rows(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ntile_closed_form_exhaustive_grid(spark):
+    """The NTILE closed form must be bit-identical to SQL NTILE for
+    EVERY (n, buckets) shape, not just sampled ones: one Spark job
+    evaluates the expression over the full grid n in 1..48 x k in
+    1..10, and the reference is the NTILE definition computed in plain
+    Python (first n%k buckets take n//k+1 rows). Covers q=0 (n<k),
+    exact division, and every remainder class."""
+    grid = [
+        (n, k, rn) for n in range(1, 49) for k in range(1, 11)
+        for rn in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(grid, "n INT, k INT, rn INT")
+    got_rows = []
+    for k in range(1, 11):
+        got_rows += (
+            df.filter(F.col("k") == k)
+            .select(
+                "n", "k", "rn",
+                W.ntile_from_rank(F.col("rn"), F.col("n"), k).alias("b"),
+            )
+            .collect()
+        )
+    got = {(r.n, r.k, r.rn): r.b for r in got_rows}
+
+    def expected(n, k, rn):
+        q, r = divmod(n, k)
+        cut = r * (q + 1)
+        if rn <= cut:
+            return (rn + q) // (q + 1)
+        return r + (rn - cut + max(q, 1) - 1) // max(q, 1)
+
+    # sanity: the Python reference matches the NTILE definition by
+    # bucket-size reconstruction on a few shapes
+    for n, k in [(7, 3), (10, 4), (3, 5), (48, 10)]:
+        sizes = {}
+        for rn in range(1, n + 1):
+            sizes[expected(n, k, rn)] = sizes.get(expected(n, k, rn), 0) + 1
+        q, r = divmod(n, k)
+        for b, s in sizes.items():
+            assert s == (q + 1 if b <= r else q) or q == 0, (n, k, b, s)
+
+    bad = [
+        key for key in got
+        if got[key] != expected(*key)
+    ]
+    assert bad == [], bad[:10]

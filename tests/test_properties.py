@@ -310,3 +310,29 @@ def test_ivm_invariant_property(spark, old_rows, new_rows):
     assert sorted(map(tuple, maintained.collect())) == sorted(
         map(tuple, recomputed.collect())
     )
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=0, max_size=60),
+    parts=st.integers(1, 9),
+)
+@settings(**_SETTINGS)
+def test_distributed_rank_random_inputs(spark, vals, parts):
+    """Property (round 7): exact global rank equals the single-reducer
+    window on arbitrary small inputs — duplicate-heavy values, all-equal
+    values, empty input, any partition count. The unique tiebreak column
+    makes the order total, per the operator contract."""
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v INT, id INT"
+    ).repartition(3)
+    got = {
+        r["id"]: r["rn"]
+        for r in W.distributed_global_rank(
+            df, ["v", "id"], num_partitions=parts, sample_per_partition=5
+        ).collect()
+    }
+    want = {
+        i: rank + 1
+        for rank, (v, i) in enumerate(sorted((v, i) for i, v in enumerate(vals)))
+    }
+    assert got == want
