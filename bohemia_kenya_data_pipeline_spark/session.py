@@ -60,4 +60,15 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # robustness-sweep hook: `SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"` lets
+    # the gate/bench harnesses run adversarial configs (e.g. AQE off —
+    # AQE's exchange reuse can MASK plan-branch nondeterminism, see the
+    # round-6 repartitionByRange lesson in BASELINE.md) without code
+    # changes. Applied last, so it overrides the defaults above.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        for pair in env_conf.split(";"):
+            if pair.strip():
+                k, _, v = pair.partition("=")
+                builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
