@@ -437,3 +437,24 @@ def test_recall_monotone_in_probe_and_table_knobs(spark, corpus, queries, ground
     ]
     assert lsh == sorted(lsh), lsh
     assert lsh[-1] - lsh[0] >= 0.2, lsh
+
+
+def test_pq_recall_scales_with_code_budget(spark, corpus, queries, ground_truth):
+    """PQ quality must track its storage budget: recall@10 measured
+    0.24/0.32/0.40 across n_codewords 8/16/32 (at M=8) and
+    0.18/0.32/0.49 across n_subspaces 4/8/16 (at K=16). Unlike the
+    IVF/LSH knobs this is not a subset property — k-means could
+    degrade silently — so the gate asserts the measured large-gap
+    ordering: more codes must buy materially more recall."""
+    truth = ground_truth["topk"](10)
+
+    def r(n_sub, n_cw):
+        books = sim.pq_train_codebooks(
+            corpus, n_subspaces=n_sub, n_codewords=n_cw, n_iters=4
+        )
+        return _recall_at_k(sim.pq_topk(corpus, queries, books, k=10), truth, 10)
+
+    cw = [r(8, k) for k in (8, 32)]
+    assert cw[1] >= cw[0] + 0.05, cw
+    sub = [r(m, 16) for m in (4, 16)]
+    assert sub[1] >= sub[0] + 0.10, sub
