@@ -249,6 +249,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     warm: dict[str, float] = {}
     steady: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, fn in entries:
         times: list[float] = []
         for _run in range(n_runs):
@@ -265,6 +266,10 @@ def main() -> None:
         # second-run sample for quick iteration.
         tail = times[2:] if len(times) > 2 else times[1:]
         steady[name] = round(statistics.median(tail), 3)
+        # per-entry noise band (max-min of the steady runs): makes the
+        # record self-annotating — a cross-round delta smaller than the
+        # recorded spread is machine noise, not a regression
+        spread[name] = round(max(tail) - min(tail), 3)
 
     total = round(sum(steady.values()), 3)
     line = json.dumps(
@@ -274,6 +279,7 @@ def main() -> None:
             "unit": "sec",
             "queries": steady,
             "queries_warm": warm,
+            "queries_spread": spread,
             "warm_total": round(sum(warm.values()), 3),
             "n_runs": n_runs,
             "steady_method": (
