@@ -31,7 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 #: Tables the driver harness materializes per scale factor (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -166,6 +166,73 @@ def write_history_partition(
         .write.mode("append")
         .partitionBy(partition_col)
         .parquet(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Line-delimited JSON (JSONL) source — the interchange format of
+    every large text/training-data pipeline (one JSON object per line).
+
+    Schema is **mandatory**: inference is a full extra pass over the
+    data (ruinous at 100 TB) and can silently widen types between runs.
+    JSONL is line-splittable, so Spark parallelizes the scan across
+    executors exactly like CSV — unlike ``multiLine`` JSON, which forces
+    one task per file; never land multi-line JSON at scale.
+
+    ``mode``:
+    - ``PERMISSIVE`` (default): malformed lines land whole in
+      ``corrupt_col`` (added to the schema here) with all data columns
+      NULL — route them to quarantine via
+      ``jobs.ingest.gated_ingest``-style gates instead of crashing a
+      100 TB job on one bad line;
+    - ``DROPMALFORMED`` / ``FAILFAST``: Spark's standard semantics.
+
+    Spark limitation worth knowing: a query that references ONLY the
+    corrupt column (e.g. ``df.filter(corrupt.isNotNull()).count()``)
+    raises ``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN`` —
+    select at least one data column alongside it (or persist first)
+    when inspecting quarantined lines.
+    """
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    full = schema
+    if mode.upper() == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
+        full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    mode: str = "overwrite",
+    keep_nulls: bool = True,
+) -> None:
+    """JSONL sink (one JSON object per line, UTF-8).
+
+    ``keep_nulls=True`` writes explicit ``"col": null`` fields
+    (``ignoreNullFields=false``) so round-tripping preserves the row
+    shape and downstream consumers that distinguish missing-vs-null see
+    null; Spark's default silently drops null fields. Timestamps
+    serialize ISO-8601; binary columns are NOT JSON-safe — base64 them
+    first (``F.base64``). ``single_file`` coalesces to one part file
+    (small exports only — same contract as :func:`write_csv`)."""
+    out = df.coalesce(1) if single_file else df
+    (
+        out.write.mode(mode)
+        .option("ignoreNullFields", "false" if keep_nulls else "true")
+        .json(path)
     )
 
 

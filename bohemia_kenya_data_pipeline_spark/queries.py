@@ -3614,6 +3614,52 @@ from .operators import sampling as smp  # noqa: E402
 
 
 @_register(
+    "jsonl_roundtrip_docs",
+    """
+    SELECT lang, source,
+           COUNT(*)                  AS n_docs,
+           COUNT(DISTINCT md5(text)) AS distinct_texts,
+           SUM(length(text))         AS sum_len,
+           SUM(n_chars)              AS sum_chars,
+           MIN(doc_id)               AS min_doc,
+           MAX(doc_id)               AS max_doc
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S-pack: JSONL round-trip (catalog.write_jsonl -> read_jsonl with
+    # explicit schema, no inference). The engine aggregates the
+    # re-parsed corpus; the oracle aggregates the parquet directly —
+    # hash equality proves the encode/decode is lossless end to end
+    # (md5-distinct over text catches any escape/unicode/null mangling;
+    # keep_nulls=True preserves explicit nulls through the trip).
+    import tempfile
+
+    from . import catalog as cat
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_jsonl_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    cat.write_jsonl(docs, path)
+    back = cat.read_jsonl(
+        spark,
+        path,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("distinct_texts"),
+        F.sum(F.length("text")).alias("sum_len"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@_register(
     "pii_scrub",
     r"""
     WITH aug AS (

@@ -132,3 +132,76 @@ def test_landed_sheet_and_export_cap(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="cap exceeded"):
         cat.export_sheet_csv(df, str(tmp_path / "out2"), max_rows=1)
+
+
+# --------------------------------------------------------------------------
+# JSONL source/sink (LLM-pipeline interchange format)
+# --------------------------------------------------------------------------
+
+JSONL_SCHEMA = "doc_id BIGINT, text STRING, score DOUBLE"
+
+
+def test_jsonl_roundtrip_preserves_tricky_values(spark, tmp_path):
+    rows = [
+        (1, 'embedded "quotes" and \\ backslash', 0.5),
+        (2, "newline\nand\ttab", -1.25),
+        (3, "unicode: é中文 \U0001f600", 0.0),
+        (4, None, None),  # explicit nulls survive (keep_nulls=True)
+        (5, "", 2.0),  # empty string stays "" (not null — unlike CSV)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "score"])
+    out = str(tmp_path / "docs_jsonl")
+    cat.write_jsonl(df, out)
+    back = cat.read_jsonl(spark, out, JSONL_SCHEMA)
+    got = sorted(
+        (r.doc_id, r.text, r.score) for r in back.select("doc_id", "text", "score").collect()
+    )
+    assert got == sorted(rows)
+    # PERMISSIVE adds the corrupt-record column; clean data leaves it
+    # NULL (persist first — corrupt-only queries on the raw scan are
+    # disallowed by Spark, see read_jsonl docstring)
+    cached = back.persist()
+    try:
+        assert cached.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    finally:
+        cached.unpersist()
+
+
+def test_jsonl_corrupt_lines_quarantined_not_fatal(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "score": 1.0}\n'
+        "{this is not json}\n"
+        '{"doc_id": "notanint", "text": "bad type", "score": 2.0}\n'
+        '{"doc_id": 3, "text": "also ok", "score": 3.0}\n'
+    )
+    back = cat.read_jsonl(spark, str(p), JSONL_SCHEMA)
+    good = back.filter(F.col("_corrupt_record").isNull())
+    bad = back.filter(F.col("_corrupt_record").isNotNull()).select(
+        "doc_id", "_corrupt_record"
+    )
+    assert sorted(r.doc_id for r in good.select("doc_id").collect()) == [1, 3]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2  # malformed line + type-mismatch line
+    # the raw offending line is preserved verbatim for quarantine/debug
+    assert "{this is not json}" in {r._corrupt_record for r in bad_rows}
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+        cat.read_jsonl(spark, str(p), JSONL_SCHEMA, mode="FAILFAST").collect()
+
+
+def test_jsonl_keep_nulls_and_single_file_contract(spark, tmp_path):
+    df = spark.createDataFrame([(1, None, None)], schema=JSONL_SCHEMA)
+    out = tmp_path / "one"
+    cat.write_jsonl(df, str(out), single_file=True)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1
+    raw = (out / parts[0]).read_text()
+    assert '"text":null' in raw  # explicit null, not a dropped field
+    out2 = tmp_path / "dropped"
+    cat.write_jsonl(df, str(out2), single_file=True, keep_nulls=False)
+    parts2 = [f for f in os.listdir(out2) if f.startswith("part-")]
+    raw2 = (out2 / parts2[0]).read_text()
+    assert '"text"' not in raw2  # Spark default: null fields omitted
