@@ -212,12 +212,45 @@ def read_jsonl(
     )
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured Streaming JSONL source: files appearing under
+    ``path`` become micro-batches — the continuous-ingest form of
+    :func:`read_jsonl` (a crawler/scraper drops ``*.jsonl`` shards; the
+    pipeline picks them up incrementally, exactly-once per file).
+
+    Same mandatory-schema + corrupt-column contract as the batch
+    reader, so one downstream quarantine/clean/dedup graph serves both.
+    ``max_files_per_trigger`` bounds a micro-batch when a backlog lands
+    at once (without it the first trigger tries the whole backlog)."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    full = schema
+    if mode.upper() == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
+        full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,
     single_file: bool = False,
     mode: str = "overwrite",
     keep_nulls: bool = True,
+    compression: str | None = None,
 ) -> None:
     """JSONL sink (one JSON object per line, UTF-8).
 
@@ -227,13 +260,21 @@ def write_jsonl(
     null; Spark's default silently drops null fields. Timestamps
     serialize ISO-8601; binary columns are NOT JSON-safe — base64 them
     first (``F.base64``). ``single_file`` coalesces to one part file
-    (small exports only — same contract as :func:`write_csv`)."""
+    (small exports only — same contract as :func:`write_csv`).
+
+    ``compression``: ``gzip``/``zstd``/``bzip2``/``none``. Scale
+    tradeoff — compressed JSONL part files are NOT line-splittable
+    (one task per file on read), so at 100 TB write MANY medium
+    (~128 MB) parts rather than few huge ones; parallelism then comes
+    from file count instead of in-file splits. Uncompressed JSONL
+    splits by line like CSV."""
     out = df.coalesce(1) if single_file else df
-    (
-        out.write.mode(mode)
-        .option("ignoreNullFields", "false" if keep_nulls else "true")
-        .json(path)
+    writer = out.write.mode(mode).option(
+        "ignoreNullFields", "false" if keep_nulls else "true"
     )
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)
 
 
 def dedup_on_ingest(df: DataFrame, keys: list[str]) -> DataFrame:

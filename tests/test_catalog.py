@@ -205,3 +205,44 @@ def test_jsonl_keep_nulls_and_single_file_contract(spark, tmp_path):
     parts2 = [f for f in os.listdir(out2) if f.startswith("part-")]
     raw2 = (out2 / parts2[0]).read_text()
     assert '"text"' not in raw2  # Spark default: null fields omitted
+
+
+def test_jsonl_compressed_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.0), (2, "beta β", None)], schema=JSONL_SCHEMA
+    )
+    out = tmp_path / "gz"
+    cat.write_jsonl(df, str(out), compression="gzip")
+    assert any(f.endswith(".gz") for f in os.listdir(out) if f.startswith("part-"))
+    back = cat.read_jsonl(spark, str(out), JSONL_SCHEMA)  # codec auto-detected
+    got = sorted((r.doc_id, r.text, r.score) for r in back.collect())
+    assert got == [(1, "alpha", 1.0), (2, "beta β", None)]
+
+
+def test_jsonl_stream_incremental_ingest(spark, tmp_path):
+    # two shards landed before the trigger: both consumed exactly once,
+    # corrupt line quarantined not fatal — same contract as batch
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "shard-000.jsonl").write_text(
+        '{"doc_id": 1, "text": "a", "score": 0.1}\n{"doc_id": 2, "text": "b", "score": 0.2}\n'
+    )
+    (src / "shard-001.jsonl").write_text(
+        '{"doc_id": 3, "text": "c", "score": 0.3}\nnot json at all\n'
+    )
+    stream = cat.read_jsonl_stream(
+        spark, str(src), JSONL_SCHEMA, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_ingest")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT doc_id, _corrupt_record FROM jsonl_ingest ORDER BY doc_id"
+    ).collect()
+    assert [r.doc_id for r in rows if r.doc_id is not None] == [1, 2, 3]
+    assert sum(1 for r in rows if r._corrupt_record is not None) == 1
