@@ -246,7 +246,10 @@ def main() -> None:
         keep = set(only.split(","))
         entries = [e for e in entries if e[0] in keep]
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # clamp to >= 1 up front: a 0/negative value would otherwise run
+    # every entry and then die computing the median — minutes of work
+    # lost AFTER the measurements happened.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     warm: dict[str, float] = {}
     steady: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -263,8 +266,9 @@ def main() -> None:
         # steady = median of runs 3..N (run 2 is a discarded ramp run —
         # measured up to 35% above true steady on JIT-heavy plans).
         # With SPARK_GRAFT_BENCH_RUNS=2 this degrades to the legacy
-        # second-run sample for quick iteration.
-        tail = times[2:] if len(times) > 2 else times[1:]
+        # second-run sample for quick iteration, and =1 to warm-only
+        # (tail falls back to the sole sample instead of median([])).
+        tail = times[2:] if len(times) > 2 else times[1:] or times
         steady[name] = round(statistics.median(tail), 3)
         # per-entry noise band (max-min of the steady runs): makes the
         # record self-annotating — a cross-round delta smaller than the

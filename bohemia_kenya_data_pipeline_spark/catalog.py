@@ -169,6 +169,21 @@ def write_history_partition(
     )
 
 
+def _with_corrupt_schema(
+    schema: StructType | str, mode: str, corrupt_col: str
+) -> StructType:
+    """Single source of the batch/streaming JSONL schema contract:
+    parse a DDL string and, under PERMISSIVE, append the corrupt-record
+    column (StringType) unless the caller already declared it — both
+    readers promise identical quarantine behavior, so the logic must
+    not fork."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if mode.upper() == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
+        return StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    return schema
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -199,11 +214,7 @@ def read_jsonl(
     select at least one data column alongside it (or persist first)
     when inspecting quarantined lines.
     """
-    if isinstance(schema, str):
-        schema = StructType.fromDDL(schema)
-    full = schema
-    if mode.upper() == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
-        full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    full = _with_corrupt_schema(schema, mode, corrupt_col)
     return (
         spark.read.schema(full)
         .option("mode", mode)
@@ -229,11 +240,7 @@ def read_jsonl_stream(
     reader, so one downstream quarantine/clean/dedup graph serves both.
     ``max_files_per_trigger`` bounds a micro-batch when a backlog lands
     at once (without it the first trigger tries the whole backlog)."""
-    if isinstance(schema, str):
-        schema = StructType.fromDDL(schema)
-    full = schema
-    if mode.upper() == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
-        full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    full = _with_corrupt_schema(schema, mode, corrupt_col)
     reader = (
         spark.readStream.schema(full)
         .option("mode", mode)

@@ -51,6 +51,20 @@ def _as_double(vec_col: str) -> Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
+def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """Shared retrieval contract: NULL embedding rows are dropped on
+    BOTH sides of every top-k / pair generator. A NULL vector carries
+    no signal but poisons pair scoring three different ways depending
+    on path (NULL scores that still occupy ranked top-k slots in the
+    cross-join paths, bucket-0 placement in sign-LSH because
+    ``F.when(NULL > 0, ...)`` falls to otherwise(), executor crashes
+    in the Arrow LUT kernels) — so the filter lives here, once, and
+    every fold AND Arrow entry point applies it, keeping the
+    documented exact-parity between the paths true for null-bearing
+    inputs too."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,10 +82,10 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, score, rank).
     """
-    q = queries.select(
+    q = _drop_null_vecs(queries, vec_col).select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
-    c = corpus.select(
+    c = _drop_null_vecs(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
     scored = (
@@ -219,7 +233,9 @@ def ivf_train_centroids(
                 f"train_fraction must be in (0, 1], got {train_fraction}"
             )
         corpus = sample_by_hash(corpus, id_col, train_fraction, seed)
-    base = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    base = _drop_null_vecs(corpus, vec_col).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
     # the seed pass + every Lloyd round scans `base`: persist so the
     # corpus projection is paid once, not n_iters+1 times
     base.persist()
@@ -312,7 +328,8 @@ def ivf_topk(
         )
     cents = _centroid_literal(centroids)
     c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        _drop_null_vecs(corpus, vec_col)
+        .select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
         .withColumn("cn", norm(F.col("cv")))
         .withColumn("cid", _nearest_cid(F.col("cv"), cents))
     )
@@ -331,7 +348,8 @@ def ivf_topk(
         n_probe,
     )
     q = (
-        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        _drop_null_vecs(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
         .withColumn("qn", norm(F.col("qv")))
         .withColumn("cid", F.explode(F.transform(probes, lambda p: p["cid"])))
     )
@@ -373,12 +391,14 @@ def lsh_topk(
     """
     planes = random_hyperplanes(dim, n_planes * n_tables, seed)
     q = (
-        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        _drop_null_vecs(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
         .withColumn("qn", norm(F.col("qv")))
         .withColumn("tb", F.explode(lsh_table_buckets(F.col("qv"), planes, n_tables)))
     )
     c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        _drop_null_vecs(corpus, vec_col)
+        .select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
         .withColumn("cn", norm(F.col("cv")))
         .withColumn("tb", F.explode(lsh_table_buckets(F.col("cv"), planes, n_tables)))
     )
@@ -610,6 +630,8 @@ def pq_topk(
     literal codebooks.
     """
     sub = len(codebooks[0][0])
+    corpus = _drop_null_vecs(corpus, vec_col)
+    queries = _drop_null_vecs(queries, vec_col)
     codes = pq_encode(corpus, codebooks, vec_col, id_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
@@ -678,6 +700,7 @@ def pq_train_codebooks(
         if not 0 < train_fraction <= 1:
             raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
         corpus = sample_by_hash(corpus, id_col, train_fraction, seed)
+    corpus = _drop_null_vecs(corpus, vec_col)
     first = corpus.select(F.col(vec_col)).first()
     if first is None:
         raise ValueError("cannot train codebooks on an empty corpus")
@@ -819,8 +842,8 @@ def quantized_cosine_topk(
     one window shuffle. Zero vectors score 0.
     """
     return quantized_topk_prequantized(
-        quantize_embeddings(corpus, vec_col, id_col),
-        quantize_embeddings(queries, vec_col, id_col),
+        quantize_embeddings(_drop_null_vecs(corpus, vec_col), vec_col, id_col),
+        quantize_embeddings(_drop_null_vecs(queries, vec_col), vec_col, id_col),
         k=k,
         id_col=id_col,
     )
@@ -851,10 +874,10 @@ def quantized_topk_prequantized(
     # (|q|*|c| of them was 2/3 of the scoring cost; same precompute
     # pattern as cosine_topk's prenormed norms). Integer arithmetic,
     # so the hoisted form is value-identical to the inline one.
-    q = queries_q.select(
+    q = _drop_null_vecs(queries_q, "q").select(
         F.col(id_col).alias("query_id"), F.col("q").alias("qa")
     ).withColumn("na", idot(F.col("qa"), F.col("qa")))
-    c = corpus_q.select(
+    c = _drop_null_vecs(corpus_q, "q").select(
         F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
     ).withColumn("nb", idot(F.col("qb"), F.col("qb")))
     pairs = (
@@ -976,7 +999,7 @@ def cosine_topk_arrow(
             "corpus-sized query set (use lsh_topk/ivf_topk for that)"
         )
     if not q_rows:
-        raise ValueError("empty query batch")
+        raise ValueError("empty query batch (no rows, or every query vector NULL)")
     qids = np.asarray([r["qid"] for r in q_rows], dtype=np.int64)
     qm = np.asarray([list(r["qv"]) for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
@@ -1081,7 +1104,7 @@ def quantized_topk_arrow(
             "the query batch — pass the fixed production batch"
         )
     if not q_rows:
-        raise ValueError("empty query batch")
+        raise ValueError("empty query batch (no rows, or every query vector NULL)")
     qids = np.asarray([r["qid"] for r in q_rows], dtype=np.int64)
     qq, _ = _quant(np.asarray([list(r["qv"]) for r in q_rows], dtype=np.float64))
     qn = np.sqrt((qq * qq).sum(axis=1).astype(np.float64))
@@ -1183,7 +1206,7 @@ def ivf_topk_arrow(
             "query batch — pass the fixed production batch"
         )
     if not q_rows:
-        raise ValueError("empty query batch")
+        raise ValueError("empty query batch (no rows, or every query vector NULL)")
     qids = np.asarray([r["qid"] for r in q_rows], dtype=np.int64)
     qm = np.asarray([list(r["qv"]) for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)

@@ -3639,9 +3639,15 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import catalog as cat
 
     docs = _t(spark, sf_dir, "documents")
+    # pid-suffixed so two concurrent harness runs (e.g. the default and
+    # an SPARK_GRAFT_EXTRA_CONF adversarial sweep on one host) can't
+    # overwrite each other's part files mid-read; stable within a
+    # process so repeated bench runs reuse rather than accumulate dirs.
     path = os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_jsonl_" + os.path.basename(os.path.normpath(sf_dir)),
+        "spark_graft_jsonl_"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + f"_{os.getpid()}",
     )
     cat.write_jsonl(docs, path)
     back = cat.read_jsonl(

@@ -69,6 +69,15 @@ def get_spark(
     if env_conf:
         for pair in env_conf.split(";"):
             if pair.strip():
-                k, _, v = pair.partition("=")
+                k, sep, v = pair.partition("=")
+                if not sep or not k.strip():
+                    # fail LOUD: a typo'd pair ("k:v", "k") would
+                    # otherwise apply as an unknown no-op key and the
+                    # adversarial sweep would green-light the DEFAULT
+                    # config — the exact masking this hook exists to
+                    # prevent.
+                    raise ValueError(
+                        f"SPARK_GRAFT_EXTRA_CONF pair {pair!r} is not 'key=value'"
+                    )
                 builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

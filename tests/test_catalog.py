@@ -188,7 +188,9 @@ def test_jsonl_corrupt_lines_quarantined_not_fatal(spark, tmp_path):
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PySparkException
 
-    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+    # exact exception types only — a bare Exception would also match a
+    # path typo or analysis error, making the FAILFAST assertion vacuous
+    with pytest.raises((Py4JJavaError, PySparkException)):
         cat.read_jsonl(spark, str(p), JSONL_SCHEMA, mode="FAILFAST").collect()
 
 

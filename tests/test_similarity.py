@@ -457,3 +457,39 @@ def test_quantized_oracle_keeps_zero_vectors(spark, duck):
     assert len(zero_q) == 5 and all(r[3] == 0.0 for r in zero_q)
     # the zero neighbor appears (score 0.0) rather than being dropped
     assert any(r[2] == 3 for r in got)
+
+
+def test_null_vectors_dropped_uniformly_across_all_paths(spark):
+    # one NULL corpus vector + one NULL query vector must change
+    # NOTHING in any path's output (fold, LSH, IVF, PQ, quantized,
+    # Arrow) — the shared _drop_null_vecs contract. Before round 7 the
+    # cross-join paths emitted NULL-score top-k rows, sign-LSH parked
+    # NULL vectors in bucket 0, and the PQ/Arrow kernels crashed.
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(4)]) for i in range(1, 9)
+    ]
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    clean = spark.createDataFrame(rows, schema)
+    dirty = spark.createDataFrame(rows + [(99, None)], schema)
+
+    def got(df_out):
+        return sorted(map(tuple, df_out.collect()))
+
+    cents = sim.ivf_train_centroids(dirty, n_centroids=2, n_iters=2)
+    assert cents == sim.ivf_train_centroids(clean, n_centroids=2, n_iters=2)
+    cbs = sim.pq_train_codebooks(dirty, n_subspaces=2, n_codewords=2, n_iters=2)
+    assert cbs == sim.pq_train_codebooks(clean, n_subspaces=2, n_codewords=2, n_iters=2)
+
+    paths = [
+        lambda c, q: sim.cosine_topk(c, q, k=3),
+        lambda c, q: sim.quantized_cosine_topk(c, q, k=3),
+        lambda c, q: sim.lsh_topk(c, q, k=3, n_planes=2, n_tables=2, dim=4),
+        lambda c, q: sim.ivf_topk(c, q, k=3, n_centroids=2, n_probe=2, centroids=cents),
+        lambda c, q: sim.pq_topk(c, q, cbs, k=3),
+        lambda c, q: sim.cosine_topk_arrow(c, q, k=3),
+        lambda c, q: sim.ivf_topk_arrow(c, q, k=3, centroids=cents, n_probe=2),
+    ]
+    for fn in paths:
+        assert got(fn(dirty, dirty)) == got(fn(clean, clean)), fn
+        # no NULL scores survive anywhere
+        assert all(r[2] is not None for r in got(fn(dirty, dirty)))

@@ -56,3 +56,20 @@ def test_no_removable_empty_string_filter_lambda():
     assert hits == [], (
         f"removable empty-string filter lambdas (use array_remove): {hits}"
     )
+
+
+def test_extra_conf_typo_fails_loud(monkeypatch):
+    # a pair without '=' must raise, not silently apply a no-op key —
+    # otherwise an adversarial-config sweep green-lights the defaults
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.session import get_spark
+
+    monkeypatch.setenv("SPARK_GRAFT_EXTRA_CONF", "spark.sql.adaptive.enabled:false")
+    with pytest.raises(ValueError, match="not 'key=value'"):
+        get_spark(app_name="conf-typo-test")
+    monkeypatch.setenv(
+        "SPARK_GRAFT_EXTRA_CONF", "=false;spark.sql.adaptive.enabled=false"
+    )
+    with pytest.raises(ValueError, match="not 'key=value'"):
+        get_spark(app_name="conf-typo-test")
