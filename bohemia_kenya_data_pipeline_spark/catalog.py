@@ -284,6 +284,105 @@ def write_jsonl(
     writer.json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    bloom_filter_cols: list[str] | None = None,
+) -> None:
+    """ORC sink — the second columnar serving format next to parquet
+    (S8 family), for consumers standardized on the Hive/ORC stack.
+
+    Scale notes vs the JSONL sink: ORC is **stripe-splittable under
+    any codec** (compression happens inside stripes), so unlike
+    compressed JSONL a 100 TB ORC dataset parallelizes by stripe no
+    matter how it was written. ``compression``: ``snappy`` (Spark
+    default) / ``zstd`` / ``zlib`` / ``lzo`` / ``none``.
+
+    ``bloom_filter_cols`` embeds per-stripe bloom filters for the named
+    columns (``orc.bloom.filter.columns``) — point lookups on a key
+    column (e.g. ``doc_id``) then skip whole stripes at read time, the
+    same stripe-pruning trick the reference gets from its Hive layout.
+    """
+    writer = df.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    if bloom_filter_cols:
+        writer = writer.option("orc.bloom.filter.columns", ",".join(bloom_filter_cols))
+    writer.orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC source. Unlike CSV/JSONL, the schema ships in the file
+    footer, so omitting ``schema`` costs no inference pass; pass one
+    anyway on production ingest boundaries to pin the contract (a
+    producer-side column rename/retype then fails loudly at plan time
+    instead of flowing NULLs downstream). Spark's vectorized ORC
+    reader applies predicate pushdown + stripe pruning exactly like
+    the parquet path (plan-asserted in tests/test_catalog.py).
+    """
+    reader = spark.read
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_text_corpus(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """Raw-text sink: one line per record, no header, no quoting — the
+    ``*.txt`` shard format plain-text corpus tooling exchanges.
+
+    Contract: records ARE lines. A value with an embedded ``\\n``
+    comes back as multiple records (assert-covered in tests) — callers
+    must normalize newlines first (``F.regexp_replace``) or use JSONL,
+    which escapes them. NULLs are rejected by Spark's text writer;
+    filter or ``F.coalesce`` them explicitly rather than relying on a
+    silent drop here. Same splittability economics as JSONL: plain
+    text splits by line, compressed part files don't — many ~128 MB
+    parts at scale."""
+    writer = df.select(F.col(text_col).cast("string")).write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    wholetext: bool = False,
+    include_path: bool = False,
+    recursive: bool = True,
+) -> DataFrame:
+    """Raw-text source: ``value`` = one line (or, with
+    ``wholetext=True``, one whole file per row — for corpora where the
+    FILE is the document, e.g. one article per ``.txt``).
+
+    ``wholetext`` kills in-file split parallelism (one task per file)
+    and buffers each file in one row — only for many-small-file
+    layouts, never few-huge-file ones. ``include_path`` adds the
+    ``source_file`` column via ``input_file_name()`` so provenance
+    survives into the pipeline (the same path-tagging trick as
+    :func:`read_form_tree`)."""
+    reader = spark.read.option("recursiveFileLookup", str(recursive).lower())
+    # NB: must be the text() kwarg, not .option("wholetext", ...) —
+    # DataFrameReader.text re-sets the option from its own parameter,
+    # silently clobbering a pre-set option (probed on pyspark 4.1)
+    df = reader.text(path, wholetext=wholetext)
+    if include_path:
+        df = df.withColumn("source_file", F.input_file_name())
+    return df
+
+
 def dedup_on_ingest(df: DataFrame, keys: list[str]) -> DataFrame:
     """S15: drop duplicates on ingest keys (get_ever_resolved.py:7-9)."""
     return df.dropDuplicates(keys)

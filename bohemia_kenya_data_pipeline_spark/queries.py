@@ -3666,6 +3666,95 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orc_roundtrip_docs",
+    """
+    SELECT lang, source,
+           COUNT(*)                  AS n_docs,
+           COUNT(DISTINCT md5(text)) AS distinct_texts,
+           SUM(length(text))         AS sum_len,
+           SUM(n_chars)              AS sum_chars,
+           MIN(doc_id)               AS min_doc,
+           MAX(doc_id)               AS max_doc
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S-pack: ORC round-trip (catalog.write_orc with zstd + a doc_id
+    # bloom filter -> read_orc with a pinned schema). Engine aggregates
+    # the re-read corpus, oracle aggregates the source parquet — hash
+    # equality proves the columnar encode/decode is lossless, under a
+    # non-default codec and with index structures enabled. Splittable
+    # at any codec (stripe-level), unlike compressed JSONL.
+    import tempfile
+
+    from . import catalog as cat
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + f"_{os.getpid()}",
+    )
+    cat.write_orc(docs, path, compression="zstd", bloom_filter_cols=["doc_id"])
+    back = cat.read_orc(
+        spark,
+        path,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("distinct_texts"),
+        F.sum(F.length("text")).alias("sum_len"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@_register(
+    "text_corpus_roundtrip",
+    """
+    SELECT COUNT(*)                  AS n_lines,
+           COUNT(DISTINCT md5(text)) AS distinct_texts,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+           CAST(MIN(length(text)) AS BIGINT) AS min_len,
+           CAST(MAX(length(text)) AS BIGINT) AS max_len
+    FROM documents
+    """,
+)
+def text_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S-pack: raw-text shard round-trip (catalog.write_text_corpus ->
+    # read_text_corpus). The testdata corpus is single-line per doc
+    # (the sink's documented contract), so line-level aggregates over
+    # the re-read shards must hash-match the parquet text column —
+    # proving the .txt ingest path mangles nothing (no quoting, no
+    # header rows, no encoding drift). The embedded-newline caveat is
+    # covered separately as a golden in tests/test_catalog.py.
+    import tempfile
+
+    from . import catalog as cat
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_txt_"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + f"_{os.getpid()}",
+    )
+    cat.write_text_corpus(docs, path)
+    back = cat.read_text_corpus(spark, path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct(F.md5("value")).alias("distinct_texts"),
+        F.sum(F.length("value")).cast("long").alias("sum_len"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+    )
+
+
+@_register(
     "pii_scrub",
     r"""
     WITH aug AS (

@@ -248,3 +248,99 @@ def test_jsonl_stream_incremental_ingest(spark, tmp_path):
     ).collect()
     assert [r.doc_id for r in rows if r.doc_id is not None] == [1, 2, 3]
     assert sum(1 for r in rows if r._corrupt_record is not None) == 1
+
+
+# --------------------------------------------------------------------------
+# ORC source/sink (second columnar serving format)
+# --------------------------------------------------------------------------
+
+
+def test_orc_roundtrip_tricky_values_and_arrays(spark, tmp_path):
+    # nulls, unicode, newlines, empty strings, and array columns all
+    # survive the columnar trip under a non-default codec — the value
+    # classes JSONL/CSV mangle are exactly the ones to pin here
+    rows = [
+        (1, 'quotes " and \\ slash', [1.0, -2.5]),
+        (2, "newline\nand\ttab", []),
+        (3, "unicode: é中文 \U0001f600", None),
+        (4, None, [0.0]),
+        (5, "", [3.25, 4.5]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, emb ARRAY<DOUBLE>")
+    out = str(tmp_path / "docs_orc")
+    cat.write_orc(df, out, compression="zstd", bloom_filter_cols=["doc_id"])
+    back = cat.read_orc(spark, out)
+    got = sorted((r.doc_id, r.text, r.emb) for r in back.collect())
+    assert got == sorted(rows)
+    # schema came from the footer, not inference heuristics
+    assert dict(back.dtypes) == {"doc_id": "bigint", "text": "string", "emb": "array<double>"}
+
+
+def test_orc_predicate_pushdown_reaches_scan(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("bucket")
+    )
+    out = str(tmp_path / "pushdown_orc")
+    cat.write_orc(df, out)
+    q = cat.read_orc(spark, out, "doc_id BIGINT, bucket BIGINT").filter(
+        F.col("doc_id") == 42
+    ).select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the filter reaches the ORC scan (stripe/row-group skipping) and
+    # the projection prunes to the selected columns
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)" in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert [r.doc_id for r in q.collect()] == [42]
+
+
+def test_orc_schema_pin_fails_loud_on_contract_drift(spark, tmp_path):
+    # pinning a schema on an ingest boundary: a producer-side retype
+    # must fail at read/collect time, not flow wrong values downstream
+    df = spark.createDataFrame([(1, "a")], "doc_id BIGINT, text STRING")
+    out = str(tmp_path / "pin_orc")
+    cat.write_orc(df, out)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        cat.read_orc(spark, out, "doc_id ARRAY<DOUBLE>, text STRING").collect()
+
+
+# --------------------------------------------------------------------------
+# Raw-text corpus source/sink (*.txt shards)
+# --------------------------------------------------------------------------
+
+
+def test_text_corpus_roundtrip_line_mode(spark, tmp_path):
+    texts = ["alpha doc", "unicode é中文", "", "trailing space "]
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    out = str(tmp_path / "txt_shards")
+    cat.write_text_corpus(df, out)
+    back = cat.read_text_corpus(spark, out)
+    assert sorted(r.value for r in back.collect()) == sorted(texts)
+
+
+def test_text_corpus_embedded_newline_contract(spark, tmp_path):
+    # records ARE lines: an embedded \n comes back as TWO records —
+    # the documented contract callers must normalize around
+    df = spark.createDataFrame([("one\ntwo",)], "text STRING")
+    out = str(tmp_path / "nl_shards")
+    cat.write_text_corpus(df, out)
+    got = sorted(r.value for r in cat.read_text_corpus(spark, out).collect())
+    assert got == ["one", "two"]
+
+
+def test_text_corpus_wholetext_and_path_provenance(spark, tmp_path):
+    src = tmp_path / "corpus"
+    sub = src / "nested"
+    sub.mkdir(parents=True)
+    (src / "a.txt").write_text("doc A line 1\ndoc A line 2\n")
+    (sub / "b.txt").write_text("doc B\n")
+    whole = cat.read_text_corpus(spark, str(src), wholetext=True, include_path=True)
+    rows = {r.source_file.rsplit("/", 1)[-1]: r.value for r in whole.collect()}
+    # one row per FILE, newlines intact, recursive lookup found the
+    # nested shard, and provenance survived
+    assert rows["a.txt"] == "doc A line 1\ndoc A line 2\n"
+    assert rows["b.txt"] == "doc B\n"
+    lines = cat.read_text_corpus(spark, str(src))
+    assert lines.count() == 3  # same corpus, line mode
