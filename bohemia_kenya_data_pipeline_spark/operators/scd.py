@@ -204,6 +204,75 @@ def snapshot_diff(
     )
 
 
+def apply_cdc_log(
+    snapshot: DataFrame,
+    log: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    payload_cols: Sequence[str] | None = None,
+    broadcast_log: bool = True,
+) -> DataFrame:
+    """Apply a CDC op log (Debezium-style ``I``/``U``/``D`` row images)
+    to a snapshot, producing the next snapshot — MERGE INTO semantics
+    on plain parquet, the complement of :func:`snapshot_diff` (which
+    derives a log; this replays one).
+
+    Per key, only the LAST log entry in ``seq_cols`` order wins
+    (log compaction): a final ``D`` drops the key even if earlier
+    entries updated it; a final ``I``/``U`` upserts its row image —
+    insert-vs-update is not distinguished on apply, so the operation
+    is idempotent and replay-safe (applying the same log twice yields
+    the same table; exactly-once delivery is NOT required of the
+    transport). Deletes of absent keys and inserts of existing keys
+    are no-fail upsert semantics, as in every lakehouse MERGE.
+
+    Preconditions: ``seq_cols`` must totally order log entries within
+    a key (ties are nondeterministic — ship a monotonic per-source
+    sequence/LSN as the tiebreak, as CDC transports do); ops outside
+    I/U/D fail the job loudly at evaluation time (``raise_error``),
+    not silently.
+
+    Plan shape — the 100 TB story: the window runs over the LOG only
+    (log << snapshot, always); the snapshot is touched by exactly one
+    LEFT ANTI join against the compacted key set, broadcast by default
+    (``broadcast_log``), so the snapshot is never shuffled — the same
+    touched-keys principle that lets table formats rewrite only
+    affected files. Set ``broadcast_log=False`` for a log too big to
+    broadcast; the anti-join then shuffles both sides on the key
+    (bucket the snapshot on it to keep that exchange-free).
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    if payload_cols is None:
+        payload_cols = [c for c in snapshot.columns if c not in keys]
+    payload = list(payload_cols)
+    bad_op = F.raise_error(
+        F.concat(
+            F.lit("apply_cdc_log: unknown op '"),
+            F.coalesce(F.col(op_col).cast("string"), F.lit("<null>")),
+            F.lit("' (expected I/U/D)"),
+        )
+    )
+    checked = log.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin("I", "U", "D"), F.col(op_col)).otherwise(bad_op),
+    )
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in seq_cols])
+    last = (
+        checked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    touched = last.select(*keys)
+    if broadcast_log:
+        touched = F.broadcast(touched)
+    untouched = snapshot.join(touched, keys, "left_anti")
+    upserts = last.filter(F.col(op_col) != "D").select(*keys, *payload)
+    return untouched.select(*keys, *payload).unionByName(upserts)
+
+
 def pit_join(
     fact: DataFrame,
     history: DataFrame,

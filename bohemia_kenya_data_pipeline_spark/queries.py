@@ -8219,6 +8219,64 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_log_compaction",
+    """
+    WITH log AS (
+      SELECT CASE WHEN o_orderkey % 5 = 4 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS k,
+             CASE WHEN o_orderkey % 5 = 4 THEN 'I'
+                  WHEN o_orderkey % 5 = 3 THEN 'D'
+                  ELSE 'U' END AS op,
+             o_orderdate AS ts, o_orderkey AS seq,
+             'cdc:' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             ROUND(o_totalprice, 2) AS c_acctbal,
+             o_orderpriority AS c_mktsegment
+      FROM orders WHERE o_orderkey % 10 < 5),
+    winners AS (
+      SELECT * FROM (
+        SELECT log.*, row_number() OVER (
+          PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn
+        FROM log) WHERE rn = 1)
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+    FROM customer c ANTI JOIN winners w ON c.c_custkey = w.k
+    UNION ALL
+    SELECT k AS c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM winners WHERE op <> 'D'
+    """,
+)
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC log replay (scd.apply_cdc_log): a Debezium-shaped I/U/D op
+    # log derived from orders (multiple entries per customer, ordered
+    # by o_orderdate with o_orderkey as the LSN tiebreak; every 5th a
+    # synthetic-key insert, every 5th+3 a delete, rest row-image
+    # updates) applied to the customer snapshot — MERGE INTO on plain
+    # parquet. Last-writer-wins compaction happens in a window over
+    # the LOG only; the snapshot is touched by one broadcast anti
+    # join, never shuffled.
+    from .operators import scd as sc
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 < 5)
+    m = F.col("o_orderkey") % 5
+    log = o.select(
+        F.when(m == 4, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        F.when(m == 4, F.lit("I")).when(m == 3, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.concat(F.lit("cdc:"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.round(F.col("o_totalprice"), 2).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    return sc.apply_cdc_log(c, log, ["c_custkey"], ["ts", "seq"])
+
+
+@_register(
     "market_basket_brand_pairs",
     """
     WITH items AS (

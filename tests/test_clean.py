@@ -386,3 +386,71 @@ def test_pit_join_picks_version_valid_at_ts(spark):
     assert got == {10: "v1", 11: "v2", 12: None, 13: "only", 14: None}
     # disjoint intervals -> no fan-out
     assert pit_join(fact, hist, ["k"], "ts").count() == 5
+
+
+def test_apply_cdc_log_merge_semantics(spark):
+    # last-writer-wins per key (ts, then seq LSN tiebreak): a final D
+    # drops the key despite earlier updates; a final U after a D
+    # resurrects it; unknown keys insert; absent-key deletes no-op
+    from bohemia_kenya_data_pipeline_spark.operators.scd import apply_cdc_log
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, "U", 10, 1, "a2"),
+            (1, "D", 10, 2, None),   # same ts — seq breaks the tie: D wins
+            (2, "D", 10, 3, None),
+            (2, "U", 11, 4, "b2"),   # later ts resurrects
+            (4, "I", 12, 5, "new"),  # unknown key inserts
+            (9, "D", 13, 6, None),   # absent-key delete no-ops
+        ],
+        "k BIGINT, op STRING, ts BIGINT, seq BIGINT, v STRING",
+    )
+    out = apply_cdc_log(snap, log, ["k"], ["ts", "seq"])
+    assert sorted((r.k, r.v) for r in out.collect()) == [
+        (2, "b2"), (3, "c"), (4, "new")
+    ]
+    # replay-safe: applying the same log to the result changes nothing
+    again = apply_cdc_log(out, log, ["k"], ["ts", "seq"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_apply_cdc_log_unknown_op_fails_loud(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from bohemia_kenya_data_pipeline_spark.operators.scd import apply_cdc_log
+
+    snap = spark.createDataFrame([(1, "a")], "k BIGINT, v STRING")
+    log = spark.createDataFrame(
+        [(1, "X", 1, 1, "z")], "k BIGINT, op STRING, ts BIGINT, seq BIGINT, v STRING"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException), match="unknown op"):
+        apply_cdc_log(snap, log, ["k"], ["ts", "seq"]).collect()
+
+
+def test_apply_cdc_log_snapshot_never_shuffled(spark):
+    # plan pin for the 100 TB story: the snapshot side reaches the
+    # anti join without an exchange (broadcast touched-keys), and with
+    # broadcast_log=False the join becomes a shuffle join instead
+    from bohemia_kenya_data_pipeline_spark.operators.scd import apply_cdc_log
+
+    snap = spark.range(1000).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    log = spark.createDataFrame(
+        [(5, "D", 1, 1, None)], "k BIGINT, op STRING, ts BIGINT, seq BIGINT, v STRING"
+    )
+    plan = (
+        apply_cdc_log(snap, log, ["k"], ["ts", "seq"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    plan2 = (
+        apply_cdc_log(snap, log, ["k"], ["ts", "seq"], broadcast_log=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in plan2.split("LeftAnti")[0] or "SortMergeJoin" in plan2
