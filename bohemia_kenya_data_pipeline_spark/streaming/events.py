@@ -443,6 +443,117 @@ def scd2_history_sink(
     )
 
 
+def cdc_upsert_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    payload_cols: list[str] | None = None,
+):
+    """Continuous MERGE INTO: a stream of CDC ops (Debezium-style
+    ``I``/``U``/``D`` row images) maintains an upsert table, publishing
+    an immutable version under ``table_path/v=<batch_id>`` per
+    micro-batch (same committed-version replay safety as
+    :func:`scd2_history_sink`; read the live rows back with
+    :func:`read_cdc_table`).
+
+    Unlike a naive per-batch MERGE (batch-local last-writer-wins, e.g.
+    one :func:`~..operators.scd.apply_cdc_log` call per batch), this
+    sink reconciles ACROSS batches: the table itself carries each
+    row's winning ``seq_cols`` plus a tombstone marker, and every
+    batch compacts ``current-table ∪ batch-log`` with one
+    last-writer-wins window. Consequences, all tested:
+
+    - a late entry arriving in a LATER batch with an OLDER sequence
+      loses to the row already in the table (naive per-batch MERGE
+      would let it clobber newer data);
+    - deletes persist as tombstones, so a late stale update cannot
+      resurrect a deleted key (tombstones are retained indefinitely —
+      GC them past the transport's max disorder with a filtered
+      compaction when that bound is known);
+    - at-least-once transport is fine: replaying any suffix of the
+      log is absorbed by last-writer-wins idempotence.
+
+    The compaction window runs over current ∪ batch — the table IS the
+    state, spilled to the lakehouse instead of executor memory (same
+    design as :func:`incremental_dedup_sink`'s hash store). At 100 TB
+    the per-batch rewrite becomes partition-scoped: route keys to
+    partitions on write and compact only partitions the batch touches.
+
+    ``seq_cols`` must totally order entries per key across the whole
+    transport (ts + LSN); ops outside I/U/D fail the batch loudly.
+    """
+    from pyspark.sql.window import Window
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        payload = payload_cols or [
+            c
+            for c in batch_df.columns
+            if c not in (*key_cols, *seq_cols, op_col)
+        ]
+        versions = _committed_versions(spark, table_path)
+        if batch_id in versions:
+            return  # replayed batch: output already committed
+        versions = [v for v in versions if v < batch_id]
+        bad_op = F.raise_error(
+            F.concat(
+                F.lit(f"cdc_upsert_sink batch {batch_id}: unknown op '"),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("<null>")),
+                F.lit("' (expected I/U/D)"),
+            )
+        )
+        # I and U both mean "this row image wins if newest" — collapse
+        # to 'U' so the stored marker is a pure live/tombstone bit
+        entries = batch_df.select(
+            *key_cols,
+            *seq_cols,
+            F.when(F.col(op_col).isin("I", "U"), F.lit("U"))
+            .when(F.col(op_col) == "D", F.lit("D"))
+            .otherwise(bad_op)
+            .alias("__cdc_op"),
+            *payload,
+        )
+        if versions:
+            current = spark.read.parquet(f"{table_path}/v={max(versions)}")
+            entries = current.unionByName(entries)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in seq_cols]
+        )
+        compacted = (
+            entries.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        compacted.write.mode("overwrite").parquet(f"{table_path}/v={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Live rows of a :func:`cdc_upsert_sink` table: latest committed
+    version, tombstones filtered, bookkeeping columns dropped."""
+    versions = _committed_versions(spark, table_path)
+    if not versions:
+        raise AnalysisException(
+            f"read_cdc_table: no committed version under {table_path}"
+        )
+    return (
+        spark.read.parquet(f"{table_path}/v={max(versions)}")
+        .filter(F.col("__cdc_op") != "D")
+        .drop("__cdc_op")
+    )
+
+
 EWMA_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -715,3 +715,88 @@ def test_bitmap_store_sink_matches_batch_build(spark, tmp_path):
         .collect()
     }
     assert counts == exact
+
+
+def test_cdc_upsert_sink_cross_batch_disorder_and_tombstones(spark, tmp_path):
+    """The cases a naive per-batch MERGE gets wrong: a later batch
+    carrying an OLDER sequence must lose to the table, and a late
+    stale update must not resurrect a tombstoned key. Plus the
+    differential: in-order logs equal one batch apply_cdc_log."""
+    from bohemia_kenya_data_pipeline_spark.operators.scd import apply_cdc_log
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "cdclog"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k BIGINT, op STRING, ts BIGINT, seq BIGINT, v STRING"
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        se.cdc_upsert_sink(
+            stream, table, ckpt, ["k"], ["ts", "seq"]
+        ).awaitTermination(60)
+
+    b1 = [
+        (1, "I", 10, 1, "a"),
+        (2, "I", 10, 2, "b"),
+        (2, "U", 20, 3, "b2"),  # newest for k=2
+        (3, "I", 10, 4, "c"),
+        (3, "D", 30, 5, None),  # tombstone for k=3
+    ]
+    b2 = [
+        (1, "U", 40, 6, "a2"),   # in-order update applies
+        (2, "U", 15, 7, "bOLD"), # LATE: older ts than table's 20 — must lose
+        (3, "U", 20, 8, "cZOMBIE"),  # LATE: older than the ts=30 delete — stays dead
+        (4, "I", 50, 9, "d"),
+    ]
+    land("b1", b1)
+    run()
+    land("b2", b2)
+    run()
+
+    got = sorted((r.k, r.v) for r in se.read_cdc_table(spark, table).collect())
+    assert got == [(1, "a2"), (2, "b2"), (4, "d")]
+
+    # differential vs the batch operator on the full log (same winners:
+    # last-writer-wins is order-free given a total seq order)
+    full_log = spark.createDataFrame(b1 + b2, schema)
+    empty = spark.createDataFrame([], "k BIGINT, v STRING")
+    batch = apply_cdc_log(empty, full_log, ["k"], ["ts", "seq"])
+    assert sorted((r.k, r.v) for r in batch.collect()) == got
+
+    # the published version still carries the tombstone (k=3) so a
+    # FUTURE stale update also cannot resurrect it
+    import glob as _glob
+
+    latest = max(
+        int(p.rsplit("v=", 1)[1]) for p in _glob.glob(f"{table}/v=*")
+    )
+    raw = spark.read.parquet(f"{table}/v={latest}")
+    assert [r.k for r in raw.filter(F.col("__cdc_op") == "D").collect()] == [3]
+
+
+def test_cdc_upsert_sink_replay_and_empty_guard(spark, tmp_path):
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "cdclog"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    schema = "k BIGINT, op STRING, ts BIGINT, seq BIGINT, v STRING"
+    spark.createDataFrame([(1, "I", 1, 1, "a")], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    # two checkpoints => the second run REPLAYS batch 0; its committed
+    # version must self-suppress rather than double-apply or corrupt
+    se.cdc_upsert_sink(
+        stream, table, str(tmp_path / "c1"), ["k"], ["ts", "seq"]
+    ).awaitTermination(60)
+    stream2 = spark.readStream.schema(schema).parquet(str(src / "*"))
+    se.cdc_upsert_sink(
+        stream2, table, str(tmp_path / "c2"), ["k"], ["ts", "seq"]
+    ).awaitTermination(60)
+    assert [(r.k, r.v) for r in se.read_cdc_table(spark, table).collect()] == [(1, "a")]
