@@ -346,6 +346,113 @@ def asof_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    by: Sequence[str] | None = None,
+    bucket_width: int | None = None,
+    max_buckets_per_row: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap (range) join: pair every left interval with
+    every right interval it overlaps, half-open semantics —
+    ``[s, e)`` overlap iff ``l_start < r_end AND r_start < l_end``
+    (touching endpoints do NOT match; degenerate ``end <= start``
+    intervals match nothing and are filtered up front). Sessions ×
+    outages, exposure windows × trial windows, genomic ranges — the
+    operator Spark has no native join strategy for: a raw range
+    predicate plans as a broadcast nested loop (or cartesian product),
+    quadratic per key.
+
+    Scale path (``bucket_width`` set): each side explodes its interval
+    into coarse grid buckets of that width, the join becomes an
+    EQUI-join on (``by``…, bucket) — hash-partitioned, AQE-eligible,
+    never a nested loop — and the true overlap predicate runs as a
+    post-join filter. A pair overlapping across several buckets would
+    match once per shared bucket, so pairs are emitted only in their
+    CANONICAL bucket (the one containing ``greatest(l_start,
+    r_start)``, the overlap's first instant — which both sides
+    provably occupy): exactly-once without any dedup shuffle.
+
+    Choosing ``bucket_width``: row blow-up is ~``interval_len/width``
+    per side, candidate pairs per bucket grow as density × width —
+    set it near the P95 interval length (one-to-few buckets per row),
+    and pass ``max_buckets_per_row`` to fail loudly (``raise_error``)
+    when an outlier interval would fan out past the bound instead of
+    silently exploding a 100 TB job. Bounds must be integer-valued
+    (epoch seconds/micros — see ``trailing_window_7d`` for the
+    micros-parity convention).
+
+    ``bucket_width=None`` keeps the plain theta join — correct on any
+    domain, but only for inputs where a nested loop is affordable
+    (small side broadcastable, or selective ``by`` keys).
+    ``how`` is inner-only in the bucketed path (an outer range join
+    needs the anti set too; compose with a left_anti on matched keys).
+    """
+    keys = list(by or [])
+    if how != "inner":
+        raise ValueError(f"interval_overlap_join is inner-only, got {how!r}")
+    clash = (set(left.columns) & set(right.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"rename shared non-key columns before joining: {sorted(clash)}"
+        )
+    for tmp in ("__ivb", "__ivnb"):
+        if tmp in left.columns or tmp in right.columns:
+            raise ValueError(f"column name {tmp!r} is reserved")
+    overlap = (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    lf = left.filter(F.col(l_end) > F.col(l_start))
+    rf = right.filter(F.col(r_end) > F.col(r_start))
+    if bucket_width is None:
+        if keys:
+            return lf.join(rf, on=keys, how="inner").filter(overlap)
+        return lf.join(rf, overlap, how="inner")
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+
+    def explode_buckets(df: DataFrame, s: str, e: str) -> DataFrame:
+        first = F.floor(F.col(s) / w)
+        last = F.floor((F.col(e) - 1) / w)
+        if max_buckets_per_row is not None:
+            # the guard must live INSIDE the used expression — a
+            # separate dropped check column gets pruned by Catalyst
+            # and the raise_error never evaluates
+            over = (last - first + 1) > max_buckets_per_row
+            last = F.when(
+                over,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "interval_overlap_join: interval spans more "
+                            f"than {max_buckets_per_row} buckets of width "
+                            f"{w} (start="
+                        ),
+                        F.col(s).cast("string"),
+                        F.lit(", end="),
+                        F.col(e).cast("string"),
+                        F.lit(") — raise bucket_width or split upstream"),
+                    )
+                ).cast("long"),
+            ).otherwise(last)
+        return df.withColumn("__ivb", F.explode(F.sequence(first, last)))
+
+    lb = explode_buckets(lf, l_start, l_end)
+    rb = explode_buckets(rf, r_start, r_end)
+    canonical = F.col("__ivb") == F.floor(
+        F.greatest(F.col(l_start), F.col(r_start)) / w
+    )
+    return (
+        lb.join(rb, on=keys + ["__ivb"], how="inner")
+        .filter(overlap & canonical)
+        .drop("__ivb")
+    )
+
+
 def gap_fill_interpolate(
     df: DataFrame,
     key_col: str = "user_id",

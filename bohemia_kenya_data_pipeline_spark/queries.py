@@ -8277,6 +8277,80 @@ def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "interval_overlap_promos",
+    """
+    WITH l AS (
+      SELECT o_orderkey AS aid, o_custkey,
+             epoch_us(o_orderdate) AS ls,
+             epoch_us(o_orderdate)
+               + (o_orderkey % 30 + 1) * 86400000000 AS le
+      FROM orders),
+    r AS (
+      SELECT s_suppkey AS pid,
+             788918400000000
+               + (s_suppkey % 300) * 604800000000 AS rs,
+             788918400000000
+               + (s_suppkey % 300) * 604800000000
+               + (s_suppkey % 10 + 1) * 259200000000 AS re
+      FROM supplier)
+    SELECT aid, o_custkey, pid,
+           GREATEST(ls, rs) AS overlap_start,
+           LEAST(le, re)    AS overlap_end
+    FROM l JOIN r ON ls < re AND rs < le
+    """,
+)
+def interval_overlap_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval-overlap (range) join via the grid-bucketed equi-join
+    # (windows.interval_overlap_join): order activity windows (1-30
+    # days from o_orderdate) x supplier promo windows (3-30 days on a
+    # weekly grid anchored at 1995-01-01 UTC, integer-micros literal so
+    # no tz enters). The ORACLE joins on the raw range predicate; the
+    # ENGINE runs the scale plan — explode to 32-day buckets, hash
+    # equi-join on bucket, canonical-bucket dedup — so the hash compare
+    # proves the bucketed rewrite emits exactly the theta-join pairs.
+    # All bounds integer micros (epoch_us parity, see
+    # trailing_window_7d).
+    from .operators import windows as W
+
+    DAY = 86_400_000_000
+    o = _t(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ; the session tz is pinned UTC
+    # (session.py), so the cast makes unix_micros read the same wall
+    # time DuckDB's naive epoch_us does
+    ts_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    left = o.select(
+        F.col("o_orderkey").alias("aid"),
+        "o_custkey",
+        ts_us.alias("ls"),
+        (ts_us + (F.col("o_orderkey") % 30 + 1) * F.lit(DAY)).alias("le"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rs = F.lit(788_918_400_000_000) + (F.col("s_suppkey") % 300) * F.lit(7 * DAY)
+    right = s.select(
+        F.col("s_suppkey").alias("pid"),
+        rs.alias("rs"),
+        (rs + (F.col("s_suppkey") % 10 + 1) * F.lit(3 * DAY)).alias("re"),
+    )
+    pairs = W.interval_overlap_join(
+        left,
+        right,
+        "ls",
+        "le",
+        "rs",
+        "re",
+        bucket_width=32 * DAY,
+        max_buckets_per_row=3,
+    )
+    return pairs.select(
+        "aid",
+        "o_custkey",
+        "pid",
+        F.greatest("ls", "rs").alias("overlap_start"),
+        F.least("le", "re").alias("overlap_end"),
+    )
+
+
+@_register(
     "market_basket_brand_pairs",
     """
     WITH items AS (

@@ -253,3 +253,85 @@ def test_rfm_scalable_no_global_ntile_sort(spark):
     for line in plan.splitlines():
         if "Window" in line and "row_number()" in line:
             assert "__b" in line or "__pid" in line
+
+
+def test_interval_overlap_join_semantics_and_plan(spark):
+    # half-open boundaries, canonical-bucket exactly-once across
+    # multi-bucket spans, equality with the theta path, and the plan
+    # pin: the bucketed rewrite is a hash equi-join, never a nested
+    # loop / cartesian product
+    from bohemia_kenya_data_pipeline_spark.operators.windows import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 0, 100),     # spans buckets 0-9 at w=10
+            (2, 95, 105),    # crosses a bucket edge
+            (3, 200, 210),
+            (4, 50, 50),     # degenerate: matches nothing
+        ],
+        "lid BIGINT, ls BIGINT, le BIGINT",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 5, 15),
+            (11, 99, 101),   # overlaps BOTH lid=1 and lid=2
+            (12, 100, 110),  # touches lid=1's end — half-open: NO match for 1
+            (13, 210, 220),  # touches lid=3's end — no match
+            (14, 300, 290),  # degenerate
+        ],
+        "rid BIGINT, rs BIGINT, re BIGINT",
+    )
+    expect = [(1, 10), (1, 11), (2, 11), (2, 12)]
+    bucketed = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=10
+    )
+    got = sorted((r.lid, r.rid) for r in bucketed.select("lid", "rid").collect())
+    assert got == expect  # exactly-once despite multi-bucket co-spans
+    theta = interval_overlap_join(left, right, "ls", "le", "rs", "re")
+    assert sorted((r.lid, r.rid) for r in theta.select("lid", "rid").collect()) == expect
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    theta_plan = theta._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in theta_plan or "CartesianProduct" in theta_plan
+
+
+def test_interval_overlap_join_fanout_guard_and_keys(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from bohemia_kenya_data_pipeline_spark.operators.windows import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 1, 0, 10), ("b", 2, 0, 10)], "grp STRING, lid BIGINT, ls BIGINT, le BIGINT"
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 5, 6)], "grp STRING, rid BIGINT, rs BIGINT, re BIGINT"
+    )
+    # by-keys: same interval in another group must not match
+    keyed = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", by=["grp"], bucket_width=10
+    )
+    assert [(r.lid, r.rid) for r in keyed.select("lid", "rid").collect()] == [(1, 10)]
+    # an interval fanning out past max_buckets_per_row fails LOUD at
+    # eval (raise_error lives inside the sequence bound, so Catalyst
+    # cannot prune it away)
+    wide = spark.createDataFrame([(9, 0, 1000)], "lid BIGINT, ls BIGINT, le BIGINT")
+    with pytest.raises((Py4JJavaError, PySparkException), match="spans more than"):
+        interval_overlap_join(
+            wide,
+            right.drop("grp"),
+            "ls",
+            "le",
+            "rs",
+            "re",
+            bucket_width=10,
+            max_buckets_per_row=3,
+        ).collect()
+    with pytest.raises(ValueError, match="rename shared"):
+        interval_overlap_join(left, left, "ls", "le", "ls", "le")
