@@ -8827,6 +8827,83 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "attribution_multi_touch",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS pid, epoch_us(ts) AS pt
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, event_id AS tid, event_type AS touch_type,
+             epoch_us(ts) AS tt
+      FROM events WHERE event_type <> 'purchase'),
+    pairs AS (
+      SELECT p.user_id, pid, pt, touch_type, tt
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.tt >= p.pt - 604800000000 AND t.tt < p.pt),
+    wts AS (
+      SELECT touch_type, pid,
+             COUNT(*) OVER (PARTITION BY pid) AS n,
+             POW(0.5, (pt - tt) / 86400000000.0) AS raw,
+             SUM(POW(0.5, (pt - tt) / 86400000000.0))
+               OVER (PARTITION BY pid) AS raw_sum
+      FROM pairs)
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_conversions,
+           ROUND(SUM(1.0 / n), 4) AS linear_credit,
+           ROUND(SUM(raw / raw_sum), 4) AS decay_credit
+    FROM wts GROUP BY 1
+    """,
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-touch attribution, the complement of attribution_last_touch:
+    # every purchase credits ALL its non-purchase touches in a 7-day
+    # lookback — linear (1/n each) and time-decay (half-life 1 day,
+    # normalized per conversion) credit rolled up per channel. The
+    # (purchase x touches-in-window) pair set is the per-user range
+    # join, built with interval_overlap_join in its keyed theta form:
+    # lookback window [pt-7d, pt) x touch instant [tt, tt+1) under
+    # half-open semantics gives exactly tt in [pt-7d, pt) — the same
+    # equi-join-on-user + residual-range plan the oracle's predicate
+    # states, with per-user touch counts small by construction.
+    from .operators.windows import interval_overlap_join
+
+    DAY_US = 86_400_000_000
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        us.alias("pt"),
+        (us - F.lit(7 * DAY_US)).alias("ls"),
+        us.alias("le"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("touch_type"),
+        us.alias("rs"),
+        (us + 1).alias("re"),
+    )
+    pairs = interval_overlap_join(
+        p, t, "ls", "le", "rs", "re", by=["user_id"]
+    )
+    wpid = Window.partitionBy("pid")
+    raw = F.pow(F.lit(0.5), (F.col("pt") - F.col("rs")) / F.lit(float(DAY_US)))
+    wts = (
+        pairs.withColumn("n", F.count(F.lit(1)).over(wpid))
+        .withColumn("raw", raw)
+        .withColumn("raw_sum", F.sum(raw).over(wpid))
+    )
+    return wts.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+        F.countDistinct("pid").cast("bigint").alias("n_conversions"),
+        F.round(F.sum(F.lit(1.0) / F.col("n")), 4).alias("linear_credit"),
+        F.round(F.sum(F.col("raw") / F.col("raw_sum")), 4).alias("decay_credit"),
+    )
+
+
+@_register(
     "seasonality_dow_profile",
     """
     WITH daily AS (

@@ -83,6 +83,9 @@ LINEAR = [
     "rfm_segments_scalable",
     "randomization_preselection",
     "hybrid_rank_fusion",
+    # round-7: CDC log replay (window over the log + broadcast anti
+    # join against the snapshot — both sides scale, plan is linear)
+    "cdc_log_compaction",
 ]
 
 #: quadratic BY CONSTRUCTION (query set = fixed fraction of corpus, or
@@ -114,6 +117,13 @@ QUADRATIC = {
         "semdedup failure mode on duplicate-heavy corpora; the designed "
         "bound is max_cluster_size (see semantic_dedup_capped) plus the "
         "drop_exact_duplicates-first contract"
+    ),
+    "interval_overlap_promos": (
+        "the replica packs F x more promo windows into the SAME "
+        "1995-2001 span, so every order overlaps F x more promos and "
+        "output pairs grow F^2 — the temporal twin of the spatial "
+        "density artifact; a real scale-up grows the TIME SPAN at "
+        "~constant promo density (see interval_overlap_time_scaled)"
     ),
 }
 
@@ -214,6 +224,51 @@ def _semantic_dedup_capped(spark, sf_dir: str, n1_max: int):
     )
 
 
+def _interval_overlap_time_scaled(spark, sf_dir: str, n1_max: int):
+    # the range join in its DESIGNED regime: each replica copy's orders
+    # AND promos shift into their own 2500-day band (copy index
+    # recovered from the key offsets, same trick as
+    # _nearest_area_scaled), so the time span grows with data at
+    # constant per-bucket density — measures the bucket equi-join
+    # itself, not the replica's density artifact
+    from bohemia_kenya_data_pipeline_spark.operators import windows as W
+
+    DAY = 86_400_000_000
+    BAND = 2500 * DAY
+    o_off = (
+        spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+        .agg(F.max("o_orderkey")).collect()[0][0] + 1
+    )
+    s_off = (
+        spark.read.parquet(os.path.join(SRC, "supplier.parquet"))
+        .agg(F.max("s_suppkey")).collect()[0][0] + 1
+    )
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ocopy = F.expr(f"(o_orderkey - 1) DIV {o_off}")
+    ts_us = F.unix_micros(F.col("o_orderdate").cast("timestamp")) + ocopy * F.lit(BAND)
+    left = o.select(
+        F.col("o_orderkey").alias("aid"),
+        ts_us.alias("ls"),
+        (ts_us + (F.col("o_orderkey") % 30 + 1) * F.lit(DAY)).alias("le"),
+    )
+    sup = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    scopy = F.expr(f"(s_suppkey - 1) DIV {s_off}")
+    rs = (
+        F.lit(788_918_400_000_000)
+        + scopy * F.lit(BAND)
+        + (F.col("s_suppkey") % 300) * F.lit(7 * DAY)
+    )
+    right = sup.select(
+        F.col("s_suppkey").alias("pid"),
+        rs.alias("rs"),
+        (rs + (F.col("s_suppkey") % 10 + 1) * F.lit(3 * DAY)).alias("re"),
+    )
+    return W.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re",
+        bucket_width=32 * DAY, max_buckets_per_row=3,
+    )
+
+
 FIXEDQ = {
     "quantized_fixedq": _quantized_fixedq,
     "ivf_ann_fixedq": _ivf_ann_fixedq,
@@ -223,6 +278,7 @@ FIXEDQ = {
     "ivf_ann_fixedq_arrow": _ivf_ann_fixedq_arrow,
     "spatial_nearest_area_scaled": _nearest_area_scaled,
     "semantic_dedup_capped": _semantic_dedup_capped,
+    "interval_overlap_time_scaled": _interval_overlap_time_scaled,
 }
 
 
@@ -350,6 +406,11 @@ def main() -> None:
             "area grows with data at constant density (the real-world "
             "scale-up): slope measures the grid join itself, not the "
             "replica's density artifact"
+        ),
+        "interval_overlap_time_scaled": (
+            "time span grows with data at constant promo density (the "
+            "real-world scale-up): slope measures the bucketed range "
+            "join itself, not the replica's density artifact"
         ),
     }
     for name, fn in FIXEDQ.items():
