@@ -135,6 +135,12 @@ HEADLINE = [
     "pretrain_mix_spans",
     "rfm_segments_scalable",
     "randomization_preselection",
+    # round-7: CDC log replay (broadcast anti-join MERGE plan) and the
+    # grid-bucketed range join (the equi-join rewrite of a range
+    # predicate; see BENCH_scale_r07.json for both scaling regimes)
+    "cdc_log_compaction",
+    "interval_overlap_promos",
+    "attribution_multi_touch",
 ]
 
 

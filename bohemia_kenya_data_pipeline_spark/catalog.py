@@ -383,6 +383,60 @@ def read_text_corpus(
     return df
 
 
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    contract: StructType | str,
+    on_extra: str = "drop",
+) -> DataFrame:
+    """Read a parquet dataset whose shards have DRIFTED (a long-lived
+    landing zone: early files miss later columns, a producer widened a
+    type, another added fields) reconciled to a pinned ``contract``
+    schema, exploiting the parquet reader's per-file schema evolution
+    (probed on pyspark 4.1):
+
+    - columns missing from a shard come back as typed NULLs (the only
+      correct reading of "this shard predates the column");
+    - shard types that are a lossless widening toward the contract
+      (int→bigint, float→double, …) are upcast IN the vectorized
+      reader; anything else — string vs numeric, narrowing, date vs
+      timestamp — fails LOUD at scan time with
+      ``FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE_MISMATCH`` naming
+      the offending file (silent coercion is how a drifted producer
+      corrupts a decade of history; note Spark's ``mergeSchema``
+      cannot express this at all — it hard-fails on ANY type conflict
+      between shards, ``CANNOT_MERGE_SCHEMAS``);
+    - ``on_extra``: ``drop`` (default) never even reads columns the
+      contract doesn't know; ``fail`` raises ``ValueError`` when any
+      shard carries extras (strict ingest boundary); ``keep`` appends
+      them, typed from the union of footers, after the contract
+      columns.
+
+    Scale note: the ``drop`` path is ONE declared-schema scan — no
+    footer-merge pass at all, and pruning/pushdown work on the
+    contract columns as on any scan. ``keep``/``fail`` pay one
+    ``mergeSchema`` footer pass (metadata-only) to discover extras,
+    so they additionally require drift-free types among the extras
+    themselves.
+    """
+    if on_extra not in ("drop", "fail", "keep"):
+        raise ValueError(f"on_extra must be drop/fail/keep, got {on_extra!r}")
+    if isinstance(contract, str):
+        contract = StructType.fromDDL(contract)
+    if on_extra == "drop":
+        return spark.read.schema(contract).parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    known = {f.name for f in contract.fields}
+    extras = [f for f in merged.schema.fields if f.name not in known]
+    if extras and on_extra == "fail":
+        raise ValueError(
+            "read_parquet_evolving: unexpected columns "
+            f"{sorted(f.name for f in extras)} (on_extra='fail')"
+        )
+    full = StructType(list(contract.fields) + extras)
+    return spark.read.schema(full).parquet(path)
+
+
 def dedup_on_ingest(df: DataFrame, keys: list[str]) -> DataFrame:
     """S15: drop duplicates on ingest keys (get_ever_resolved.py:7-9)."""
     return df.dropDuplicates(keys)
