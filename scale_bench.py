@@ -431,10 +431,14 @@ def main() -> None:
         # r6 ask 6) — confirm no knee where the span postings and the
         # boundary-bucket windows get hot past 10x
         DEEP_Q = ["market_basket_brand_pairs", "tpch_q21_waiting_supplier",
-                  "pretrain_mix_spans", "rfm_segments_scalable"]
+                  "pretrain_mix_spans", "rfm_segments_scalable",
+                  # r7: confirm the broadcast-anti MERGE plan holds depth
+                  "cdc_log_compaction"]
         DEEP_F = ["quantized_fixedq", "cosine_fixedq", "cosine_fixedq_arrow",
                   "quantized_fixedq_arrow", "ivf_ann_fixedq",
-                  "ivf_ann_fixedq_arrow"]
+                  "ivf_ann_fixedq_arrow",
+                  # r7: the density-constant range-join regime at depth
+                  "interval_overlap_time_scaled"]
         if only:
             DEEP_Q = [n for n in DEEP_Q if n in keep]
             DEEP_F = [n for n in DEEP_F if n in keep]
