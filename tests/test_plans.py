@@ -9,6 +9,8 @@ explain string) — they pin the plan *shape*, not its formatting.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from bohemia_kenya_data_pipeline_spark.queries import QUERIES
 from tests.conftest import SF_DIR
 
@@ -335,3 +337,73 @@ def test_interval_overlap_join_fanout_guard_and_keys(spark):
         ).collect()
     with pytest.raises(ValueError, match="rename shared"):
         interval_overlap_join(left, left, "ls", "le", "ls", "le")
+
+
+def test_plan_stats_counts_known_shapes(spark, tmp_path):
+    from bohemia_kenya_data_pipeline_spark import plans as P
+
+    src = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id", "id % 7 AS k").write.parquet(src)
+    base = spark.read.parquet(src)
+
+    # filtered scan: pushdown visible, zero shuffles, codegen active
+    s = P.plan_stats(base.filter(F.col("id") == 5).select("id"))
+    assert s["scans"] == 1 and s["scans_with_pushdown"] == 1
+    assert s["exchanges"] == 0 and s["nested_loop_joins"] == 0
+    assert s["codegen_spans"] >= 1 and s["row_python_nodes"] == 0
+
+    # groupBy: exactly one shuffle exchange
+    s = P.plan_stats(base.groupBy("k").count())
+    assert s["exchanges"] == 1
+
+    # broadcast join vs cartesian are told apart
+    dim = spark.range(10).selectExpr("id AS k2")
+    s = P.plan_stats(base.join(F.broadcast(dim), base.k == dim.k2))
+    assert s["broadcast_hash_joins"] == 1 and s["nested_loop_joins"] == 0
+    s = P.plan_stats(base.join(dim, base.k < dim.k2))
+    assert s["nested_loop_joins"] == 1
+
+    # Arrow-batched Python counted separately from row-Python
+    import pandas as pd
+
+    def ident(it):
+        yield from it
+
+    arrowed = base.mapInPandas(ident, base.schema)
+    s = P.plan_stats(arrowed)
+    assert s["arrow_python_nodes"] == 1 and s["row_python_nodes"] == 0
+
+
+def test_assert_plan_gates_fail_loud(spark, tmp_path):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark import plans as P
+
+    src = str(tmp_path / "t2")
+    spark.range(100).selectExpr("id", "id % 3 AS k").write.parquet(src)
+    base = spark.read.parquet(src)
+    dim = spark.range(5).selectExpr("id AS k2")
+
+    # clean plan returns its stats
+    stats = P.assert_plan(
+        base.filter(F.col("id") > 5), require_pushdown=True, max_exchanges=0
+    )
+    assert stats["scans_with_pushdown"] == 1
+
+    with pytest.raises(AssertionError, match="nested-loop"):
+        P.assert_plan(base.join(dim, base.k < dim.k2))
+    with pytest.raises(AssertionError, match="shuffle exchanges > bound"):
+        P.assert_plan(base.groupBy("k").count(), max_exchanges=0)
+    with pytest.raises(AssertionError, match="no scan carries PushedFilters"):
+        P.assert_plan(base, require_pushdown=True)
+    # row-at-a-time Python UDF (banned in the engine, so built here
+    # inline purely as the negative fixture)
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda x: x + 1, "bigint")
+    with pytest.raises(AssertionError, match="row-at-a-time Python"):
+        P.assert_plan(base.select(slow(F.col("id"))))
+    # double-read of one source without persist
+    two = base.filter(F.col("k") == 0).unionByName(base.filter(F.col("k") == 1))
+    with pytest.raises(AssertionError, match="scans > bound"):
+        P.assert_plan(two, max_scans=1)
