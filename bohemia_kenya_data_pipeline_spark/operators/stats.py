@@ -538,6 +538,113 @@ def cms_estimate(
 # ---------------------------------------------------------------------------
 
 
+def build_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch ``(bin, cnt)``: a
+    deterministic histogram over ``[lo, hi)`` with underflow bin ``-1``
+    and overflow bin ``n_bins``. NULLs are skipped.
+
+    The streaming/incremental percentile primitive: persist one sketch
+    per day/source (≤ ``n_bins + 2`` rows each), answer later quantile
+    queries over ANY union of them by counter-summing
+    (:func:`merge_quantile_sketches`) — no rescan of 100 TB of history.
+    Unlike ``percentile_approx`` state, the sketch is a plain
+    DataFrame: it survives in parquet, merges exactly (sum of counters
+    is EXACTLY the sketch of the union — property-tested), and its
+    error is a hard bound you chose up front: answers are bin upper
+    edges, so in-range quantiles are off by at most ``(hi-lo)/n_bins``.
+
+    One pass, map-side combine: the shuffle carries at most
+    ``partitions × (n_bins+2)`` rows, independent of row count — the
+    same contract as :func:`build_cms` / ``build_distinct_sketches``.
+    """
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / n_bins
+    b = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(n_bins))
+        .otherwise(F.floor((v - lo) / width).cast("int"))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(b.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def merge_quantile_sketches(*sketches: DataFrame) -> DataFrame:
+    """Counter sum — exactly the sketch of the union of the inputs
+    (same lo/hi/n_bins: caller invariant, as in merge_cms)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def sketch_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Quantiles from a :func:`build_quantile_sketch` sketch: for each
+    ``q`` the upper edge of the first bin whose cumulative count
+    reaches ``ceil(q * n)`` — a DETERMINISTIC answer (ties and all)
+    both engines reproduce bit-for-bit, with error ≤ one bin width
+    for in-range data. Underflow answers ``lo`` (the true quantile is
+    below the sketch range), overflow answers ``hi`` (above it) —
+    range misconfiguration is visible, not silent.
+
+    The sketch is ≤ ``n_bins + 2`` rows, so the cumulative window and
+    the quantile probe join are metadata-sized; nothing here touches
+    the original data.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    cum = sketch.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = sketch.agg(F.sum("cnt").cast("long").alias("n"))
+    probes = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q DOUBLE"
+    )
+    picked = (
+        probes.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(cum),
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")),
+            "left",
+        )
+        .groupBy("q", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    val = (
+        F.when(F.col("bin") == -1, F.lit(float(lo)))
+        .when(F.col("bin") == n_bins, F.lit(float(hi)))
+        .otherwise(F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width))
+    )
+    return picked.select(
+        "q",
+        F.round(val, 9).alias("approx_value"),
+        F.col("n").alias("n_rows"),
+    )
+
+
 def kaplan_meier(
     df: DataFrame,
     duration_col: str,

@@ -8904,6 +8904,49 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quantile_sketch_prices",
+    """
+    WITH s AS (
+      SELECT CASE WHEN o_totalprice < 0 THEN -1
+                  WHEN o_totalprice >= 480000 THEN 480
+                  ELSE CAST(FLOOR(o_totalprice / 1000.0) AS INT) END AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM s),
+    cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM s),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.1),(0.5),(0.9),(0.99),(0.999)) t(q)),
+    pick AS (
+      SELECT q, n, MIN(bin) AS bin
+      FROM qs CROSS JOIN tot LEFT JOIN cum ON cum.cum >= CEIL(q * n)
+      GROUP BY q, n)
+    SELECT q,
+           CAST(ROUND(CASE WHEN bin = -1 THEN 0.0
+                      WHEN bin = 480 THEN 480000.0
+                      ELSE (bin + 1) * 1000.0 END, 9) AS DOUBLE) AS approx_value,
+           n AS n_rows
+    FROM pick
+    """,
+)
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable binned quantile sketch (stats.build_quantile_sketch):
+    # order prices into 480 fixed 1000-wide bins over [0, 480000) —
+    # max price ~500k, so the 0.999 quantile exercises the overflow
+    # answer (= hi, range misconfiguration made visible). The sketch
+    # is deterministic, so the APPROXIMATE answers themselves
+    # hash-match DuckDB's mirror of the binning + cumulative pick —
+    # the same "hash-check the approximate path" discipline as the
+    # fixed-probe ANN entries. Error bound: one bin width (1000).
+    from .operators import stats as st
+
+    o = _t(spark, sf_dir, "orders")
+    sk = st.build_quantile_sketch(o, "o_totalprice", 0.0, 480_000.0, 480)
+    return st.sketch_quantiles(
+        sk, [0.1, 0.5, 0.9, 0.99, 0.999], 0.0, 480_000.0, 480
+    )
+
+
+@_register(
     "seasonality_dow_profile",
     """
     WITH daily AS (

@@ -454,3 +454,60 @@ def test_psi_rejects_unknown_bucket_mode(spark):
     base = _vals(spark, range(10))
     with _pytest.raises(ValueError, match="bucket_mode"):
         st.population_stability(base, base, "x", bucket_mode="log")
+
+
+def test_quantile_sketch_merge_is_exact_and_error_bounded(spark):
+    # merge(sketch(A), sketch(B)) must equal sketch(A ∪ B) EXACTLY
+    # (counter sum), and quantile answers must sit within one bin
+    # width of the true percentile for in-range data
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    lo, hi, bins = 0.0, 100.0, 50  # bin width 2.0
+    a = spark.range(0, 600).select((F.col("id") % 100 + 0.25).alias("v"))
+    b = spark.range(0, 400).select(((F.col("id") * 7) % 100 + 0.75).alias("v"))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    merged = st.merge_quantile_sketches(
+        st.build_quantile_sketch(a, "v", lo, hi, bins),
+        st.build_quantile_sketch(b, "v", lo, hi, bins),
+    )
+    union = st.build_quantile_sketch(a.unionByName(b), "v", lo, hi, bins)
+    assert rows(merged) == rows(union)
+
+    qs = [0.1, 0.5, 0.9]
+    got = {
+        r.q: r.approx_value
+        for r in st.sketch_quantiles(merged, qs, lo, hi, bins).collect()
+    }
+    exact = a.unionByName(b).agg(
+        *[F.expr(f"percentile(v, {q})").alias(f"p{i}") for i, q in enumerate(qs)]
+    ).collect()[0]
+    for i, q in enumerate(qs):
+        assert abs(got[q] - exact[i]) <= 2.0 + 1e-9, (q, got[q], exact[i])
+    assert all(r.n_rows == 1000 for r in st.sketch_quantiles(merged, qs, lo, hi, bins).collect())
+
+
+def test_quantile_sketch_out_of_range_is_visible(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    lo, hi, bins = 0.0, 10.0, 10
+    df = spark.createDataFrame(
+        [(-5.0,), (-1.0,), (5.0,), (20.0,), (30.0,), (None,)], "v DOUBLE"
+    )
+    sk = st.build_quantile_sketch(df, "v", lo, hi, bins)
+    by_bin = {r.bin: r.cnt for r in sk.collect()}
+    assert by_bin[-1] == 2 and by_bin[10] == 2  # under/overflow counted, NULL skipped
+    got = {
+        r.q: r.approx_value
+        for r in st.sketch_quantiles(sk, [0.1, 0.99], lo, hi, bins).collect()
+    }
+    # true q10 is below the range -> answers lo; true q99 above -> hi
+    assert got[0.1] == lo and got[0.99] == hi
+    import pytest
+
+    with pytest.raises(ValueError, match="hi > lo"):
+        st.build_quantile_sketch(df, "v", 5.0, 5.0, 10)
