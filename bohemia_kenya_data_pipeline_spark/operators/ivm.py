@@ -111,6 +111,85 @@ def apply_delta(
     return joined.select(*keys, *out_cols).filter(F.col("n_rows") > 0)
 
 
+def join_view_delta(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_new: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+    sign_col: str = "__sign",
+) -> DataFrame:
+    """Delta of the inner equi-join view ``V = A ⋈ B`` under signed row
+    deltas (``sign_col`` = +1 insert / -1 delete; an update is a
+    -old/+new pair) — join-view IVM, the companion to the aggregate
+    maintenance above. The fact tables are never rescanned: both terms
+    are DELTA-sized joins.
+
+    Uses the asymmetric identity
+
+        ΔV = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+
+    which is exactly ``A_new⋈B_new − A_old⋈B_old`` (expand the
+    product: the ΔA⋈ΔB cross term is absorbed by joining ΔA against
+    B_NEW — pass the post-delta B, pre-delta A; swapping both sides'
+    vintages double- or zero-counts the cross term). Output rows carry
+    the multiplied sign in ``sign_col``.
+
+    Plan: two equi-joins each with one delta-sized side — broadcast
+    the delta and neither snapshot shuffles at all. Shared non-key
+    columns must be renamed first (same contract as
+    ``interval_overlap_join``).
+    """
+    keys = list(on)
+    clash = (set(a_old.columns) & set(b_new.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"rename shared non-key columns before joining: {sorted(clash)}"
+        )
+    # sign of (ΔA ⋈ B_new) rows = ΔA's sign (B rows are implicit +1);
+    # likewise below — signs multiply, and one side is always +1.
+    # Broadcast the DELTA side: neither snapshot ever shuffles.
+    da_v = F.broadcast(delta_a).join(b_new, keys, "inner")
+    db_v = a_old.join(F.broadcast(delta_b), keys, "inner")
+    cols = [c for c in da_v.columns]
+    return da_v.select(*cols).unionByName(db_v.select(*cols))
+
+
+def apply_join_view_delta(
+    view: DataFrame, dv: DataFrame, sign_col: str = "__sign"
+) -> DataFrame:
+    """Fold a signed ``ΔV`` into the materialized view: exact multiset
+    semantics — group the touched rows by FULL row value, net the
+    signs, keep net > 0 copies. Retraction rows must therefore be
+    bit-identical to what they retract (the standard retraction-stream
+    contract; floats included — CDC before-images satisfy this by
+    construction).
+
+    Plan: only rows whose join keys appear in ``ΔV`` enter the
+    net-sign aggregation (semi/anti split on the view); everything
+    else passes through untouched — delta-sized work against a
+    view-sized scan, no recompute of the join.
+    """
+    data_cols = [c for c in dv.columns if c != sign_col]
+    touched = dv.select(*data_cols).dropDuplicates()
+    untouched = view.join(touched, data_cols, "left_anti")
+    signed_view = view.join(touched, data_cols, "left_semi").withColumn(
+        sign_col, F.lit(1)
+    )
+    survivors = (
+        signed_view.unionByName(dv.select(*data_cols, sign_col))
+        .groupBy(*data_cols)
+        .agg(F.sum(sign_col).alias("__net"))
+        .filter(F.col("__net") > 0)
+    )
+    # net > 1 would mean duplicate multiset rows; re-explode to keep
+    # exact multiset cardinality
+    survivors = survivors.withColumn(
+        "__dup", F.explode(F.sequence(F.lit(1), F.col("__net")))
+    ).select(*data_cols)
+    return untouched.unionByName(survivors)
+
+
 def split_group_moves(
     delta: DataFrame,
     key_cols: Sequence[str],

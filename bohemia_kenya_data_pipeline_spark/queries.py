@@ -8947,6 +8947,69 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivm_join_view",
+    """
+    WITH a_new AS (
+      SELECT o_orderkey AS aid, o_custkey AS ckey,
+             ROUND(o_totalprice, 2)
+               + CASE WHEN o_orderkey % 13 = 2 THEN 100 ELSE 0 END AS price
+      FROM orders WHERE o_orderkey % 13 <> 1),
+    b_new AS (
+      SELECT c_custkey AS ckey,
+             CASE WHEN c_custkey % 17 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer)
+    SELECT aid, a_new.ckey AS ckey, price, seg
+    FROM a_new JOIN b_new ON a_new.ckey = b_new.ckey
+    """,
+)
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Join-view IVM (ivm.join_view_delta + apply_join_view_delta): the
+    # ENGINE maintains V = orders ⋈ customer under signed deltas —
+    # fact inserts (%13==0), fact deletes (%13==1), fact updates
+    # (%13==2, price+100) and a dim update touching many view rows
+    # (customers %17==0 re-segmented) — while the ORACLE recomputes
+    # the join on the new snapshots; hash equality proves the
+    # asymmetric identity ΔV = ΔA⋈B_new ∪ A_old⋈ΔB end to end,
+    # including the rows hit on BOTH sides (retraction cancellation).
+    # Neither snapshot is rescanned: both ΔV terms broadcast the delta.
+    from .operators import ivm as iv
+
+    S = "__sign"
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("aid"),
+        F.col("o_custkey").alias("ckey"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    m = F.col("aid") % 13
+    a_old = o.filter(m != 0)
+    upd_new = o.filter(m == 2).withColumn("price", F.col("price") + 100)
+    da = (
+        o.filter(m == 0).withColumn(S, F.lit(1))
+        .unionByName(o.filter(m == 1).withColumn(S, F.lit(-1)))
+        .unionByName(o.filter(m == 2).withColumn(S, F.lit(-1)))
+        .unionByName(upd_new.withColumn(S, F.lit(1)))
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"), F.col("c_mktsegment").alias("seg")
+    )
+    moved = F.col("ckey") % 17 == 0
+    b_new = c.withColumn("seg", F.when(moved, F.lit("MOVED")).otherwise(F.col("seg")))
+    db = (
+        c.filter(moved).withColumn(S, F.lit(-1))
+        .unionByName(
+            c.filter(moved)
+            .withColumn("seg", F.lit("MOVED"))
+            .withColumn(S, F.lit(1))
+        )
+    )
+    v_old = a_old.join(c, ["ckey"])
+    dv = iv.join_view_delta(a_old, da, b_new, db, ["ckey"])
+    v_new = iv.apply_join_view_delta(v_old, dv)
+    return v_new.select("aid", "ckey", "price", "seg")
+
+
+@_register(
     "seasonality_dow_profile",
     """
     WITH daily AS (

@@ -58,3 +58,66 @@ def test_ivm_delta_images_attached(spark):
     rows = {r.k: r for r in delta.collect()}
     assert rows[1].old_v == 10 and rows[1].new_v == 15
     assert rows[2].old_v is None and rows[2].new_v == 20
+
+
+def test_join_view_delta_matches_recompute_including_cross_term(spark):
+    # the term a naive symmetric form double-counts: an inserted A row
+    # joining an inserted B row must appear EXACTLY once (routed
+    # through dA x B_new), plus deletes/updates on both sides at once
+    from bohemia_kenya_data_pipeline_spark.operators import ivm as iv
+
+    S = "__sign"
+    a_old = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 20, "a2"), (3, 30, "a3")], "aid BIGINT, k BIGINT, av STRING"
+    )
+    b_old = spark.createDataFrame(
+        [(10, "b10"), (20, "b20"), (40, "b40")], "k BIGINT, bv STRING"
+    )
+    # A: insert aid=4 on NEW key 40's partner... plus delete aid=2,
+    # update aid=3's payload
+    da = spark.createDataFrame(
+        [
+            (4, 50, "a4", 1),   # insert joining an INSERTED b key (cross term)
+            (2, 20, "a2", -1),  # delete
+            (3, 30, "a3", -1),  # update: retract old...
+            (3, 30, "a3x", 1),  # ...assert new
+        ],
+        "aid BIGINT, k BIGINT, av STRING, __sign INT",
+    )
+    # B: insert k=50 and k=30 (so a3 gains a partner), delete k=40
+    db = spark.createDataFrame(
+        [(50, "b50", 1), (30, "b30", 1), (40, "b40", -1)],
+        "k BIGINT, bv STRING, __sign INT",
+    )
+    b_new = iv.apply_join_view_delta(b_old, db, S)
+    a_new = iv.apply_join_view_delta(a_old, da, S)
+    v_old = a_old.join(b_old, ["k"])
+    dv = iv.join_view_delta(a_old, da, b_new, db, ["k"], S)
+    v_new = iv.apply_join_view_delta(v_old, dv, S)
+    recompute = a_new.join(b_new, ["k"])
+    assert sorted(map(tuple, v_new.collect())) == sorted(
+        map(tuple, recompute.collect())
+    )
+    # the cross-term row is present exactly once
+    assert v_new.filter((F.col("aid") == 4) & (F.col("bv") == "b50")).count() == 1
+
+
+def test_apply_join_view_delta_multiset_and_guard(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import ivm as iv
+
+    # duplicate identical rows are a legal multiset: net of +2 then -1
+    # leaves exactly one copy
+    view = spark.createDataFrame([(1, "x")], "k BIGINT, v STRING")
+    dv = spark.createDataFrame(
+        [(1, "x", 1), (1, "x", 1), (1, "x", -1), (2, "y", 1)],
+        "k BIGINT, v STRING, __sign INT",
+    )
+    got = sorted(map(tuple, iv.apply_join_view_delta(view, dv).collect()))
+    assert got == [(1, "x"), (1, "x"), (2, "y")]  # 1+2-1 = 2 copies + insert
+
+    import pytest
+
+    a = spark.createDataFrame([(1, 2, "p")], "aid BIGINT, k BIGINT, shared STRING")
+    b = spark.createDataFrame([(2, "q")], "k BIGINT, shared STRING")
+    with pytest.raises(ValueError, match="rename shared"):
+        iv.join_view_delta(a, a, b, b, ["k"])
