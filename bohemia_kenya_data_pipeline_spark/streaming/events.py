@@ -554,6 +554,52 @@ def read_cdc_table(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def quantile_sketch_sink(
+    stream: DataFrame,
+    value_col: str,
+    store_path: str,
+    checkpoint: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+):
+    """Continuous percentile monitoring: each micro-batch builds a
+    :func:`~..operators.stats.build_quantile_sketch` over its rows and
+    counter-merges it into the store, publishing an immutable version
+    under ``store_path/v=<batch_id>`` (the committed-version replay
+    safety of :func:`scd2_history_sink`). Because sketch merge is
+    EXACTLY the union's sketch, the store after N batches equals the
+    batch sketch of all N batches' rows — the differential the tests
+    assert — so quantile queries over a day/month/lifetime of a 100 TB
+    stream read ≤ ``n_bins + 2`` rows, never the data.
+
+    Read back with the latest committed ``v=`` dir and
+    ``stats.sketch_quantiles`` (same lo/hi/n_bins — caller invariant).
+    """
+    from ..operators import stats as _st
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        versions = _committed_versions(spark, store_path)
+        if batch_id in versions:
+            return  # replayed batch: output already committed
+        versions = [v for v in versions if v < batch_id]
+        sk = _st.build_quantile_sketch(batch_df, value_col, lo, hi, n_bins)
+        if versions:
+            prev = spark.read.parquet(f"{store_path}/v={max(versions)}")
+            sk = _st.merge_quantile_sketches(prev, sk)
+        sk.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EWMA_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -800,3 +800,41 @@ def test_cdc_upsert_sink_replay_and_empty_guard(spark, tmp_path):
         stream2, table, str(tmp_path / "c2"), ["k"], ["ts", "seq"]
     ).awaitTermination(60)
     assert [(r.k, r.v) for r in se.read_cdc_table(spark, table).collect()] == [(1, "a")]
+
+
+def test_quantile_sketch_sink_equals_batch_sketch(spark, tmp_path):
+    """Store after N micro-batches == batch sketch of all rows (merge
+    exactness, operationally), and quantiles come off the store."""
+    import glob as _glob
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    schema = "v DOUBLE"
+    rows1 = [(float(i % 50),) for i in range(300)]
+    rows2 = [(float((i * 3) % 80),) for i in range(200)] + [(120.0,), (-4.0,)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "f1"))
+
+    def run(ck):
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        se.quantile_sketch_sink(
+            stream, "v", store, str(tmp_path / ck), 0.0, 100.0, n_bins=25
+        ).awaitTermination(60)
+
+    run("c1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    run("c1")
+
+    latest = max(int(p.rsplit("v=", 1)[1]) for p in _glob.glob(f"{store}/v=*"))
+    got = spark.read.parquet(f"{store}/v={latest}")
+    want = st.build_quantile_sketch(
+        spark.createDataFrame(rows1 + rows2, schema), "v", 0.0, 100.0, 25
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    q = {r.q: r.approx_value
+         for r in st.sketch_quantiles(got, [0.5, 0.99], 0.0, 100.0, 25).collect()}
+    assert q[0.5] <= 100.0 and q[0.99] <= 100.0
+    assert got.filter(F.col("bin") == 25).collect()[0].cnt == 1  # the 120.0 overflow
