@@ -1270,3 +1270,100 @@ def ivf_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def cosine_threshold_pairs_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All (query, corpus) pairs with cosine similarity ≥ ``threshold``
+    — the threshold-join sibling of :func:`cosine_topk_arrow` (same
+    collected-and-broadcast query batch ≤ 10k, same one-pass
+    mapInPandas matmul, ZERO shuffle), for workloads that want every
+    match above a floor rather than a fixed k: decontamination against
+    a benchmark suite, blocklist screening, semantic recall sweeps.
+
+    Scores are rounded to 6 dp BEFORE the comparison so the membership
+    predicate is reproducible across engines (the DuckDB oracle
+    mirrors ``ROUND(cos, 6) >= threshold`` exactly). Self-matches are
+    NOT excluded — when the benchmark leaked into the corpus, the
+    self-pair IS the contamination. NULL vectors drop on both sides
+    (the shared `_drop_null_vecs` contract); zero vectors score NaN
+    and never match.
+
+    Returns (query_id, neighbor_id, score).
+    """
+    q_rows = (
+        _drop_null_vecs(queries, vec_col)
+        .select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv"))
+        .collect()
+    )
+    if len(q_rows) > 10_000:
+        raise ValueError(
+            f"{len(q_rows)} query vectors: cosine_threshold_pairs_arrow "
+            "broadcasts the query batch — pass the fixed benchmark/"
+            "blocklist set, not a corpus-sized one"
+        )
+    if not q_rows:
+        raise ValueError("empty query batch (no rows, or every query vector NULL)")
+    qids = np.asarray([r["qid"] for r in q_rows], dtype=np.int64)
+    qm = np.asarray([list(r["qv"]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qm, qn))
+    thr = float(threshold)
+
+    def score_batches(batches):
+        b_qids, b_qm, b_qn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            c = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(c, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.round((c @ b_qm.T) / cn[:, None] / b_qn[None, :], 6)
+            ci, qi = np.nonzero(s >= thr)  # NaN compares False: zero vecs out
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": ids[ci],
+                    "score": s[ci, qi],
+                }
+            )
+
+    return (
+        _drop_null_vecs(corpus, vec_col)
+        .select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+        .mapInPandas(
+            score_batches, "query_id bigint, neighbor_id bigint, score double"
+        )
+    )
+
+
+def decontaminate_by_embedding(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic decontamination: drop every corpus row whose embedding
+    scores cosine ≥ ``threshold`` against ANY benchmark vector — the
+    eval-leakage stage of a pretraining pipeline (n-gram
+    decontamination catches verbatim leaks; this catches paraphrased
+    ones the embedding space still collapses).
+
+    Plan: one zero-shuffle :func:`cosine_threshold_pairs_arrow` scan
+    (benchmark suite broadcast), contaminated ids distinct'd (bounded
+    by the corpus side of the matches), one anti join. Linear in
+    corpus size; benchmark suites are small by nature (≤ 10k enforced
+    by the kernel).
+    """
+    pairs = cosine_threshold_pairs_arrow(
+        corpus, bench, threshold, vec_col=vec_col, id_col=id_col
+    )
+    contaminated = pairs.select(F.col("neighbor_id").alias(id_col)).distinct()
+    return corpus.join(contaminated, [id_col], "left_anti")

@@ -9010,6 +9010,37 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "semantic_decontamination",
+    """
+    WITH b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    bad AS (SELECT DISTINCT c.vec_id
+            FROM c, b
+            WHERE ROUND(list_cosine_similarity(cv, bv), 6) >= 0.3)
+    SELECT e.vec_id
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM bad)
+    """,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-space decontamination
+    # (similarity.decontaminate_by_embedding): drop corpus vectors
+    # within cos >= 0.3 of ANY "benchmark" vector (vec_id % 100 == 0 —
+    # a leaked-benchmark stand-in, so the self-matches at cos 1.0 ARE
+    # contamination by construction, plus the near-uniform fixture's
+    # genuine >= 0.3 neighbors). Engine: one zero-shuffle Arrow
+    # threshold scan with the benchmark broadcast + an anti join;
+    # oracle: brute-force pair predicate. Scores rounded to 6 dp on
+    # both engines BEFORE the threshold compare, so set membership is
+    # reproducible.
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 100 == 0)
+    kept = sim.decontaminate_by_embedding(emb, bench, threshold=0.3)
+    return kept.select("vec_id")
+
+
+@_register(
     "seasonality_dow_profile",
     """
     WITH daily AS (

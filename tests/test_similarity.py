@@ -493,3 +493,42 @@ def test_null_vectors_dropped_uniformly_across_all_paths(spark):
         assert got(fn(dirty, dirty)) == got(fn(clean, clean)), fn
         # no NULL scores survive anywhere
         assert all(r[2] is not None for r in got(fn(dirty, dirty)))
+
+
+def test_decontaminate_by_embedding_planted(spark):
+    # a leaked copy (cos 1.0) and a paraphrase-close vector must drop;
+    # an orthogonal one survives; NULL-embedding rows pass through
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),      # exact leak
+            (2, [0.95, 0.1, 0.0, 0.0]),     # near-paraphrase (cos ~0.99)
+            (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal: keep
+            (4, [0.0, 0.0, 0.0, 0.0]),      # zero vector: NaN, keep
+            (5, None),                       # null: keep
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    kept = sim.decontaminate_by_embedding(corpus, bench, threshold=0.8)
+    assert sorted(r.vec_id for r in kept.collect()) == [3, 4, 5]
+    # threshold pairs include the self-style exact match with score 1.0
+    pairs = sim.cosine_threshold_pairs_arrow(corpus, bench, 0.8)
+    got = {(r.query_id, r.neighbor_id): r.score for r in pairs.collect()}
+    assert got[(100, 1)] == 1.0 and (100, 2) in got and len(got) == 2
+
+
+def test_cosine_threshold_pairs_guards(spark):
+    import pytest
+
+    big = spark.range(10_001).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    small = spark.createDataFrame(
+        [(1, [1.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="broadcasts the query batch"):
+        sim.cosine_threshold_pairs_arrow(small, big, 0.5)
+    with pytest.raises(ValueError, match="empty query batch"):
+        sim.cosine_threshold_pairs_arrow(small, small.filter("vec_id < 0"), 0.5)
