@@ -451,6 +451,7 @@ def cdc_upsert_sink(
     seq_cols: list[str],
     op_col: str = "op",
     payload_cols: list[str] | None = None,
+    tombstone_min_seq=None,
 ):
     """Continuous MERGE INTO: a stream of CDC ops (Debezium-style
     ``I``/``U``/``D`` row images) maintains an upsert table, publishing
@@ -484,6 +485,17 @@ def cdc_upsert_sink(
 
     ``seq_cols`` must totally order entries per key across the whole
     transport (ts + LSN); ops outside I/U/D fail the batch loudly.
+
+    ``tombstone_min_seq``: retention watermark for tombstone GC,
+    applied inside each batch's compaction (a separate GC job would
+    publish a version number that collides with a future batch id and
+    make that batch self-suppress — so GC lives here). Tombstones
+    whose FIRST seq column is below the watermark are dropped from
+    the published version. Correctness contract: the watermark must
+    trail the transport's maximum disorder — any late update that
+    could still arrive must carry a seq ABOVE every GC'd tombstone,
+    otherwise a stale update can resurrect a deleted key (that is the
+    inherent tombstone-retention tradeoff, not a bug here).
     """
     from pyspark.sql.window import Window
 
@@ -529,6 +541,11 @@ def cdc_upsert_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        if tombstone_min_seq is not None:
+            compacted = compacted.filter(
+                (F.col("__cdc_op") != "D")
+                | (F.col(seq_cols[0]) >= F.lit(tombstone_min_seq))
+            )
         compacted.write.mode("overwrite").parquet(f"{table_path}/v={batch_id}")
 
     return (

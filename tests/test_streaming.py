@@ -838,3 +838,36 @@ def test_quantile_sketch_sink_equals_batch_sketch(spark, tmp_path):
          for r in st.sketch_quantiles(got, [0.5, 0.99], 0.0, 100.0, 25).collect()}
     assert q[0.5] <= 100.0 and q[0.99] <= 100.0
     assert got.filter(F.col("bin") == 25).collect()[0].cnt == 1  # the 120.0 overflow
+
+
+def test_cdc_upsert_sink_tombstone_retention(spark, tmp_path):
+    """GC inside the batch compaction: tombstones below the watermark
+    drop from the published version; newer ones are retained; live
+    rows are untouched either way."""
+    import glob as _glob
+
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "cdclog"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    schema = "k BIGINT, op STRING, ts BIGINT, seq BIGINT, v STRING"
+    rows = [
+        (1, "I", 10, 1, "a"),
+        (2, "I", 10, 2, "b"),
+        (1, "D", 20, 3, None),   # old tombstone: below watermark -> GC'd
+        (3, "I", 30, 4, "c"),
+        (3, "D", 90, 5, None),   # recent tombstone: retained
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    se.cdc_upsert_sink(
+        stream, table, str(tmp_path / "ck"), ["k"], ["ts", "seq"],
+        tombstone_min_seq=50,
+    ).awaitTermination(60)
+    latest = max(int(p.rsplit("v=", 1)[1]) for p in _glob.glob(f"{table}/v=*"))
+    raw = spark.read.parquet(f"{table}/v={latest}")
+    tombs = [r.k for r in raw.filter(F.col("__cdc_op") == "D").collect()]
+    assert tombs == [3]  # k=1's ts=20 tombstone GC'd, k=3's ts=90 kept
+    live = sorted((r.k, r.v) for r in se.read_cdc_table(spark, table).collect())
+    assert live == [(2, "b")]  # deletions still applied; GC changed no live row
