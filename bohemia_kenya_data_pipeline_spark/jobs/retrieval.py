@@ -1,0 +1,131 @@
+"""Persistent ANN index job: build the IVF layout ONCE on disk, query
+it many times with partition pruning.
+
+``ivf_topk`` pays centroid assignment over the whole corpus on every
+call — right for ad-hoc queries, wrong for a serving index. Here the
+corpus is written ``partitionBy("cid")`` (cid = nearest centroid), so
+a query job's scan lists only the probed centroids' DIRECTORIES:
+``n_probe / n_centroids`` of the index files never reach the executors
+at all — file-level pruning, a stronger statement than row filtering,
+and exactly how a 100 TB vector store should amortize (the same
+partition-pruned-read contract as ``write_history_partition``).
+
+Centroids persist in a sidecar dataset next to the index so a query
+job needs no training state — the index directory is self-describing.
+
+Query results are IDENTICAL to :func:`..operators.similarity.ivf_topk`
+with the same centroids/n_probe (exact-parity golden): the pruned scan
+is a superset of every query's probed buckets, and re-assignment from
+the stored vectors is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as sim
+
+
+def _centroid_sidecar(index_path: str) -> str:
+    # sibling path, NOT inside the index dir (a nested parquet dataset
+    # would be read as index data by the partitioned scan)
+    return index_path.rstrip("/") + "__centroids"
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    index_path: str,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    train_fraction: float | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Train (or accept) centroids, assign every corpus vector, write
+    the index partitioned by ``cid``, persist the centroid sidecar.
+    One full pass over the corpus; the shuffle is the partitioned
+    write's file routing. Returns the centroids."""
+    if centroids is None:
+        centroids = sim.ivf_train_centroids(
+            corpus,
+            vec_col,
+            id_col,
+            n_centroids=n_centroids,
+            n_iters=n_iters,
+            train_fraction=train_fraction,
+        )
+    cents = sim._centroid_literal(centroids)
+    assigned = (
+        sim._drop_null_vecs(corpus, vec_col)
+        .select(id_col, vec_col)
+        .withColumn("cid", sim._nearest_cid(sim._as_double(vec_col), cents))
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(index_path)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    ).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
+    return centroids
+
+
+def load_ann_centroids(spark: SparkSession, index_path: str) -> list[list[float]]:
+    """Centroids from the index sidecar, in cid order."""
+    rows = spark.read.parquet(_centroid_sidecar(index_path)).collect()
+    return [list(r.cv) for r in sorted(rows, key=lambda r: r.cid)]
+
+
+def query_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a :func:`build_ann_index` layout. The probed-cid set
+    (≤ n_centroids values — a metadata-sized collect) becomes a
+    partition filter on the index scan, so unprobed centroids' FILES
+    are never opened; scoring semantics are then exactly
+    :func:`~..operators.similarity.ivf_topk` (same probe ordering —
+    dot desc, cid asc — same exact-cosine scoring, self-exclusion,
+    rounding and tie-break)."""
+    centroids = load_ann_centroids(spark, index_path)
+    cents = sim._centroid_literal(centroids)
+    # same probe expression as ivf_topk (parity-tested): sort
+    # (neg-dot, cid) structs, slice n_probe
+    probes = F.slice(
+        F.sort_array(
+            F.transform(
+                cents,
+                lambda ce: F.struct(
+                    (-sim.dot(F.col("qv"), ce["cv"])).alias("d"),
+                    ce["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    probed = (
+        sim._drop_null_vecs(queries, vec_col)
+        .select(sim._as_double(vec_col).alias("qv"))
+        .select(F.explode(F.transform(probes, lambda p: p["cid"])).alias("cid"))
+        .distinct()
+        .collect()
+    )
+    cids = sorted(r.cid for r in probed)
+    scan = spark.read.parquet(index_path).filter(F.col("cid").isin(cids))
+    return sim.ivf_topk(
+        scan.select(id_col, vec_col),
+        queries,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_centroids=len(centroids),
+        n_probe=n_probe,
+        centroids=centroids,
+    )

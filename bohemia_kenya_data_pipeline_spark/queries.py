@@ -11786,3 +11786,30 @@ def ivf_ann_fixedq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=2,
     )
+
+
+@_register("ann_index_fixedq", ORACLES["ivf_ann_fixedq"])
+def ann_index_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SERVING-INDEX regime of the same production IVF contract:
+    # jobs.retrieval builds the corpus partitioned by centroid id on
+    # disk (literal centroids, the exact ivf_ann_fixedq config), then
+    # the query scans ONLY the probed centroids' partition directories
+    # (file-level pruning, plan-pinned in tests) before the identical
+    # probe/score/rank semantics. Same oracle SQL as ivf_ann_fixedq by
+    # construction — the hash compare proves the persisted layout and
+    # the pruned read change nothing.
+    import tempfile
+
+    from .jobs import retrieval as rt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_annidx_"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + f"_{os.getpid()}",
+    )
+    rt.build_ann_index(emb, path, centroids=_IVF_FIXED_RAW)
+    return rt.query_ann_index(
+        spark, path, _fixed_query_batch(emb), k=5, n_probe=2
+    )
