@@ -129,3 +129,31 @@ def query_ann_index(
         n_probe=n_probe,
         centroids=centroids,
     )
+
+
+def extend_ann_index(
+    new_rows: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally index new vectors: assign against the SIDECAR
+    centroids (no retraining, no rebuild) and append into the existing
+    ``cid`` partition directories — a delta-sized write, the daily
+    ingest path of a serving index. Queries see old + new immediately
+    (same pruned scan).
+
+    Centroid drift is the caller's tradeoff: appended vectors are
+    bucketed by the ORIGINAL centroids, so recall degrades only as the
+    data distribution drifts from them — rebuild (or re-train + 
+    re-bucket) on a cadence informed by the drift gates
+    (``stats.population_stability``, embedding drift)."""
+    spark = new_rows.sparkSession
+    centroids = load_ann_centroids(spark, index_path)
+    cents = sim._centroid_literal(centroids)
+    assigned = (
+        sim._drop_null_vecs(new_rows, vec_col)
+        .select(id_col, vec_col)
+        .withColumn("cid", sim._nearest_cid(sim._as_double(vec_col), cents))
+    )
+    assigned.write.mode("append").partitionBy("cid").parquet(index_path)

@@ -61,3 +61,19 @@ def test_index_build_accepts_pretrained_and_drops_nulls(spark, tmp_path):
     stored = spark.read.parquet(path)
     assert stored.count() == 50  # NULL embedding never indexed
     assert stored.filter(F.col("vec_id") == 999).count() == 0
+
+
+def test_extend_ann_index_equals_rebuild(spark, tmp_path):
+    corpus = _toy_corpus(spark, n=300)
+    late = _toy_corpus(spark, n=400).filter(F.col("vec_id") > 300)
+    queries = corpus.filter(F.col("vec_id") % 60 == 0)
+    path = str(tmp_path / "idx_grow")
+    cents = rt.build_ann_index(corpus, path, n_centroids=4, n_iters=3)
+    rt.extend_ann_index(late, path)
+    got = rt.query_ann_index(spark, path, queries, k=5, n_probe=2)
+    # a rebuild over the full corpus with the SAME centroids must agree
+    path2 = str(tmp_path / "idx_full")
+    rt.build_ann_index(_toy_corpus(spark, n=400), path2, centroids=cents)
+    want = rt.query_ann_index(spark, path2, queries, k=5, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert spark.read.parquet(path).count() == 400
