@@ -141,6 +141,10 @@ HEADLINE = [
     "cdc_log_compaction",
     "interval_overlap_promos",
     "attribution_multi_touch",
+    "semantic_decontamination",
+    "quantile_sketch_prices",
+    "ann_index_fixedq",        # serving-index regime (build + pruned query)
+    "ivm_join_view",
 ]
 
 

@@ -357,6 +357,7 @@ def interval_overlap_join(
     bucket_width: int | None = None,
     max_buckets_per_row: int | None = None,
     how: str = "inner",
+    left_id_col: str | None = None,
 ) -> DataFrame:
     """Interval-overlap (range) join: pair every left interval with
     every right interval it overlaps, half-open semantics —
@@ -390,12 +391,21 @@ def interval_overlap_join(
     ``bucket_width=None`` keeps the plain theta join — correct on any
     domain, but only for inputs where a nested loop is affordable
     (small side broadcastable, or selective ``by`` keys).
-    ``how`` is inner-only in the bucketed path (an outer range join
-    needs the anti set too; compose with a left_anti on matched keys).
+
+    ``how="left"`` additionally keeps unmatched (and degenerate) left
+    rows with NULL right columns. It needs ``left_id_col`` — a column
+    UNIQUE per left row — because the unmatched set is computed as an
+    anti join of ids against the matched pairs (an anti join on full
+    row values would silently merge duplicate left rows and is
+    float-fragile). Built the same way in both physical paths, so the
+    bucketed rewrite stays exactly-once for matches and exactly-one
+    NULL row per unmatched left row.
     """
     keys = list(by or [])
-    if how != "inner":
-        raise ValueError(f"interval_overlap_join is inner-only, got {how!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how == "left" and left_id_col is None:
+        raise ValueError("how='left' requires left_id_col (unique per left row)")
     clash = (set(left.columns) & set(right.columns)) - set(keys)
     if clash:
         raise ValueError(
@@ -407,10 +417,26 @@ def interval_overlap_join(
     overlap = (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
     lf = left.filter(F.col(l_end) > F.col(l_start))
     rf = right.filter(F.col(r_end) > F.col(r_start))
+
+    def with_left_outer(matched: DataFrame) -> DataFrame:
+        if how == "inner":
+            return matched
+        r_payload = [c for c in right.columns if c not in keys]
+        unmatched = left.join(
+            matched.select(left_id_col).distinct(), [left_id_col], "left_anti"
+        ).select(
+            *left.columns,
+            *[
+                F.lit(None).cast(right.schema[c].dataType).alias(c)
+                for c in r_payload
+            ],
+        )
+        return matched.select(*unmatched.columns).unionByName(unmatched)
+
     if bucket_width is None:
         if keys:
-            return lf.join(rf, on=keys, how="inner").filter(overlap)
-        return lf.join(rf, overlap, how="inner")
+            return with_left_outer(lf.join(rf, on=keys, how="inner").filter(overlap))
+        return with_left_outer(lf.join(rf, overlap, how="inner"))
     w = int(bucket_width)
     if w <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
@@ -446,7 +472,7 @@ def interval_overlap_join(
     canonical = F.col("__ivb") == F.floor(
         F.greatest(F.col(l_start), F.col(r_start)) / w
     )
-    return (
+    return with_left_outer(
         lb.join(rb, on=keys + ["__ivb"], how="inner")
         .filter(overlap & canonical)
         .drop("__ivb")

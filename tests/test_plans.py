@@ -407,3 +407,30 @@ def test_assert_plan_gates_fail_loud(spark, tmp_path):
     two = base.filter(F.col("k") == 0).unionByName(base.filter(F.col("k") == 1))
     with pytest.raises(AssertionError, match="scans > bound"):
         P.assert_plan(two, max_scans=1)
+
+
+def test_interval_overlap_join_left_outer(spark):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators.windows import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 10), (2, 50, 60), (3, 80, 80)],  # 3 is degenerate: kept w/ NULLs
+        "lid BIGINT, ls BIGINT, le BIGINT",
+    )
+    right = spark.createDataFrame(
+        [(10, 5, 15), (11, 200, 210)], "rid BIGINT, rs BIGINT, re BIGINT"
+    )
+    for bw in (None, 10):
+        out = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re",
+            bucket_width=bw, how="left", left_id_col="lid",
+        )
+        got = sorted((r.lid, r.rid) for r in out.select("lid", "rid").collect())
+        assert got == [(1, 10), (2, None), (3, None)], bw
+    with pytest.raises(ValueError, match="requires left_id_col"):
+        interval_overlap_join(left, right, "ls", "le", "rs", "re", how="left")
+    with pytest.raises(ValueError, match="how must be"):
+        interval_overlap_join(left, right, "ls", "le", "rs", "re", how="full")
