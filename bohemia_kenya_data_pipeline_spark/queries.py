@@ -11813,3 +11813,46 @@ def ann_index_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.query_ann_index(
         spark, path, _fixed_query_batch(emb), k=5, n_probe=2
     )
+
+
+@_register(
+    "hard_negatives_mining",
+    """
+    WITH a AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qv, cv), 4) AS score
+          FROM a, c WHERE query_id <> neighbor_id),
+    cand AS (SELECT query_id, neighbor_id, score,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rnk
+             FROM s),
+    neg AS (SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM cand
+            WHERE rnk <= 8 AND neighbor_id <> query_id + 1)
+    SELECT query_id AS anchor_id, neighbor_id AS negative_id, score,
+           CAST(rank AS INTEGER) AS rank
+    FROM neg WHERE rank <= 3
+    """,
+)
+def hard_negatives_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Contrastive-training hard negatives
+    # (similarity.mine_hard_negatives): anchors = vec_id % 100 == 0,
+    # declared positive = anchor+1 (a deterministic labeled-pair
+    # stand-in); negatives = top-3 most-similar non-positive,
+    # non-self corpus items from a k_cand=8 candidate pool. Oracle
+    # mirrors the same pool -> anti-positive -> re-rank pipeline, so
+    # the crowding behavior (a positive inside the pool consumes a
+    # slot before re-ranking) is itself hash-checked.
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    positives = anchors.select(
+        F.col("vec_id").alias("anchor_id"),
+        (F.col("vec_id") + 1).alias("positive_id"),
+    )
+    return sim.mine_hard_negatives(
+        emb, anchors, positives, n_neg=3, k_cand=8
+    )

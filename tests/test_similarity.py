@@ -532,3 +532,22 @@ def test_cosine_threshold_pairs_guards(spark):
         sim.cosine_threshold_pairs_arrow(small, big, 0.5)
     with pytest.raises(ValueError, match="empty query batch"):
         sim.cosine_threshold_pairs_arrow(small, small.filter("vec_id < 0"), 0.5)
+
+
+def test_mine_hard_negatives_excludes_positives_and_reranks(spark):
+    # anchor at e1; its positive is the MOST similar item — it must be
+    # excluded and the ranks re-packed starting at 1
+    rows = [
+        (1, [1.0, 0.0, 0.0]),    # anchor
+        (2, [0.99, 0.14, 0.0]),  # positive (closest)
+        (3, [0.9, 0.43, 0.0]),   # hardest negative
+        (4, [0.7, 0.71, 0.0]),
+        (5, [0.0, 1.0, 0.0]),
+        (6, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    anchors = emb.filter(F.col("vec_id") == 1)
+    positives = spark.createDataFrame([(1, 2)], "anchor_id BIGINT, positive_id BIGINT")
+    out = sim.mine_hard_negatives(emb, anchors, positives, n_neg=3, k_cand=5)
+    got = [(r.negative_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(3, 1), (4, 2), (5, 3)]  # positive 2 and self 1 absent
