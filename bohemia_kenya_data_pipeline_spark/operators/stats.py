@@ -544,6 +544,7 @@ def build_quantile_sketch(
     lo: float,
     hi: float,
     n_bins: int = 1024,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Mergeable fixed-bin quantile sketch ``(bin, cnt)``: a
     deterministic histogram over ``[lo, hi)`` with underflow bin ``-1``
@@ -560,8 +561,11 @@ def build_quantile_sketch(
     edges, so in-range quantiles are off by at most ``(hi-lo)/n_bins``.
 
     One pass, map-side combine: the shuffle carries at most
-    ``partitions × (n_bins+2)`` rows, independent of row count — the
-    same contract as :func:`build_cms` / ``build_distinct_sketches``.
+    ``partitions × (n_bins+2)`` rows (× group count with ``by``),
+    independent of row count — the same contract as :func:`build_cms`
+    / ``build_distinct_sketches``. ``by`` keys the sketch per group
+    (per-source/day percentile monitoring); every reader takes the
+    same ``by``.
     """
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
@@ -576,19 +580,21 @@ def build_quantile_sketch(
     )
     return (
         df.filter(v.isNotNull())
-        .select(b.cast("int").alias("bin"))
-        .groupBy("bin")
+        .select(*by, b.cast("int").alias("bin"))
+        .groupBy(*by, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
 
 def merge_quantile_sketches(*sketches: DataFrame) -> DataFrame:
     """Counter sum — exactly the sketch of the union of the inputs
-    (same lo/hi/n_bins: caller invariant, as in merge_cms)."""
+    (same lo/hi/n_bins/by: caller invariant, as in merge_cms). Grouped
+    sketches merge per group (all non-cnt columns key the sum)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
 
 
 def sketch_quantiles(
@@ -597,6 +603,7 @@ def sketch_quantiles(
     lo: float,
     hi: float,
     n_bins: int,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Quantiles from a :func:`build_quantile_sketch` sketch: for each
     ``q`` the upper edge of the first bin whose cumulative count
@@ -606,31 +613,33 @@ def sketch_quantiles(
     below the sketch range), overflow answers ``hi`` (above it) —
     range misconfiguration is visible, not silent.
 
-    The sketch is ≤ ``n_bins + 2`` rows, so the cumulative window and
-    the quantile probe join are metadata-sized; nothing here touches
-    the original data.
+    The sketch is ≤ ``n_bins + 2`` rows per group, so the cumulative
+    window and the quantile probe join are metadata-sized; nothing
+    here touches the original data. With ``by``, answers come back
+    per group (pass the SAME ``by`` the sketch was built with).
     """
     from pyspark.sql import Window
 
+    by = list(by)
     width = (hi - lo) / n_bins
     cum = sketch.withColumn(
         "cum",
         F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy(*by)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
         ),
-    )
-    total = sketch.agg(F.sum("cnt").cast("long").alias("n"))
+    ).select(*[F.col(c).alias(f"__g_{c}") for c in by], "bin", "cum")
+    total = sketch.groupBy(*by).agg(F.sum("cnt").cast("long").alias("n"))
     probes = sketch.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q DOUBLE"
-    )
+    ).crossJoin(F.broadcast(total))
+    cond = F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
+    for c in by:
+        cond = cond & (F.col(c) == F.col(f"__g_{c}"))
     picked = (
-        probes.crossJoin(F.broadcast(total))
-        .join(
-            F.broadcast(cum),
-            F.col("cum") >= F.ceil(F.col("q") * F.col("n")),
-            "left",
-        )
-        .groupBy("q", "n")
+        probes.join(F.broadcast(cum), cond, "left")
+        .groupBy("q", *by, "n")
         .agg(F.min("bin").alias("bin"))
     )
     val = (
@@ -640,6 +649,7 @@ def sketch_quantiles(
     )
     return picked.select(
         "q",
+        *by,
         F.round(val, 9).alias("approx_value"),
         F.col("n").alias("n_rows"),
     )

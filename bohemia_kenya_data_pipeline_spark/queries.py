@@ -11856,3 +11856,51 @@ def hard_negatives_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.mine_hard_negatives(
         emb, anchors, positives, n_neg=3, k_cand=8
     )
+
+
+@_register(
+    "quantile_sketch_by_priority",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS grp,
+             CASE WHEN o_totalprice < 0 THEN -1
+                  WHEN o_totalprice >= 480000 THEN 480
+                  ELSE CAST(FLOOR(o_totalprice / 1000.0) AS INT) END AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2),
+    tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM s GROUP BY 1),
+    cum AS (SELECT grp, bin,
+                   SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum
+            FROM s),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.5),(0.9),(0.99)) t(q)),
+    pick AS (
+      SELECT q, tot.grp AS grp, n, MIN(bin) AS bin
+      FROM qs CROSS JOIN tot
+      LEFT JOIN cum ON cum.grp = tot.grp AND cum.cum >= CEIL(q * n)
+      GROUP BY q, tot.grp, n)
+    SELECT q, grp,
+           CAST(ROUND(CASE WHEN bin = -1 THEN 0.0
+                      WHEN bin = 480 THEN 480000.0
+                      ELSE (bin + 1) * 1000.0 END, 9) AS DOUBLE) AS approx_value,
+           n AS n_rows
+    FROM pick
+    """,
+)
+def quantile_sketch_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GROUPED quantile sketch: one keyed histogram pass gives per-
+    # priority price percentiles (the per-source length-distribution
+    # monitoring shape for corpora) — same deterministic binning +
+    # cumulative pick as quantile_sketch_prices, keyed by grp, so the
+    # per-group approximate answers hash-match DuckDB's mirror.
+    from .operators import stats as st
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice"
+    )
+    sk = st.build_quantile_sketch(
+        o, "o_totalprice", 0.0, 480_000.0, 480, by=["grp"]
+    )
+    return st.sketch_quantiles(
+        sk, [0.5, 0.9, 0.99], 0.0, 480_000.0, 480, by=["grp"]
+    )

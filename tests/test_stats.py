@@ -511,3 +511,35 @@ def test_quantile_sketch_out_of_range_is_visible(spark):
 
     with pytest.raises(ValueError, match="hi > lo"):
         st.build_quantile_sketch(df, "v", 5.0, 5.0, 10)
+
+
+def test_grouped_quantile_sketch_merge_and_isolation(spark):
+    # groups are independent: merging grouped sketches == grouped
+    # sketch of the union, and a group's quantiles ignore other groups
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import stats as st
+
+    lo, hi, bins = 0.0, 100.0, 20
+    a = spark.range(200).select(
+        F.lit("x").alias("g"), (F.col("id") % 50 + 0.5).alias("v")
+    )
+    b = spark.range(200).select(
+        F.lit("y").alias("g"), (F.col("id") % 100 + 0.5).alias("v")
+    )
+    merged = st.merge_quantile_sketches(
+        st.build_quantile_sketch(a, "v", lo, hi, bins, by=["g"]),
+        st.build_quantile_sketch(b, "v", lo, hi, bins, by=["g"]),
+    )
+    union = st.build_quantile_sketch(
+        a.unionByName(b), "v", lo, hi, bins, by=["g"]
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, union.collect()))
+    got = {
+        (r.q, r.g): r.approx_value
+        for r in st.sketch_quantiles(merged, [0.9], lo, hi, bins, by=["g"]).collect()
+    }
+    # x's values stop at 50, y's reach 100 — per-group p90 must differ
+    # accordingly (within one 5.0-wide bin of the exact 45.5 / 90.5)
+    assert abs(got[(0.9, "x")] - 45.5) <= 5.0
+    assert abs(got[(0.9, "y")] - 90.5) <= 5.0
