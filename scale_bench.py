@@ -86,6 +86,9 @@ LINEAR = [
     # round-7: CDC log replay (window over the log + broadcast anti
     # join against the snapshot — both sides scale, plan is linear)
     "cdc_log_compaction",
+    # round-7: serving-index regime — fixed query batch, index build
+    # (one corpus pass + partitioned write) dominates; pruned read
+    "ann_index_fixedq",
 ]
 
 #: quadratic BY CONSTRUCTION (query set = fixed fraction of corpus, or
@@ -224,6 +227,18 @@ def _semantic_dedup_capped(spark, sf_dir: str, n1_max: int):
     )
 
 
+def _semantic_decontamination_fixedb(spark, sf_dir: str, n1_max: int):
+    # FIXED benchmark set (the production shape — a benchmark suite
+    # does not grow with the corpus): the registered entry's bench =
+    # vec_id % 100 == 0 would grow 10x with the replica and the
+    # broadcast-matmul flops would look quadratic by construction
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as s_
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") <= n1_max))
+    return s_.decontaminate_by_embedding(emb, bench, threshold=0.3).select("vec_id")
+
+
 def _interval_overlap_time_scaled(spark, sf_dir: str, n1_max: int):
     # the range join in its DESIGNED regime: each replica copy's orders
     # AND promos shift into their own 2500-day band (copy index
@@ -279,6 +294,7 @@ FIXEDQ = {
     "spatial_nearest_area_scaled": _nearest_area_scaled,
     "semantic_dedup_capped": _semantic_dedup_capped,
     "interval_overlap_time_scaled": _interval_overlap_time_scaled,
+    "semantic_decontamination_fixedb": _semantic_decontamination_fixedb,
 }
 
 
@@ -411,6 +427,10 @@ def main() -> None:
             "time span grows with data at constant promo density (the "
             "real-world scale-up): slope measures the bucketed range "
             "join itself, not the replica's density artifact"
+        ),
+        "semantic_decontamination_fixedb": (
+            "fixed benchmark set (the production shape): slope "
+            "isolates corpus growth — one zero-shuffle Arrow scan"
         ),
     }
     for name, fn in FIXEDQ.items():
