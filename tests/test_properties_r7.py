@@ -1,0 +1,105 @@
+"""Property tests for the round-7 operators: the bucketed range join
+must equal the theta join on ANY interval set and bucket width; CDC
+log replay must be idempotent and delivery-order-invariant; quantile
+sketch merge must equal the union's sketch under ANY split."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bohemia_kenya_data_pipeline_spark.operators import stats as ST
+from bohemia_kenya_data_pipeline_spark.operators.scd import apply_cdc_log
+from bohemia_kenya_data_pipeline_spark.operators.windows import (
+    interval_overlap_join,
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def interval_sets(draw):
+    n = draw(st.integers(1, 12))
+    m = draw(st.integers(1, 12))
+    mk = lambda i: (  # noqa: E731
+        i,
+        draw(st.integers(-30, 90)),
+        draw(st.integers(-30, 120)),
+    )
+    return [mk(i) for i in range(n)], [mk(100 + j) for j in range(m)], draw(
+        st.sampled_from([3, 7, 10, 25])
+    )
+
+
+@given(data=interval_sets())
+@settings(**_SETTINGS)
+def test_bucketed_range_join_equals_theta(spark, data):
+    lrows, rrows, w = data
+    left = spark.createDataFrame(lrows, "lid BIGINT, ls BIGINT, le BIGINT")
+    right = spark.createDataFrame(rrows, "rid BIGINT, rs BIGINT, re BIGINT")
+    theta = interval_overlap_join(left, right, "ls", "le", "rs", "re")
+    bucketed = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=w
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r.lid, r.rid) for r in df.select("lid", "rid").collect()
+    )
+    assert key(bucketed) == key(theta)
+
+
+@st.composite
+def cdc_logs(draw):
+    n = draw(st.integers(1, 15))
+    rows = []
+    for seq in range(n):
+        k = draw(st.integers(1, 4))
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        rows.append((k, op, draw(st.integers(0, 5)), seq, f"v{seq}"))
+    return rows
+
+
+@given(log_rows=cdc_logs(), perm_seed=st.integers(0, 99))
+@settings(**_SETTINGS)
+def test_cdc_replay_idempotent_and_order_invariant(spark, log_rows, perm_seed):
+    import random
+
+    schema = "k BIGINT, op STRING, ts BIGINT, seq BIGINT, v STRING"
+    snap = spark.createDataFrame([(1, "s1"), (3, "s3")], "k BIGINT, v STRING")
+    log = spark.createDataFrame(log_rows, schema)
+    once = apply_cdc_log(snap, log, ["k"], ["ts", "seq"])
+    # idempotence: replaying the same log changes nothing
+    twice = apply_cdc_log(once, log, ["k"], ["ts", "seq"])
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(twice) == rows(once)
+    # delivery order cannot matter: a shuffled copy of the log
+    shuffled = list(log_rows)
+    random.Random(perm_seed).shuffle(shuffled)
+    other = apply_cdc_log(
+        snap, spark.createDataFrame(shuffled, schema), ["k"], ["ts", "seq"]
+    )
+    assert rows(other) == rows(once)
+
+
+@given(
+    vals=st.lists(st.floats(-50, 150, allow_nan=False), min_size=1, max_size=40),
+    cut=st.integers(0, 40),
+)
+@settings(**_SETTINGS)
+def test_quantile_sketch_merge_equals_union_any_split(spark, vals, cut):
+    cut = min(cut, len(vals))
+    a = spark.createDataFrame([(float(v),) for v in vals[:cut]] or [(None,)], "v DOUBLE")
+    b = spark.createDataFrame([(float(v),) for v in vals[cut:]] or [(None,)], "v DOUBLE")
+    both = spark.createDataFrame([(float(v),) for v in vals], "v DOUBLE")
+    lo, hi, bins = 0.0, 100.0, 13
+    merged = ST.merge_quantile_sketches(
+        ST.build_quantile_sketch(a, "v", lo, hi, bins),
+        ST.build_quantile_sketch(b, "v", lo, hi, bins),
+    )
+    union = ST.build_quantile_sketch(both, "v", lo, hi, bins)
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(merged) == rows(union)
