@@ -434,3 +434,28 @@ def test_interval_overlap_join_left_outer(spark):
         interval_overlap_join(left, right, "ls", "le", "rs", "re", how="left")
     with pytest.raises(ValueError, match="how must be"):
         interval_overlap_join(left, right, "ls", "le", "rs", "re", how="full")
+
+
+def test_round7_query_plans_hold_their_invariants(spark):
+    # dogfood plans.assert_plan on the registered round-7 queries:
+    # the CDC replay must broadcast-anti the snapshot, the bucketed
+    # range join must never nested-loop, and none of them may touch
+    # row-at-a-time Python
+    from bohemia_kenya_data_pipeline_spark import plans as P
+
+    cdc = QUERIES["cdc_log_compaction"](spark, SF_DIR)
+    stats = P.assert_plan(cdc, forbid_nested_loop=True, forbid_row_python=True)
+    assert stats["broadcast_hash_joins"] >= 1
+    plan = P.plan_text(cdc)
+    assert "LeftAnti" in plan  # the snapshot side is anti-joined, not rewritten
+
+    rng = QUERIES["interval_overlap_promos"](spark, SF_DIR)
+    P.assert_plan(rng, forbid_nested_loop=True, forbid_row_python=True)
+
+    dec = QUERIES["semantic_decontamination"](spark, SF_DIR)
+    s = P.assert_plan(dec, forbid_nested_loop=True, forbid_row_python=True)
+    assert s["arrow_python_nodes"] >= 1  # the sanctioned Arrow kernel
+
+    ivm = QUERIES["ivm_join_view"](spark, SF_DIR)
+    s = P.assert_plan(ivm, forbid_nested_loop=True, forbid_row_python=True)
+    assert s["broadcast_hash_joins"] >= 2  # both delta terms broadcast the delta
