@@ -230,6 +230,42 @@ def _quantized_scoring_prequantized(spark, sf_dir: str) -> None:
     _noop(sim.quantized_topk_prequantized(qc, queries, k=5))
 
 
+def record_line(
+    spread: dict[str, float],
+    warm: dict[str, float],
+    steady: dict[str, float],
+    n_runs: int,
+    sf: float | None,
+) -> str:
+    """The ONE JSON record line. KEY ORDER IS LOAD-BEARING (VERDICT r7
+    ask 2): the driver's ``BENCH_r{N}.json`` keeps only the last ~2 KB
+    of output, so the big per-entry dicts go FIRST (least-important
+    ``queries_spread`` leads, the steady ``queries`` dict goes last of
+    the three) and the headline scalars — ``warm_total``, ``n_runs``,
+    ``steady_method``, ``sf``, ``metric``, ``value`` — are the FINAL
+    keys: any 2 KB tail of the line still parses every number a round
+    review needs. ``json.dumps`` preserves insertion order;
+    ``tests/test_bench_record.py`` pins the contract against an
+    entry-count twice today's.
+    """
+    return json.dumps(
+        {
+            "queries_spread": spread,
+            "queries_warm": warm,
+            "queries": steady,
+            "unit": "sec",
+            "warm_total": round(sum(warm.values()), 3),
+            "n_runs": n_runs,
+            "steady_method": (
+                f"median_runs_3..{n_runs}" if n_runs > 2 else "run_2"
+            ),
+            "sf": sf,
+            "metric": "headline_queries_total_steady",
+            "value": round(sum(steady.values()), 3),
+        }
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -285,24 +321,7 @@ def main() -> None:
         # recorded spread is machine noise, not a regression
         spread[name] = round(max(tail) - min(tail), 3)
 
-    total = round(sum(steady.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_steady",
-            "value": total,
-            "unit": "sec",
-            "queries": steady,
-            "queries_warm": warm,
-            "queries_spread": spread,
-            "warm_total": round(sum(warm.values()), 3),
-            "n_runs": n_runs,
-            "steady_method": (
-                f"median_runs_3..{n_runs}" if n_runs > 2 else "run_2"
-            ),
-            "sf": sf,
-        }
-    )
-    print(line, flush=True)
+    print(record_line(spread, warm, steady, n_runs, sf), flush=True)
 
 
 if __name__ == "__main__":

@@ -146,6 +146,18 @@ def join_view_delta(
         raise ValueError(
             f"rename shared non-key columns before joining: {sorted(clash)}"
         )
+    # loud contract checks (same class as interval_overlap_join's
+    # reserved-name guard): deltas must carry the sign, snapshots must
+    # not — a sign column on a snapshot would silently collide with the
+    # delta's in the join output
+    for name, d in (("delta_a", delta_a), ("delta_b", delta_b)):
+        if sign_col not in d.columns:
+            raise ValueError(f"{name} is missing sign column {sign_col!r}")
+    for name, s in (("a_old", a_old), ("b_new", b_new)):
+        if sign_col in s.columns:
+            raise ValueError(
+                f"snapshot {name} must not carry sign column {sign_col!r}"
+            )
     # sign of (ΔA ⋈ B_new) rows = ΔA's sign (B rows are implicit +1);
     # likewise below — signs multiply, and one side is always +1.
     # Broadcast the DELTA side: neither snapshot ever shuffles.
@@ -170,6 +182,11 @@ def apply_join_view_delta(
     else passes through untouched — delta-sized work against a
     view-sized scan, no recompute of the join.
     """
+    if sign_col not in dv.columns:
+        raise ValueError(f"delta is missing sign column {sign_col!r}")
+    for tmp in ("__net", "__dup"):
+        if tmp in view.columns or tmp in dv.columns:
+            raise ValueError(f"column name {tmp!r} is reserved")
     data_cols = [c for c in dv.columns if c != sign_col]
     touched = dv.select(*data_cols).dropDuplicates()
     untouched = view.join(touched, data_cols, "left_anti")

@@ -1379,6 +1379,7 @@ def mine_hard_negatives(
     id_col: str = "vec_id",
     anchor_col: str = "anchor_id",
     positive_col: str = "positive_id",
+    flag_shortfall: bool = False,
 ) -> DataFrame:
     """Hard negatives for contrastive / reranker training: per anchor,
     the ``n_neg`` most-similar corpus items that are NOT its known
@@ -1386,18 +1387,25 @@ def mine_hard_negatives(
     (random negatives are trivially separable).
 
     ``positives`` is (anchor_col, positive_col); self-matches are
-    already excluded by the top-k contract. ``k_cand`` (default
-    ``n_neg + max positives per anchor`` is the caller's job; we
-    default to ``2 * n_neg + 2``) must exceed ``n_neg`` plus the
-    anchor's positive count or true negatives get crowded out —
-    asserted per anchor in the output via dense re-ranking, and the
-    candidate pool size is the knob to raise on dense positive sets.
+    already excluded by the top-k contract. ``k_cand`` must exceed
+    ``n_neg`` plus the anchor's positive count or true negatives get
+    crowded out of the candidate pool — sizing it is the CALLER's
+    responsibility (``n_neg + max positives per anchor``; the default
+    ``2 * n_neg + 2`` covers anchors with ≤ ``n_neg + 2`` positives).
+    Crowding is NOT asserted row-by-row by default (the survivors are
+    still the hardest available negatives, just fewer or softer);
+    pass ``flag_shortfall=True`` to append a boolean ``shortfall``
+    column marking every row of an anchor that returned fewer than
+    ``n_neg`` negatives — the visible symptom of an undersized pool —
+    at the cost of one extra count over the (anchor, ≤ n_neg)-sized
+    output window.
 
     Plan: one :func:`cosine_topk` candidate pass (swap in
     `cosine_topk_arrow` / `ivf_topk` upstream for big regimes — any
     (query_id, neighbor_id, score) frame works via ``candidates=``
     composition below), one broadcast anti join against positives,
-    one re-rank window. Returns (anchor_id, negative_id, score, rank).
+    one re-rank window. Returns (anchor_id, negative_id, score, rank)
+    (+ ``shortfall`` when requested).
     """
     if k_cand is None:
         k_cand = 2 * n_neg + 2
@@ -1411,7 +1419,7 @@ def mine_hard_negatives(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return (
+    out = (
         neg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n_neg)
         .select(
@@ -1421,3 +1429,7 @@ def mine_hard_negatives(
             "rank",
         )
     )
+    if flag_shortfall:
+        wc = Window.partitionBy(anchor_col)
+        out = out.withColumn("shortfall", F.count(F.lit(1)).over(wc) < n_neg)
+    return out

@@ -620,6 +620,13 @@ def sketch_quantiles(
     """
     from pyspark.sql import Window
 
+    # mirror build_quantile_sketch's loud input guards: q=0 would match
+    # every cumulative count (ceil(0*n)=0 -> lowest occupied bin's
+    # upper edge, not lo), q>1 falls off the cumulative curve into a
+    # null-bin row — both silent wrong answers without this check
+    for q in qs:
+        if not 0 < q <= 1:
+            raise ValueError(f"quantile probes must be in (0, 1], got {q}")
     by = list(by)
     width = (hi - lo) / n_bins
     cum = sketch.withColumn(

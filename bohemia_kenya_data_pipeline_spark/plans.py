@@ -21,9 +21,33 @@ import re
 from pyspark.sql import DataFrame
 
 
-def plan_text(df: DataFrame) -> str:
-    """The executed (post-AQE-planning) physical plan as text."""
-    return df._jdf.queryExecution().executedPlan().toString()
+def plan_text(df: DataFrame, final: bool = False) -> str:
+    """The physical plan as text.
+
+    Default (``final=False``): the INITIAL adaptive plan — what
+    ``executedPlan()`` returns before any action has run. Under AQE
+    this is the ``AdaptiveSparkPlan isFinalPlan=false`` tree: static
+    shape (joins as planned from static estimates, exchanges, scans,
+    Python-eval nodes) is all visible, but runtime re-optimizations
+    (SMJ→BHJ conversion, skew-split exchanges, coalesced partitions)
+    are NOT — those exist only after execution. This is the right
+    (and cheap) surface for the static invariants ``assert_plan``
+    gates: a nested-loop join or row-Python node planned statically
+    never disappears at runtime.
+
+    ``final=True``: EXECUTE the plan and re-read ``executedPlan()``,
+    which then reports ``isFinalPlan=true`` with every AQE rewrite
+    applied. Use when gating on what AQE actually chose (e.g. "this
+    join really ran broadcast"); costs one full run of the query.
+    Execution goes through THIS DataFrame's own QueryExecution
+    (``toRdd().count()`` — executor-side only, nothing collected): a
+    sink write would run a separate command QueryExecution and leave
+    this one's adaptive plan unfinalized.
+    """
+    qe = df._jdf.queryExecution()
+    if final:
+        qe.toRdd().count()
+    return qe.executedPlan().toString()
 
 
 #: row-at-a-time Python evaluation — the slow path this engine bans;
@@ -42,8 +66,12 @@ _PUSHED = re.compile(r"PushedFilters: \[([^\]]*)\]")
 _CODEGEN = re.compile(r"\*\((\d+)\)")
 
 
-def plan_stats(df: DataFrame) -> dict:
+def plan_stats(df: DataFrame, final: bool = False) -> dict:
     """Count the scale-relevant physical-plan features of ``df``.
+
+    Stats reflect the INITIAL adaptive plan unless ``final=True``
+    (which executes the query once — see :func:`plan_text` for the
+    exact contract and cost of each mode).
 
     Returns::
 
@@ -57,7 +85,7 @@ def plan_stats(df: DataFrame) -> dict:
          "arrow_python_nodes": Arrow-batched Python node count,
          "codegen_spans": distinct WholeStageCodegen regions}
     """
-    t = plan_text(df)
+    t = plan_text(df, final=final)
     pushed = [m for m in _PUSHED.findall(t) if m.strip()]
     return {
         "exchanges": len(_EXCHANGE.findall(t)),
@@ -81,6 +109,7 @@ def assert_plan(
     forbid_row_python: bool = True,
     require_pushdown: bool = False,
     max_scans: int | None = None,
+    final: bool = False,
 ) -> dict:
     """Fail loudly (``AssertionError`` naming the violated bound AND
     the measured stats) when ``df``'s physical plan breaks a scale
@@ -95,9 +124,11 @@ def assert_plan(
     filters (use on filtered scans — an unfiltered full-table read
     legitimately pushes nothing); ``max_scans`` catches accidental
     double-reads of the same source (missing persist on a reused
-    branch).
+    branch). Gates the INITIAL adaptive plan by default; ``final=True``
+    executes the query once and gates the AQE-final plan instead (see
+    :func:`plan_text`).
     """
-    stats = plan_stats(df)
+    stats = plan_stats(df, final=final)
     problems = []
     if forbid_nested_loop and stats["nested_loop_joins"]:
         problems.append(

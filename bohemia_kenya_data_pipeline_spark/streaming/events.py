@@ -351,6 +351,32 @@ def _committed_versions(spark: SparkSession, store_path: str) -> list[int]:
     return sorted(versions)
 
 
+def _gc_old_versions(
+    spark: SparkSession, store_path: str, keep_versions: int
+) -> None:
+    """Drop all but the newest ``keep_versions`` committed ``v=`` dirs.
+
+    Without retention a version-publishing sink grows O(table_size ×
+    n_batches) — only the latest version is ever read back
+    (``read_cdc_table`` / "latest committed" everywhere), so older
+    versions are pure storage leak once the stream's replay window has
+    passed them. Keep at least 2: the newest version plus its
+    predecessor, so a crash between "write v=N" and "checkpoint commit
+    N" can replay batch N (which reads max(v < N)) — with
+    ``availableNow`` + checkpointing, replays only ever target the
+    most recent uncommitted batch, never older ones. Uncommitted
+    (no ``_SUCCESS``) partial dirs are not GC'd here; the replaying
+    batch's own overwrite replaces them.
+    """
+    versions = _committed_versions(spark, store_path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(conf)
+    for v in versions[:-keep_versions]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/v={v}"), True)
+
+
 def scd2_history_sink(
     stream: DataFrame,
     history_path: str,
@@ -359,6 +385,7 @@ def scd2_history_sink(
     tracked_cols: list[str],
     effective_date_col: str,
     tiebreak_cols: list[str] | None = None,
+    keep_versions: int | None = None,
 ):
     """Continuous SCD2 history maintenance from a stream of snapshot
     rows: each micro-batch merges into the current history via
@@ -390,8 +417,18 @@ def scd2_history_sink(
     losing the batch) and (b) only ever reads committed versions
     strictly below its own batch id.
 
+    ``keep_versions`` (≥ 2): retain only the newest N versions after
+    each commit (:func:`_gc_old_versions`); ``None`` keeps all — the
+    history table inside each version is complete, so old versions
+    are redundant once past the replay window.
+
     Returns the started StreamingQuery.
     """
+    if keep_versions is not None and keep_versions < 2:
+        raise ValueError(
+            f"keep_versions must be >= 2 (newest + replay predecessor), "
+            f"got {keep_versions}"
+        )
     from ..operators import scd as _scd
     from ..operators import windows as _W
 
@@ -434,6 +471,8 @@ def scd2_history_sink(
             current, snapshot, key_cols, tracked_cols, str(effective)
         )
         merged.write.mode("overwrite").parquet(f"{history_path}/v={batch_id}")
+        if keep_versions is not None:
+            _gc_old_versions(spark, history_path, keep_versions)
 
     return (
         stream.writeStream.foreachBatch(handle)
@@ -452,6 +491,7 @@ def cdc_upsert_sink(
     op_col: str = "op",
     payload_cols: list[str] | None = None,
     tombstone_min_seq=None,
+    keep_versions: int | None = None,
 ):
     """Continuous MERGE INTO: a stream of CDC ops (Debezium-style
     ``I``/``U``/``D`` row images) maintains an upsert table, publishing
@@ -496,7 +536,19 @@ def cdc_upsert_sink(
     could still arrive must carry a seq ABOVE every GC'd tombstone,
     otherwise a stale update can resurrect a deleted key (that is the
     inherent tombstone-retention tradeoff, not a bug here).
+
+    ``keep_versions`` (≥ 2): version retention — after each commit,
+    drop all but the newest N ``v=`` directories. Without it storage
+    grows O(table_size × n_batches) while only the latest version is
+    ever read (``read_cdc_table``); ``None`` keeps everything (a
+    time-travel archive the caller GCs). See :func:`_gc_old_versions`
+    for the replay-safety argument.
     """
+    if keep_versions is not None and keep_versions < 2:
+        raise ValueError(
+            f"keep_versions must be >= 2 (newest + replay predecessor), "
+            f"got {keep_versions}"
+        )
     from pyspark.sql.window import Window
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -547,6 +599,8 @@ def cdc_upsert_sink(
                 | (F.col(seq_cols[0]) >= F.lit(tombstone_min_seq))
             )
         compacted.write.mode("overwrite").parquet(f"{table_path}/v={batch_id}")
+        if keep_versions is not None:
+            _gc_old_versions(spark, table_path, keep_versions)
 
     return (
         stream.writeStream.foreachBatch(handle)
@@ -579,6 +633,7 @@ def quantile_sketch_sink(
     lo: float,
     hi: float,
     n_bins: int = 1024,
+    keep_versions: int | None = None,
 ):
     """Continuous percentile monitoring: each micro-batch builds a
     :func:`~..operators.stats.build_quantile_sketch` over its rows and
@@ -592,8 +647,18 @@ def quantile_sketch_sink(
 
     Read back with the latest committed ``v=`` dir and
     ``stats.sketch_quantiles`` (same lo/hi/n_bins — caller invariant).
+    ``keep_versions`` (≥ 2) retains only the newest N store versions
+    (:func:`_gc_old_versions`; each version already holds the full
+    merged sketch, ≤ n_bins + 2 rows, so loss is nil past the replay
+    window).
     """
     from ..operators import stats as _st
+
+    if keep_versions is not None and keep_versions < 2:
+        raise ValueError(
+            f"keep_versions must be >= 2 (newest + replay predecessor), "
+            f"got {keep_versions}"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -608,6 +673,8 @@ def quantile_sketch_sink(
             prev = spark.read.parquet(f"{store_path}/v={max(versions)}")
             sk = _st.merge_quantile_sketches(prev, sk)
         sk.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
+        if keep_versions is not None:
+            _gc_old_versions(spark, store_path, keep_versions)
 
     return (
         stream.writeStream.foreachBatch(handle)

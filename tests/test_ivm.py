@@ -121,3 +121,36 @@ def test_apply_join_view_delta_multiset_and_guard(spark):
     b = spark.createDataFrame([(2, "q")], "k BIGINT, shared STRING")
     with pytest.raises(ValueError, match="rename shared"):
         iv.join_view_delta(a, a, b, b, ["k"])
+
+
+def test_ivm_sign_and_reserved_column_guards(spark):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import ivm as iv
+
+    a = spark.createDataFrame([(1, 2, "p")], "aid BIGINT, k BIGINT, av STRING")
+    b = spark.createDataFrame([(2, "q")], "k BIGINT, bv STRING")
+    da = spark.createDataFrame([(1, 2, "p", 1)], "aid BIGINT, k BIGINT, av STRING, __sign INT")
+    db = spark.createDataFrame([(2, "q", 1)], "k BIGINT, bv STRING, __sign INT")
+
+    # delta missing the sign column -> loud, names the input
+    with pytest.raises(ValueError, match="delta_a is missing sign"):
+        iv.join_view_delta(a, a, b, db, ["k"])
+    with pytest.raises(ValueError, match="delta_b is missing sign"):
+        iv.join_view_delta(a, da, b, b, ["k"])
+    # snapshot carrying the sign column -> loud (would collide in join)
+    with pytest.raises(ValueError, match="snapshot a_old"):
+        iv.join_view_delta(da.drop("av"), da, b, db, ["k"])
+
+    view = spark.createDataFrame([(1, "x")], "k BIGINT, v STRING")
+    dv_ok = spark.createDataFrame([(1, "x", 1)], "k BIGINT, v STRING, __sign INT")
+    # missing sign on apply
+    with pytest.raises(ValueError, match="missing sign column"):
+        iv.apply_join_view_delta(view, dv_ok.drop("__sign"))
+    # reserved temp names
+    with pytest.raises(ValueError, match="__net.*reserved"):
+        iv.apply_join_view_delta(view.withColumnRenamed("v", "__net"),
+                                 dv_ok.withColumnRenamed("v", "__net"))
+    with pytest.raises(ValueError, match="__dup.*reserved"):
+        iv.apply_join_view_delta(view.withColumnRenamed("v", "__dup"),
+                                 dv_ok.withColumnRenamed("v", "__dup"))

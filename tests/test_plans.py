@@ -459,3 +459,20 @@ def test_round7_query_plans_hold_their_invariants(spark):
     ivm = QUERIES["ivm_join_view"](spark, SF_DIR)
     s = P.assert_plan(ivm, forbid_nested_loop=True, forbid_row_python=True)
     assert s["broadcast_hash_joins"] >= 2  # both delta terms broadcast the delta
+
+
+def test_plan_text_final_reports_post_aqe_plan(spark):
+    """Default plan_text is the INITIAL adaptive plan (isFinalPlan=
+    false — static gates only); final=True executes once and returns
+    the AQE-final tree (ADVICE r7: the docstring used to overclaim)."""
+    from bohemia_kenya_data_pipeline_spark import plans as pl
+
+    a = spark.range(2000).selectExpr("id % 7 AS k", "id AS x")
+    b = spark.range(50).selectExpr("id AS k", "id * 2 AS y")
+    df = a.join(b, "k").groupBy("k").count()
+    initial = pl.plan_text(df)
+    assert "isFinalPlan=false" in initial
+    final = pl.plan_text(df, final=True)
+    assert "isFinalPlan=true" in final
+    # stats parse on both modes
+    assert pl.plan_stats(df)["scans"] == pl.plan_stats(df, final=True)["scans"]

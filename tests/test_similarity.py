@@ -551,3 +551,32 @@ def test_mine_hard_negatives_excludes_positives_and_reranks(spark):
     out = sim.mine_hard_negatives(emb, anchors, positives, n_neg=3, k_cand=5)
     got = [(r.negative_id, r.rank) for r in out.orderBy("rank").collect()]
     assert got == [(3, 1), (4, 2), (5, 3)]  # positive 2 and self 1 absent
+
+
+def test_mine_hard_negatives_shortfall_flag(spark):
+    # 4-item corpus, anchor + 1 positive -> only 2 possible negatives;
+    # n_neg=3 cannot be met. Default schema is unchanged; with
+    # flag_shortfall=True every row of the starved anchor is marked.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.44]),
+        (3, [0.6, 0.8]),
+        (4, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    anchors = emb.filter(F.col("vec_id") == 1)
+    positives = spark.createDataFrame([(1, 2)], "anchor_id BIGINT, positive_id BIGINT")
+    plain = sim.mine_hard_negatives(emb, anchors, positives, n_neg=3, k_cand=4)
+    assert plain.columns == ["anchor_id", "negative_id", "score", "rank"]
+    flagged = sim.mine_hard_negatives(
+        emb, anchors, positives, n_neg=3, k_cand=4, flag_shortfall=True
+    )
+    got = flagged.orderBy("rank").collect()
+    assert [r.negative_id for r in got] == [3, 4]  # 2 of 3 requested
+    assert all(r.shortfall for r in got)
+
+    # an anchor whose pool suffices is NOT flagged
+    ok = sim.mine_hard_negatives(
+        emb, anchors, positives, n_neg=2, k_cand=4, flag_shortfall=True
+    )
+    assert [r.shortfall for r in ok.collect()] == [False, False]

@@ -543,3 +543,16 @@ def test_grouped_quantile_sketch_merge_and_isolation(spark):
     # accordingly (within one 5.0-wide bin of the exact 45.5 / 90.5)
     assert abs(got[(0.9, "x")] - 45.5) <= 5.0
     assert abs(got[(0.9, "y")] - 90.5) <= 5.0
+
+
+def test_sketch_quantiles_rejects_out_of_range_probes(spark):
+    import pytest
+
+    df = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS v")
+    sk = st.build_quantile_sketch(df, "v", 0.0, 100.0, 10)
+    for bad in (0.0, -0.1, 1.0001, 2.0):
+        with pytest.raises(ValueError, match="quantile probes"):
+            st.sketch_quantiles(sk, [0.5, bad], 0.0, 100.0, 10)
+    # q = 1.0 is legal and answers the max's bin upper edge
+    got = st.sketch_quantiles(sk, [1.0], 0.0, 100.0, 10).collect()
+    assert got[0].approx_value == 100.0

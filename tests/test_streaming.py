@@ -871,3 +871,47 @@ def test_cdc_upsert_sink_tombstone_retention(spark, tmp_path):
     assert tombs == [3]  # k=1's ts=20 tombstone GC'd, k=3's ts=90 kept
     live = sorted((r.k, r.v) for r in se.read_cdc_table(spark, table).collect())
     assert live == [(2, "b")]  # deletions still applied; GC changed no live row
+
+
+def test_cdc_upsert_sink_version_retention(spark, tmp_path):
+    """keep_versions GCs old v= dirs (storage would otherwise grow
+    O(table x batches)) while the live read stays correct, and the
+    predecessor needed for a tail replay is retained."""
+    import os
+
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "cdclog"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    schema = "k BIGINT, op STRING, seq BIGINT, v STRING"
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / name))
+
+    def run(i):
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        se.cdc_upsert_sink(
+            stream, table, str(tmp_path / "ckpt"), ["k"], ["seq"],
+            keep_versions=2,
+        ).awaitTermination(60)
+
+    land("b1", [(1, "I", 1, "a"), (2, "I", 2, "b")])
+    run(1)
+    land("b2", [(1, "U", 3, "a2")])
+    run(2)
+    land("b3", [(3, "I", 4, "c"), (2, "D", 5, None)])
+    run(3)
+
+    vdirs = sorted(d for d in os.listdir(table) if d.startswith("v="))
+    assert len(vdirs) == 2, f"retention kept {vdirs}"
+    got = {(r.k, r.v) for r in se.read_cdc_table(spark, table).collect()}
+    assert got == {(1, "a2"), (3, "c")}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        se.cdc_upsert_sink(
+            spark.readStream.schema(schema).parquet(str(src / "*")),
+            table, str(tmp_path / "ckpt2"), ["k"], ["seq"], keep_versions=1,
+        )
