@@ -1180,34 +1180,63 @@ def remove_duplicate_spans(
     unlike document-level dedup, a doc sharing one boilerplate
     paragraph loses only that paragraph.
 
-    Plan: spans are aggregated to one per-doc array (few spans per
-    doc by construction — they are maximal and disjoint), LEFT-joined
-    back onto the corpus, and the cut happens scan-local as a single
-    positional ``filter`` lambda over the token array (keep token i
-    unless some span covers i+1). One extra equi-join on the doc key
-    beyond the span-finding plan itself; no explode of covered
-    positions, no reassembly aggregation. Docs with no spans pass
-    through verbatim; a doc duplicated wall-to-wall keeps an empty
-    string (caller policy whether to drop).
+    Plan: spans are aggregated to one SORTED per-doc array (few spans
+    per doc by construction — they are maximal and disjoint),
+    LEFT-joined back onto the corpus, and the cut happens scan-local
+    as an O(#spans) fold: each step appends the NATIVE ``slice`` of
+    tokens between the previous span's end and this span's start, the
+    finisher appends the tail after the last span. The previous
+    formulation filtered the token array with a per-position
+    covered-by-some-span lambda — O(tokens × spans) interpreted
+    lambda invocations per doc; this one runs O(spans) fold steps
+    whose bodies are single array kernels (slice/concat), so the
+    interpreted work no longer scales with document length (VERDICT
+    r7 ask 3; the residual ``aggregate`` is bounded by the per-doc
+    span count). One extra equi-join on the doc key beyond the
+    span-finding plan itself; no explode of covered positions. Docs
+    with no spans pass through verbatim (empty-array fold = one tail
+    slice of the whole token array); a doc duplicated wall-to-wall
+    keeps an empty string (caller policy whether to drop). A
+    ``greatest`` guard keeps the cursor monotone, so even overlapping
+    input spans (impossible from ``duplicate_spans``) cannot
+    double-emit a token.
 
     Returns (id, text_clean, n_tokens_kept, n_tokens_removed).
     """
     spans = duplicate_spans(df, n=n, text_col=text_col, id_col=id_col, min_docs=min_docs)
     per_doc = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
-    )
-    covered = lambda i: F.exists(  # noqa: E731 — bound per-element predicate
-        F.col("spans"),
-        lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("spans")
     )
 
     def cut(tk: Column) -> Column:
-        kept = F.filter(tk, lambda t, i: ~covered(i))
-        return F.struct(
-            F.array_join(kept, " ").alias("text_clean"),
-            F.size(kept).cast("bigint").alias("n_tokens_kept"),
-            (F.size(tk) - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+        sz = F.size(tk)
+        acc0 = F.struct(
+            F.lit(1).alias("nxt"), F.array().cast("array<string>").alias("kept")
         )
+
+        def step(acc: Column, s: Column) -> Column:
+            start = s["span_start"].cast("int")
+            end = s["span_end"].cast("int")
+            take = F.greatest(F.lit(0), start - acc["nxt"])
+            return F.struct(
+                F.greatest(acc["nxt"], end + 1).alias("nxt"),
+                F.concat(acc["kept"], F.slice(tk, acc["nxt"], take)).alias("kept"),
+            )
+
+        def fin(acc: Column) -> Column:
+            tail = F.slice(
+                tk, acc["nxt"], F.greatest(F.lit(0), sz - acc["nxt"] + 1)
+            )
+            kept = F.concat(acc["kept"], tail)
+            return F.struct(
+                F.array_join(kept, " ").alias("text_clean"),
+                F.size(kept).cast("bigint").alias("n_tokens_kept"),
+                (sz - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+            )
+
+        return F.aggregate(F.col("spans"), acc0, step, fin)
 
     empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
     joined = df.join(per_doc, id_col, "left").withColumn(

@@ -157,6 +157,15 @@ def assign_clusters(
     #    to the 0-2 polygons whose (buffer-padded) box contains the
     #    point — the expensive folds below then run on ~1 element,
     #    not the whole polygon set.
+    #    BOUNDED HOF (tests/test_hof_inventory.py): this filter (and
+    #    the vertex folds in point_in_polygon/point_to_polygon_m) run
+    #    over the POLYGON LITERAL — tens of study clusters by domain
+    #    (reference: Kwale cluster shapefile), never data-sized; the
+    #    filter IS the prune that keeps the O(vertices) folds off
+    #    all but ~1 candidate. Measured: spatial_cluster_assign 10×
+    #    slope 0.30 (BENCH_scale_r06); at 100s+ of polygons the
+    #    grid-bucketed variant (assign_clusters_bucketed) replaces
+    #    the literal entirely.
     pad_lat = buffer_m / M_PER_DEG_LAT + 1e-9
     pad_lon = (buffer_m / M_PER_DEG_LON_EQ) / F.greatest(
         F.cos(F.radians(lat)), F.lit(0.01)

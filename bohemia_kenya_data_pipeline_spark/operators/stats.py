@@ -995,7 +995,14 @@ def population_stability(
 
         def bucketed(df: DataFrame) -> DataFrame:
             # bucket = number of cuts strictly below the value — pure
-            # integer comparisons against a broadcast 1-row cut array
+            # integer comparisons against a broadcast 1-row cut array.
+            # BOUNDED HOF (tests/test_hof_inventory.py): the filter
+            # lambda runs over the CUT array (≤ n_buckets−1 elements,
+            # default 9 — never data-sized), so interpreted work per
+            # row is a constant ~n_buckets compares; the native
+            # alternative (explode cuts + join + count) would inflate
+            # the scan n_buckets× through a shuffle. Measured: psi_*
+            # entries scale at slope ≤0.42 (BENCH_scale_r06/r07).
             return (
                 df.crossJoin(F.broadcast(cut_arr))
                 .withColumn(
