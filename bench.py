@@ -145,6 +145,9 @@ HEADLINE = [
     "quantile_sketch_prices",
     "ann_index_fixedq",        # serving-index regime (build + pruned query)
     "ivm_join_view",
+    # round-8: composed CDC lakehouse maintenance (3 chained batches ->
+    # snapshot MERGE + join-view IVM + aggregate IVM, no fact rescan)
+    "lakehouse_cdc_e2e",
 ]
 
 

@@ -5,6 +5,7 @@ plus the corpus-curation DAG for training-data pipelines."""
 from .cleaning import clean_form, run_anomaly_detection, sanitize_form
 from .curation import build_pretrain_dataset, curate_corpus
 from .ingest import assert_expectations, gated_ingest, ingest_batch
+from .lakehouse import maintain_cdc_lakehouse
 
 __all__ = [
     "clean_form",
@@ -13,4 +14,5 @@ __all__ = [
     "curate_corpus",
     "build_pretrain_dataset",
     "ingest_batch",
+    "maintain_cdc_lakehouse",
 ]

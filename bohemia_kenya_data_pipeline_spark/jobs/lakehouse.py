@@ -1,0 +1,138 @@
+"""Composed CDC lakehouse maintenance (VERDICT r7 ask 5): one CDC
+batch maintains THREE artifacts in a single chained step —
+
+1. the current fact snapshot (MERGE INTO semantics,
+   :func:`~..operators.scd.apply_cdc_log`),
+2. a join view ``V = fact ⋈ dim`` (signed-delta IVM,
+   :func:`~..operators.ivm.apply_join_view_delta`),
+3. V's grouped aggregate (:func:`~..operators.ivm.apply_delta`)
+
+— with NO fact or view rescan beyond touched-key broadcast semi/anti
+joins. The round-7 pieces existed separately; a real deployment chains
+them per ingest batch, exactly the regime this job encodes. It mirrors
+the reference's history-snapshot refresh
+(anomaly-identification/R: 05.run_anomaly_detection.R:82-104 — each
+run reconciles the new extract against yesterday's snapshot and
+republishes derived tables) re-expressed for 100 TB: the reference
+recomputes because its data is small; here every derived artifact is
+maintained from the delta.
+
+Plan shape per batch (the 100 TB contract):
+- log compaction: ONE window over the log (log << fact, always);
+- snapshot MERGE: one broadcast anti join against the compacted keys —
+  the fact is never shuffled;
+- old-image fetch: one broadcast semi join (same touched-key set);
+- view delta: ``Δfact ⋈ dim`` with Δfact broadcast (the dim is static
+  within a batch — a dim CDC feed composes via
+  :func:`~..operators.ivm.join_view_delta` upstream);
+- view fold + aggregate fold: delta-sized work against view/agg-sized
+  scans (semi/anti split + one full-outer join on the group key).
+
+Invariant (the differential golden + the ``lakehouse_cdc_e2e``
+oracle): after any number of chained batches, ``fact`` equals a full
+log replay, ``view`` equals ``fact ⋈ dim`` recomputed, and ``agg``
+equals ``aggregate_state(view)`` recomputed — maintained == recomputed,
+bit for bit (integer-cents sums keep the check exact).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import ivm
+from ..operators import scd
+
+
+def maintain_cdc_lakehouse(
+    fact: DataFrame,
+    view: DataFrame,
+    agg: DataFrame,
+    dim: DataFrame,
+    log: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    join_on: Sequence[str],
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    op_col: str = "op",
+    payload_cols: Sequence[str] | None = None,
+    sign_col: str = "__sign",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Apply one CDC batch; returns ``(fact', view', agg')``.
+
+    Input contracts (all loud-checked where cheap):
+    - ``view`` == ``fact ⋈ dim`` on ``join_on`` (inner), carrying the
+      fact's key+payload columns plus the dim's payload — the fact key
+      keeps view rows unique, which the multiset fold relies on;
+    - ``agg`` == ``ivm.aggregate_state(view, group_cols, sum_cols)``;
+    - ``dim`` is static within the batch (dim deltas compose upstream
+      via ``ivm.join_view_delta``);
+    - ``log`` rows carry ``key_cols + seq_cols + op_col + payload``;
+      ``seq_cols`` totally order entries per key;
+    - retraction exactness: fact payloads flow into the view
+      unmodified (the standard retraction-stream contract), so use
+      integer/exact types for ``sum_cols`` when you want maintained ==
+      recomputed bit-for-bit.
+    """
+    keys = list(key_cols)
+    if payload_cols is None:
+        payload_cols = [c for c in fact.columns if c not in keys]
+    payload = list(payload_cols)
+    for df, name in ((fact, "fact"), (dim, "dim"), (view, "view")):
+        if sign_col in df.columns:
+            raise ValueError(
+                f"{name} must not carry sign column {sign_col!r}"
+            )
+    clash = (set(fact.columns) & set(dim.columns)) - set(join_on)
+    if clash:
+        raise ValueError(
+            f"rename shared non-join columns before maintaining: {sorted(clash)}"
+        )
+
+    # 1) snapshot MERGE (broadcast anti join; fact never shuffles)
+    fact_next = scd.apply_cdc_log(
+        fact, log, keys, seq_cols, op_col, payload
+    )
+
+    # 2) signed fact delta from the same compacted batch: -old image
+    #    for every touched key present in the snapshot, +new image for
+    #    every surviving upsert. An upsert whose payload is unchanged
+    #    produces a -row/+row pair that cancels in both folds.
+    last = scd.compact_cdc_log(log, keys, seq_cols, op_col)
+    touched = last.select(*keys)
+    olds = (
+        fact.join(F.broadcast(touched), keys, "left_semi")
+        .select(*keys, *payload)
+        .withColumn(sign_col, F.lit(-1))
+    )
+    news = (
+        last.filter(F.col(op_col) != "D")
+        .select(*keys, *payload)
+        .withColumn(sign_col, F.lit(1))
+    )
+    dfact = olds.unionByName(news)
+
+    # 3) view delta: ΔV = Δfact ⋈ dim. With a static dim this is the
+    #    ΔA⋈B_new term of ivm.join_view_delta with ΔB = ∅ — computed
+    #    directly so the empty A_old⋈ΔB term never even plans a fact
+    #    scan. Δfact broadcasts; the dim is probed, not shuffled.
+    dv = F.broadcast(dfact).join(dim, list(join_on), "inner")
+    view_next = ivm.apply_join_view_delta(view, dv, sign_col)
+
+    # 4) aggregate fold: signed view-delta rows in apply_delta's
+    #    insert/delete change shape (sign +1 -> insert/new images,
+    #    sign -1 -> delete/old images)
+    sgn = F.col(sign_col)
+    ch = dv.select(
+        *group_cols,
+        F.when(sgn > 0, F.lit("insert")).otherwise(F.lit("delete")).alias(
+            "change_type"
+        ),
+        *[F.when(sgn > 0, F.col(c)).alias(f"new_{c}") for c in sum_cols],
+        *[F.when(sgn < 0, F.col(c)).alias(f"old_{c}") for c in sum_cols],
+    )
+    agg_next = ivm.apply_delta(agg, ch, list(group_cols), list(sum_cols))
+    return fact_next, view_next, agg_next

@@ -33,6 +33,45 @@ def _centroid_sidecar(index_path: str) -> str:
     return index_path.rstrip("/") + "__centroids"
 
 
+def _assign_for_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    assign: str,
+) -> DataFrame:
+    """(id, vec, cid) for the index write — the one full-corpus pass.
+
+    ``assign="auto"`` picks the kernel by C×D: below
+    ``similarity.ARROW_ASSIGN_MIN_CXD`` the expression fold (JVM-side,
+    no Arrow transfer — right for toy/bench centroid counts and the
+    regime every oracle covers); at or above it the Arrow numpy-argmax
+    kernel (:func:`~..operators.similarity.assign_centroids_arrow`) —
+    at production centroid counts the fold is O(C×D) INTERPRETED per
+    corpus row, the exact island class the r6 Arrow work retired on
+    the scoring side (VERDICT r7 ask 1). Both kernels implement the
+    identical contract (unit-normalized argmax dot, ties → smaller
+    cid); parity is hash-asserted in ``tests/test_retrieval_index.py``.
+    """
+    if assign == "auto":
+        cxd = len(centroids) * len(centroids[0])
+        assign = "arrow" if cxd >= sim.ARROW_ASSIGN_MIN_CXD else "fold"
+    if assign == "arrow":
+        return sim.assign_centroids_arrow(
+            corpus.select(id_col, vec_col), centroids, vec_col, id_col
+        )
+    if assign != "fold":
+        raise ValueError(
+            f"assign must be 'auto', 'fold' or 'arrow', got {assign!r}"
+        )
+    cents = sim._centroid_literal(centroids)
+    return (
+        sim._drop_null_vecs(corpus, vec_col)
+        .select(id_col, vec_col)
+        .withColumn("cid", sim._nearest_cid(sim._as_double(vec_col), cents))
+    )
+
+
 def build_ann_index(
     corpus: DataFrame,
     index_path: str,
@@ -42,11 +81,14 @@ def build_ann_index(
     train_fraction: float | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> list[list[float]]:
     """Train (or accept) centroids, assign every corpus vector, write
     the index partitioned by ``cid``, persist the centroid sidecar.
     One full pass over the corpus; the shuffle is the partitioned
-    write's file routing. Returns the centroids."""
+    write's file routing. Assignment kernel per ``assign`` (see
+    :func:`_assign_for_index`; "auto" = Arrow above the C×D
+    threshold). Returns the centroids."""
     if centroids is None:
         centroids = sim.ivf_train_centroids(
             corpus,
@@ -56,12 +98,7 @@ def build_ann_index(
             n_iters=n_iters,
             train_fraction=train_fraction,
         )
-    cents = sim._centroid_literal(centroids)
-    assigned = (
-        sim._drop_null_vecs(corpus, vec_col)
-        .select(id_col, vec_col)
-        .withColumn("cid", sim._nearest_cid(sim._as_double(vec_col), cents))
-    )
+    assigned = _assign_for_index(corpus, centroids, vec_col, id_col, assign)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(index_path)
     spark = corpus.sparkSession
     spark.createDataFrame(
@@ -136,6 +173,7 @@ def extend_ann_index(
     index_path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> None:
     """Incrementally index new vectors: assign against the SIDECAR
     centroids (no retraining, no rebuild) and append into the existing
@@ -150,10 +188,5 @@ def extend_ann_index(
     (``stats.population_stability``, embedding drift)."""
     spark = new_rows.sparkSession
     centroids = load_ann_centroids(spark, index_path)
-    cents = sim._centroid_literal(centroids)
-    assigned = (
-        sim._drop_null_vecs(new_rows, vec_col)
-        .select(id_col, vec_col)
-        .withColumn("cid", sim._nearest_cid(sim._as_double(vec_col), cents))
-    )
+    assigned = _assign_for_index(new_rows, centroids, vec_col, id_col, assign)
     assigned.write.mode("append").partitionBy("cid").parquet(index_path)

@@ -204,6 +204,40 @@ def snapshot_diff(
     )
 
 
+def compact_cdc_log(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Last-writer-wins compaction of a CDC op log: one validated row
+    per key (the entry with the highest ``seq_cols``). The shared
+    first half of :func:`apply_cdc_log` and the composed lakehouse
+    maintenance job (``jobs.maintain_cdc_lakehouse``) — window over
+    the LOG only, never a fact table; ops outside I/U/D fail loudly
+    at evaluation time (``raise_error``)."""
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    bad_op = F.raise_error(
+        F.concat(
+            F.lit("compact_cdc_log: unknown op '"),
+            F.coalesce(F.col(op_col).cast("string"), F.lit("<null>")),
+            F.lit("' (expected I/U/D)"),
+        )
+    )
+    checked = log.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin("I", "U", "D"), F.col(op_col)).otherwise(bad_op),
+    )
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in seq_cols])
+    return (
+        checked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def apply_cdc_log(
     snapshot: DataFrame,
     log: DataFrame,
@@ -242,29 +276,11 @@ def apply_cdc_log(
     broadcast; the anti-join then shuffles both sides on the key
     (bucket the snapshot on it to keep that exchange-free).
     """
-    from pyspark.sql.window import Window
-
     keys = list(key_cols)
     if payload_cols is None:
         payload_cols = [c for c in snapshot.columns if c not in keys]
     payload = list(payload_cols)
-    bad_op = F.raise_error(
-        F.concat(
-            F.lit("apply_cdc_log: unknown op '"),
-            F.coalesce(F.col(op_col).cast("string"), F.lit("<null>")),
-            F.lit("' (expected I/U/D)"),
-        )
-    )
-    checked = log.withColumn(
-        op_col,
-        F.when(F.col(op_col).isin("I", "U", "D"), F.col(op_col)).otherwise(bad_op),
-    )
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in seq_cols])
-    last = (
-        checked.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    last = compact_cdc_log(log, keys, seq_cols, op_col)
     touched = last.select(*keys)
     if broadcast_log:
         touched = F.broadcast(touched)

@@ -948,6 +948,63 @@ def rrf_fuse(
     return out.select(group_col, id_col, "rrf_nanos", "rank")
 
 
+#: C×D (n_centroids × dim) at or above which index build/extend
+#: assignment defaults to the Arrow kernel. Below it (e.g. the 8×64
+#: bench fixture = 512) the expression fold's per-row cost is a few
+#: hundred interpreted ops and JVM-side evaluation avoids the Arrow
+#: transfer; at production centroid counts (10²–10⁴ centroids) the
+#: fold is O(C×D) interpreted PER ROW on the one full-corpus pass a
+#: 100 TB deployment pays, while the numpy argmax stays one
+#: (B×D)@(D×C) BLAS call per batch (measured: 64×64 build 2.0×
+#: faster at sf0.1 and flat in C, see BENCH_scale_r08.json).
+ARROW_ASSIGN_MIN_CXD = 1024
+
+
+def assign_centroids_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "cid",
+) -> DataFrame:
+    """Nearest-centroid assignment, Arrow-vectorized: every (non-NULL
+    vector) input row gains ``out_col`` = its argmax-cosine centroid
+    id — EXACTLY :func:`_nearest_cid`'s contract (centroids
+    unit-normalized driver-side so argmax dot == argmax cosine; ties →
+    smaller cid, which is numpy ``argmax``'s first-occurrence rule just
+    as it is the fold's strict-``>`` rule; hash-identical parity
+    golden in ``tests/test_retrieval_index.py``) but computed as one
+    (B×D)@(D×C) numpy argmax per Arrow batch instead of an
+    interpreted O(C×D)-per-row expression fold.
+
+    This is the build/extend-path twin of the r6 Arrow scoring work:
+    the index BUILD is the one full-corpus pass a serving deployment
+    pays, and at production centroid counts (10²–10⁴) the fold's
+    interpreted cost dominates it. All non-vector columns pass
+    through untouched (the kernel only reads ``vec_col``); no
+    shuffle — assignment happens scan-side, batch by batch.
+    """
+    base = _drop_null_vecs(df, vec_col)
+    if out_col in base.columns:
+        raise ValueError(f"column name {out_col!r} already exists")
+    cents = np.asarray([_unit(c) for c in centroids], dtype=np.float64)
+    bc = base.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        m = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            pdf[out_col] = np.argmax(cm @ m.T, axis=1).astype(np.int32)
+            yield pdf
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+    ) + f", `{out_col}` int"
+    return base.mapInPandas(assign, schema)
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

@@ -11904,3 +11904,94 @@ def quantile_sketch_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.sketch_quantiles(
         sk, [0.5, 0.9, 0.99], 0.0, 480_000.0, 480, by=["grp"]
     )
+
+
+@_register(
+    "lakehouse_cdc_e2e",
+    """
+    WITH dim AS (SELECT c_custkey AS ckey, c_mktsegment AS seg FROM customer),
+    base AS (SELECT o_orderkey AS k, o_custkey AS ckey,
+                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders),
+    entries AS (
+      SELECT k, ckey, cents, 0 AS seq, 'U' AS op FROM base
+      UNION ALL
+      SELECT k + 10000000, ckey, cents + 111, 1, 'I' FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT k, ckey, cents + 100, 1, 'U' FROM base WHERE k % 5 = 1
+      UNION ALL
+      SELECT k, ckey, cents, 1, 'D' FROM base WHERE k % 5 = 2
+      UNION ALL
+      SELECT k, ckey, cents + 200, 2, 'U' FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, ckey, cents, 2, 'D' FROM base WHERE k % 7 = 1
+      UNION ALL
+      SELECT k + 10000000, ckey, cents + 333, 3, 'I' FROM base WHERE k % 9 = 0
+      UNION ALL
+      SELECT k, ckey, cents + 300, 3, 'U' FROM base WHERE k % 9 = 1
+      UNION ALL
+      SELECT k, ckey, cents, 3, 'D' FROM base WHERE k % 9 = 2),
+    win AS (SELECT * FROM (
+      SELECT entries.*, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM entries) WHERE rn = 1),
+    final AS (SELECT k, ckey, cents FROM win WHERE op <> 'D')
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final JOIN dim USING (ckey)
+    GROUP BY seg
+    """,
+)
+def lakehouse_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Composed CDC lakehouse maintenance (jobs.maintain_cdc_lakehouse,
+    # VERDICT r7 ask 5): THREE chained CDC batches (inserts of novel
+    # keys, row-image updates, deletes — overlapping key classes so
+    # later batches override earlier ones) maintain the fact snapshot,
+    # the fact-join-customer view, and its per-segment aggregate with
+    # no fact/view rescan (broadcast touched-key joins + delta folds).
+    # The ORACLE replays the whole log with one last-writer-wins
+    # window and recomputes join + aggregate from scratch — equality
+    # proves maintained == recomputed through the full chain, with
+    # integer-cents sums so the check is exact.
+    from . import jobs
+    from .operators import ivm
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ckey"),
+        cents.alias("cents"),
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"), F.col("c_mktsegment").alias("seg")
+    )
+    k, ck, cts = F.col("k"), F.col("ckey"), F.col("cents")
+
+    def entry(flt, key, cent, seq, op):
+        return base.filter(flt).select(
+            key.alias("k"), ck, cent.alias("cents"),
+            F.lit(seq).alias("seq"), F.lit(op).alias("op"),
+        )
+
+    batches = [
+        entry(k % 5 == 0, k + 10_000_000, cts + 111, 1, "I")
+        .unionByName(entry(k % 5 == 1, k, cts + 100, 1, "U"))
+        .unionByName(entry(k % 5 == 2, k, cts, 1, "D")),
+        entry(k % 7 == 0, k, cts + 200, 2, "U")
+        .unionByName(entry(k % 7 == 1, k, cts, 2, "D")),
+        entry(k % 9 == 0, k + 10_000_000, cts + 333, 3, "I")
+        .unionByName(entry(k % 9 == 1, k, cts + 300, 3, "U"))
+        .unionByName(entry(k % 9 == 2, k, cts, 3, "D")),
+    ]
+    fact = base
+    view = fact.join(dim, ["ckey"])
+    agg = ivm.aggregate_state(view, ["seg"], ["cents"])
+    for log in batches:
+        fact, view, agg = jobs.maintain_cdc_lakehouse(
+            fact, view, agg, dim, log,
+            key_cols=["k"], seq_cols=["seq"], join_on=["ckey"],
+            group_cols=["seg"], sum_cols=["cents"],
+        )
+    return agg.select(
+        "seg", "n_rows", F.col("sum_cents").cast("bigint").alias("sum_cents")
+    )

@@ -476,3 +476,26 @@ def test_plan_text_final_reports_post_aqe_plan(spark):
     assert "isFinalPlan=true" in final
     # stats parse on both modes
     assert pl.plan_stats(df)["scans"] == pl.plan_stats(df, final=True)["scans"]
+
+
+def test_round8_lakehouse_and_arrow_assign_plans(spark, tmp_path):
+    """r8 plan pins: the composed lakehouse chain stays broadcast-
+    joined (touched keys + deltas) with no nested loop and no row
+    Python through THREE chained batches; the Arrow index build plans
+    exactly one Arrow python node and no shuffle before the write."""
+    from bohemia_kenya_data_pipeline_spark import plans as P
+    from bohemia_kenya_data_pipeline_spark.jobs import retrieval as rt
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    lk = QUERIES["lakehouse_cdc_e2e"](spark, SF_DIR)
+    s = P.assert_plan(lk, forbid_nested_loop=True, forbid_row_python=True)
+    # every touched-key/delta join in the chain broadcasts: 3 batches x
+    # (anti + semi + view-delta + view semi/anti splits) >> 6
+    assert s["broadcast_hash_joins"] >= 6, s
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = [[float(i == j) for j in range(64)] for i in range(32)]
+    assigned = sim.assign_centroids_arrow(emb, cents)
+    s = P.assert_plan(assigned, forbid_row_python=True)
+    assert s["arrow_python_nodes"] == 1
+    assert s["exchanges"] == 0  # assignment is scan-side, shuffle-free
