@@ -195,6 +195,37 @@ def _nearest_cid(vec: Column, cents: Column) -> Column:
     )["cid"]
 
 
+def _seed_centroids(
+    base: DataFrame, n_centroids: int, train_fraction: float | None
+) -> tuple[list[list[float]], int]:
+    """Deterministic k-means init shared by both training kernels: the
+    ``n_centroids`` vectors with the smallest md5(id) — order-stable
+    across partitioning, no RNG state. Returns (centroids,
+    effective_n_centroids); degrades to the corpus size on a tiny
+    full corpus, raises on a too-thin explicit sample."""
+    seed_rows = (
+        base.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("cannot train centroids on an empty corpus")
+    if len(seed_rows) < n_centroids:
+        if train_fraction is not None:
+            # the caller's sample is too thin — say so, and name the
+            # knob they actually used
+            raise ValueError(
+                f"training sample has only {len(seed_rows)} vectors for "
+                f"{n_centroids} centroids — raise train_fraction"
+            )
+        # tiny corpus, full-corpus training: degrade gracefully to as
+        # many centroids as there are vectors (ivf_topk works with any
+        # centroid count; exhaustive probing still exact)
+        n_centroids = len(seed_rows)
+    return [list(r.v) for r in seed_rows], n_centroids
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -240,27 +271,9 @@ def ivf_train_centroids(
     # corpus projection is paid once, not n_iters+1 times
     base.persist()
     try:
-        seed_rows = (
-            base.withColumn("_h", F.md5(F.col("id").cast("string")))
-            .orderBy("_h")
-            .limit(n_centroids)
-            .collect()
+        centroids, n_centroids = _seed_centroids(
+            base, n_centroids, train_fraction
         )
-        if not seed_rows:
-            raise ValueError("cannot train centroids on an empty corpus")
-        if len(seed_rows) < n_centroids:
-            if train_fraction is not None:
-                # the caller's sample is too thin — say so, and name
-                # the knob they actually used
-                raise ValueError(
-                    f"training sample has only {len(seed_rows)} vectors for "
-                    f"{n_centroids} centroids — raise train_fraction"
-                )
-            # tiny corpus, full-corpus training: degrade gracefully to
-            # as many centroids as there are vectors (ivf_topk works
-            # with any centroid count; exhaustive probing still exact)
-            n_centroids = len(seed_rows)
-        centroids = [list(r.v) for r in seed_rows]
         for _ in range(n_iters):
             cents = _centroid_literal(centroids)
             assigned = base.withColumn("cid", _nearest_cid(F.col("v"), cents))
@@ -288,6 +301,103 @@ def ivf_train_centroids(
     finally:
         base.unpersist()
     return centroids
+
+
+def ivf_train_centroids_arrow(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    n_iters: int = 5,
+    train_fraction: float | None = None,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical-k-means training, Arrow-vectorized — the training
+    twin of :func:`assign_centroids_arrow` (r8): same deterministic
+    md5-seeding and empty-cluster handling as
+    :func:`ivf_train_centroids`, but each Lloyd round is ONE
+    ``mapInPandas`` pass emitting per-PARTITION partial sums
+    ``(cid, count, Σv)`` instead of a per-row interpreted argmax fold
+    plus a posexplode shuffle. At production centroid counts
+    (10²–10⁴) the fold's O(C×D)-per-row interpreted cost dominates
+    every round; here assignment is one (B×D)@(D×C) numpy argmax per
+    batch and the per-dimension means reduce driver-side over
+    ``partitions × occupied_cids`` partial rows — metadata-sized for
+    sampled training (``train_fraction``, the 100 TB knob, keeps the
+    sample's partition count small; coalesce the sample if you train
+    at extreme C on many partitions).
+
+    Semantics: identical Lloyd fixed point up to float summation
+    order (partials are combined in sorted (cid, partition) order, so
+    the result is DETERMINISTIC for a fixed input layout — the same
+    determinism class as the fold path, whose Spark ``avg`` also
+    fixes an order per layout; measured on the fixture the two
+    kernels' centroids agree to ~1e-9 per component and produce
+    identical downstream assignments — ``tests/test_similarity.py``).
+    """
+    if train_fraction is not None:
+        from .sampling import sample_by_hash
+
+        if not 0 < train_fraction <= 1:
+            raise ValueError(
+                f"train_fraction must be in (0, 1], got {train_fraction}"
+            )
+        corpus = sample_by_hash(corpus, id_col, train_fraction, seed)
+    base = _drop_null_vecs(corpus, vec_col).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
+    base.persist()
+    try:
+        centroids, n_centroids = _seed_centroids(
+            base, n_centroids, train_fraction
+        )
+        sc = base.sparkSession.sparkContext
+        for _ in range(n_iters):
+            bc = sc.broadcast(
+                np.asarray([_unit(c) for c in centroids], dtype=np.float64)
+            )
+
+            def partials(batches):
+                from pyspark import TaskContext
+
+                m = bc.value
+                counts = np.zeros(m.shape[0], dtype=np.int64)
+                sums = np.zeros_like(m)
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+                    cid = np.argmax(vm @ m.T, axis=1)
+                    np.add.at(counts, cid, 1)
+                    np.add.at(sums, cid, vm)
+                occ = np.flatnonzero(counts)
+                if not len(occ):
+                    return
+                pid = TaskContext.get().partitionId()
+                yield pd.DataFrame(
+                    {
+                        "part_id": np.full(len(occ), pid, dtype=np.int32),
+                        "cid": occ.astype(np.int32),
+                        "n": counts[occ],
+                        "s": [sums[i].tolist() for i in occ],
+                    }
+                )
+
+            rows = base.mapInPandas(
+                partials, "part_id int, cid int, n bigint, s array<double>"
+            ).collect()
+            agg: dict[int, tuple[int, np.ndarray]] = {}
+            for r in sorted(rows, key=lambda r: (r.cid, r.part_id)):
+                n0, s0 = agg.get(r.cid, (0, None))
+                sv = np.asarray(list(r.s), dtype=np.float64)
+                agg[r.cid] = (n0 + r.n, sv if s0 is None else s0 + sv)
+            centroids = [
+                (agg[i][1] / agg[i][0]).tolist() if i in agg else centroids[i]
+                for i in range(len(centroids))
+            ]
+    finally:
+        base.unpersist()
+    return [[float(x) for x in c] for c in centroids]
 
 
 def ivf_topk(

@@ -519,6 +519,38 @@ def main() -> None:
                 )
             )
 
+    # r8 follow-on: TRAINING at production C — each Lloyd round is the
+    # same interpreted-assignment story as the build pass, plus a
+    # posexplode shuffle; the Arrow trainer replaces a round with one
+    # mapInPandas partial-sum pass. 2 rounds at C=64, full corpus
+    # (train_fraction is the independent sampling knob).
+    train_names = [f"ivf_train_c{ANN_C}_arrow", f"ivf_train_c{ANN_C}_fold"]
+    if not only or any(n in keep for n in train_names):
+        for kernel in ("arrow", "fold"):
+            name = f"ivf_train_c{ANN_C}_{kernel}"
+            if only and name not in keep:
+                continue
+            trainer = (
+                sim.ivf_train_centroids_arrow
+                if kernel == "arrow"
+                else sim.ivf_train_centroids
+            )
+
+            def mk_t(d, tr=trainer):
+                tr(_t(spark, d, "embeddings"), n_centroids=ANN_C, n_iters=2)
+
+            measure(name, big, mk_t)
+            results[name]["note"] = (
+                f"2 Lloyd rounds at n_centroids={ANN_C}, full corpus; "
+                + (
+                    "one mapInPandas partial-sum pass per round (partials = "
+                    "partitions x occupied cids) — the production trainer"
+                    if kernel == "arrow"
+                    else "interpreted per-row argmax fold + posexplode mean "
+                    "shuffle per round — oracle-baseline trainer"
+                )
+            )
+
     # Deep pass (VERDICT r5 ask 5): the entries whose 10x slope was
     # >= 0.8 get a 30x point to confirm the slope holds and no memory
     # knee appears past 10x. slope_tail isolates the 10x->30x segment:

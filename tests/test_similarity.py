@@ -580,3 +580,40 @@ def test_mine_hard_negatives_shortfall_flag(spark):
         emb, anchors, positives, n_neg=2, k_cand=4, flag_shortfall=True
     )
     assert [r.shortfall for r in ok.collect()] == [False, False]
+
+
+def test_ivf_train_arrow_matches_fold_training(spark):
+    """The Arrow training kernel reaches the same Lloyd fixed point as
+    the fold kernel: centroids agree to 1e-9 per component on the
+    fixture and downstream assignment is identical (r8 — the training
+    twin of assign_centroids_arrow)."""
+    import numpy as np
+
+    corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    fold = sim.ivf_train_centroids(corpus, n_centroids=8, n_iters=3)
+    arrow = sim.ivf_train_centroids_arrow(corpus, n_centroids=8, n_iters=3)
+    assert np.allclose(np.asarray(fold), np.asarray(arrow), atol=1e-9)
+    # identical downstream assignments (the thing that matters)
+    a1 = sim.assign_centroids_arrow(corpus, fold).select("vec_id", "cid")
+    a2 = sim.assign_centroids_arrow(corpus, arrow).select("vec_id", "cid")
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_ivf_train_arrow_guards_and_sampling(spark):
+    import pytest
+
+    corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    with pytest.raises(ValueError, match="train_fraction"):
+        sim.ivf_train_centroids_arrow(corpus, train_fraction=1.5)
+    with pytest.raises(ValueError, match="raise train_fraction"):
+        sim.ivf_train_centroids_arrow(
+            corpus, n_centroids=64, n_iters=1, train_fraction=0.01
+        )
+    # sampled training still seeds deterministically and returns k
+    cents = sim.ivf_train_centroids_arrow(
+        corpus, n_centroids=4, n_iters=2, train_fraction=0.5
+    )
+    assert len(cents) == 4 and len(cents[0]) == 64
+    # tiny full corpus degrades to corpus size, same as the fold path
+    tiny = corpus.limit(3)
+    assert len(sim.ivf_train_centroids_arrow(tiny, n_centroids=8, n_iters=1)) == 3
