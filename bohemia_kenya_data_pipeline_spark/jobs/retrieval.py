@@ -82,15 +82,38 @@ def build_ann_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign: str = "auto",
+    train: str = "auto",
 ) -> list[list[float]]:
     """Train (or accept) centroids, assign every corpus vector, write
     the index partitioned by ``cid``, persist the centroid sidecar.
     One full pass over the corpus; the shuffle is the partitioned
     write's file routing. Assignment kernel per ``assign`` (see
     :func:`_assign_for_index`; "auto" = Arrow above the C×D
-    threshold). Returns the centroids."""
+    threshold); implicit training picks its kernel the same way via
+    ``train`` (the Arrow trainer replaces each Lloyd round's
+    interpreted fold + posexplode shuffle with one partial-sum
+    mapInPandas pass — same fixed point, see
+    ``similarity.ivf_train_centroids_arrow``). Returns the centroids."""
     if centroids is None:
-        centroids = sim.ivf_train_centroids(
+        if train == "auto":
+            # dim is not known without touching the data; C alone is
+            # the driver of the fold's per-row cost, so switch on C
+            # against the threshold's C x 64 reference shape
+            train = (
+                "arrow"
+                if n_centroids * 64 >= sim.ARROW_ASSIGN_MIN_CXD
+                else "fold"
+            )
+        if train not in ("fold", "arrow"):
+            raise ValueError(
+                f"train must be 'auto', 'fold' or 'arrow', got {train!r}"
+            )
+        trainer = (
+            sim.ivf_train_centroids_arrow
+            if train == "arrow"
+            else sim.ivf_train_centroids
+        )
+        centroids = trainer(
             corpus,
             vec_col,
             id_col,

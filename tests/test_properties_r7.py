@@ -103,3 +103,75 @@ def test_quantile_sketch_merge_equals_union_any_split(spark, vals, cut):
     union = ST.build_quantile_sketch(both, "v", lo, hi, bins)
     rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert rows(merged) == rows(union)
+
+
+# ---------------------------------------------------------------------------
+# r8: composed lakehouse maintenance on RANDOM CDC logs — after any
+# chain of random batches, every maintained artifact equals its
+# from-scratch recompute (the deterministic op-matrix golden in
+# test_lakehouse.py, generalized by hypothesis)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def lakehouse_worlds(draw):
+    keys = list(range(1, draw(st.integers(3, 8))))
+    dims = [10, 20, 30]
+    fact = [
+        (k, draw(st.sampled_from(dims)), draw(st.integers(0, 500)))
+        for k in keys
+    ]
+    n_batches = draw(st.integers(1, 3))
+    batches, seq = [], 0
+    for _ in range(n_batches):
+        rows = []
+        batch_keys = draw(
+            st.lists(st.integers(1, 12), min_size=1, max_size=5, unique=True)
+        )
+        for k in batch_keys:
+            seq += 1
+            rows.append(
+                (
+                    k,
+                    draw(st.sampled_from(dims + [99])),  # 99 = no dim match
+                    draw(st.integers(0, 500)),
+                    seq,
+                    draw(st.sampled_from(["I", "U", "D"])),
+                )
+            )
+        batches.append(rows)
+    return fact, batches
+
+
+@given(world=lakehouse_worlds())
+@settings(**_SETTINGS)
+def test_lakehouse_maintained_equals_recompute_random(spark, world):
+    from bohemia_kenya_data_pipeline_spark import jobs
+    from bohemia_kenya_data_pipeline_spark.operators import ivm
+
+    fact_rows, batches = world
+    fact0 = spark.createDataFrame(fact_rows, "k BIGINT, ckey BIGINT, cents BIGINT")
+    dim = spark.createDataFrame(
+        [(10, "A"), (20, "B"), (30, "C")], "ckey BIGINT, seg STRING"
+    )
+    fact, view = fact0, fact0.join(dim, ["ckey"])
+    agg = ivm.aggregate_state(view, ["seg"], ["cents"])
+    schema = "k BIGINT, ckey BIGINT, cents BIGINT, seq BIGINT, op STRING"
+    replay = fact0
+    for rows in batches:
+        log = spark.createDataFrame(rows, schema)
+        fact, view, agg = jobs.maintain_cdc_lakehouse(
+            fact, view, agg, dim, log,
+            key_cols=["k"], seq_cols=["seq"], join_on=["ckey"],
+            group_cols=["seg"], sum_cols=["cents"],
+        )
+        replay = apply_cdc_log(replay, log, ["k"], ["seq"])
+    srt = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert srt(fact) == srt(replay)
+    assert srt(view.select("k", "ckey", "cents", "seg")) == srt(
+        replay.join(dim, ["ckey"]).select("k", "ckey", "cents", "seg")
+    )
+    assert srt(agg.select("seg", "n_rows", "sum_cents")) == srt(
+        ivm.aggregate_state(replay.join(dim, ["ckey"]), ["seg"], ["cents"])
+        .select("seg", "n_rows", "sum_cents")
+    )

@@ -149,3 +149,32 @@ def test_assign_centroids_arrow_passthrough_and_guards(spark):
     assert [(r.vec_id, r.cid, r.tag) for r in out] == [(1, 0, "a"), (2, 1, "b")]
     with pytest.raises(ValueError, match="already exists"):
         sim.assign_centroids_arrow(df.withColumn("cid", F.lit(1)), cents)
+
+
+def test_build_train_kernel_auto_and_parity(spark, tmp_path):
+    """build_ann_index's implicit training picks the Arrow trainer at
+    production C (auto) and both trainers yield the same index content
+    on the fixture (identical Lloyd fixed point -> identical
+    assignments)."""
+    import pytest
+
+    corpus = _toy_corpus(spark, n=300, dim=16)
+    p1, p2 = str(tmp_path / "tf"), str(tmp_path / "ta")
+    c_fold = rt.build_ann_index(corpus, p1, n_centroids=4, n_iters=2, train="fold")
+    c_arrow = rt.build_ann_index(corpus, p2, n_centroids=4, n_iters=2, train="arrow")
+    assert len(c_fold) == len(c_arrow) == 4
+    s1 = sorted((r.vec_id, int(r.cid)) for r in spark.read.parquet(p1).collect())
+    s2 = sorted((r.vec_id, int(r.cid)) for r in spark.read.parquet(p2).collect())
+    assert s1 == s2 and len(s1) == 300
+
+    with pytest.raises(ValueError, match="train must be"):
+        rt.build_ann_index(corpus, p1, n_centroids=4, train="nope")
+
+    # auto at C=64 trains via Arrow end-to-end and the index queries
+    p3 = str(tmp_path / "auto64")
+    cents = rt.build_ann_index(corpus, p3, n_centroids=64, n_iters=1)
+    assert len(cents) == 64
+    q = corpus.filter(F.col("vec_id") % 100 == 0)
+    out = rt.query_ann_index(spark, p3, q, k=3, n_probe=64)
+    want = sim.cosine_topk(corpus, q, k=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
