@@ -148,6 +148,12 @@ HEADLINE = [
     # round-8: composed CDC lakehouse maintenance (3 chained batches ->
     # snapshot MERGE + join-view IVM + aggregate IVM, no fact rescan)
     "lakehouse_cdc_e2e",
+    # round-8: compressed serving index — codes-on-disk ADC over probed
+    # partitions, and the two-stage (ADC candidates -> exact rerank)
+    # serving shape; both include the index BUILD in the timing, like
+    # ann_index_fixedq
+    "ann_ivfpq_fixedq",
+    "ann_ivfpq_rerank_fixedq",
 ]
 
 

@@ -21,7 +21,7 @@ the stored vectors is deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
@@ -72,6 +72,41 @@ def _assign_for_index(
     )
 
 
+def _resolve_centroids(
+    corpus: DataFrame,
+    centroids: list[list[float]] | None,
+    n_centroids: int,
+    n_iters: int,
+    train_fraction: float | None,
+    vec_col: str,
+    id_col: str,
+    train: str,
+) -> list[list[float]]:
+    """Accept pre-trained centroids or train, kernel per ``train``
+    ("auto" switches on C against the threshold's C x 64 reference
+    shape — dim is not known without touching the data, and C alone
+    drives the fold's per-row cost)."""
+    if centroids is not None:
+        return centroids
+    if train == "auto":
+        train = (
+            "arrow" if n_centroids * 64 >= sim.ARROW_ASSIGN_MIN_CXD else "fold"
+        )
+    if train not in ("fold", "arrow"):
+        raise ValueError(f"train must be 'auto', 'fold' or 'arrow', got {train!r}")
+    trainer = (
+        sim.ivf_train_centroids_arrow if train == "arrow" else sim.ivf_train_centroids
+    )
+    return trainer(
+        corpus,
+        vec_col,
+        id_col,
+        n_centroids=n_centroids,
+        n_iters=n_iters,
+        train_fraction=train_fraction,
+    )
+
+
 def build_ann_index(
     corpus: DataFrame,
     index_path: str,
@@ -94,33 +129,10 @@ def build_ann_index(
     interpreted fold + posexplode shuffle with one partial-sum
     mapInPandas pass — same fixed point, see
     ``similarity.ivf_train_centroids_arrow``). Returns the centroids."""
-    if centroids is None:
-        if train == "auto":
-            # dim is not known without touching the data; C alone is
-            # the driver of the fold's per-row cost, so switch on C
-            # against the threshold's C x 64 reference shape
-            train = (
-                "arrow"
-                if n_centroids * 64 >= sim.ARROW_ASSIGN_MIN_CXD
-                else "fold"
-            )
-        if train not in ("fold", "arrow"):
-            raise ValueError(
-                f"train must be 'auto', 'fold' or 'arrow', got {train!r}"
-            )
-        trainer = (
-            sim.ivf_train_centroids_arrow
-            if train == "arrow"
-            else sim.ivf_train_centroids
-        )
-        centroids = trainer(
-            corpus,
-            vec_col,
-            id_col,
-            n_centroids=n_centroids,
-            n_iters=n_iters,
-            train_fraction=train_fraction,
-        )
+    centroids = _resolve_centroids(
+        corpus, centroids, n_centroids, n_iters, train_fraction,
+        vec_col, id_col, train,
+    )
     assigned = _assign_for_index(corpus, centroids, vec_col, id_col, assign)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(index_path)
     spark = corpus.sparkSession
@@ -213,3 +225,176 @@ def extend_ann_index(
     centroids = load_ann_centroids(spark, index_path)
     assigned = _assign_for_index(new_rows, centroids, vec_col, id_col, assign)
     assigned.write.mode("append").partitionBy("cid").parquet(index_path)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ index: codes on disk, partition-pruned ADC scoring
+# ---------------------------------------------------------------------------
+
+
+def _codebook_sidecar(index_path: str) -> str:
+    return index_path.rstrip("/") + "__codebooks"
+
+
+def load_pq_codebooks(spark: SparkSession, index_path: str) -> list[list[list[float]]]:
+    """Codebooks from the IVF-PQ index sidecar, ``[m][k][sub_dim]``."""
+    rows = spark.read.parquet(_codebook_sidecar(index_path)).collect()
+    by_m: dict[int, list] = {}
+    for r in rows:
+        by_m.setdefault(r.m, []).append((r.k, list(r.cw)))
+    return [
+        [cw for _, cw in sorted(by_m[m])] for m in sorted(by_m)
+    ]
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_path: str,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    n_centroids: int = 8,
+    n_subspaces: int = 8,
+    n_codewords: int = 16,
+    n_iters: int = 3,
+    train_fraction: float | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign: str = "auto",
+    train: str = "auto",
+    store_vec: bool = False,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """The 100 TB vector-store layout: one corpus pass assigns every
+    vector to its nearest centroid (Arrow kernel above the C x D
+    threshold, same as :func:`build_ann_index`) AND PQ-encodes it, then
+    writes ``(id, pq_code)`` partitioned by ``cid`` — the stored row is
+    M small ints (8 bytes at M=8) instead of dim floats (256 bytes at
+    dim=64 float32), a ~32x scan-footprint cut ON TOP of the
+    n_probe/n_centroids file pruning the plain ANN index already gives.
+    Assignment and encoding chain lazily in the SAME scan — no
+    intermediate shuffle; the only shuffle is the partitioned write's
+    file routing.
+
+    ``store_vec=True`` additionally keeps the raw vector column for
+    exact re-ranking (:func:`query_ivfpq_index` ``rerank``): the bytes
+    are still scanned only inside probed partitions, and a deployment
+    that re-ranks from a separate row store can leave it off.
+
+    Centroids and codebooks persist in sidecars — the index directory
+    is self-describing, queries need no training state. Returns
+    ``(centroids, codebooks)``.
+    """
+    centroids = _resolve_centroids(
+        corpus, centroids, n_centroids, n_iters, train_fraction,
+        vec_col, id_col, train,
+    )
+    if codebooks is None:
+        codebooks = sim.pq_train_codebooks(
+            corpus, n_subspaces, n_codewords, vec_col=vec_col
+        )
+    assigned = _assign_for_index(corpus, centroids, vec_col, id_col, assign)
+    extra = ("cid", vec_col) if store_vec else ("cid",)
+    coded = sim.pq_encode(assigned, codebooks, vec_col, id_col, extra_cols=extra)
+    coded.write.mode("overwrite").partitionBy("cid").parquet(index_path)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    ).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
+    spark.createDataFrame(
+        [
+            (m, k, [float(x) for x in cw])
+            for m, book in enumerate(codebooks)
+            for k, cw in enumerate(book)
+        ],
+        "m INT, k INT, cw ARRAY<DOUBLE>",
+    ).write.mode("overwrite").parquet(_codebook_sidecar(index_path))
+    return centroids, codebooks
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    rerank: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a :func:`build_ivfpq_index` layout. Two pruning
+    levels compose: the union of probed cids becomes a partition
+    filter (unprobed centroids' FILES never open — same contract as
+    :func:`query_ann_index`), then per-query candidates come from a
+    broadcast hash join on ``cid`` and are scored through their PQ
+    codes only (:func:`~..operators.similarity.pq_adc_topk`: M lookups
+    + M adds per pair, no vector math, no vector bytes moved).
+
+    ``rerank=0`` returns the ADC ranking
+    (query_id, neighbor_id, adc_dist, rank). ``rerank=r > 0`` takes
+    the top-r ADC candidates per query and re-scores them EXACTLY from
+    the stored raw vectors (requires ``store_vec=True`` at build),
+    returning (query_id, neighbor_id, score, rank) with
+    :func:`~..operators.similarity.cosine_topk`'s determinism contract
+    (round 4, score desc, neighbor_id asc) — the standard two-stage
+    serving shape: cheap approximate candidate generation over codes,
+    exact scoring over r << corpus rows.
+    """
+    centroids = load_ann_centroids(spark, index_path)
+    codebooks = load_pq_codebooks(spark, index_path)
+    probed = (
+        sim._drop_null_vecs(queries, vec_col)
+        .select(
+            F.explode(
+                sim.probe_cids_expr(
+                    sim._as_double(vec_col), centroids, n_probe
+                )
+            ).alias("cid")
+        )
+        .distinct()
+        .collect()
+    )
+    cids = sorted(r.cid for r in probed)
+    scan = spark.read.parquet(index_path).filter(F.col("cid").isin(cids))
+    codes = scan.select(
+        F.col(id_col).alias("neighbor_id"), "pq_code", "cid"
+    )
+    adc = sim.pq_adc_topk(
+        codes,
+        queries,
+        codebooks,
+        k=rerank if rerank else k,
+        vec_col=vec_col,
+        id_col=id_col,
+        probe=(centroids, n_probe),
+    )
+    if not rerank:
+        return adc
+    if vec_col not in scan.columns:
+        raise ValueError(
+            "rerank needs the raw vectors: build the index with store_vec=True"
+        )
+    qv = sim._drop_null_vecs(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        sim._as_double(vec_col).alias("qv"),
+    )
+    cv = scan.select(
+        F.col(id_col).alias("neighbor_id"), sim._as_double(vec_col).alias("cv")
+    )
+    exact = (
+        adc.select("query_id", "neighbor_id")
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim.cosine(F.col("qv"), F.col("cv")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

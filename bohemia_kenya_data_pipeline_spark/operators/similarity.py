@@ -679,6 +679,7 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     plan: str = "arrow",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, pq_code): the compressed corpus representation — M small
     ints instead of dim floats (64-dim float32 -> 8 bytes at M=8, an
@@ -695,11 +696,17 @@ def pq_encode(
     cross-engine bit-exactness reference (both hash-match the SQL
     oracle: numpy's small-axis sums are sequential left-to-right,
     same IEEE-double order as the fold and the SQL chain; ties break
-    to the first/smallest codeword id in all three)."""
+    to the first/smallest codeword id in all three).
+
+    ``extra_cols`` are carried through unchanged (e.g. a centroid id
+    for an IVF-PQ layout) so encoding composes with an assignment pass
+    without a re-join shuffle."""
+    carry = [F.col(c) for c in extra_cols]
     if plan == "expr":
         return df.select(
             F.col(id_col),
             pq_code(F.col(vec_col).cast("array<double>"), codebooks).alias("pq_code"),
+            *carry,
         )
     if plan != "arrow":
         raise ValueError(f"unknown plan {plan!r}: use 'arrow' or 'expr'")
@@ -714,7 +721,9 @@ def pq_encode(
         codes = d.argmin(axis=-1).astype("int32")  # first min -> smallest k
         return pd.Series(list(codes))
 
-    return df.select(F.col(id_col), encode(F.col(vec_col)).alias("pq_code"))
+    return df.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("pq_code"), *carry
+    )
 
 
 def pq_topk(
@@ -739,12 +748,64 @@ def pq_topk(
     deterministic pipeline is oracle-mirrored in SQL with the same
     literal codebooks.
     """
-    sub = len(codebooks[0][0])
     corpus = _drop_null_vecs(corpus, vec_col)
-    queries = _drop_null_vecs(queries, vec_col)
     codes = pq_encode(corpus, codebooks, vec_col, id_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
+    return pq_adc_topk(codes, queries, codebooks, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def probe_cids_expr(qv: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """Per-query probed-centroid ids as an ``array<int>`` Column — the
+    single probe-selection expression every IVF-family path shares
+    (sort (neg-dot, cid) structs over the unit-normalized literal
+    centroids, slice ``n_probe``; ties -> smaller cid). Extracted from
+    :func:`ivf_topk` so the raw-vector, Arrow, serving-index and PQ
+    paths can never drift in probe semantics."""
+    cents = _centroid_literal(centroids)
+    probes = F.slice(
+        F.sort_array(
+            F.transform(
+                cents,
+                lambda ce: F.struct(
+                    (-dot(qv, ce["cv"])).alias("d"), ce["cid"].alias("cid")
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    return F.transform(probes, lambda p: p["cid"])
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe: tuple[list[list[float]], int] | None = None,
+) -> DataFrame:
+    """ADC top-k over a PRE-ENCODED corpus: ``codes`` is
+    ``(neighbor_id, pq_code[, cid])`` — the output of
+    :func:`pq_encode` or the scan of a persisted IVF-PQ index — so the
+    scan ships M small ints per row and the raw vectors never move.
+
+    ``probe=(centroids, n_probe)`` turns the scorer into IVF-PQ:
+    ``codes`` must then carry the index's ``cid`` column, each query
+    explodes its probed cids (:func:`probe_cids_expr`, identical
+    semantics to :func:`ivf_topk`), and candidates come from a
+    broadcast hash join on ``cid`` — never a cross join, expected
+    n_probe/n_centroids of the scanned codes per query. Without
+    ``probe`` the candidate set is the whole ``codes`` input
+    (broadcast-queries cross join), which is :func:`pq_topk`'s
+    exhaustive regime.
+
+    Returns (query_id, neighbor_id, adc_dist, rank), rank by
+    (adc_dist asc, neighbor_id asc) — same determinism contract as
+    :func:`pq_topk`, whose SQL oracle hash-checks this scorer."""
+    queries = _drop_null_vecs(queries, vec_col)
     cb_np = np.asarray(codebooks, dtype=np.float64)  # (M, K, sub)
     n_sub = cb_np.shape[0]
 
@@ -760,9 +821,18 @@ def pq_topk(
         lut = ((xs - cb_np[None, :, :, :]) ** 2).sum(axis=-1)  # (n, M, K)
         return pd.Series([list(map(list, row)) for row in lut])
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), make_lut(F.col(vec_col)).alias("lut")
-    )
+    qcols = [
+        F.col(id_col).alias("query_id"),
+        make_lut(F.col(vec_col)).alias("lut"),
+    ]
+    if probe is not None:
+        centroids, n_probe = probe
+        qcols.append(
+            F.explode(
+                probe_cids_expr(_as_double(vec_col), centroids, n_probe)
+            ).alias("cid")
+        )
+    q = queries.select(*qcols)
     code = F.col("pq_code")
     score = None
     for m in range(len(codebooks)):
@@ -770,11 +840,14 @@ def pq_topk(
         # a Column key silently yields NULL on arrays)
         term = F.element_at(F.col("lut")[m], code[m] + 1)
         score = term if score is None else score + term
-    pairs = (
-        F.broadcast(q)
-        .crossJoin(codes)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(score, 6).alias("adc_dist"))
+    if probe is not None:
+        # equi-join on cid: each corpus code lives in exactly one cid
+        # and a query's probed cids are distinct, so pairs are unique
+        pairs = F.broadcast(q).join(codes, "cid")
+    else:
+        pairs = F.broadcast(q).crossJoin(codes)
+    pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", F.round(score, 6).alias("adc_dist")
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (

@@ -1,0 +1,311 @@
+"""File-manifest data skipping: per-FILE min/max (+ optional bloom)
+statistics in a sidecar, and pruned reads that never OPEN files that
+cannot match — the lakehouse data-skipping contract (Delta/Iceberg
+file statistics) on plain parquet directories, no table format
+required.
+
+Why this matters at 100 TB: partition pruning only helps along the
+partition columns; a predicate on any OTHER column still lists and
+opens every file. Parquet row-group stats do skip row groups, but only
+AFTER each file's footer has been fetched and parsed — on object
+storage that is one round trip per file, and a 100 TB table is
+~100k-1M files. A manifest is ONE metadata-sized dataset (a row per
+file) that the planner scans instead, so the driver can hand Spark the
+exact file list; unmatched files cost nothing at all. Same division of
+labor as ``jobs.retrieval``'s probed-cid partition pruning: prune at
+the FILE level first, let the engine's row-level machinery finish.
+
+Soundness: min/max pruning keeps every file whose range intersects the
+predicate (NULLs never satisfy a comparison, so all-NULL files drop
+safely); blooms have no false negatives. False positives only widen
+the kept set, and :func:`read_with_skipping` re-applies the EXACT
+predicate after the pruned scan — the end result equals the full scan
++ filter bit-for-bit, which is what the registered oracles check.
+
+Reference parity: the reference pipeline re-reads its whole history
+prefix every run (e.g. ``05.run_anomaly_detection.R:82-104`` scans all
+landed snapshots to recompute anomalies); a manifest turns that regime
+into an open-only-what-matches plan without changing the storage.
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bloom import DEFAULT_N_HASHES, _positions
+
+MANIFEST_SUFFIX = "__manifest"
+
+#: Per-file bloom default: 2^16 bits = 8 KiB per file — sized for
+#: ~10-20k keys/file at <1% FP (see bloom.py sizing note); the whole
+#: manifest for a 100k-file table is still < 1 GiB, a metadata scan.
+FILE_BLOOM_N_BITS = 1 << 16
+
+
+def _manifest_root(path: str) -> str:
+    # sibling path, NOT inside the data dir (a nested parquet dataset
+    # would be read as table data — same rule as the ANN sidecars)
+    return path.rstrip("/") + MANIFEST_SUFFIX
+
+
+def _stats_path(path: str) -> str:
+    return _manifest_root(path) + "/stats"
+
+
+def _bloom_path(path: str) -> str:
+    return _manifest_root(path) + "/bloom"
+
+
+def _params_path(path: str) -> str:
+    return _manifest_root(path) + "/_params.json"
+
+
+def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    out = p.getFileSystem(conf).create(p, True)
+    out.write(bytearray(_json.dumps(obj).encode()))
+    out.close()
+
+
+def _read_json(spark: SparkSession, path: str) -> dict:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    stream = p.getFileSystem(conf).open(p)
+    try:
+        return _json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+
+
+def build_file_manifest(
+    spark: SparkSession,
+    path: str,
+    stats_cols: list[str],
+    bloom_col: str | None = None,
+    n_bits: int = FILE_BLOOM_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+    seed: int = 42,
+) -> None:
+    """ONE scan of the table builds the whole manifest: per file
+    (``input_file_name``) min/max/null-count for each stats column,
+    row count, and — when ``bloom_col`` is set — a per-file bloom word
+    table over that key column (``(file, word_idx, word)``; the same
+    sparse representation as ``bloom.bloom_words``, mergeable per file
+    by construction).
+
+    Everything is a map-side-combinable groupBy on the file name, so
+    shuffle volume is O(files x columns), independent of row count.
+    Rebuild after compaction/append (or extend incrementally: stats
+    rows are per-file, so appending a manifest for only the NEW files
+    and unioning is exact — same pattern as ``extend_ann_index``).
+
+    Citation: replaces the reference's re-read-everything history scan
+    (``05.run_anomaly_detection.R:82-104``) with open-only-what-matches.
+    """
+    if not stats_cols and bloom_col is None:
+        raise ValueError("need at least one stats column or a bloom_col")
+    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nnull_{c}"))
+    df.groupBy("_file").agg(*aggs).write.mode("overwrite").parquet(
+        _stats_path(path)
+    )
+    if bloom_col is not None:
+        if n_bits % 64 != 0:
+            raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+        key = F.col(bloom_col)
+        pos = F.array(*_positions(key, n_bits, n_hashes, seed))
+        (
+            df.filter(key.isNotNull())
+            .select("_file", F.explode(pos).alias("pos"))
+            .select(
+                "_file",
+                (F.col("pos") / 64).cast("long").alias("word_idx"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy("_file", "word_idx")
+            .agg(F.bit_or("mask").alias("word"))
+            .write.mode("overwrite")
+            .parquet(_bloom_path(path))
+        )
+    _write_json(
+        spark,
+        _params_path(path),
+        {
+            "stats_cols": list(stats_cols),
+            "bloom_col": bloom_col,
+            "n_bits": n_bits,
+            "n_hashes": n_hashes,
+            "seed": seed,
+        },
+    )
+
+
+def read_manifest_params(spark: SparkSession, path: str) -> dict:
+    """The parameters a manifest was built with — the single source
+    pruned reads must use (same contract as the minhash index)."""
+    return _read_json(spark, _params_path(path))
+
+
+#: op -> file-may-match condition over (min_c, max_c). NULL min/max
+#: (all-NULL file) makes every condition NULL -> filtered out, which
+#: is sound: a comparison predicate never matches NULL rows.
+_RANGE_OPS = {
+    "=": lambda mn, mx, v: (mn <= v) & (mx >= v),
+    "<": lambda mn, mx, v: mn < v,
+    "<=": lambda mn, mx, v: mn <= v,
+    ">": lambda mn, mx, v: mx > v,
+    ">=": lambda mn, mx, v: mx >= v,
+    "between": lambda mn, mx, v: (mn <= v[1]) & (mx >= v[0]),
+}
+
+
+def _file_match_cond(predicates: list[tuple]) -> Column:
+    cond = F.lit(True)
+    for col, op, val in predicates:
+        if op not in _RANGE_OPS:
+            raise ValueError(
+                f"unsupported op {op!r}: use one of {sorted(_RANGE_OPS)}"
+            )
+        cond = cond & _RANGE_OPS[op](
+            F.col(f"min_{col}"), F.col(f"max_{col}"), F.lit(val) if op != "between" else val
+        )
+    return cond
+
+
+def _row_pred(predicates: list[tuple]) -> Column:
+    cond = F.lit(True)
+    for col, op, val in predicates:
+        c = F.col(col)
+        if op == "=":
+            cond = cond & (c == val)
+        elif op == "<":
+            cond = cond & (c < val)
+        elif op == "<=":
+            cond = cond & (c <= val)
+        elif op == ">":
+            cond = cond & (c > val)
+        elif op == ">=":
+            cond = cond & (c >= val)
+        elif op == "between":
+            cond = cond & c.between(val[0], val[1])
+    return cond
+
+
+def prune_files(
+    spark: SparkSession, path: str, predicates: list[tuple]
+) -> tuple[list[str], int]:
+    """(files that may match, total files) from the stats manifest.
+    The manifest scan is file-count-sized; only the kept NAMES are
+    collected (metadata-sized, like the probed-cid collect)."""
+    stats = spark.read.parquet(_stats_path(path))
+    params = read_manifest_params(spark, path)
+    for col, _, _ in predicates:
+        if col not in params["stats_cols"]:
+            raise ValueError(
+                f"no min/max stats for {col!r}: manifest covers "
+                f"{params['stats_cols']}"
+            )
+    total = stats.count()
+    kept = stats.filter(_file_match_cond(predicates)).select("_file").collect()
+    return sorted(r._file for r in kept), total
+
+
+def bloom_candidate_files(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+) -> list[str]:
+    """Files whose per-file bloom MIGHT contain at least one probe
+    key. A key hits a file iff every one of its ``n_hashes`` bit
+    positions is set in that file's words (no false negatives); the
+    probe is a broadcast join of the key positions against the word
+    table — only file NAMES are collected."""
+    params = read_manifest_params(spark, path)
+    if params.get("bloom_col") is None:
+        raise ValueError(f"manifest at {path!r} was built without a bloom")
+    n_bits, n_hashes, seed = params["n_bits"], params["n_hashes"], params["seed"]
+    probe = (
+        keys.select(F.col(key_col).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+        .select(
+            "k",
+            F.explode(F.array(*_positions(F.col("k"), n_bits, n_hashes, seed))).alias(
+                "pos"
+            ),
+        )
+        .select(
+            "k",
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("mask"),
+        )
+    )
+    words = spark.read.parquet(_bloom_path(path))
+    hits = (
+        words.join(F.broadcast(probe), "word_idx")
+        .filter((F.col("word").bitwiseAND(F.col("mask"))) == F.col("mask"))
+        .groupBy("_file", "k")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == n_hashes)
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    return sorted(r._file for r in hits)
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple] | None = None,
+    in_keys: tuple[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Scan only the files that can match, then re-apply the EXACT
+    predicate — result equals ``read.parquet(path).filter(...)``
+    bit-for-bit (the oracle contract), having opened only the kept
+    files.
+
+    ``predicates`` are ``(col, op, value)`` triples (op in =, <, <=,
+    >, >=, between with value=(lo, hi)), ANDed; ``in_keys =
+    (key_col, keys_df)`` adds a point-lookup leg: bloom-prune files,
+    then an exact broadcast semi join against the keys (keys never
+    collect to the driver — the scale path for large key sets)."""
+    predicates = list(predicates or [])
+    files: set[str] | None = None
+    if predicates:
+        kept, _ = prune_files(spark, path, predicates)
+        files = set(kept)
+    if in_keys is not None:
+        key_col, keys_df = in_keys
+        cand = set(bloom_candidate_files(spark, path, keys_df, key_col))
+        files = cand if files is None else files & cand
+    if files is None:
+        raise ValueError("need predicates and/or in_keys to skip by")
+    if not files:
+        # schema-stable empty result without opening any data file
+        out = spark.read.parquet(path).filter(F.lit(False))
+    else:
+        out = spark.read.parquet(*sorted(files))
+    if predicates:
+        out = out.filter(_row_pred(predicates))
+    if in_keys is not None:
+        key_col, keys_df = in_keys
+        out = out.join(
+            F.broadcast(keys_df.select(key_col).distinct()), key_col, "semi"
+        )
+    return out

@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from . import jobs
 from .operators import dedup as dd
 from .operators import similarity as sim
+from .operators import skipping as skp
 from .operators import text as tx
 from .operators import windows as W
 
@@ -6391,20 +6392,32 @@ _PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
 _PQ_CB = sim.pq_codebooks(64, _PQ_M, _PQ_K)
 
 
-def _pq_sql() -> str:
-    cb_rows = ",\n      ".join(
+def _pq_cb_values_sql() -> str:
+    """The literal _PQ_CB codebooks as (m, k, cw) VALUES rows — shared
+    by every PQ oracle so Spark and DuckDB score through identical
+    codeword doubles."""
+    return ",\n      ".join(
         f"({m}, {k}, [{', '.join(repr(float(v)) for v in cw)}]::DOUBLE[])"
         for m, book in enumerate(_PQ_CB)
         for k, cw in enumerate(book)
     )
-    # left-associated explicit sum mirrors Spark's zip_with fold order
-    # (0.0 + t1 + t2 + ...), keeping the doubles bit-identical so the
-    # argmin tie-break (ORDER BY d, k vs array_position-of-min) agrees
-    d_expr = " + ".join(
-        f"(e[CAST(s.m*{_PQ_SUB}+{i} AS INTEGER)] - cw[{i}])"
-        f" * (e[CAST(s.m*{_PQ_SUB}+{i} AS INTEGER)] - cw[{i}])"
+
+
+def _pq_d_expr(vec: str = "e") -> str:
+    """Subspace-m L2² of ``vec`` against codeword ``cw`` as a
+    left-associated explicit sum — mirrors Spark's zip_with fold order
+    (0.0 + t1 + t2 + ...), keeping the doubles bit-identical so the
+    argmin tie-break (ORDER BY d, k vs array_position-of-min) agrees."""
+    return " + ".join(
+        f"({vec}[CAST(s.m*{_PQ_SUB}+{i} AS INTEGER)] - cw[{i}])"
+        f" * ({vec}[CAST(s.m*{_PQ_SUB}+{i} AS INTEGER)] - cw[{i}])"
         for i in range(1, _PQ_SUB + 1)
     )
+
+
+def _pq_sql() -> str:
+    cb_rows = _pq_cb_values_sql()
+    d_expr = _pq_d_expr("e")
     return f"""
     WITH cb(m, k, cw) AS (VALUES
       {cb_rows}),
@@ -11994,4 +12007,128 @@ def lakehouse_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return agg.select(
         "seg", "n_rows", F.col("sum_cents").cast("bigint").alias("sum_cents")
+    )
+
+
+def _ivfpq_sql(rerank: int = 0) -> str:
+    """Oracle for the IVF-PQ serving index: the ivf_ann_fixedq
+    assignment/probe CTEs composed with _pq_sql's code/ADC CTEs over
+    the SAME literal centroids and codebooks — so the hash compare
+    checks centroid assignment, partition-level candidate pruning,
+    PQ encoding AND ADC scoring (and with ``rerank``, the exact
+    re-scoring stage) as one pipeline."""
+    prefix = f"""
+    WITH {_cents_values_sql(_IVF_FIXED_RAW)},
+    cb(m, k, cw) AS (VALUES
+      {_pq_cb_values_sql()}),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (SELECT vec_id, v, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY list_dot_product(v, cv) DESC, cid)
+                        AS rn
+               FROM c CROSS JOIN cents),
+    corpus AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+    subspaces AS (SELECT CAST(UNNEST(range({_PQ_M})) AS INTEGER) AS m),
+    dists AS (SELECT c.vec_id, s.m, cb.k, {_pq_d_expr('v')} AS d
+              FROM c CROSS JOIN subspaces s
+              JOIN cb ON cb.m = s.m),
+    codes AS (SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM dists) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cid AS qcid FROM corpus
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+    probe AS (SELECT query_id, cents.cid,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY list_dot_product(qv, cv) DESC,
+                                                 cents.cid) AS rn
+              FROM q CROSS JOIN cents),
+    probes AS (SELECT query_id, cid FROM probe WHERE rn <= 2),
+    qdists AS (SELECT vec_id, m, k, d FROM dists
+               WHERE vec_id % 50 = 0 AND vec_id < 500),
+    cand AS (SELECT p.query_id, co.vec_id AS neighbor_id
+             FROM probes p JOIN corpus co USING (cid)
+             WHERE p.query_id <> co.vec_id),
+    pair_scores AS (SELECT ca.query_id, ca.neighbor_id,
+                           ROUND(SUM(qd.d), 6) AS adc_dist
+                    FROM cand ca
+                    JOIN codes n ON n.vec_id = ca.neighbor_id
+                    JOIN qdists qd ON qd.vec_id = ca.query_id
+                                  AND qd.m = n.m AND qd.k = n.k
+                    GROUP BY 1, 2),
+    ranked AS (SELECT query_id, neighbor_id, adc_dist,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, neighbor_id) AS rank
+               FROM pair_scores)"""
+    if not rerank:
+        return prefix + """
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+    return prefix + f""",
+    pool AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {rerank}),
+    exact AS (SELECT p.query_id, p.neighbor_id,
+                     ROUND(list_cosine_similarity(q.qv, co.v), 4) AS score
+              FROM pool p
+              JOIN q ON q.query_id = p.query_id
+              JOIN corpus co ON co.vec_id = p.neighbor_id),
+    rr AS (SELECT query_id, neighbor_id, score,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+           FROM exact)
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM rr WHERE rank <= 5
+    """
+
+
+def _ivfpq_tmp_path(sf_dir: str, tag: str) -> str:
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_{tag}_"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + f"_{os.getpid()}",
+    )
+
+
+@_register("ann_ivfpq_fixedq", _ivfpq_sql())
+def ann_ivfpq_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The compressed serving-index regime: build_ivfpq_index writes
+    # (id, pq_code) partitioned by cid — M=8 tinyint-sized codes per
+    # row instead of 64 doubles, ON TOP of the probed-partition file
+    # pruning ann_index_fixedq already proves — then query_ivfpq_index
+    # prunes to the probed cids and ADC-scores codes only. Literal
+    # centroids (_IVF_FIXED_RAW) + literal codebooks (_PQ_CB), so the
+    # oracle mirrors the ENTIRE pipeline: assignment, probe selection,
+    # per-cid candidate pruning, encoding, LUT scoring, rank.
+    from .jobs import retrieval as rt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_tmp_path(sf_dir, "base")
+    rt.build_ivfpq_index(
+        emb, path, centroids=_IVF_FIXED_RAW, codebooks=_PQ_CB
+    )
+    return rt.query_ivfpq_index(
+        spark, path, _fixed_query_batch(emb), k=5, n_probe=2
+    )
+
+
+@_register("ann_ivfpq_rerank_fixedq", _ivfpq_sql(rerank=20))
+def ann_ivfpq_rerank_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-stage serving: ADC top-20 candidate generation over codes,
+    # exact cosine re-rank of those 20 from the raw vectors stored in
+    # the SAME probed partitions (store_vec=True) — the standard
+    # recall-repair stage; candidates and re-scoring are both
+    # oracle-mirrored, so the hash compare checks the full two-stage
+    # contract, not just the end ranking.
+    from .jobs import retrieval as rt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_tmp_path(sf_dir, "rr")
+    rt.build_ivfpq_index(
+        emb, path, centroids=_IVF_FIXED_RAW, codebooks=_PQ_CB, store_vec=True
+    )
+    return rt.query_ivfpq_index(
+        spark, path, _fixed_query_batch(emb), k=5, n_probe=2, rerank=20
     )

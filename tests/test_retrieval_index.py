@@ -178,3 +178,140 @@ def test_build_train_kernel_auto_and_parity(spark, tmp_path):
     out = rt.query_ann_index(spark, p3, q, k=3, n_probe=64)
     want = sim.cosine_topk(corpus, q, k=3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ index: compressed codes on disk, ADC + exact rerank
+# ---------------------------------------------------------------------------
+
+
+def _toy_codebooks(dim=8, m=4, k=8):
+    return sim.pq_codebooks(dim, m, k)
+
+
+def test_ivfpq_adc_matches_pq_topk_under_exhaustive_probes(spark, tmp_path):
+    # n_probe = n_centroids: partition pruning keeps everything, the
+    # per-query cid restriction is vacuous, so ADC over the persisted
+    # codes must equal pq_topk over the raw corpus exactly
+    corpus = _toy_corpus(spark)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    cb = _toy_codebooks()
+    path = str(tmp_path / "pqidx")
+    cents = [[1.0] + [0.0] * 7, [0.0] * 3 + [1.0] + [0.0] * 4,
+             [0.0] * 7 + [1.0], [0.5] * 8]
+    rt.build_ivfpq_index(corpus, path, centroids=cents, codebooks=cb)
+    got = rt.query_ivfpq_index(spark, path, queries, k=5, n_probe=len(cents))
+    want = sim.pq_topk(corpus, queries, cb, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivfpq_rerank_exhaustive_equals_exact_brute_force(spark, tmp_path):
+    # exhaustive probes + rerank pool >= corpus: the two-stage path
+    # degenerates to exact cosine_topk — the recall-repair ceiling
+    corpus = _toy_corpus(spark, n=120)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    cb = _toy_codebooks()
+    path = str(tmp_path / "pqidx_rr")
+    cents = [[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]]
+    rt.build_ivfpq_index(
+        corpus, path, centroids=cents, codebooks=cb, store_vec=True
+    )
+    got = rt.query_ivfpq_index(
+        spark, path, queries, k=5, n_probe=2, rerank=200
+    )
+    want = sim.cosine_topk(corpus, queries, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivfpq_rerank_requires_stored_vectors(spark, tmp_path):
+    import pytest
+
+    corpus = _toy_corpus(spark, n=60)
+    cb = _toy_codebooks()
+    path = str(tmp_path / "pqidx_novec")
+    cents = [[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]]
+    rt.build_ivfpq_index(corpus, path, centroids=cents, codebooks=cb)
+    with pytest.raises(ValueError, match="store_vec"):
+        rt.query_ivfpq_index(
+            spark, path, corpus.limit(2), k=3, n_probe=2, rerank=10
+        ).collect()
+
+
+def test_ivfpq_index_is_compressed_and_prunes_partitions(spark, tmp_path):
+    import os as _os
+
+    # high-entropy vectors (xxhash64-derived, ~unique doubles): the
+    # _toy_corpus LCG has 19 distinct values per position, which
+    # dictionary-encodes to almost nothing and hides the code/vector
+    # size gap; real embeddings are incompressible, like these
+    corpus = (
+        spark.range(1, 6001)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda j: F.pmod(F.xxhash64(F.col("id") * 131 + j), F.lit(100000))
+                / 50000.0
+                - 1.0,
+            ).alias("embedding"),
+        )
+        .coalesce(2)
+    )
+    cb = _toy_codebooks()
+    pq_path = str(tmp_path / "pq_small")
+    raw_path = str(tmp_path / "raw_big")
+    cents = [[1.0] + [0.0] * 7, [0.0] * 3 + [1.0] + [0.0] * 4,
+             [0.0] * 7 + [1.0], [0.5] * 8]
+    rt.build_ivfpq_index(corpus, pq_path, centroids=cents, codebooks=cb)
+    rt.build_ann_index(corpus, raw_path, centroids=cents)
+
+    def _bytes(root):
+        return sum(
+            _os.path.getsize(_os.path.join(d, f))
+            for d, _, fs in _os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    # codes (4 ints) vs vectors (8 doubles): the pq layout must be
+    # materially smaller on disk, not just in theory
+    assert _bytes(pq_path) < 0.7 * _bytes(raw_path)
+
+    # sidecar round-trip
+    assert rt.load_pq_codebooks(spark, pq_path) == [
+        [[float(x) for x in cw] for cw in book] for book in cb
+    ]
+
+    # probed-cid filter reaches the scan as a partition filter
+    queries = corpus.filter(F.col("vec_id") == 40)
+    out = rt.query_ivfpq_index(spark, pq_path, queries, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_pq_adc_topk_probe_restricts_candidates_per_query(spark):
+    # two well-separated clusters: with n_probe=1 each query may only
+    # see neighbors from its own centroid's bucket
+    corpus = _toy_corpus(spark, n=100)
+    cb = _toy_codebooks()
+    cents = [[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]]
+    assigned = corpus.withColumn(
+        "cid", sim._nearest_cid(sim._as_double("embedding"), sim._centroid_literal(cents))
+    )
+    codes = sim.pq_encode(assigned, cb, extra_cols=("cid",)).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    queries = corpus.filter(F.col("vec_id") % 25 == 0)
+    got = sim.pq_adc_topk(codes, queries, cb, k=50, probe=(cents, 1))
+    cid_of = {
+        r.neighbor_id: r.cid for r in codes.select("neighbor_id", "cid").collect()
+    }
+    qcid = {
+        r.vec_id: r.cid
+        for r in assigned.select("vec_id", "cid")
+        .filter(F.col("vec_id") % 25 == 0)
+        .collect()
+    }
+    for r in got.collect():
+        assert cid_of[r.neighbor_id] == qcid[r.query_id]
