@@ -154,6 +154,13 @@ HEADLINE = [
     # ann_index_fixedq
     "ann_ivfpq_fixedq",
     "ann_ivfpq_rerank_fixedq",
+    # round-8: file-manifest data skipping (write range-clustered copy
+    # + build manifest + pruned scan, all inside the timing)
+    "manifest_skip_scan",
+    "bloom_skip_lookup",
+    # round-8: steady-state near-dup ingest (index build + extend +
+    # probe, timing includes all three passes)
+    "incremental_minhash_dedup",
 ]
 
 

@@ -878,6 +878,37 @@ def minhash_index_query(
     )
 
 
+def minhash_index_extend(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Admit a probed batch INTO the index: sign only the batch with
+    the index's stored parameters and append its band rows into the
+    existing band partition directories — a delta-sized write, so the
+    steady-state ingest loop is probe (:func:`minhash_index_query`) ->
+    keep the survivors -> extend, and the 100 TB corpus is re-signed
+    exactly once, ever. The composition is exact: an index extended
+    batch-by-batch holds the same band rows as one built over the
+    concatenated corpus (same signature params by construction —
+    golden-tested), so later probes see identical candidates. Mirrors
+    ``extend_ann_index``'s append-only contract, without the drift
+    caveat: minhash signatures have no trained state to go stale."""
+    spark = new_docs.sparkSession
+    params = read_minhash_index_params(spark, index_path)
+    rows = _minhash_band_rows(
+        new_docs,
+        text_col,
+        id_col,
+        params["num_hashes"],
+        params["bands"],
+        params["shingle_n"],
+        params["seed"],
+    )
+    rows.write.mode("append").partitionBy("band").parquet(index_path)
+
+
 # ---------------------------------------------------------------------------
 # Semantic (embedding-cluster) dedup — SemDeDup-style
 # ---------------------------------------------------------------------------

@@ -1245,11 +1245,10 @@ def _minhash_sig_sql(num_hashes: int) -> str:
            FROM h GROUP BY doc_id)"""
 
 
-def _lsh_pairs_sql(num_hashes: int, bands: int, max_bucket_size: int | None = None) -> str:
-    """CTE chain (incl. signature CTEs) ending in cand(id_a, id_b).
-
-    ``max_bucket_size`` mirrors the deterministic 'sample' bucket cap
-    of dedup._cap_buckets (row_number by id within (band, bucket))."""
+def _lsh_bands_sql(num_hashes: int, bands: int) -> str:
+    """CTE chain (incl. signature CTEs) ending in
+    bands(doc_id, band, bucket) — shared by the batch pair generator
+    and the incremental index-probe oracle."""
     r = num_hashes // bands
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
@@ -1260,6 +1259,16 @@ def _lsh_pairs_sql(num_hashes: int, bands: int, max_bucket_size: int | None = No
         )
         for b in range(bands)
     )
+    return f"""{_minhash_sig_sql(num_hashes)},
+    bands AS (
+      {band_selects})"""
+
+
+def _lsh_pairs_sql(num_hashes: int, bands: int, max_bucket_size: int | None = None) -> str:
+    """CTE chain (incl. signature CTEs) ending in cand(id_a, id_b).
+
+    ``max_bucket_size`` mirrors the deterministic 'sample' bucket cap
+    of dedup._cap_buckets (row_number by id within (band, bucket))."""
     cap = (
         f"""capped AS (
       SELECT * FROM bands
@@ -1270,9 +1279,7 @@ def _lsh_pairs_sql(num_hashes: int, bands: int, max_bucket_size: int | None = No
         else ""
     )
     src = "capped" if max_bucket_size is not None else "bands"
-    return f"""{_minhash_sig_sql(num_hashes)},
-    bands AS (
-      {band_selects}),
+    return f"""{_lsh_bands_sql(num_hashes, bands)},
     {cap}cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM {src} a JOIN {src} b USING (band, bucket)
@@ -12132,3 +12139,124 @@ def ann_ivfpq_rerank_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.query_ivfpq_index(
         spark, path, _fixed_query_batch(emb), k=5, n_probe=2, rerank=20
     )
+
+
+def _skip_tmp_path(sf_dir: str, tag: str) -> str:
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_skip_{tag}_"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + f"_{os.getpid()}",
+    )
+
+
+@_register(
+    "manifest_skip_scan",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+      AND l_quantity > 30
+    GROUP BY 1
+    """,
+)
+def manifest_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # File-manifest data skipping (operators/skipping.py): the fact
+    # table is laid out range-clustered on l_shipdate (the write a
+    # time-partitioned 100 TB table gets for free), ONE metadata scan
+    # builds per-file min/max stats, and the date+quantity predicate
+    # then opens ONLY the files whose ranges intersect — the
+    # lakehouse data-skipping contract on plain parquet. The oracle is
+    # the plain full-scan filter: pruning must change nothing.
+    from datetime import datetime
+
+    from .operators import skipping as _skp
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = _skip_tmp_path(sf_dir, "li")
+    li.repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(path)
+    _skp.build_file_manifest(spark, path, ["l_shipdate", "l_quantity"])
+    out = _skp.read_with_skipping(
+        spark,
+        path,
+        [
+            ("l_shipdate", ">=", datetime(1996, 1, 1)),
+            ("l_shipdate", "<", datetime(1996, 4, 1)),
+            ("l_quantity", ">", 30),
+        ],
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@_register(
+    "bloom_skip_lookup",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+    FROM orders WHERE o_orderkey % 997 = 1
+    """,
+)
+def bloom_skip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point-lookup data skipping: per-file blooms over the key column
+    # prune files that cannot contain ANY probe key (no false
+    # negatives), then an exact broadcast semi join repairs bloom
+    # false positives — end result identical to the full-scan IN
+    # filter, which is exactly what the oracle checks. The probe keys
+    # stay a DataFrame throughout (no driver collect of keys — the
+    # scale path for large lookup sets).
+    from .operators import skipping as _skp
+
+    o = _t(spark, sf_dir, "orders")
+    path = _skip_tmp_path(sf_dir, "ord")
+    o.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(path)
+    _skp.build_file_manifest(
+        spark, path, ["o_orderkey"], bloom_col="o_orderkey"
+    )
+    keys = o.filter(F.col("o_orderkey") % 997 == 1).select("o_orderkey")
+    out = _skp.read_with_skipping(spark, path, in_keys=("o_orderkey", keys))
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_register(
+    "incremental_minhash_dedup",
+    "WITH "
+    + _lsh_bands_sql(16, 4)
+    + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+      FROM bands a JOIN bands b USING (band, bucket)
+      WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8)
+    SELECT new_id, index_id FROM cand
+    """,
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The steady-state near-dup ingest loop, end-to-end: build the
+    # band-row index over the base corpus ONCE (doc_id%10 in 0-5),
+    # admit a later batch with minhash_index_extend (6-7: sign the
+    # batch only, append into the band partitions), then probe with a
+    # new batch (8-9). The probe must see base AND extended docs with
+    # identical candidates to one batch run over the union — the
+    # oracle computes exactly that (new x stored) slice of the banded
+    # join, so extension exactness is hash-checked, not just
+    # golden-tested.
+    docs = _t(spark, sf_dir, "documents")
+    path = _skip_tmp_path(sf_dir, "mhidx")
+    base = docs.filter(F.col("doc_id") % 10 < 6)
+    ext = docs.filter((F.col("doc_id") % 10 >= 6) & (F.col("doc_id") % 10 < 8))
+    probe = docs.filter(F.col("doc_id") % 10 >= 8)
+    dd.minhash_index_write(base, path, num_hashes=16, bands=4)
+    dd.minhash_index_extend(ext, path)
+    return dd.minhash_index_query(probe, path)

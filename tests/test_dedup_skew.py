@@ -135,3 +135,39 @@ def test_minhash_index_probe_matches_batch_pairs(spark, tmp_path):
     assert got == expect
     assert (100, 1) in got  # identical doc must hit
     assert all(n != 101 for n, _ in got)  # unrelated doc hits nothing
+
+
+def test_minhash_index_extend_equals_rebuild(spark, tmp_path):
+    """Appending a batch must leave the index equal (as a band-row
+    set) to one built over the concatenated corpus, so later probes
+    see identical candidates — the incremental ingest contract."""
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about spark shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (4, "completely novel content with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    inc_path = str(tmp_path / "mh_inc")
+    full_path = str(tmp_path / "mh_full")
+    dedup.minhash_index_write(base, inc_path, num_hashes=8, bands=4)
+    dedup.minhash_index_extend(batch, inc_path)
+    dedup.minhash_index_write(base.unionByName(batch), full_path, num_hashes=8, bands=4)
+    inc_rows = set(map(tuple, spark.read.parquet(inc_path).collect()))
+    full_rows = set(map(tuple, spark.read.parquet(full_path).collect()))
+    assert inc_rows == full_rows
+
+    # and a probe against the extended index sees the appended doc
+    probe = spark.createDataFrame(
+        [(200, "the quick brown fox jumps over the lazy cat")],
+        ["doc_id", "text"],
+    )
+    got = set(map(tuple, dedup.minhash_index_query(probe, inc_path).collect()))
+    assert (200, 3) in got
