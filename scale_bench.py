@@ -103,6 +103,18 @@ LINEAR = [
     # each a log window + broadcast touched-key joins + delta folds;
     # deltas are a fixed fraction of the fact, so the chain is linear
     "lakehouse_cdc_e2e",
+    # round-8 continuation: IVF-PQ serving index (fixed query batch —
+    # the vec_id<500 cap — so build pass + pruned ADC scan are both
+    # corpus-linear); manifest skipping (fixed predicate window over a
+    # growing range-clustered copy: write + stats + pruned scan all
+    # linear); bloom lookup (keys grow with the corpus but probe work
+    # is keys x n_hashes rows against a file-count-sized word table);
+    # incremental minhash (three delta/probe passes, banded join)
+    "ann_ivfpq_fixedq",
+    "ann_ivfpq_rerank_fixedq",
+    "manifest_skip_scan",
+    "bloom_skip_lookup",
+    "incremental_minhash_dedup",
 ]
 
 #: quadratic BY CONSTRUCTION (query set = fixed fraction of corpus, or
