@@ -484,6 +484,7 @@ def test_round8_lakehouse_and_arrow_assign_plans(spark, tmp_path):
     Python through THREE chained batches; the Arrow index build plans
     exactly one Arrow python node and no shuffle before the write."""
     from bohemia_kenya_data_pipeline_spark import plans as P
+    from bohemia_kenya_data_pipeline_spark import plans as P
     from bohemia_kenya_data_pipeline_spark.jobs import retrieval as rt
     from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
 
@@ -499,3 +500,54 @@ def test_round8_lakehouse_and_arrow_assign_plans(spark, tmp_path):
     s = P.assert_plan(assigned, forbid_row_python=True)
     assert s["arrow_python_nodes"] == 1
     assert s["exchanges"] == 0  # assignment is scan-side, shuffle-free
+
+
+def test_ivfpq_query_plan_is_hash_join_no_python_rows(spark, tmp_path):
+    """The IVF-PQ query: probe-restricted candidates must come from a
+    broadcast HASH join on cid (never a nested-loop), with only
+    Arrow-batched Python nodes (LUT UDF), and the probed-cid filter
+    must reach the scan as a partition filter."""
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark import plans as P
+    from bohemia_kenya_data_pipeline_spark.jobs import retrieval as rt
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    corpus = spark.range(1, 301).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: ((F.col("id") * 37 + j * 11) % 19 - 9.0) / 9.0,
+        ).alias("embedding"),
+    )
+    cb = sim.pq_codebooks(8, 4, 8)
+    cents = [[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]]
+    path = str(tmp_path / "pqplan")
+    rt.build_ivfpq_index(corpus, path, centroids=cents, codebooks=cb)
+    out = rt.query_ivfpq_index(
+        spark, path, corpus.filter(F.col("vec_id") % 100 == 0), k=3, n_probe=1
+    )
+    stats = P.assert_plan(out)  # no nested loop, no row-Python
+    assert stats["broadcast_hash_joins"] >= 1
+    txt = P.plan_text(out)
+    assert "PartitionFilters" in txt
+
+
+def test_skipping_pruned_scan_pushes_exact_predicate(spark, tmp_path):
+    """read_with_skipping re-applies the exact predicate AFTER file
+    pruning — it must reach the kept files' scan as a pushed filter
+    (row-group skipping inside kept files composes with the
+    file-level prune), with a single scan and no Python nodes."""
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark import plans as P
+    from bohemia_kenya_data_pipeline_spark.operators import skipping as skp
+
+    path = str(tmp_path / "skiptbl")
+    spark.range(1, 5001).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(4, "k").write.mode("overwrite").parquet(path)
+    skp.build_file_manifest(spark, path, ["k"])
+    out = skp.read_with_skipping(spark, path, [("k", "between", (1000, 1499))])
+    stats = P.assert_plan(out, require_pushdown=True, max_scans=1)
+    assert stats["scans"] == 1
