@@ -324,6 +324,115 @@ def incremental_dedup_sink(
     )
 
 
+def neardup_ingest_sink(
+    stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quarantine_path: str | None = None,
+    max_bucket_size: int | None = None,
+):
+    """Streaming corpus ingest with NEAR-dup suppression against a
+    persistent minhash index — the fuzzy sibling of
+    :func:`incremental_dedup_sink`: each micro-batch (a) probes the
+    index (:func:`~..operators.dedup.minhash_index_query` — sign the
+    batch only, band-partition-pruned join), (b) generates
+    within-batch candidate pairs with the INDEX'S OWN signature
+    params (a probe can never out-run the index's hashing), (c)
+    appends survivors to ``out_path`` and admits them into the index
+    (:func:`~..operators.dedup.minhash_index_extend`).
+
+    Suppression rule, deterministic: a doc is dropped iff it
+    candidates against ANY indexed doc, or against a SMALLER-id doc
+    in its own batch (keep-lowest-id — the same representative choice
+    as ``drop_exact_duplicates``). Flagged docs land in
+    ``quarantine_path`` (when set) with a ``reason`` column
+    (``index`` / ``batch``) for review — candidates are minhash-level
+    (Jaccard-likely), so a human/verify stage downstream of
+    quarantine is the intended shape, exactly like the reference's
+    anomaly-review loop rather than silent deletion.
+
+    The index must exist (seed it with ``minhash_index_write``, even
+    on an empty corpus). Delivery contract mirrors the exact-dedup
+    sink: survivors are written BEFORE their band rows commit, so the
+    index stays a strict subset of emitted docs (at-least-once on
+    ``out_path``/quarantine; a replayed batch whose band rows DID
+    commit self-suppresses — each replayed doc candidates against its
+    own indexed band rows). Downstream exactly-once = dedup on
+    ``id_col``.
+
+    100 TB shape: per batch, work is batch-signature + a pruned
+    equi-join against the band partitions + a batch-sized extend —
+    the corpus is signed once, ever; ``max_bucket_size`` caps
+    hot-bucket blowup on boilerplate-heavy streams (same contract as
+    the batch generators).
+    """
+    from ..operators import dedup as _dd
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        params = _dd.read_minhash_index_params(spark, index_path)
+        vs_index = (
+            _dd.minhash_index_query(
+                batch_df, index_path, text_col, id_col,
+                max_bucket_size=max_bucket_size,
+            )
+            .select(F.col("new_id").alias("_flag_id"))
+            .distinct()
+        )
+        in_batch = (
+            _dd.minhash_lsh_pairs(
+                batch_df,
+                text_col,
+                id_col,
+                num_hashes=params["num_hashes"],
+                bands=params["bands"],
+                shingle_n=params["shingle_n"],
+                seed=params["seed"],
+                max_bucket_size=max_bucket_size,
+            )
+            .select(F.col("id_b").alias("_flag_id"))  # keep-lowest-id
+            .distinct()
+        )
+        key = F.col(id_col)
+        accepted = (
+            batch_df.join(
+                vs_index.unionByName(in_batch).distinct(),
+                key == F.col("_flag_id"),
+                "left_anti",
+            ).persist()
+        )
+        try:
+            accepted.write.mode("append").parquet(out_path)
+            if quarantine_path is not None:
+                reason = (
+                    batch_df.join(
+                        vs_index, key == F.col("_flag_id"), "semi"
+                    )
+                    .withColumn("reason", F.lit("index"))
+                    .unionByName(
+                        batch_df.join(
+                            vs_index, key == F.col("_flag_id"), "anti"
+                        )
+                        .join(in_batch, key == F.col("_flag_id"), "semi")
+                        .withColumn("reason", F.lit("batch"))
+                    )
+                )
+                reason.write.mode("append").parquet(quarantine_path)
+            _dd.minhash_index_extend(accepted, index_path, text_col, id_col)
+        finally:
+            accepted.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _committed_versions(spark: SparkSession, store_path: str) -> list[int]:
     """Version ids under ``store_path/v=<id>`` whose parquet
     ``_SUCCESS`` marker exists. A crash mid-write leaves a ``v=`` dir

@@ -915,3 +915,96 @@ def test_cdc_upsert_sink_version_retention(spark, tmp_path):
             spark.readStream.schema(schema).parquet(str(src / "*")),
             table, str(tmp_path / "ckpt2"), ["k"], ["seq"], keep_versions=1,
         )
+
+
+def test_neardup_ingest_sink_matches_sequential_batch(spark, tmp_path):
+    """Streamed near-dup ingest must equal the batch loop (probe ->
+    keep-lowest-id -> extend) over the same files in arrival order,
+    and the final index must hold exactly seed + accepted band rows."""
+    from bohemia_kenya_data_pipeline_spark.operators import dedup as dd
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "accepted")
+    quar = str(tmp_path / "quarantine")
+    idx = str(tmp_path / "mh_idx")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id BIGINT, text STRING"
+
+    seed_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "an entirely different document about spark shuffles"),
+    ]
+    seed = spark.createDataFrame(seed_rows, schema)
+    dd.minhash_index_write(seed, idx, num_hashes=8, bands=4)
+
+    # f1: 10 near-dups the seed (vs-index), 12 near-dups 11 (in-batch,
+    # keep-lowest -> 11 stays); f2: 20 near-dups the ACCEPTED 11
+    # (extension visibility), 21 is novel
+    f1 = [
+        (10, "the quick brown fox jumps over the lazy cat"),
+        (11, "completely novel content with no overlap at all"),
+        (12, "completely novel content with no overlap at all today"),
+    ]
+    f2 = [
+        (20, "completely novel content with no overlap at all"),
+        (21, "yet another unrelated text about window functions"),
+    ]
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    write_file("f1", f1)
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    se.neardup_ingest_sink(
+        stream, out, idx, ckpt, quarantine_path=quar
+    ).awaitTermination(60)
+    write_file("f2", f2)
+    se.neardup_ingest_sink(
+        stream, out, idx, ckpt, quarantine_path=quar
+    ).awaitTermination(60)
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    # batch replay of the same arrival order against a fresh index
+    idx2 = str(tmp_path / "mh_idx2")
+    dd.minhash_index_write(seed, idx2, num_hashes=8, bands=4)
+    expect = set()
+    for rows in (f1, f2):
+        batch = spark.createDataFrame(rows, schema)
+        flagged = {
+            r.new_id for r in dd.minhash_index_query(batch, idx2).collect()
+        }
+        flagged |= {
+            r.id_b
+            for r in dd.minhash_lsh_pairs(
+                batch, num_hashes=8, bands=4
+            ).collect()
+        }
+        acc = batch.filter(~batch.doc_id.isin(list(flagged) or [-1]))
+        expect |= {r.doc_id for r in acc.collect()}
+        dd.minhash_index_extend(acc, idx2)
+    assert got == expect
+    assert got == {11, 21}  # 10 vs-index, 12 in-batch, 20 vs-extended
+
+    # quarantine carries the reasons
+    q = {(r.doc_id, r.reason) for r in spark.read.parquet(quar).collect()}
+    assert q == {(10, "index"), (12, "batch"), (20, "index")}
+
+    # final index == seed + accepted band rows, exactly
+    idx_rows = set(map(tuple, spark.read.parquet(idx).collect()))
+    want_idx = str(tmp_path / "mh_want")
+    dd.minhash_index_write(
+        seed.unionByName(
+            spark.createDataFrame(
+                [r for r in f1 + f2 if r[0] in got], schema
+            )
+        ),
+        want_idx,
+        num_hashes=8,
+        bands=4,
+    )
+    assert idx_rows == set(map(tuple, spark.read.parquet(want_idx).collect()))
