@@ -339,6 +339,14 @@ def query_ivfpq_index(
     serving shape: cheap approximate candidate generation over codes,
     exact scoring over r << corpus rows.
     """
+    if rerank and rerank < k:
+        # the exact stage can only re-rank what the ADC pool feeds it:
+        # a pool smaller than k would silently return `rerank` rows
+        # per query instead of k (ADVICE r8)
+        raise ValueError(
+            f"rerank={rerank} must be >= k={k}: the ADC pool is the "
+            "candidate set the exact re-rank draws from"
+        )
     centroids = load_ann_centroids(spark, index_path)
     codebooks = load_pq_codebooks(spark, index_path)
     probed = (

@@ -31,6 +31,7 @@ into an open-only-what-matches plan without changing the storage.
 from __future__ import annotations
 
 import json as _json
+import re as _re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,6 +62,61 @@ def _bloom_path(path: str) -> str:
 
 def _params_path(path: str) -> str:
     return _manifest_root(path) + "/_params.json"
+
+
+def _canon_col(c: Column) -> Column:
+    """Canonical file name: ``input_file_name()`` renders local files
+    as ``file:///x`` while the Hadoop listing renders ``file:/x`` —
+    strip ONLY the local-file scheme so both sides compare equal
+    (remote schemes like ``s3a://`` render identically on both sides
+    and stay untouched, so the stored name is always readable)."""
+    return F.regexp_replace(c, r"^file:/+", "/")
+
+
+def _canon_name(s: str) -> str:
+    return _re.sub(r"^file:/+", "/", s)
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), p
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int, int]]:
+    """(canonical name, size_bytes, mtime_ms) of every parquet data
+    file under ``path`` — a driver-side metadata walk (no data read),
+    the same metadata-sized class as :func:`prune_files`' name
+    collect. size+mtime are the staleness fingerprint
+    :func:`extend_file_manifest` compares against the manifest."""
+    _, fs, p = _fs(spark, path)
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        out.append(
+            (
+                _canon_name(st.getPath().toString()),
+                st.getLen(),
+                st.getModificationTime(),
+            )
+        )
+    return sorted(out)
+
+
+def _replace_dataset(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Rewrite a (metadata-sized) dataset whose new contents are
+    DERIVED from the old one: write to a stage sibling, then swap —
+    Spark cannot overwrite a path it is still reading from."""
+    stage = path.rstrip("/") + "__stage"
+    df.write.mode("overwrite").parquet(stage)
+    jvm, fs, p = _fs(spark, path)
+    fs.delete(p, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(stage), p)
 
 
 def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
@@ -300,7 +356,11 @@ def read_with_skipping(
         # schema-stable empty result without opening any data file
         out = spark.read.parquet(path).filter(F.lit(False))
     else:
-        out = spark.read.parquet(*sorted(files))
+        # basePath reconstructs hive partition columns from the kept
+        # leaf paths — without it a partitioned layout would silently
+        # lose its partition columns and the result would no longer
+        # equal read.parquet(path).filter(...) (ADVICE r8)
+        out = spark.read.option("basePath", path).parquet(*sorted(files))
     if predicates:
         out = out.filter(_row_pred(predicates))
     if in_keys is not None:

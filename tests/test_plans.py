@@ -484,7 +484,6 @@ def test_round8_lakehouse_and_arrow_assign_plans(spark, tmp_path):
     Python through THREE chained batches; the Arrow index build plans
     exactly one Arrow python node and no shuffle before the write."""
     from bohemia_kenya_data_pipeline_spark import plans as P
-    from bohemia_kenya_data_pipeline_spark import plans as P
     from bohemia_kenya_data_pipeline_spark.jobs import retrieval as rt
     from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
 
