@@ -139,6 +139,60 @@ def _read_json(spark: SparkSession, path: str) -> dict:
         stream.close()
 
 
+def _stats_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    stats_cols: list[str],
+    fingerprints: list[tuple[str, int, int]],
+) -> DataFrame:
+    """Per-file stats rows for ``df`` (which must carry a canonical
+    ``_file`` column): min/max/null-count per stats column + row count,
+    left-joined onto the driver-side (name, size, mtime) fingerprint
+    listing so every LISTED file gets a row — a zero-row parquet file
+    produces no aggregate group, but it still needs a manifest row or
+    :func:`extend_file_manifest` would re-stat it forever. All of it
+    is a map-side-combinable groupBy on the file name: shuffle volume
+    is O(files x columns), independent of row count."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nnull_{c}"))
+    stats = df.groupBy("_file").agg(*aggs)
+    fp = spark.createDataFrame(
+        fingerprints, "_file STRING, _size BIGINT, _mtime BIGINT"
+    )
+    return fp.join(stats, "_file", "left").withColumn(
+        "n_rows", F.coalesce("n_rows", F.lit(0).cast("long"))
+    )
+
+
+def _bloom_rows(
+    df: DataFrame, bloom_col: str, n_bits: int, n_hashes: int, seed: int
+) -> DataFrame:
+    """Per-file sparse bloom word table over ``bloom_col`` for a frame
+    carrying ``_file`` — ``(file, word_idx, word)``, the same sparse
+    representation as ``bloom.bloom_words``, mergeable per file by
+    construction."""
+    if n_bits % 64 != 0:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    key = F.col(bloom_col)
+    pos = F.array(*_positions(key, n_bits, n_hashes, seed))
+    return (
+        df.filter(key.isNotNull())
+        .select("_file", F.explode(pos).alias("pos"))
+        .select(
+            "_file",
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("_file", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
 def build_file_manifest(
     spark: SparkSession,
     path: str,
@@ -149,52 +203,33 @@ def build_file_manifest(
     seed: int = 42,
 ) -> None:
     """ONE scan of the table builds the whole manifest: per file
-    (``input_file_name``) min/max/null-count for each stats column,
-    row count, and — when ``bloom_col`` is set — a per-file bloom word
-    table over that key column (``(file, word_idx, word)``; the same
-    sparse representation as ``bloom.bloom_words``, mergeable per file
-    by construction).
+    (``input_file_name``, canonicalized) min/max/null-count for each
+    stats column, row count, a size+mtime staleness fingerprint from
+    the driver-side listing, and — when ``bloom_col`` is set — a
+    per-file bloom word table over that key column.
 
     Everything is a map-side-combinable groupBy on the file name, so
     shuffle volume is O(files x columns), independent of row count.
-    Rebuild after compaction/append (or extend incrementally: stats
-    rows are per-file, so appending a manifest for only the NEW files
-    and unioning is exact — same pattern as ``extend_ann_index``).
+    After appends/compaction, :func:`extend_file_manifest` re-stats
+    ONLY the files whose fingerprint is new or changed — same
+    amortization as ``dedup.minhash_index_extend``.
 
     Citation: replaces the reference's re-read-everything history scan
     (``05.run_anomaly_detection.R:82-104``) with open-only-what-matches.
     """
     if not stats_cols and bloom_col is None:
         raise ValueError("need at least one stats column or a bloom_col")
-    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in stats_cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nnull_{c}"))
-    df.groupBy("_file").agg(*aggs).write.mode("overwrite").parquet(
-        _stats_path(path)
+    df = spark.read.parquet(path).withColumn(
+        "_file", _canon_col(F.input_file_name())
     )
+    listing = _list_data_files(spark, path)
+    _stats_rows(spark, df, stats_cols, listing).write.mode(
+        "overwrite"
+    ).parquet(_stats_path(path))
     if bloom_col is not None:
-        if n_bits % 64 != 0:
-            raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
-        key = F.col(bloom_col)
-        pos = F.array(*_positions(key, n_bits, n_hashes, seed))
-        (
-            df.filter(key.isNotNull())
-            .select("_file", F.explode(pos).alias("pos"))
-            .select(
-                "_file",
-                (F.col("pos") / 64).cast("long").alias("word_idx"),
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
-                ).alias("mask"),
-            )
-            .groupBy("_file", "word_idx")
-            .agg(F.bit_or("mask").alias("word"))
-            .write.mode("overwrite")
-            .parquet(_bloom_path(path))
-        )
+        _bloom_rows(df, bloom_col, n_bits, n_hashes, seed).write.mode(
+            "overwrite"
+        ).parquet(_bloom_path(path))
     _write_json(
         spark,
         _params_path(path),
@@ -212,6 +247,90 @@ def read_manifest_params(spark: SparkSession, path: str) -> dict:
     """The parameters a manifest was built with — the single source
     pruned reads must use (same contract as the minhash index)."""
     return _read_json(spark, _params_path(path))
+
+
+def extend_file_manifest(spark: SparkSession, path: str) -> dict:
+    """Bring an existing manifest up to date by scanning ONLY the
+    files whose size+mtime fingerprint is absent (appended files) or
+    different (rewritten files) from the stored stats; rows for
+    deleted or rewritten files are dropped. The steady-state loop for
+    the reference's append-heavy history regime
+    (``05.run_anomaly_detection.R:82-104``: every run lands a new
+    snapshot under the same prefix) becomes append -> extend ->
+    pruned read, and the 100 TB prefix is stat-scanned exactly once,
+    ever — the same delta-sized amortization as
+    ``dedup.minhash_index_extend`` / ``retrieval.extend_ann_index``.
+
+    Exactness: stats and bloom words are per-file, so (rows kept for
+    unchanged files) UNION (rows rebuilt for new/changed files) is
+    bit-identical to a full rebuild — gate-checked by
+    ``incremental_manifest_extend`` and hash-asserted against a
+    rebuild in ``tests/test_skipping.py``.
+
+    Returns a summary dict: ``{"n_new", "n_changed", "n_deleted",
+    "n_unchanged"}`` (driver-side bookkeeping, file-count-sized).
+    """
+    params = read_manifest_params(spark, path)
+    stats = spark.read.parquet(_stats_path(path))
+    if "_size" not in stats.columns or "_mtime" not in stats.columns:
+        raise ValueError(
+            "manifest predates staleness fingerprints: rebuild once "
+            "with build_file_manifest, then extend"
+        )
+    # both sides are file-count-sized (a row per file) — the same
+    # metadata-collect class as prune_files' kept-name collect
+    old = {
+        r._file: (r._size, r._mtime)
+        for r in stats.select("_file", "_size", "_mtime").collect()
+    }
+    cur = {n: (s, m) for n, s, m in _list_data_files(spark, path)}
+    fresh = sorted(n for n, fp in cur.items() if old.get(n) != fp)
+    changed = [n for n in fresh if n in old]
+    deleted = sorted(n for n in old if n not in cur)
+    summary = {
+        "n_new": len(fresh) - len(changed),
+        "n_changed": len(changed),
+        "n_deleted": len(deleted),
+        "n_unchanged": len(old) - len(changed) - len(deleted),
+    }
+    drop = sorted(set(changed) | set(deleted))
+    if not fresh and not drop:
+        return summary  # fingerprints all current: zero data files read
+    kept = stats
+    if drop:
+        kept = kept.filter(~F.col("_file").isin(drop))
+    new_df = None
+    if fresh:
+        # basePath reconstructs hive partition columns from the leaf
+        # paths, same contract as read_with_skipping's pruned scan
+        new_df = spark.read.option("basePath", path).parquet(
+            *fresh
+        ).withColumn("_file", _canon_col(F.input_file_name()))
+        kept = kept.unionByName(
+            _stats_rows(
+                spark,
+                new_df,
+                params["stats_cols"],
+                [(n, *cur[n]) for n in fresh],
+            )
+        )
+    _replace_dataset(spark, kept, _stats_path(path))
+    if params.get("bloom_col") is not None:
+        words = spark.read.parquet(_bloom_path(path))
+        if drop:
+            words = words.filter(~F.col("_file").isin(drop))
+        if new_df is not None:
+            words = words.unionByName(
+                _bloom_rows(
+                    new_df,
+                    params["bloom_col"],
+                    params["n_bits"],
+                    params["n_hashes"],
+                    params["seed"],
+                )
+            )
+        _replace_dataset(spark, words, _bloom_path(path))
+    return summary
 
 
 #: op -> file-may-match condition over (min_c, max_c). NULL min/max

@@ -12231,6 +12231,57 @@ def bloom_skip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_manifest_extend",
+    """
+    SELECT l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-07-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+      AND l_discount >= 0.05
+    GROUP BY 1
+    """,
+)
+def incremental_manifest_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The append-heavy history regime end-to-end (VERDICT r9 ask 1;
+    # reference: 05.run_anomaly_detection.R:82-104 re-reads the whole
+    # landed prefix every run): build the manifest over the base
+    # landing ONCE, append a delta batch, extend_file_manifest stats
+    # ONLY the new files (fingerprint diff), and the pruned read over
+    # base+delta must equal the full-scan filter over ALL of lineitem
+    # — so extension exactness is hash-checked by the oracle, not just
+    # golden-tested (the incremental_minhash_dedup template).
+    from datetime import datetime
+
+    from .operators import skipping as _skp
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = _skip_tmp_path(sf_dir, "liext")
+    base = li.filter(F.col("l_orderkey") % 4 != 0)
+    delta = li.filter(F.col("l_orderkey") % 4 == 0)
+    base.repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(path)
+    _skp.build_file_manifest(spark, path, ["l_shipdate", "l_discount"])
+    delta.repartitionByRange(4, "l_shipdate").write.mode("append").parquet(path)
+    _skp.extend_file_manifest(spark, path)
+    out = _skp.read_with_skipping(
+        spark,
+        path,
+        [
+            ("l_shipdate", ">=", datetime(1995, 7, 1)),
+            ("l_shipdate", "<", datetime(1995, 10, 1)),
+            ("l_discount", ">=", 0.05),
+        ],
+    )
+    return out.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@_register(
     "incremental_minhash_dedup",
     "WITH "
     + _lsh_bands_sql(16, 4)

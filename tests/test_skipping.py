@@ -138,3 +138,127 @@ def test_guards(spark, tmp_path):
         skp.build_file_manifest(spark, path, [])
     params = skp.read_manifest_params(spark, path)
     assert params["stats_cols"] == ["k"] and params["bloom_col"] is None
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_extend_manifest_equals_rebuild(spark, tmp_path):
+    # append a batch, extend, and the manifest (stats AND bloom) must
+    # be row-identical to a full rebuild over the same files — the
+    # extension-exactness contract (VERDICT r9 ask 1)
+    path, _ = _clustered_table(spark, tmp_path, n=4_000, files=4)
+    skp.build_file_manifest(spark, path, ["k", "v"], bloom_col="k")
+    delta = spark.range(4_001, 6_001).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.concat(F.lit("row_"), F.col("id")).alias("payload"),
+    )
+    delta.repartitionByRange(2, "k").write.mode("append").parquet(path)
+    summary = skp.extend_file_manifest(spark, path)
+    assert summary["n_new"] == 2
+    assert summary["n_changed"] == 0 and summary["n_deleted"] == 0
+    assert summary["n_unchanged"] == 4
+    ext_stats = _rows(spark.read.parquet(skp._stats_path(path)))
+    ext_bloom = _rows(spark.read.parquet(skp._bloom_path(path)))
+    skp.build_file_manifest(spark, path, ["k", "v"], bloom_col="k")
+    assert ext_stats == _rows(spark.read.parquet(skp._stats_path(path)))
+    assert ext_bloom == _rows(spark.read.parquet(skp._bloom_path(path)))
+
+
+def test_extend_manifest_pruned_read_sees_appended_rows(spark, tmp_path):
+    path, _ = _clustered_table(spark, tmp_path, n=3_000, files=3)
+    skp.build_file_manifest(spark, path, ["k"])
+    spark.range(3_001, 4_001).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.concat(F.lit("row_"), F.col("id")).alias("payload"),
+    ).coalesce(1).write.mode("append").parquet(path)
+    skp.extend_file_manifest(spark, path)
+    preds = [("k", ">=", 3_500)]
+    got = skp.read_with_skipping(spark, path, preds)
+    want = spark.read.parquet(path).filter(F.col("k") >= 3_500)
+    assert _rows(got) == _rows(want) and got.count() == 501
+
+
+def test_extend_manifest_noop_and_staleness_fingerprint(spark, tmp_path):
+    import os
+
+    path, _ = _clustered_table(spark, tmp_path, n=1_000, files=2)
+    skp.build_file_manifest(spark, path, ["k"])
+    # nothing changed: zero files re-stated, manifest byte-stable
+    before = _rows(spark.read.parquet(skp._stats_path(path)))
+    assert skp.extend_file_manifest(spark, path) == {
+        "n_new": 0, "n_changed": 0, "n_deleted": 0, "n_unchanged": 2,
+    }
+    assert _rows(spark.read.parquet(skp._stats_path(path))) == before
+    # mtime bump = changed fingerprint -> that file is re-stated
+    data_files = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    victim = os.path.join(path, data_files[0])
+    st = os.stat(victim)
+    os.utime(victim, (st.st_atime, st.st_mtime + 10))
+    s = skp.extend_file_manifest(spark, path)
+    assert s["n_changed"] == 1 and s["n_unchanged"] == 1
+    # deletion -> row dropped, pruned read still equals full scan
+    os.remove(os.path.join(path, data_files[1]))
+    s = skp.extend_file_manifest(spark, path)
+    assert s["n_deleted"] == 1 and s["n_new"] == 0
+    got = skp.read_with_skipping(spark, path, [("k", ">", 0)])
+    want = spark.read.parquet(path).filter(F.col("k") > 0)
+    assert _rows(got) == _rows(want)
+
+
+def test_skipping_partitioned_layout_reconstructs_partition_cols(spark, tmp_path):
+    # regression for the r9 basePath fix (VERDICT r9 ask 2a): on a
+    # hive-partitioned layout the pruned read must keep the partition
+    # columns and equal the full scan + filter for BOTH a
+    # partition-column predicate and a regular-column predicate
+    path = str(tmp_path / "ptbl")
+    df = spark.range(1, 8_001).select(
+        (F.col("id") % 8).cast("int").alias("bucket"),
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    skp.build_file_manifest(spark, path, ["bucket", "k"])
+    full = spark.read.parquet(path)
+    got_p = skp.read_with_skipping(spark, path, [("bucket", "=", 3)])
+    assert sorted(got_p.columns) == sorted(full.columns)
+    assert _rows(got_p.select(*sorted(got_p.columns))) == _rows(
+        full.filter(F.col("bucket") == 3).select(*sorted(full.columns))
+    )
+    kept, total = skp.prune_files(spark, path, [("bucket", "=", 3)])
+    assert len(kept) < total  # partition-column predicate prunes files
+    got_r = skp.read_with_skipping(spark, path, [("k", "between", (100, 900))])
+    assert _rows(got_r.select(*sorted(got_r.columns))) == _rows(
+        full.filter(F.col("k").between(100, 900)).select(*sorted(full.columns))
+    )
+    # appends into NEW partition directories extend cleanly too
+    spark.range(8_001, 9_001).select(
+        F.lit(9).cast("int").alias("bucket"),
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+    ).write.mode("append").partitionBy("bucket").parquet(path)
+    s = skp.extend_file_manifest(spark, path)
+    assert s["n_new"] >= 1 and s["n_deleted"] == 0
+    got_n = skp.read_with_skipping(spark, path, [("bucket", "=", 9)])
+    assert got_n.count() == 1_000
+
+
+def test_extend_manifest_requires_fingerprints(spark, tmp_path):
+    path, _ = _clustered_table(spark, tmp_path, n=200, files=2)
+    skp.build_file_manifest(spark, path, ["k"])
+    spark.read.parquet(skp._stats_path(path)).drop("_size", "_mtime").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "legacy_stats"))
+    import shutil
+
+    shutil.rmtree(skp._stats_path(path))
+    shutil.copytree(str(tmp_path / "legacy_stats"), skp._stats_path(path))
+    with pytest.raises(ValueError, match="fingerprints"):
+        skp.extend_file_manifest(spark, path)
