@@ -311,6 +311,39 @@ def build_ivfpq_index(
     return centroids, codebooks
 
 
+def extend_ivfpq_index(
+    new_rows: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign: str = "auto",
+) -> None:
+    """Incrementally index new vectors into a compressed IVF-PQ
+    layout: assign against the SIDECAR centroids and PQ-encode with
+    the SIDECAR codebooks (no retraining, no rebuild), appending into
+    the existing ``cid`` partition directories — a delta-sized write,
+    the daily ingest path of the layout a 100 TB deployment actually
+    serves. Mirrors :func:`extend_ann_index` (same drift caveat:
+    appended vectors are bucketed AND quantized by the ORIGINAL
+    training state, so rebuild on a cadence informed by the drift
+    gates) and is exact by construction — assignment + encoding are
+    deterministic given the sidecars, so extended == rebuilt
+    (hash-checked by the ``incremental_ivfpq_ann`` gate entry).
+
+    Whether raw vectors are stored rides on the EXISTING index layout
+    (``store_vec`` at build time): appended rows carry the vector
+    column iff the index already does, so a two-stage re-rank keeps
+    working after extension."""
+    spark = new_rows.sparkSession
+    centroids = load_ann_centroids(spark, index_path)
+    codebooks = load_pq_codebooks(spark, index_path)
+    store_vec = vec_col in spark.read.parquet(index_path).columns
+    assigned = _assign_for_index(new_rows, centroids, vec_col, id_col, assign)
+    extra = ("cid", vec_col) if store_vec else ("cid",)
+    coded = sim.pq_encode(assigned, codebooks, vec_col, id_col, extra_cols=extra)
+    coded.write.mode("append").partitionBy("cid").parquet(index_path)
+
+
 def query_ivfpq_index(
     spark: SparkSession,
     index_path: str,

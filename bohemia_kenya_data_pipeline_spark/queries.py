@@ -12141,6 +12141,31 @@ def ann_ivfpq_rerank_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("incremental_ivfpq_ann", _ivfpq_sql(rerank=20))
+def incremental_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The compressed serving index's ingest path (VERDICT r9 ask 4):
+    # build the IVF-PQ index over 80% of the corpus, admit the rest
+    # with extend_ivfpq_index (sidecar centroids + codebooks, no
+    # retrain — a delta-sized append into the cid partitions), then
+    # run the two-stage ADC->exact-rerank query. Assignment and
+    # encoding are deterministic given the sidecars, so the extended
+    # index must answer EXACTLY like one built over the full corpus —
+    # which is what the full-corpus oracle hash-checks.
+    from .jobs import retrieval as rt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_tmp_path(sf_dir, "ext")
+    base = emb.filter(F.col("vec_id") % 10 < 8)
+    delta = emb.filter(F.col("vec_id") % 10 >= 8)
+    rt.build_ivfpq_index(
+        base, path, centroids=_IVF_FIXED_RAW, codebooks=_PQ_CB, store_vec=True
+    )
+    rt.extend_ivfpq_index(delta, path)
+    return rt.query_ivfpq_index(
+        spark, path, _fixed_query_batch(emb), k=5, n_probe=2, rerank=20
+    )
+
+
 def _skip_tmp_path(sf_dir: str, tag: str) -> str:
     import tempfile
 

@@ -315,3 +315,55 @@ def test_pq_adc_topk_probe_restricts_candidates_per_query(spark):
     }
     for r in got.collect():
         assert cid_of[r.neighbor_id] == qcid[r.query_id]
+
+
+def test_ivfpq_rerank_pool_smaller_than_k_raises(spark, tmp_path):
+    # regression for the r9 guard (retrieval.py): a rerank pool
+    # smaller than k would silently return `rerank` rows per query
+    import pytest
+
+    corpus = _toy_corpus(spark, n=60)
+    path = str(tmp_path / "pqidx_guard")
+    rt.build_ivfpq_index(
+        corpus, path, centroids=[[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]],
+        codebooks=_toy_codebooks(), store_vec=True,
+    )
+    with pytest.raises(ValueError, match="rerank=3 must be >= k=5"):
+        rt.query_ivfpq_index(
+            spark, path, corpus.limit(2), k=5, n_probe=2, rerank=3
+        )
+
+
+def test_extend_ivfpq_index_equals_rebuild(spark, tmp_path):
+    # extension exactness for the compressed layout: sidecar-driven
+    # assignment + encoding of the delta must answer exactly like a
+    # full rebuild, with AND without stored vectors / rerank
+    full = _toy_corpus(spark, n=400)
+    base = full.filter(F.col("vec_id") <= 300)
+    late = full.filter(F.col("vec_id") > 300)
+    queries = full.filter(F.col("vec_id") % 60 == 0)
+    cb = _toy_codebooks()
+    cents = [[1.0] + [0.0] * 7, [0.0] * 3 + [1.0] + [0.0] * 4,
+             [0.0] * 7 + [1.0], [0.5] * 8]
+    for store_vec, rerank in ((False, 0), (True, 20)):
+        pe = str(tmp_path / f"pq_ext_{store_vec}")
+        pf = str(tmp_path / f"pq_full_{store_vec}")
+        rt.build_ivfpq_index(
+            base, pe, centroids=cents, codebooks=cb, store_vec=store_vec
+        )
+        rt.extend_ivfpq_index(late, pe)
+        rt.build_ivfpq_index(
+            full, pf, centroids=cents, codebooks=cb, store_vec=store_vec
+        )
+        got = rt.query_ivfpq_index(
+            spark, pe, queries, k=5, n_probe=2, rerank=rerank
+        )
+        want = rt.query_ivfpq_index(
+            spark, pf, queries, k=5, n_probe=2, rerank=rerank
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), (store_vec, rerank)
+        assert spark.read.parquet(pe).count() == 400
+        # appended rows carry the vector column iff the index does
+        assert ("embedding" in spark.read.parquet(pe).columns) == store_vec
