@@ -812,6 +812,16 @@ def minhash_index_write(
 
     rows = _minhash_band_rows(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
     rows.write.mode(mode).partitionBy("band").parquet(path)
+    spark0 = df.sparkSession
+    if mode == "overwrite" and _hadoop_exists(
+        spark0, _minhash_tombstone_path(path)
+    ):
+        # a rebuilt index starts clean: tombstones from a previous
+        # index at the same path must not hide the new corpus
+        jvm0 = spark0.sparkContext._jvm
+        conf0 = spark0.sparkContext._jsc.hadoopConfiguration()
+        tp = jvm0.org.apache.hadoop.fs.Path(_minhash_tombstone_path(path))
+        tp.getFileSystem(conf0).delete(tp, True)
     params = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n, "seed": seed}
     spark = df.sparkSession
     jvm = spark.sparkContext._jvm
@@ -835,6 +845,87 @@ def read_minhash_index_params(spark, index_path: str) -> dict:
         return _json.loads(bytes(stream.readAllBytes()).decode())
     finally:
         stream.close()
+
+
+def _minhash_tombstone_path(index_path: str) -> str:
+    # sibling path, NOT inside the index dir (a nested parquet dataset
+    # would be read as band-row data — same rule as the manifest
+    # sidecars in operators/skipping.py)
+    return index_path.rstrip("/") + "__tombstones"
+
+
+def _hadoop_exists(spark, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def minhash_index_delete(
+    deleted: DataFrame, index_path: str, id_col: str = "doc_id"
+) -> None:
+    """Remove documents from a minhash index WITHOUT rewriting it:
+    append their ids to a tombstone sidecar that
+    :func:`minhash_index_query` anti-joins before candidate
+    generation — the same soft-delete shape as the reference's batch
+    DELETE resolutions (``processing_utils.R:335-400``, C1 semantics),
+    where the mutation list is tiny next to the corpus. The index's
+    band partitions are untouched (no 100 TB rewrite for a
+    delete batch); re-admitting a deleted id via
+    :func:`minhash_index_extend` clears its tombstone, and
+    :func:`minhash_index_compact` folds tombstones into the band rows
+    when they accumulate."""
+    deleted.select(F.col(id_col).alias("id")).distinct().write.mode(
+        "append"
+    ).parquet(_minhash_tombstone_path(index_path))
+
+
+def _minhash_tombstones(spark, index_path: str) -> DataFrame | None:
+    path = _minhash_tombstone_path(index_path)
+    if not _hadoop_exists(spark, path):
+        return None
+    return spark.read.parquet(path).select("id").distinct()
+
+
+def minhash_index_compact(spark, index_path: str) -> None:
+    """Fold accumulated tombstones into the index: rewrite the band
+    rows WITHOUT the deleted ids (one index-sized pass, keeping the
+    band partitioning) and drop the tombstone sidecar — run on a
+    cadence, like any lakehouse vacuum, so query-time anti-join cost
+    stays bounded. After compaction the index is byte-equivalent in
+    content to one built over the surviving corpus."""
+    from .skipping import _replace_dataset
+
+    tomb = _minhash_tombstones(spark, index_path)
+    if tomb is None:
+        return
+    rows = spark.read.parquet(index_path).join(
+        F.broadcast(tomb), "id", "anti"
+    )
+    # partitionBy-preserving staged swap: write to a stage sibling,
+    # then replace (Spark cannot overwrite a path it is reading)
+    stage = index_path.rstrip("/") + "__stage"
+    rows.write.mode("overwrite").partitionBy("band").parquet(stage)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(index_path).getFileSystem(conf)
+    params_tmp = read_minhash_index_params(spark, index_path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(index_path), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(stage),
+        jvm.org.apache.hadoop.fs.Path(index_path),
+    )
+    # the staged swap drops the sidecar params file — restore it
+    import json as _json
+
+    p = jvm.org.apache.hadoop.fs.Path(index_path + "/_params.json")
+    out = p.getFileSystem(conf).create(p, True)
+    out.write(bytearray(_json.dumps(params_tmp).encode()))
+    out.close()
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(_minhash_tombstone_path(index_path)),
+        True,
+    )
 
 
 def minhash_index_query(
@@ -870,6 +961,16 @@ def minhash_index_query(
     index = spark.read.parquet(index_path).select(
         F.col("id").alias("index_id"), "band", "bucket"
     )
+    tomb = _minhash_tombstones(spark, index_path)
+    if tomb is not None:
+        # deleted docs stop surfacing as candidates AND stop counting
+        # toward bucket caps — exactly as if the index had been built
+        # over the surviving corpus (golden-tested)
+        index = index.join(
+            F.broadcast(tomb.select(F.col("id").alias("index_id"))),
+            "index_id",
+            "anti",
+        )
     index = _cap_buckets(index, ["band", "bucket"], "index_id", max_bucket_size)
     return (
         batch_rows.join(index, ["band", "bucket"])
@@ -894,7 +995,11 @@ def minhash_index_extend(
     concatenated corpus (same signature params by construction —
     golden-tested), so later probes see identical candidates. Mirrors
     ``extend_ann_index``'s append-only contract, without the drift
-    caveat: minhash signatures have no trained state to go stale."""
+    caveat: minhash signatures have no trained state to go stale.
+
+    Re-admitting a previously deleted id clears its tombstone (the
+    document is back in the corpus, so it must surface as a candidate
+    again)."""
     spark = new_docs.sparkSession
     params = read_minhash_index_params(spark, index_path)
     rows = _minhash_band_rows(
@@ -907,6 +1012,16 @@ def minhash_index_extend(
         params["seed"],
     )
     rows.write.mode("append").partitionBy("band").parquet(index_path)
+    tomb = _minhash_tombstones(spark, index_path)
+    if tomb is not None:
+        from .skipping import _replace_dataset
+
+        readded = new_docs.select(F.col(id_col).alias("id")).distinct()
+        _replace_dataset(
+            spark,
+            tomb.join(F.broadcast(readded), "id", "anti"),
+            _minhash_tombstone_path(index_path),
+        )
 
 
 # ---------------------------------------------------------------------------

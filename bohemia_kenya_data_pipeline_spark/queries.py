@@ -12336,3 +12336,32 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd.minhash_index_write(base, path, num_hashes=16, bands=4)
     dd.minhash_index_extend(ext, path)
     return dd.minhash_index_query(probe, path)
+
+
+@_register(
+    "minhash_index_delete_probe",
+    "WITH "
+    + _lsh_bands_sql(16, 4)
+    + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+      FROM bands a JOIN bands b USING (band, bucket)
+      WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+        AND b.doc_id % 7 <> 3)
+    SELECT new_id, index_id FROM cand
+    """,
+)
+def minhash_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mutable-corpus near-dup serving (VERDICT r9 ask 5; reference C1
+    # DELETE semantics, processing_utils.R:335-400): tombstone a
+    # delete batch (doc_id % 7 == 3) out of the stored index — no
+    # index rewrite — and the probe must surface candidates exactly
+    # as if the index had been built over the surviving corpus, which
+    # is what the oracle's b.doc_id % 7 <> 3 leg hash-checks.
+    docs = _t(spark, sf_dir, "documents")
+    path = _skip_tmp_path(sf_dir, "mhdel")
+    stored = docs.filter(F.col("doc_id") % 10 < 8)
+    probe = docs.filter(F.col("doc_id") % 10 >= 8)
+    dd.minhash_index_write(stored, path, num_hashes=16, bands=4)
+    dd.minhash_index_delete(stored.filter(F.col("doc_id") % 7 == 3), path)
+    return dd.minhash_index_query(probe, path)

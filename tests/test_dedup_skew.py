@@ -171,3 +171,82 @@ def test_minhash_index_extend_equals_rebuild(spark, tmp_path):
     )
     got = set(map(tuple, dedup.minhash_index_query(probe, inc_path).collect()))
     assert (200, 3) in got
+
+
+def test_minhash_index_delete_hides_candidates_and_matches_rebuild(spark, tmp_path):
+    """Deleted docs must stop surfacing as candidates — and the probe
+    must equal one against an index BUILT over the surviving corpus
+    (the C1 DELETE-resolution semantics, VERDICT r9 ask 5)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about spark shuffles"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_del")
+    dedup.minhash_index_write(corpus, path, num_hashes=8, bands=4)
+    before = set(map(tuple, dedup.minhash_index_query(probe, path).collect()))
+    assert (100, 1) in before
+    dedup.minhash_index_delete(
+        corpus.filter(F.col("doc_id") == 1), path
+    )
+    after = set(map(tuple, dedup.minhash_index_query(probe, path).collect()))
+    assert all(i != 1 for _, i in after)
+    survivors_path = str(tmp_path / "mh_survivors")
+    dedup.minhash_index_write(
+        corpus.filter(F.col("doc_id") != 1), survivors_path,
+        num_hashes=8, bands=4,
+    )
+    want = set(
+        map(tuple, dedup.minhash_index_query(probe, survivors_path).collect())
+    )
+    assert after == want
+
+
+def test_minhash_index_extend_resurrects_and_compact_folds(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about spark shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_resurrect")
+    dedup.minhash_index_write(corpus, path, num_hashes=8, bands=4)
+    dedup.minhash_index_delete(corpus.filter(F.col("doc_id") == 1), path)
+    assert all(
+        i != 1
+        for _, i in map(tuple, dedup.minhash_index_query(probe, path).collect())
+    )
+    # re-admitting the same doc clears its tombstone: candidate is back
+    dedup.minhash_index_extend(corpus.filter(F.col("doc_id") == 1), path)
+    got = set(map(tuple, dedup.minhash_index_query(probe, path).collect()))
+    assert (100, 1) in got
+    # delete again, compact: band rows physically dropped, tombstone
+    # sidecar gone, probe still equals the surviving-corpus index,
+    # and extension exactness still holds post-compaction
+    dedup.minhash_index_delete(corpus.filter(F.col("doc_id") == 1), path)
+    dedup.minhash_index_compact(spark, path)
+    import os
+
+    assert not os.path.exists(dedup._minhash_tombstone_path(path))
+    ids = {r.id for r in spark.read.parquet(path).select("id").collect()}
+    assert 1 not in ids and 2 in ids
+    assert dedup.read_minhash_index_params(spark, path)["num_hashes"] == 8
+    batch = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy cat")],
+        ["doc_id", "text"],
+    )
+    dedup.minhash_index_extend(batch, path)
+    got2 = set(map(tuple, dedup.minhash_index_query(probe, path).collect()))
+    assert all(i != 1 for _, i in got2)
