@@ -1620,6 +1620,7 @@ def mine_hard_negatives(
     anchor_col: str = "anchor_id",
     positive_col: str = "positive_id",
     flag_shortfall: bool = False,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Hard negatives for contrastive / reranker training: per anchor,
     the ``n_neg`` most-similar corpus items that are NOT its known
@@ -1640,17 +1641,32 @@ def mine_hard_negatives(
     at the cost of one extra count over the (anchor, ≤ n_neg)-sized
     output window.
 
-    Plan: one :func:`cosine_topk` candidate pass (swap in
-    `cosine_topk_arrow` / `ivf_topk` upstream for big regimes — any
-    (query_id, neighbor_id, score) frame works via ``candidates=``
-    composition below), one broadcast anti join against positives,
-    one re-rank window. Returns (anchor_id, negative_id, score, rank)
-    (+ ``shortfall`` when requested).
+    Plan: one candidate pass, one broadcast anti join against
+    positives, one re-rank window. Returns (anchor_id, negative_id,
+    score, rank) (+ ``shortfall`` when requested).
+
+    ``candidates=None`` (default) generates the pool with the exact
+    :func:`cosine_topk` — oracle-exact, but all-pairs anchors x
+    corpus, which is the WRONG plan when anchors scale with the
+    corpus (measured slope 1.236, BENCH_scale_r08.json). At scale
+    pass any pre-computed (query_id, neighbor_id, score) frame —
+    :func:`cosine_topk_arrow` for vectorized-exact, :func:`ivf_topk`
+    / ``retrieval.query_ann_index`` for sublinear candidate
+    generation (recall-floor-tested in ``tests/test_recall.py``;
+    hash-parity with the default proven by the
+    ``hard_negatives_composed`` gate entry). ``k_cand`` sizing then
+    belongs to the caller's generator; self-pairs are dropped here
+    either way.
     """
     if k_cand is None:
         k_cand = 2 * n_neg + 2
-    q = anchors.select(F.col(id_col), F.col(vec_col))
-    cand = cosine_topk(corpus, q, k=k_cand, vec_col=vec_col, id_col=id_col)
+    if candidates is None:
+        q = anchors.select(F.col(id_col), F.col(vec_col))
+        cand = cosine_topk(corpus, q, k=k_cand, vec_col=vec_col, id_col=id_col)
+    else:
+        cand = candidates.select(
+            "query_id", "neighbor_id", "score"
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
     pos = positives.select(
         F.col(anchor_col).alias("query_id"),
         F.col(positive_col).alias("neighbor_id"),

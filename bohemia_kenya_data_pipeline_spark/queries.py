@@ -11835,9 +11835,7 @@ def ann_index_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "hard_negatives_mining",
-    """
+_HARD_NEG_SQL = """
     WITH a AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id % 100 = 0),
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -11856,8 +11854,10 @@ def ann_index_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id AS anchor_id, neighbor_id AS negative_id, score,
            CAST(rank AS INTEGER) AS rank
     FROM neg WHERE rank <= 3
-    """,
-)
+    """
+
+
+@_register("hard_negatives_mining", _HARD_NEG_SQL)
 def hard_negatives_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Contrastive-training hard negatives
     # (similarity.mine_hard_negatives): anchors = vec_id % 100 == 0,
@@ -11875,6 +11875,29 @@ def hard_negatives_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sim.mine_hard_negatives(
         emb, anchors, positives, n_neg=3, k_cand=8
+    )
+
+
+@_register("hard_negatives_composed", _HARD_NEG_SQL)
+def hard_negatives_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The candidates= composition path (VERDICT r9 ask 3): the pool
+    # comes from the Arrow-vectorized generator (the production
+    # kernel; slope_tail 0.09-0.29 vs the fold plan's ~1.0+) and is
+    # handed to mine_hard_negatives as a pre-computed (query_id,
+    # neighbor_id, score) frame. Same oracle as hard_negatives_mining
+    # — composition must be value-identical to the built-in pool, so
+    # the parameter is hash-checked, not just documented. The same
+    # seam takes ivf_topk / query_ann_index output for sublinear
+    # candidate generation (recall-floored in tests/test_recall.py).
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    positives = anchors.select(
+        F.col("vec_id").alias("anchor_id"),
+        (F.col("vec_id") + 1).alias("positive_id"),
+    )
+    pool = sim.cosine_topk_arrow(emb, anchors, k=8)
+    return sim.mine_hard_negatives(
+        emb, anchors, positives, n_neg=3, candidates=pool
     )
 
 

@@ -331,6 +331,28 @@ def _hard_negatives_fixeda(spark, sf_dir: str, n1_max: int):
     return sim.mine_hard_negatives(emb, anchors, positives, n_neg=3, k_cand=8)
 
 
+def _hard_negatives_scaleda_ivfarrow(spark, sf_dir: str, n1_max: int):
+    # the scaled-anchor regime (anchors = vec_id%100 grow WITH the
+    # corpus — hard_negatives_mining's construction) but with the
+    # candidates= seam fed by the IVF+Arrow generator: assignment +
+    # probe-restricted BLAS scoring in one corpus pass instead of the
+    # exact all-pairs fold (VERDICT r9 ask 3 — was slope 1.236)
+    from bohemia_kenya_data_pipeline_spark.queries import _IVF_FIXED_RAW
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    positives = anchors.select(
+        F.col("vec_id").alias("anchor_id"),
+        (F.col("vec_id") + 1).alias("positive_id"),
+    )
+    pool = sim.ivf_topk_arrow(
+        emb, anchors, centroids=_IVF_FIXED_RAW, k=8, n_probe=2
+    )
+    return sim.mine_hard_negatives(
+        emb, anchors, positives, n_neg=3, candidates=pool
+    )
+
+
 FIXEDQ = {
     "quantized_fixedq": _quantized_fixedq,
     "ivf_ann_fixedq": _ivf_ann_fixedq,
@@ -343,6 +365,7 @@ FIXEDQ = {
     "interval_overlap_time_scaled": _interval_overlap_time_scaled,
     "semantic_decontamination_fixedb": _semantic_decontamination_fixedb,
     "hard_negatives_fixeda": _hard_negatives_fixeda,
+    "hard_negatives_scaleda_ivfarrow": _hard_negatives_scaleda_ivfarrow,
 }
 
 
@@ -479,6 +502,12 @@ def main() -> None:
         "semantic_decontamination_fixedb": (
             "fixed benchmark set (the production shape): slope "
             "isolates corpus growth — one zero-shuffle Arrow scan"
+        ),
+        "hard_negatives_scaleda_ivfarrow": (
+            "anchors scale WITH the corpus (hard_negatives_mining's "
+            "regime, exact slope 1.236) but candidates= is fed by the "
+            "IVF+Arrow generator — probe-restricted BLAS scoring in "
+            "one corpus pass"
         ),
     }
     for name, fn in FIXEDQ.items():
