@@ -12362,6 +12362,49 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "zorder_manifest_scan",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 200 AND 800
+      AND l_suppkey BETWEEN 20 AND 60
+    GROUP BY 1
+    """,
+)
+def zorder_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-dimensional data skipping, composed from the maintenance +
+    # skipping operators (VERDICT r9 ask 6): zorder_write clusters the
+    # fact on the Morton interleave of (l_partkey, l_suppkey) so each
+    # file's min/max bounds a compact tile in BOTH columns, then the
+    # file manifest turns a two-sided box predicate into an
+    # open-only-matching-tiles scan — the pruning a single-column sort
+    # cannot give (every file would span the full second column). The
+    # oracle is the plain full-scan filter: clustering + pruning must
+    # change nothing.
+    from .operators import maintenance as _mt
+    from .operators import skipping as _skp
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = _skip_tmp_path(sf_dir, "zord")
+    _mt.zorder_write(li, path, "l_partkey", "l_suppkey", n_files=32, bits=15)
+    _skp.build_file_manifest(spark, path, ["l_partkey", "l_suppkey"])
+    out = _skp.read_with_skipping(
+        spark,
+        path,
+        [
+            ("l_partkey", "between", (200, 800)),
+            ("l_suppkey", "between", (20, 60)),
+        ],
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@_register(
     "minhash_index_delete_probe",
     "WITH "
     + _lsh_bands_sql(16, 4)
