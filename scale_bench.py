@@ -115,6 +115,14 @@ LINEAR = [
     "manifest_skip_scan",
     "bloom_skip_lookup",
     "incremental_minhash_dedup",
+    # round-10: manifest lifecycle (append + fingerprint-diff extend +
+    # pruned read), z-order + two-sided box skipping, tombstoned
+    # near-dup probe, compressed-index ingest — all linear: each pass
+    # is one scan/write of data that scales, never a cross join
+    "incremental_manifest_extend",
+    "zorder_manifest_scan",
+    "minhash_index_delete_probe",
+    "incremental_ivfpq_ann",
 ]
 
 #: quadratic BY CONSTRUCTION (query set = fixed fraction of corpus, or
@@ -517,6 +525,61 @@ def main() -> None:
             "fixed query batch (the production regime): slope isolates "
             "corpus growth",
         )
+
+    # r10 (VERDICT r9 ask 1/6): manifest extend vs rebuild — the
+    # manifest covers an Fx history, ONE fixed-size delta batch (the
+    # 1x lineitem) lands, and the question 100 TB cares about is what
+    # bringing stats current costs: extend stats ONLY the delta
+    # (fixed work as F grows) while rebuild re-scans the whole
+    # history (work grows with F) — the ratio should WIDEN with F.
+    if not only or "manifest_extend_vs_rebuild" in keep:
+        from bohemia_kenya_data_pipeline_spark.operators import (
+            skipping as skp,
+        )
+
+        for fct in sorted({1, big}):
+            mpath = f"{SCRATCH}/manifest_ext_x{fct}"
+            shutil.rmtree(mpath, ignore_errors=True)
+            li = spark.read.parquet(
+                os.path.join(dirs[fct], "lineitem.parquet")
+            )
+            li.repartitionByRange(
+                max(8, 8 * fct), "l_shipdate"
+            ).write.mode("overwrite").parquet(mpath)
+            skp.build_file_manifest(
+                spark, mpath, ["l_shipdate", "l_quantity"]
+            )
+            delta = spark.read.parquet(
+                os.path.join(dirs[1], "lineitem.parquet")
+            )
+            delta.repartitionByRange(4, "l_shipdate").write.mode(
+                "append"
+            ).parquet(mpath)
+            t_ext = _time(lambda: skp.extend_file_manifest(spark, mpath))
+            t_reb = _time(
+                lambda: skp.build_file_manifest(
+                    spark, mpath, ["l_shipdate", "l_quantity"]
+                )
+            )
+            results[f"manifest_extend_vs_rebuild_x{fct}"] = {
+                "t_extend": t_ext,
+                "t_rebuild": t_reb,
+                "rebuild_over_extend": round(t_reb / max(t_ext, 1e-3), 2),
+                "factor": fct,
+                "note": (
+                    "fixed 1x delta appended to an Fx history: extend "
+                    "re-stats only the delta files, rebuild re-scans "
+                    "everything — the append-heavy history regime"
+                ),
+            }
+            print(
+                f"manifest_extend_vs_rebuild_x{fct}: extend={t_ext}s "
+                f"rebuild={t_reb}s ratio="
+                f"{results[f'manifest_extend_vs_rebuild_x{fct}']['rebuild_over_extend']}",
+                file=sys.stderr, flush=True,
+            )
+            shutil.rmtree(mpath, ignore_errors=True)
+            shutil.rmtree(mpath + "__manifest", ignore_errors=True)
 
     # r8 (VERDICT r7 ask 1): the index BUILD at a production centroid
     # count — one full corpus pass of centroid assignment + the
