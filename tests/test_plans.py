@@ -550,3 +550,65 @@ def test_skipping_pruned_scan_pushes_exact_predicate(spark, tmp_path):
     out = skp.read_with_skipping(spark, path, [("k", "between", (1000, 1499))])
     stats = P.assert_plan(out, require_pushdown=True, max_scans=1)
     assert stats["scans"] == 1
+
+
+def test_round10_lifecycle_query_plans_hold_invariants(spark, tmp_path):
+    """Round-10 additions: (a) a pruned read over an EXTENDED manifest
+    keeps the skipping contract (single scan, exact predicate pushed);
+    (b) the composed candidates= hard-negative plan is broadcast-anti
+    + window with only Arrow-batched Python (the generator kernel);
+    (c) a tombstoned index probe stays a hash join with the tombstone
+    anti-join broadcast."""
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark import plans as P
+    from bohemia_kenya_data_pipeline_spark.operators import dedup as dd
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+    from bohemia_kenya_data_pipeline_spark.operators import skipping as skp
+
+    # (a) extend -> pruned read
+    path = str(tmp_path / "extplan")
+    spark.range(1, 4001).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(4, "k").write.mode("overwrite").parquet(path)
+    skp.build_file_manifest(spark, path, ["k"])
+    spark.range(4001, 6001).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+    skp.extend_file_manifest(spark, path)
+    out = skp.read_with_skipping(spark, path, [("k", "between", (3500, 4500))])
+    stats = P.assert_plan(out, require_pushdown=True, max_scans=1)
+    assert stats["scans"] == 1
+
+    # (b) composed hard negatives: Arrow pool + broadcast anti + window
+    emb = spark.range(1, 201).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: ((F.col("id") * 37 + j * 11) % 19 - 9.0) / 9.0,
+        ).alias("embedding"),
+    )
+    anchors = emb.filter(F.col("vec_id") % 40 == 0)
+    positives = anchors.select(
+        F.col("vec_id").alias("anchor_id"),
+        (F.col("vec_id") + 1).alias("positive_id"),
+    )
+    pool = sim.cosine_topk_arrow(emb, anchors, k=8)
+    neg = sim.mine_hard_negatives(
+        emb, anchors, positives, n_neg=3, candidates=pool
+    )
+    s = P.assert_plan(neg, forbid_nested_loop=True, forbid_row_python=True)
+    assert s["broadcast_hash_joins"] >= 1  # the anti join vs positives
+
+    # (c) tombstoned minhash probe
+    docs = spark.createDataFrame(
+        [(i, f"common shingle text block number {i % 3}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "mh_planidx")
+    dd.minhash_index_write(docs, idx, num_hashes=8, bands=4)
+    dd.minhash_index_delete(docs.filter(F.col("doc_id") % 5 == 0), idx)
+    probe = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    q = dd.minhash_index_query(probe, idx)
+    s = P.assert_plan(q, forbid_nested_loop=True, forbid_row_python=True)
+    assert s["broadcast_hash_joins"] >= 1  # tombstone anti-join broadcasts
