@@ -203,6 +203,103 @@ def query_ann_index(
     )
 
 
+def _tombstone_sidecar(index_path: str) -> str:
+    # sibling path, NOT inside the index dir (a nested parquet dataset
+    # would be read as index data — same rule as the centroid sidecar)
+    return index_path.rstrip("/") + "__tombstones"
+
+
+def _index_tombstones(spark: SparkSession, index_path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(_tombstone_sidecar(index_path))
+    if not p.getFileSystem(conf).exists(p):
+        return None
+    return spark.read.parquet(_tombstone_sidecar(index_path)).select("id").distinct()
+
+
+def delete_from_index(
+    deleted: DataFrame, index_path: str, id_col: str = "vec_id"
+) -> None:
+    """Remove vectors from a persistent ANN / IVF-PQ index WITHOUT
+    rewriting it: append their ids to a tombstone sidecar that the
+    query paths anti-join before scoring — the vector-index face of
+    the reference's batch DELETE semantics
+    (``processing_utils.R:335-400``), mirroring
+    ``dedup.minhash_index_delete``. The cid partitions are untouched
+    (no 100 TB rewrite per delete batch); re-admitting an id via
+    ``extend_ann_index`` / ``extend_ivfpq_index`` clears its
+    tombstone, and :func:`compact_index` folds tombstones into the
+    stored rows on a cadence."""
+    deleted.select(F.col(id_col).alias("id")).distinct().write.mode(
+        "append"
+    ).parquet(_tombstone_sidecar(index_path))
+
+
+def _drop_tombstoned(scan: DataFrame, spark, index_path: str, id_col: str):
+    tomb = _index_tombstones(spark, index_path)
+    if tomb is None:
+        return scan
+    return scan.join(
+        F.broadcast(tomb.select(F.col("id").alias(id_col))), id_col, "anti"
+    )
+
+
+def _clear_tombstones(new_rows: DataFrame, index_path: str, id_col: str) -> None:
+    spark = new_rows.sparkSession
+    tomb = _index_tombstones(spark, index_path)
+    if tomb is None:
+        return
+    from ..operators.skipping import _replace_dataset
+
+    readded = new_rows.select(F.col(id_col).alias("id")).distinct()
+    _replace_dataset(
+        spark,
+        tomb.join(F.broadcast(readded), "id", "anti"),
+        _tombstone_sidecar(index_path),
+    )
+
+
+def _drop_stale_tombstones(spark: SparkSession, index_path: str) -> None:
+    """A rebuilt index starts clean: tombstones from a previous index
+    at the same path must not hide the new corpus."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(_tombstone_sidecar(index_path))
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def compact_index(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> None:
+    """Fold accumulated tombstones into the index: rewrite the stored
+    rows WITHOUT the deleted ids (one index-sized pass keeping the
+    ``cid`` partitioning — works for both the plain ANN and the
+    IVF-PQ code layout, whose columns pass through untouched) and
+    drop the tombstone sidecar. Run on a cadence, like any lakehouse
+    vacuum, so query-time anti-join cost stays bounded."""
+    tomb = _index_tombstones(spark, index_path)
+    if tomb is None:
+        return
+    scan = spark.read.parquet(index_path)
+    rows = scan.join(
+        F.broadcast(tomb.select(F.col("id").alias(id_col))), id_col, "anti"
+    )
+    stage = index_path.rstrip("/") + "__stage"
+    rows.write.mode("overwrite").partitionBy("cid").parquet(stage)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(index_path).getFileSystem(conf)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(index_path), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(stage),
+        jvm.org.apache.hadoop.fs.Path(index_path),
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_tombstone_sidecar(index_path)), True)
+
+
 def extend_ann_index(
     new_rows: DataFrame,
     index_path: str,
