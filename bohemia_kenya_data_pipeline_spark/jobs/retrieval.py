@@ -136,6 +136,7 @@ def build_ann_index(
     assigned = _assign_for_index(corpus, centroids, vec_col, id_col, assign)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(index_path)
     spark = corpus.sparkSession
+    _drop_stale_tombstones(spark, index_path)
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid INT, cv ARRAY<DOUBLE>",
@@ -190,7 +191,10 @@ def query_ann_index(
         .collect()
     )
     cids = sorted(r.cid for r in probed)
-    scan = spark.read.parquet(index_path).filter(F.col("cid").isin(cids))
+    scan = _drop_tombstoned(
+        spark.read.parquet(index_path).filter(F.col("cid").isin(cids)),
+        spark, index_path, id_col,
+    )
     return sim.ivf_topk(
         scan.select(id_col, vec_col),
         queries,
@@ -227,10 +231,12 @@ def delete_from_index(
     the reference's batch DELETE semantics
     (``processing_utils.R:335-400``), mirroring
     ``dedup.minhash_index_delete``. The cid partitions are untouched
-    (no 100 TB rewrite per delete batch); re-admitting an id via
-    ``extend_ann_index`` / ``extend_ivfpq_index`` clears its
-    tombstone, and :func:`compact_index` folds tombstones into the
-    stored rows on a cadence."""
+    (no 100 TB rewrite per delete batch); :func:`compact_index` folds
+    tombstones into the stored rows on a cadence. Re-admitting a
+    deleted id requires compacting first — the stale stored row would
+    otherwise coexist with the re-added one, so
+    ``extend_ann_index`` / ``extend_ivfpq_index`` refuse tombstoned
+    ids loudly instead of resurfacing duplicates silently."""
     deleted.select(F.col(id_col).alias("id")).distinct().write.mode(
         "append"
     ).parquet(_tombstone_sidecar(index_path))
@@ -245,19 +251,29 @@ def _drop_tombstoned(scan: DataFrame, spark, index_path: str, id_col: str):
     )
 
 
-def _clear_tombstones(new_rows: DataFrame, index_path: str, id_col: str) -> None:
+def _guard_tombstoned_readds(new_rows: DataFrame, index_path: str, id_col: str) -> None:
+    """Refuse to append an id that is currently tombstoned: its stale
+    stored row is still in the cid partitions, and an append would put
+    TWO rows behind one id (which of them wins is undefined). The
+    legal re-admission sequence is delete → :func:`compact_index`
+    (drops the stale row AND the tombstone) → extend. Tombstones are
+    metadata-sized, so this is one broadcast semi-join over the
+    delta."""
     spark = new_rows.sparkSession
     tomb = _index_tombstones(spark, index_path)
     if tomb is None:
         return
-    from ..operators.skipping import _replace_dataset
-
-    readded = new_rows.select(F.col(id_col).alias("id")).distinct()
-    _replace_dataset(
-        spark,
-        tomb.join(F.broadcast(readded), "id", "anti"),
-        _tombstone_sidecar(index_path),
+    n = (
+        new_rows.select(F.col(id_col).alias("id"))
+        .join(F.broadcast(tomb), "id", "semi")
+        .count()
     )
+    if n:
+        raise ValueError(
+            f"{n} id(s) in the append batch are tombstoned; run "
+            "compact_index first to re-admit deleted ids (appending "
+            "now would leave two stored rows behind one id)"
+        )
 
 
 def _drop_stale_tombstones(spark: SparkSession, index_path: str) -> None:
@@ -319,6 +335,7 @@ def extend_ann_index(
     re-bucket) on a cadence informed by the drift gates
     (``stats.population_stability``, embedding drift)."""
     spark = new_rows.sparkSession
+    _guard_tombstoned_readds(new_rows, index_path, id_col)
     centroids = load_ann_centroids(spark, index_path)
     assigned = _assign_for_index(new_rows, centroids, vec_col, id_col, assign)
     assigned.write.mode("append").partitionBy("cid").parquet(index_path)
@@ -393,6 +410,7 @@ def build_ivfpq_index(
     coded = sim.pq_encode(assigned, codebooks, vec_col, id_col, extra_cols=extra)
     coded.write.mode("overwrite").partitionBy("cid").parquet(index_path)
     spark = corpus.sparkSession
+    _drop_stale_tombstones(spark, index_path)
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid INT, cv ARRAY<DOUBLE>",
@@ -432,6 +450,7 @@ def extend_ivfpq_index(
     column iff the index already does, so a two-stage re-rank keeps
     working after extension."""
     spark = new_rows.sparkSession
+    _guard_tombstoned_readds(new_rows, index_path, id_col)
     centroids = load_ann_centroids(spark, index_path)
     codebooks = load_pq_codebooks(spark, index_path)
     store_vec = vec_col in spark.read.parquet(index_path).columns
@@ -492,7 +511,10 @@ def query_ivfpq_index(
         .collect()
     )
     cids = sorted(r.cid for r in probed)
-    scan = spark.read.parquet(index_path).filter(F.col("cid").isin(cids))
+    scan = _drop_tombstoned(
+        spark.read.parquet(index_path).filter(F.col("cid").isin(cids)),
+        spark, index_path, id_col,
+    )
     codes = scan.select(
         F.col(id_col).alias("neighbor_id"), "pq_code", "cid"
     )

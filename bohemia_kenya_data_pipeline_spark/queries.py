@@ -12040,13 +12040,16 @@ def lakehouse_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_sql(rerank: int = 0) -> str:
+def _ivfpq_sql(rerank: int = 0, index_filter: str = "") -> str:
     """Oracle for the IVF-PQ serving index: the ivf_ann_fixedq
     assignment/probe CTEs composed with _pq_sql's code/ADC CTEs over
     the SAME literal centroids and codebooks — so the hash compare
     checks centroid assignment, partition-level candidate pruning,
     PQ encoding AND ADC scoring (and with ``rerank``, the exact
-    re-scoring stage) as one pipeline."""
+    re-scoring stage) as one pipeline. ``index_filter`` (an extra
+    ``AND ...`` clause on the candidate leg's ``co.vec_id``) models a
+    tombstone delete: the index answers as if built over the
+    surviving corpus only."""
     prefix = f"""
     WITH {_cents_values_sql(_IVF_FIXED_RAW)},
     cb(m, k, cw) AS (VALUES
@@ -12078,7 +12081,7 @@ def _ivfpq_sql(rerank: int = 0) -> str:
                WHERE vec_id % 50 = 0 AND vec_id < 500),
     cand AS (SELECT p.query_id, co.vec_id AS neighbor_id
              FROM probes p JOIN corpus co USING (cid)
-             WHERE p.query_id <> co.vec_id),
+             WHERE p.query_id <> co.vec_id {index_filter}),
     pair_scores AS (SELECT ca.query_id, ca.neighbor_id,
                            ROUND(SUM(qd.d), 6) AS adc_dist
                     FROM cand ca
@@ -12184,6 +12187,59 @@ def incremental_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, path, centroids=_IVF_FIXED_RAW, codebooks=_PQ_CB, store_vec=True
     )
     rt.extend_ivfpq_index(delta, path)
+    return rt.query_ivfpq_index(
+        spark, path, _fixed_query_batch(emb), k=5, n_probe=2, rerank=20
+    )
+
+
+@_register(
+    "ann_index_delete_probe",
+    _ivfpq_sql(rerank=20, index_filter="AND co.vec_id % 10 <> 7"),
+)
+def ann_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mutable-corpus vector serving (the C1 DELETE semantics of
+    # processing_utils.R:335-400 applied to the compressed index,
+    # mirroring minhash_index_delete_probe): tombstone a delete batch
+    # (vec_id % 10 == 7) out of the stored IVF-PQ index — a sidecar
+    # append, no rewrite of the cid partitions — and the two-stage
+    # ADC→exact-rerank query must answer exactly as if the index had
+    # been built over the surviving corpus, which is what the
+    # oracle's co.vec_id % 10 <> 7 candidate leg hash-checks (both
+    # the ADC pool and the rerank pool must exclude deleted rows, not
+    # just the final ranking).
+    from .jobs import retrieval as rt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_tmp_path(sf_dir, "del")
+    rt.build_ivfpq_index(
+        emb, path, centroids=_IVF_FIXED_RAW, codebooks=_PQ_CB, store_vec=True
+    )
+    rt.delete_from_index(emb.filter(F.col("vec_id") % 10 == 7), path)
+    return rt.query_ivfpq_index(
+        spark, path, _fixed_query_batch(emb), k=5, n_probe=2, rerank=20
+    )
+
+
+@_register(
+    "ann_index_delete_compact",
+    _ivfpq_sql(rerank=20, index_filter="AND co.vec_id % 10 <> 7"),
+)
+def ann_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The vacuum half of the delete lifecycle: compact_index folds the
+    # tombstones into the stored rows (one index-sized rewrite keeping
+    # the cid partitioning, sidecar dropped) and must be INVISIBLE to
+    # queries — same oracle as ann_index_delete_probe, so the hash
+    # compare proves tombstone-masked and physically-compacted indexes
+    # answer identically.
+    from .jobs import retrieval as rt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_tmp_path(sf_dir, "vac")
+    rt.build_ivfpq_index(
+        emb, path, centroids=_IVF_FIXED_RAW, codebooks=_PQ_CB, store_vec=True
+    )
+    rt.delete_from_index(emb.filter(F.col("vec_id") % 10 == 7), path)
+    rt.compact_index(spark, path)
     return rt.query_ivfpq_index(
         spark, path, _fixed_query_batch(emb), k=5, n_probe=2, rerank=20
     )

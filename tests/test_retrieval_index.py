@@ -367,3 +367,120 @@ def test_extend_ivfpq_index_equals_rebuild(spark, tmp_path):
         assert spark.read.parquet(pe).count() == 400
         # appended rows carry the vector column iff the index does
         assert ("embedding" in spark.read.parquet(pe).columns) == store_vec
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes: mutable-corpus serving without index rewrites
+# ---------------------------------------------------------------------------
+
+
+def test_delete_equals_index_built_over_survivors_ann(spark, tmp_path):
+    # the strong contract: after delete_from_index, queries answer
+    # EXACTLY as if the index had been built over the surviving
+    # corpus with the same centroids — deleted ids never surface and
+    # never displace a survivor's rank
+    corpus = _toy_corpus(spark)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    deleted = corpus.filter(F.col("vec_id") % 7 == 3)
+    path = str(tmp_path / "del_ann")
+    cents = rt.build_ann_index(corpus, path, n_centroids=4, n_iters=3)
+    rt.delete_from_index(deleted, path)
+    got = rt.query_ann_index(spark, path, queries, k=5, n_probe=2)
+    path2 = str(tmp_path / "del_ann_want")
+    rt.build_ann_index(
+        corpus.filter(F.col("vec_id") % 7 != 3), path2, centroids=cents
+    )
+    want = rt.query_ann_index(spark, path2, queries, k=5, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert (
+        got.filter(F.col("neighbor_id") % 7 == 3).count() == 0
+    )  # no tombstoned id surfaces
+    # the cid partitions were NOT rewritten (delta-sized delete)
+    assert spark.read.parquet(path).count() == 400
+
+
+def test_delete_equals_survivor_index_ivfpq_with_rerank(spark, tmp_path):
+    corpus = _toy_corpus(spark)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    cb = _toy_codebooks()
+    cents = [[1.0] + [0.0] * 7, [0.0] * 3 + [1.0] + [0.0] * 4,
+             [0.0] * 7 + [1.0], [0.5] * 8]
+    path = str(tmp_path / "del_pq")
+    rt.build_ivfpq_index(
+        corpus, path, centroids=cents, codebooks=cb, store_vec=True
+    )
+    rt.delete_from_index(corpus.filter(F.col("vec_id") % 7 == 3), path)
+    path2 = str(tmp_path / "del_pq_want")
+    rt.build_ivfpq_index(
+        corpus.filter(F.col("vec_id") % 7 != 3), path2,
+        centroids=cents, codebooks=cb, store_vec=True,
+    )
+    for rerank in (0, 20):
+        got = rt.query_ivfpq_index(
+            spark, path, queries, k=5, n_probe=2, rerank=rerank
+        )
+        want = rt.query_ivfpq_index(
+            spark, path2, queries, k=5, n_probe=2, rerank=rerank
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), rerank
+
+
+def test_extend_refuses_tombstoned_ids_until_compacted(spark, tmp_path):
+    import pytest
+
+    corpus = _toy_corpus(spark, n=300)
+    path = str(tmp_path / "readd")
+    rt.build_ann_index(corpus, path, n_centroids=4, n_iters=3)
+    doomed = corpus.filter(F.col("vec_id") % 50 == 7)  # 6 ids
+    rt.delete_from_index(doomed, path)
+    with pytest.raises(ValueError, match="tombstoned.*compact_index"):
+        rt.extend_ann_index(doomed, path)
+    # compaction drops the stale rows AND the tombstones; re-admission
+    # then works and the ids surface again
+    rt.compact_index(spark, path)
+    rt.extend_ann_index(doomed, path)
+    got = rt.query_ann_index(spark, path, doomed.limit(1), k=3, n_probe=4)
+    # with exhaustive probes the re-added neighbors are queryable
+    assert got.count() == 3
+    assert spark.read.parquet(path).count() == 300  # no duplicate rows
+
+
+def test_compact_index_is_query_invisible_and_drops_sidecar(spark, tmp_path):
+    import os
+
+    corpus = _toy_corpus(spark)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    path = str(tmp_path / "vac")
+    rt.build_ann_index(corpus, path, n_centroids=4, n_iters=3)
+    rt.delete_from_index(corpus.filter(F.col("vec_id") % 7 == 3), path)
+    before = sorted(
+        map(tuple, rt.query_ann_index(spark, path, queries, k=5, n_probe=2).collect())
+    )
+    rt.compact_index(spark, path)
+    after = sorted(
+        map(tuple, rt.query_ann_index(spark, path, queries, k=5, n_probe=2).collect())
+    )
+    assert before == after  # vacuum changes nothing a query can see
+    assert not os.path.exists(rt._tombstone_sidecar(path))  # sidecar folded
+    stored = spark.read.parquet(path)
+    assert stored.count() == 400 - 57  # tombstoned rows physically gone
+    assert stored.filter(F.col("vec_id") % 7 == 3).count() == 0
+    assert len(glob.glob(f"{path}/cid=*")) > 0  # cid layout preserved
+
+
+def test_rebuild_at_same_path_clears_stale_tombstones(spark, tmp_path):
+    corpus = _toy_corpus(spark, n=200)
+    path = str(tmp_path / "rebuild")
+    cents = rt.build_ann_index(corpus, path, n_centroids=4, n_iters=3)
+    rt.delete_from_index(corpus.filter(F.col("vec_id") <= 100), path)
+    # a rebuild is a new index: yesterday's tombstones must not hide
+    # today's corpus
+    rt.build_ann_index(corpus, path, centroids=cents)
+    q = corpus.filter(F.col("vec_id") == 50)
+    got = rt.query_ann_index(spark, path, q, k=5, n_probe=4)
+    assert got.count() == 5
+    import os
+
+    assert not os.path.exists(rt._tombstone_sidecar(path))
