@@ -233,10 +233,10 @@ def delete_from_index(
     ``dedup.minhash_index_delete``. The cid partitions are untouched
     (no 100 TB rewrite per delete batch); :func:`compact_index` folds
     tombstones into the stored rows on a cadence. Re-admitting a
-    deleted id requires compacting first — the stale stored row would
-    otherwise coexist with the re-added one, so
-    ``extend_ann_index`` / ``extend_ivfpq_index`` refuse tombstoned
-    ids loudly instead of resurfacing duplicates silently."""
+    deleted id via ``extend_ann_index`` / ``extend_ivfpq_index``
+    triggers that compaction implicitly first (the stale stored row
+    must not coexist with the re-added one), so extension stays exact
+    in every case and delta-sized in the steady state."""
     deleted.select(F.col(id_col).alias("id")).distinct().write.mode(
         "append"
     ).parquet(_tombstone_sidecar(index_path))
@@ -251,14 +251,17 @@ def _drop_tombstoned(scan: DataFrame, spark, index_path: str, id_col: str):
     )
 
 
-def _guard_tombstoned_readds(new_rows: DataFrame, index_path: str, id_col: str) -> None:
-    """Refuse to append an id that is currently tombstoned: its stale
-    stored row is still in the cid partitions, and an append would put
-    TWO rows behind one id (which of them wins is undefined). The
-    legal re-admission sequence is delete → :func:`compact_index`
-    (drops the stale row AND the tombstone) → extend. Tombstones are
-    metadata-sized, so this is one broadcast semi-join over the
-    delta."""
+def _compact_if_readmitting(new_rows: DataFrame, index_path: str, id_col: str) -> None:
+    """An append batch containing a currently-tombstoned id is a
+    RE-ADMISSION: the id's stale stored row is still in the cid
+    partitions, and appending beside it would put two rows behind one
+    id (stale embedding included). Compact first — the stale rows and
+    the tombstones are physically folded away, then the append lands
+    clean, so extended == rebuilt holds in every case. The check is
+    one broadcast semi-join over the delta (tombstones are
+    metadata-sized); the index-sized rewrite is paid ONLY when a
+    batch actually re-admits, so the steady-state ingest path stays
+    delta-sized."""
     spark = new_rows.sparkSession
     tomb = _index_tombstones(spark, index_path)
     if tomb is None:
@@ -269,11 +272,7 @@ def _guard_tombstoned_readds(new_rows: DataFrame, index_path: str, id_col: str) 
         .count()
     )
     if n:
-        raise ValueError(
-            f"{n} id(s) in the append batch are tombstoned; run "
-            "compact_index first to re-admit deleted ids (appending "
-            "now would leave two stored rows behind one id)"
-        )
+        compact_index(spark, index_path, id_col=id_col)
 
 
 def _drop_stale_tombstones(spark: SparkSession, index_path: str) -> None:
@@ -335,7 +334,7 @@ def extend_ann_index(
     re-bucket) on a cadence informed by the drift gates
     (``stats.population_stability``, embedding drift)."""
     spark = new_rows.sparkSession
-    _guard_tombstoned_readds(new_rows, index_path, id_col)
+    _compact_if_readmitting(new_rows, index_path, id_col)
     centroids = load_ann_centroids(spark, index_path)
     assigned = _assign_for_index(new_rows, centroids, vec_col, id_col, assign)
     assigned.write.mode("append").partitionBy("cid").parquet(index_path)
@@ -450,7 +449,7 @@ def extend_ivfpq_index(
     column iff the index already does, so a two-stage re-rank keeps
     working after extension."""
     spark = new_rows.sparkSession
-    _guard_tombstoned_readds(new_rows, index_path, id_col)
+    _compact_if_readmitting(new_rows, index_path, id_col)
     centroids = load_ann_centroids(spark, index_path)
     codebooks = load_pq_codebooks(spark, index_path)
     store_vec = vec_col in spark.read.parquet(index_path).columns

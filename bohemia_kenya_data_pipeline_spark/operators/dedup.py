@@ -871,10 +871,10 @@ def minhash_index_delete(
     DELETE resolutions (``processing_utils.R:335-400``, C1 semantics),
     where the mutation list is tiny next to the corpus. The index's
     band partitions are untouched (no 100 TB rewrite for a
-    delete batch); re-admitting a deleted id via
-    :func:`minhash_index_extend` clears its tombstone, and
-    :func:`minhash_index_compact` folds tombstones into the band rows
-    when they accumulate."""
+    delete batch); :func:`minhash_index_compact` folds tombstones
+    into the band rows when they accumulate, and re-admitting a
+    deleted id via :func:`minhash_index_extend` compacts first so the
+    stale band rows never coexist with the fresh signature."""
     deleted.select(F.col(id_col).alias("id")).distinct().write.mode(
         "append"
     ).parquet(_minhash_tombstone_path(index_path))
@@ -997,11 +997,26 @@ def minhash_index_extend(
     ``extend_ann_index``'s append-only contract, without the drift
     caveat: minhash signatures have no trained state to go stale.
 
-    Re-admitting a previously deleted id clears its tombstone (the
-    document is back in the corpus, so it must surface as a candidate
-    again)."""
+    Re-admitting a previously deleted id triggers
+    :func:`minhash_index_compact` first (the document is back in the
+    corpus, so it must surface as a candidate again — but its STALE
+    band rows must not coexist with the fresh signature, or a changed
+    text would keep matching through its old buckets and the
+    duplicate rows would double-count toward ``max_bucket_size``
+    caps). The detection is one broadcast semi-join over the delta;
+    the index-sized compaction is paid only when a batch actually
+    re-admits, so the steady-state ingest loop stays delta-sized."""
     spark = new_docs.sparkSession
     params = read_minhash_index_params(spark, index_path)
+    tomb = _minhash_tombstones(spark, index_path)
+    if tomb is not None:
+        n_readds = (
+            new_docs.select(F.col(id_col).alias("id"))
+            .join(F.broadcast(tomb), "id", "semi")
+            .count()
+        )
+        if n_readds:
+            minhash_index_compact(spark, index_path)
     rows = _minhash_band_rows(
         new_docs,
         text_col,
@@ -1012,16 +1027,6 @@ def minhash_index_extend(
         params["seed"],
     )
     rows.write.mode("append").partitionBy("band").parquet(index_path)
-    tomb = _minhash_tombstones(spark, index_path)
-    if tomb is not None:
-        from .skipping import _replace_dataset
-
-        readded = new_docs.select(F.col(id_col).alias("id")).distinct()
-        _replace_dataset(
-            spark,
-            tomb.join(F.broadcast(readded), "id", "anti"),
-            _minhash_tombstone_path(index_path),
-        )
 
 
 # ---------------------------------------------------------------------------

@@ -228,10 +228,25 @@ def test_minhash_index_extend_resurrects_and_compact_folds(spark, tmp_path):
         i != 1
         for _, i in map(tuple, dedup.minhash_index_query(probe, path).collect())
     )
-    # re-admitting the same doc clears its tombstone: candidate is back
+    # re-admitting the same doc compacts-then-appends: the candidate
+    # is back, the stale band rows are NOT duplicated (re-admission is
+    # exact — a rebuilt index over the same corpus holds the same
+    # multiset of band rows), and the tombstone sidecar is gone
     dedup.minhash_index_extend(corpus.filter(F.col("doc_id") == 1), path)
     got = set(map(tuple, dedup.minhash_index_query(probe, path).collect()))
     assert (100, 1) in got
+    import os as _os
+
+    assert not _os.path.exists(dedup._minhash_tombstone_path(path))
+    rebuilt = str(tmp_path / "mh_rebuilt")
+    dedup.minhash_index_write(corpus, rebuilt, num_hashes=8, bands=4)
+
+    def _rows(p):
+        return sorted(
+            map(tuple, spark.read.parquet(p).select("id", "band", "bucket").collect())
+        )
+
+    assert _rows(path) == _rows(rebuilt)
     # delete again, compact: band rows physically dropped, tombstone
     # sidecar gone, probe still equals the surviving-corpus index,
     # and extension exactness still holds post-compaction

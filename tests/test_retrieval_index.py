@@ -427,24 +427,30 @@ def test_delete_equals_survivor_index_ivfpq_with_rerank(spark, tmp_path):
         ), rerank
 
 
-def test_extend_refuses_tombstoned_ids_until_compacted(spark, tmp_path):
-    import pytest
+def test_extend_readmission_compacts_so_no_duplicate_rows(spark, tmp_path):
+    import os
 
     corpus = _toy_corpus(spark, n=300)
     path = str(tmp_path / "readd")
     rt.build_ann_index(corpus, path, n_centroids=4, n_iters=3)
     doomed = corpus.filter(F.col("vec_id") % 50 == 7)  # 6 ids
     rt.delete_from_index(doomed, path)
-    with pytest.raises(ValueError, match="tombstoned.*compact_index"):
-        rt.extend_ann_index(doomed, path)
-    # compaction drops the stale rows AND the tombstones; re-admission
-    # then works and the ids surface again
-    rt.compact_index(spark, path)
+    # re-admitting tombstoned ids triggers an implicit compaction:
+    # the stale stored rows are folded away BEFORE the append lands,
+    # so no id ever has two rows behind it
     rt.extend_ann_index(doomed, path)
+    assert spark.read.parquet(path).count() == 300  # no duplicate rows
+    assert not os.path.exists(rt._tombstone_sidecar(path))
     got = rt.query_ann_index(spark, path, doomed.limit(1), k=3, n_probe=4)
     # with exhaustive probes the re-added neighbors are queryable
     assert got.count() == 3
-    assert spark.read.parquet(path).count() == 300  # no duplicate rows
+    # steady-state extends (no re-admission) never pay the compaction:
+    # a fresh-id append with live tombstones leaves the sidecar alone
+    rt.delete_from_index(corpus.filter(F.col("vec_id") == 1), path)
+    fresh = _toy_corpus(spark, n=310).filter(F.col("vec_id") > 300)
+    rt.extend_ann_index(fresh, path)
+    assert os.path.exists(rt._tombstone_sidecar(path))
+    assert spark.read.parquet(path).count() == 310  # still masked, not folded
 
 
 def test_compact_index_is_query_invisible_and_drops_sidecar(spark, tmp_path):
