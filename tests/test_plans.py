@@ -612,3 +612,19 @@ def test_round10_lifecycle_query_plans_hold_invariants(spark, tmp_path):
     q = dd.minhash_index_query(probe, idx)
     s = P.assert_plan(q, forbid_nested_loop=True, forbid_row_python=True)
     assert s["broadcast_hash_joins"] >= 1  # tombstone anti-join broadcasts
+
+    # (d) tombstoned ANN index query: the delete mask must not break
+    # the partition-pruned scan, and the anti-join must broadcast the
+    # metadata-sized tombstones (never shuffle the index)
+    from bohemia_kenya_data_pipeline_spark.jobs import retrieval as rt
+
+    aidx = str(tmp_path / "ann_planidx")
+    rt.build_ann_index(emb, aidx, n_centroids=4, n_iters=2)
+    rt.delete_from_index(emb.filter(F.col("vec_id") % 5 == 0), aidx)
+    out = rt.query_ann_index(spark, aidx, anchors, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]  # file-level pruning survives the tombstone mask
+    s = P.assert_plan(out, forbid_nested_loop=True, forbid_row_python=True)
+    assert s["broadcast_hash_joins"] >= 1  # tombstone anti-join broadcasts
