@@ -315,6 +315,95 @@ def compact_index(
     fs.delete(jvm.org.apache.hadoop.fs.Path(_tombstone_sidecar(index_path)), True)
 
 
+def index_stats(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Health report for a persistent ANN / IVF-PQ index: per-cid
+    stored rows, live rows (tombstones excluded) and live share —
+    the monitoring surface that drives the two maintenance cadences
+    (skewed/overgrown cids → rebuild or re-train; low live share →
+    :func:`compact_index`). One column-pruned scan of (id, cid) — PQ
+    codes and raw vectors are never read — one map-side-combined
+    groupBy to C rows, and the share window runs over that
+    metadata-sized frame (C = n_centroids), never over index rows.
+    Works on both layouts: plain ANN and IVF-PQ store the same
+    (id, cid) spine."""
+    scan = spark.read.parquet(index_path).select(
+        F.col(id_col).alias("id"), "cid"
+    )
+    tomb = _index_tombstones(spark, index_path)
+    if tomb is not None:
+        scan = scan.join(
+            F.broadcast(tomb.withColumn("_dead", F.lit(1))), "id", "left"
+        )
+    else:
+        scan = scan.withColumn("_dead", F.lit(None).cast("int"))
+    per = scan.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("stored_rows"),
+        (F.count(F.lit(1)) - F.count("_dead")).alias("live_rows"),
+    )
+    share = F.col("live_rows") / F.sum("live_rows").over(Window.partitionBy())
+    return (
+        per.withColumn("live_share", F.round(share, 6))
+        .select("cid", "stored_rows", "live_rows", "live_share")
+        .orderBy("cid")
+    )
+
+
+def index_ingest_drift(
+    spark: SparkSession,
+    index_path: str,
+    new_rows: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 1e-4,
+    assign: str = "auto",
+) -> DataFrame:
+    """The rebuild-cadence gate the extend docstrings defer to, made
+    concrete: PSI between the LIVE index's per-cid share and an
+    incoming batch's per-cid share. Appended vectors are bucketed by
+    the ORIGINAL centroids, so recall decays exactly as the data
+    distribution drifts away from them — and that drift is visible as
+    cid-share divergence BEFORE any vectors are appended. Works on
+    both layouts (plain ANN and IVF-PQ share the (id, cid) spine; no
+    raw vectors needed index-side). Standard PSI reading: < 0.1
+    stable, 0.1–0.25 watch, > 0.25 re-train/rebuild.
+
+    Cost: one column-pruned index scan (via :func:`index_stats`), one
+    assignment pass over the BATCH only, then all share/log math on a
+    C-row frame (C = n_centroids) built on the centroid spine — so
+    every cid appears exactly once even when a side has zero mass
+    (``eps`` guards the log-ratio, the standard PSI convention,
+    mirroring ``stats.population_stability``)."""
+    centroids = load_ann_centroids(spark, index_path)
+    spine = spark.range(len(centroids)).select(F.col("id").cast("int").alias("cid"))
+    live = index_stats(spark, index_path, id_col=id_col).select("cid", "live_rows")
+    assigned = _assign_for_index(new_rows, centroids, vec_col, id_col, assign)
+    batch = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("batch_rows"))
+    j = (
+        spine.join(live, "cid", "left")
+        .join(batch, "cid", "left")
+        .fillna(0, subset=["live_rows", "batch_rows"])
+    )
+    w = Window.partitionBy()  # C rows — metadata-sized by construction
+    i_share = F.greatest(
+        F.col("live_rows") / F.sum("live_rows").over(w), F.lit(eps)
+    )
+    b_share = F.greatest(
+        F.col("batch_rows") / F.sum("batch_rows").over(w), F.lit(eps)
+    )
+    return (
+        j.withColumn("index_share", F.round(i_share, 6))
+        .withColumn("batch_share", F.round(b_share, 6))
+        .withColumn(
+            "psi_term",
+            F.round((b_share - i_share) * F.log(b_share / i_share), 6),
+        )
+        .select("cid", "index_share", "batch_share", "psi_term")
+        .orderBy("cid")
+    )
+
+
 def extend_ann_index(
     new_rows: DataFrame,
     index_path: str,

@@ -12245,6 +12245,100 @@ def ann_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ann_index_stats",
+    f"""
+    WITH {_cents_values_sql(_IVF_FIXED_RAW)},
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY list_dot_product(v, cv) DESC,
+                                                  cid) AS rn
+               FROM c CROSS JOIN cents),
+    corpus AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+    per AS (SELECT cid,
+                   COUNT(*) AS stored_rows,
+                   COUNT(*) FILTER (WHERE vec_id % 10 <> 7) AS live_rows
+            FROM corpus GROUP BY cid)
+    SELECT CAST(cid AS INTEGER) AS cid,
+           CAST(stored_rows AS BIGINT) AS stored_rows,
+           CAST(live_rows AS BIGINT) AS live_rows,
+           ROUND(live_rows / SUM(live_rows) OVER (), 6) AS live_share
+    FROM per ORDER BY cid
+    """,
+)
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Index health monitoring (the rebuild/vacuum cadence signal for
+    # a 100 TB serving deployment): per-cid stored vs live rows with
+    # a delete batch tombstoned — one column-pruned (id, cid) scan,
+    # map-side-combined groupBy to C rows, share window over the
+    # metadata-sized result. The oracle mirrors centroid assignment
+    # and the tombstone mask (vec_id % 10 = 7 stays STORED but not
+    # LIVE), so the hash compare checks that stats see through the
+    # sidecar exactly like the query paths do.
+    from .jobs import retrieval as rt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_tmp_path(sf_dir, "stats")
+    rt.build_ann_index(emb, path, centroids=_IVF_FIXED_RAW)
+    rt.delete_from_index(emb.filter(F.col("vec_id") % 10 == 7), path)
+    return rt.index_stats(spark, path)
+
+
+@_register(
+    "ann_index_ingest_drift",
+    f"""
+    WITH {_cents_values_sql(_IVF_FIXED_RAW)},
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY list_dot_product(v, cv) DESC,
+                                                  cid) AS rn
+               FROM c CROSS JOIN cents),
+    corpus AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+    live AS (SELECT cid, COUNT(*) AS live_rows FROM corpus
+             WHERE vec_id % 10 < 8 GROUP BY cid),
+    batch AS (SELECT cid, COUNT(*) AS batch_rows FROM corpus
+              WHERE vec_id % 10 >= 8 GROUP BY cid),
+    j AS (SELECT s.cid,
+                 COALESCE(live_rows, 0) AS live_rows,
+                 COALESCE(batch_rows, 0) AS batch_rows
+          FROM (SELECT cid FROM cents) s
+          LEFT JOIN live USING (cid) LEFT JOIN batch USING (cid)),
+    sh AS (SELECT cid,
+                  GREATEST(live_rows::DOUBLE / SUM(live_rows) OVER (),
+                           1e-4) AS i_share,
+                  GREATEST(batch_rows::DOUBLE / SUM(batch_rows) OVER (),
+                           1e-4) AS b_share
+           FROM j)
+    SELECT CAST(cid AS INTEGER) AS cid,
+           ROUND(i_share, 6) AS index_share,
+           ROUND(b_share, 6) AS batch_share,
+           ROUND((b_share - i_share) * LN(b_share / i_share), 6) AS psi_term
+    FROM sh ORDER BY cid
+    """,
+)
+def ann_index_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The rebuild-cadence drift gate on the serving index: PSI
+    # between the live index's per-cid share (80% slice) and an
+    # incoming batch's (20% slice), computed on the centroid spine so
+    # zero-mass cids still appear with the eps guard. The oracle
+    # mirrors assignment, both share computations, the spine join and
+    # the per-cid PSI term, so the hash compare checks the full gate
+    # math — the number a deployment alerts on before extend_*
+    # buckets a drifted batch with stale centroids.
+    from .jobs import retrieval as rt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_tmp_path(sf_dir, "drift")
+    rt.build_ann_index(
+        emb.filter(F.col("vec_id") % 10 < 8), path, centroids=_IVF_FIXED_RAW
+    )
+    return rt.index_ingest_drift(
+        spark, path, emb.filter(F.col("vec_id") % 10 >= 8)
+    )
+
+
 def _skip_tmp_path(sf_dir: str, tag: str) -> str:
     import tempfile
 

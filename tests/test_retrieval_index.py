@@ -490,3 +490,69 @@ def test_rebuild_at_same_path_clears_stale_tombstones(spark, tmp_path):
     import os
 
     assert not os.path.exists(rt._tombstone_sidecar(path))
+
+
+def test_index_stats_reports_live_vs_stored_per_cid(spark, tmp_path):
+    corpus = _toy_corpus(spark, n=200)
+    path = str(tmp_path / "stats_ann")
+    rt.build_ann_index(corpus, path, n_centroids=4, n_iters=2)
+    # no tombstones: live == stored, shares sum to 1
+    s0 = rt.index_stats(spark, path).collect()
+    assert sum(r.stored_rows for r in s0) == 200
+    assert all(r.live_rows == r.stored_rows for r in s0)
+    assert abs(sum(r.live_share for r in s0) - 1.0) < 1e-4
+    # tombstone a batch: stored unchanged, live drops by exactly the
+    # per-cid tombstone counts (cross-checked from the index itself)
+    rt.delete_from_index(corpus.filter(F.col("vec_id") % 4 == 1), path)
+    dead_by_cid = {
+        r.cid: r.n
+        for r in spark.read.parquet(path)
+        .filter(F.col("vec_id") % 4 == 1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    s1 = {r.cid: r for r in rt.index_stats(spark, path).collect()}
+    assert sum(r.stored_rows for r in s1.values()) == 200
+    assert sum(r.live_rows for r in s1.values()) == 150
+    for cid, r in s1.items():
+        assert r.stored_rows - r.live_rows == dead_by_cid.get(cid, 0)
+    # same spine works on the compressed layout
+    cb = _toy_codebooks()
+    cents = [[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]]
+    pqp = str(tmp_path / "stats_pq")
+    rt.build_ivfpq_index(corpus, pqp, centroids=cents, codebooks=cb)
+    sp = rt.index_stats(spark, pqp).collect()
+    assert sum(r.stored_rows for r in sp) == 200
+
+
+def test_index_ingest_drift_psi_separates_stable_from_drifted(spark, tmp_path):
+    corpus = _toy_corpus(spark, n=400)
+    path = str(tmp_path / "drift_ann")
+    rt.build_ann_index(corpus, path, n_centroids=4, n_iters=2)
+    # a batch drawn from the same generator: near-zero PSI per cid
+    same = _toy_corpus(spark, n=800).filter(F.col("vec_id") > 400)
+    stable = rt.index_ingest_drift(spark, path, same).collect()
+    assert len(stable) == 4 and [r.cid for r in stable] == [0, 1, 2, 3]
+    assert sum(r.psi_term for r in stable) < 0.1  # "stable" band
+    assert abs(sum(r.batch_share for r in stable) - 1.0) < 1e-3
+    # a batch collapsed onto ONE stored vector's bucket: drifted —
+    # its cid gains mass, the others fall to the eps floor
+    one = corpus.filter(F.col("vec_id") == 17)
+    hot = one.collect()[0]
+    drifted = rt.index_ingest_drift(
+        spark, path, one.union(one).union(one).union(one)
+    ).collect()
+    total_psi = sum(r.psi_term for r in drifted)
+    assert total_psi > 0.25  # "rebuild" band
+    by_cid = {r.cid: r for r in drifted}
+    # zero-mass cids sit on the eps floor, never NULL/NaN
+    import math
+
+    for r in drifted:
+        assert r.batch_share >= 1e-4 and not math.isnan(r.psi_term)
+    # the hot bucket carries the batch mass
+    hot_cid = (
+        spark.read.parquet(path).filter(F.col("vec_id") == hot.vec_id).collect()[0].cid
+    )
+    assert by_cid[hot_cid].batch_share > 0.99
