@@ -404,6 +404,68 @@ def index_ingest_drift(
     )
 
 
+def retrain_index(
+    spark: SparkSession,
+    index_path: str,
+    n_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign: str = "auto",
+    kernel: str = "auto",
+) -> list[list[float]]:
+    """Re-center a plain ANN index on its own LIVE stored vectors:
+    warm-start Lloyd from the sidecar centroids
+    (``similarity.ivf_refine_centroids``), re-assign, and rewrite —
+    the action :func:`index_ingest_drift`'s rebuild band calls for.
+    The whole job reads the INDEX (columnar, already clustered by
+    cid), never the source corpus: at 100 TB that is the difference
+    between a maintenance task and a full rebuild pipeline. Doubles
+    as compaction — tombstoned rows are excluded from both the
+    refinement and the rewrite, and the sidecar is dropped.
+
+    Plain layout only: PQ codes are lossy, so an IVF-PQ index cannot
+    re-derive training vectors from itself — rebuild it from the
+    corpus with :func:`build_ivfpq_index` instead (raises with that
+    guidance if the codebook sidecar is present). Rewrite is a staged
+    sibling swap (Spark cannot overwrite a path it is reading), the
+    same mechanics as :func:`compact_index`. Returns the refined
+    centroids."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    cb = jvm.org.apache.hadoop.fs.Path(_codebook_sidecar(index_path))
+    if cb.getFileSystem(conf).exists(cb):
+        raise ValueError(
+            "retrain_index works on the plain ANN layout; IVF-PQ codes "
+            "are lossy — rebuild the compressed index from the corpus "
+            "with build_ivfpq_index(centroids=...) instead"
+        )
+    centroids = load_ann_centroids(spark, index_path)
+    live = _drop_tombstoned(
+        spark.read.parquet(index_path).select(id_col, vec_col),
+        spark,
+        index_path,
+        id_col,
+    )
+    new_cents = sim.ivf_refine_centroids(
+        live, centroids, vec_col, id_col, n_iters=n_iters, kernel=kernel
+    )
+    assigned = _assign_for_index(live, new_cents, vec_col, id_col, assign)
+    stage = index_path.rstrip("/") + "__stage"
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(stage)
+    fs = jvm.org.apache.hadoop.fs.Path(index_path).getFileSystem(conf)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(index_path), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(stage),
+        jvm.org.apache.hadoop.fs.Path(index_path),
+    )
+    _drop_stale_tombstones(spark, index_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(new_cents)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    ).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
+    return new_cents
+
+
 def extend_ann_index(
     new_rows: DataFrame,
     index_path: str,

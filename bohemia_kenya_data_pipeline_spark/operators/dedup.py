@@ -928,6 +928,43 @@ def minhash_index_compact(spark, index_path: str) -> None:
     )
 
 
+def minhash_index_stats(spark, index_path: str) -> DataFrame:
+    """Health report for a persistent minhash index: per band, stored
+    vs live band rows (tombstone debt — the :func:`minhash_index_compact`
+    cadence signal) and the live bucket profile — distinct buckets and
+    the largest bucket's size, the hot-bucket skew that
+    ``max_bucket_size`` capping exists for (a bucket that grows past
+    the cap in the LIVE index means probes are silently truncating
+    that neighborhood; time to re-shingle or re-band). One scan of the
+    (id, band, bucket) rows — text is never stored, so this is always
+    index-metadata-sized I/O — two map-side-combined groupBys, and the
+    result is B rows (B = bands)."""
+    rows = spark.read.parquet(index_path).select("id", "band", "bucket")
+    tomb = _minhash_tombstones(spark, index_path)
+    live = rows if tomb is None else rows.join(F.broadcast(tomb), "id", "anti")
+    stored = rows.groupBy("band").agg(F.count(F.lit(1)).alias("stored_rows"))
+    per_bucket = live.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lv = per_bucket.groupBy("band").agg(
+        F.sum("n").alias("live_rows"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+    )
+    return (
+        stored.join(lv, "band", "left")
+        .fillna(0, subset=["live_rows", "n_buckets", "max_bucket"])
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "stored_rows",
+            "live_rows",
+            "n_buckets",
+            "max_bucket",
+        )
+        .orderBy("band")
+    )
+
+
 def minhash_index_query(
     new_docs: DataFrame,
     index_path: str,

@@ -275,32 +275,85 @@ def ivf_train_centroids(
             base, n_centroids, train_fraction
         )
         for _ in range(n_iters):
-            cents = _centroid_literal(centroids)
-            assigned = base.withColumn("cid", _nearest_cid(F.col("v"), cents))
-            # per-dimension mean in the label_centroids shape: posexplode
-            # -> groupBy(cid, pos) avg -> reassemble. Same shuffle volume
-            # as a 64-wide avg row (k x dim groups, map-side combined)
-            # but the generated code is one 2-column aggregate instead of
-            # dim avg expressions — codegen compiles in milliseconds, and
-            # the plan is dimension-independent.
-            means = (
-                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.avg("x").alias("m"))
-                .groupBy("cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                        lambda s: s["m"],
-                    ).alias("mv")
-                )
-                .collect()
-            )
-            new = {r["cid"]: list(r["mv"]) for r in means}
-            centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+            centroids = _lloyd_round_fold(base, centroids)
     finally:
         base.unpersist()
     return centroids
+
+
+def _lloyd_round_fold(
+    base: DataFrame, centroids: list[list[float]]
+) -> list[list[float]]:
+    """One Lloyd round, expression-fold kernel: assign every (id, v)
+    row to its argmax-cosine centroid (map-side fold over the centroid
+    literal), then the per-dimension mean in the label_centroids
+    shape: posexplode -> groupBy(cid, pos) avg -> reassemble. Same
+    shuffle volume as a dim-wide avg row (k x dim groups, map-side
+    combined) but the generated code is one 2-column aggregate instead
+    of dim avg expressions — codegen compiles in milliseconds, and the
+    plan is dimension-independent. Empty clusters keep their previous
+    centroid."""
+    cents = _centroid_literal(centroids)
+    assigned = base.withColumn("cid", _nearest_cid(F.col("v"), cents))
+    means = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("mv")
+        )
+        .collect()
+    )
+    new = {r["cid"]: list(r["mv"]) for r in means}
+    return [new.get(i, centroids[i]) for i in range(len(centroids))]
+
+
+def ivf_refine_centroids(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 1,
+    kernel: str = "auto",
+) -> list[list[float]]:
+    """Warm-start Lloyd: refine GIVEN centroids over a corpus for
+    ``n_iters`` rounds — the retraining face of the two trainers
+    (which seed from md5-smallest ids and then run this same loop).
+    Used by ``jobs.retrieval.retrain_index`` to re-center a serving
+    index's centroids on its LIVE stored vectors after
+    ``index_ingest_drift`` crosses the rebuild band, without touching
+    the source corpus. ``kernel`` picks the round implementation the
+    way ``build_ann_index(assign=...)`` does: "fold" (JVM expression
+    fold — right below ``ARROW_ASSIGN_MIN_CXD``) or "arrow" (one
+    mapInPandas partial-sum pass per round); "auto" switches on C×D.
+    Both kernels share the contract: argmax-cosine assignment with
+    ties to the smaller cid, per-dimension mean, empty clusters keep
+    their previous centroid."""
+    if not centroids:
+        raise ValueError("cannot refine an empty centroid list")
+    if kernel == "auto":
+        cxd = len(centroids) * len(centroids[0])
+        kernel = "arrow" if cxd >= ARROW_ASSIGN_MIN_CXD else "fold"
+    if kernel not in ("fold", "arrow"):
+        raise ValueError(
+            f"kernel must be 'auto', 'fold' or 'arrow', got {kernel!r}"
+        )
+    rnd = _lloyd_round_arrow if kernel == "arrow" else _lloyd_round_fold
+    base = _drop_null_vecs(corpus, vec_col).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
+    base.persist()
+    try:
+        centroids = [[float(x) for x in c] for c in centroids]
+        for _ in range(n_iters):
+            centroids = rnd(base, centroids)
+    finally:
+        base.unpersist()
+    return [[float(x) for x in c] for c in centroids]
 
 
 def ivf_train_centroids_arrow(
@@ -351,53 +404,65 @@ def ivf_train_centroids_arrow(
         centroids, n_centroids = _seed_centroids(
             base, n_centroids, train_fraction
         )
-        sc = base.sparkSession.sparkContext
         for _ in range(n_iters):
-            bc = sc.broadcast(
-                np.asarray([_unit(c) for c in centroids], dtype=np.float64)
-            )
-
-            def partials(batches):
-                from pyspark import TaskContext
-
-                m = bc.value
-                counts = np.zeros(m.shape[0], dtype=np.int64)
-                sums = np.zeros_like(m)
-                for pdf in batches:
-                    if pdf.empty:
-                        continue
-                    vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-                    cid = np.argmax(vm @ m.T, axis=1)
-                    np.add.at(counts, cid, 1)
-                    np.add.at(sums, cid, vm)
-                occ = np.flatnonzero(counts)
-                if not len(occ):
-                    return
-                pid = TaskContext.get().partitionId()
-                yield pd.DataFrame(
-                    {
-                        "part_id": np.full(len(occ), pid, dtype=np.int32),
-                        "cid": occ.astype(np.int32),
-                        "n": counts[occ],
-                        "s": [sums[i].tolist() for i in occ],
-                    }
-                )
-
-            rows = base.mapInPandas(
-                partials, "part_id int, cid int, n bigint, s array<double>"
-            ).collect()
-            agg: dict[int, tuple[int, np.ndarray]] = {}
-            for r in sorted(rows, key=lambda r: (r.cid, r.part_id)):
-                n0, s0 = agg.get(r.cid, (0, None))
-                sv = np.asarray(list(r.s), dtype=np.float64)
-                agg[r.cid] = (n0 + r.n, sv if s0 is None else s0 + sv)
-            centroids = [
-                (agg[i][1] / agg[i][0]).tolist() if i in agg else centroids[i]
-                for i in range(len(centroids))
-            ]
+            centroids = _lloyd_round_arrow(base, centroids)
     finally:
         base.unpersist()
     return [[float(x) for x in c] for c in centroids]
+
+
+def _lloyd_round_arrow(
+    base: DataFrame, centroids: list[list[float]]
+) -> list[list[float]]:
+    """One Lloyd round, Arrow kernel: a single ``mapInPandas`` pass
+    emitting per-PARTITION partial sums ``(cid, count, Σv)``; the
+    per-dimension means reduce driver-side over
+    ``partitions × occupied_cids`` partial rows, combined in sorted
+    (cid, partition) order so the result is deterministic for a fixed
+    input layout. Empty clusters keep their previous centroid."""
+    sc = base.sparkSession.sparkContext
+    bc = sc.broadcast(
+        np.asarray([_unit(c) for c in centroids], dtype=np.float64)
+    )
+
+    def partials(batches):
+        from pyspark import TaskContext
+
+        m = bc.value
+        counts = np.zeros(m.shape[0], dtype=np.int64)
+        sums = np.zeros_like(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            cid = np.argmax(vm @ m.T, axis=1)
+            np.add.at(counts, cid, 1)
+            np.add.at(sums, cid, vm)
+        occ = np.flatnonzero(counts)
+        if not len(occ):
+            return
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            {
+                "part_id": np.full(len(occ), pid, dtype=np.int32),
+                "cid": occ.astype(np.int32),
+                "n": counts[occ],
+                "s": [sums[i].tolist() for i in occ],
+            }
+        )
+
+    rows = base.mapInPandas(
+        partials, "part_id int, cid int, n bigint, s array<double>"
+    ).collect()
+    agg: dict[int, tuple[int, np.ndarray]] = {}
+    for r in sorted(rows, key=lambda r: (r.cid, r.part_id)):
+        n0, s0 = agg.get(r.cid, (0, None))
+        sv = np.asarray(list(r.s), dtype=np.float64)
+        agg[r.cid] = (n0 + r.n, sv if s0 is None else s0 + sv)
+    return [
+        (agg[i][1] / agg[i][0]).tolist() if i in agg else centroids[i]
+        for i in range(len(centroids))
+    ]
 
 
 def ivf_topk(

@@ -249,6 +249,56 @@ def read_manifest_params(spark: SparkSession, path: str) -> dict:
     return _read_json(spark, _params_path(path))
 
 
+def _staleness_diff(spark: SparkSession, path: str):
+    """Stored-fingerprint vs live-listing diff shared by
+    :func:`manifest_staleness` (read-only report) and
+    :func:`extend_file_manifest` (the repair). Both sides are
+    file-count-sized — a row per file, the same metadata-collect class
+    as ``prune_files``' kept-name collect. Returns (stats_df,
+    cur_listing, fresh, changed, deleted, summary)."""
+    stats = spark.read.parquet(_stats_path(path))
+    if "_size" not in stats.columns or "_mtime" not in stats.columns:
+        raise ValueError(
+            "manifest predates staleness fingerprints: rebuild once "
+            "with build_file_manifest, then extend"
+        )
+    old = {
+        r._file: (r._size, r._mtime)
+        for r in stats.select("_file", "_size", "_mtime").collect()
+    }
+    cur = {n: (s, m) for n, s, m in _list_data_files(spark, path)}
+    fresh = sorted(n for n, fp in cur.items() if old.get(n) != fp)
+    changed = [n for n in fresh if n in old]
+    deleted = sorted(n for n in old if n not in cur)
+    summary = {
+        "n_new": len(fresh) - len(changed),
+        "n_changed": len(changed),
+        "n_deleted": len(deleted),
+        "n_unchanged": len(old) - len(changed) - len(deleted),
+    }
+    return stats, cur, fresh, changed, deleted, summary
+
+
+def manifest_staleness(spark: SparkSession, path: str) -> dict:
+    """Read-only staleness report for a file manifest — the
+    monitoring twin of :func:`extend_file_manifest`, answering "can
+    this manifest be trusted for a pruned read right now?" without
+    mutating anything. Compares the stored size+mtime fingerprints
+    against a fresh driver-side listing (no data files are opened)
+    and returns ``{"n_new", "n_changed", "n_deleted", "n_unchanged",
+    "stale"}``. A scheduler polls this before a pruned scan: ``stale``
+    False → read with skipping immediately; True → run
+    :func:`extend_file_manifest` first (delta-sized) and then read.
+    This is the manifest's face of the lifecycle monitoring surface
+    (``retrieval.index_stats`` / ``dedup.minhash_index_stats`` for
+    the vector and near-dup indexes)."""
+    *_, summary = _staleness_diff(spark, path)
+    summary["stale"] = bool(
+        summary["n_new"] or summary["n_changed"] or summary["n_deleted"]
+    )
+    return summary
+
+
 def extend_file_manifest(spark: SparkSession, path: str) -> dict:
     """Bring an existing manifest up to date by scanning ONLY the
     files whose size+mtime fingerprint is absent (appended files) or
@@ -271,28 +321,9 @@ def extend_file_manifest(spark: SparkSession, path: str) -> dict:
     "n_unchanged"}`` (driver-side bookkeeping, file-count-sized).
     """
     params = read_manifest_params(spark, path)
-    stats = spark.read.parquet(_stats_path(path))
-    if "_size" not in stats.columns or "_mtime" not in stats.columns:
-        raise ValueError(
-            "manifest predates staleness fingerprints: rebuild once "
-            "with build_file_manifest, then extend"
-        )
-    # both sides are file-count-sized (a row per file) — the same
-    # metadata-collect class as prune_files' kept-name collect
-    old = {
-        r._file: (r._size, r._mtime)
-        for r in stats.select("_file", "_size", "_mtime").collect()
-    }
-    cur = {n: (s, m) for n, s, m in _list_data_files(spark, path)}
-    fresh = sorted(n for n, fp in cur.items() if old.get(n) != fp)
-    changed = [n for n in fresh if n in old]
-    deleted = sorted(n for n in old if n not in cur)
-    summary = {
-        "n_new": len(fresh) - len(changed),
-        "n_changed": len(changed),
-        "n_deleted": len(deleted),
-        "n_unchanged": len(old) - len(changed) - len(deleted),
-    }
+    stats, cur, fresh, changed, deleted, summary = _staleness_diff(
+        spark, path
+    )
     drop = sorted(set(changed) | set(deleted))
     if not fresh and not drop:
         return summary  # fingerprints all current: zero data files read

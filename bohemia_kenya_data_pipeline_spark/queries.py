@@ -11073,6 +11073,21 @@ def _cents_values_sql(raw: list[list[float]]) -> str:
     return f"cents(cid, cv) AS (VALUES\n        {rows})"
 
 
+def _cents_raw_values_sql(raw: list[list[float]]) -> str:
+    """The UN-normalized twin of :func:`_cents_values_sql` — the values
+    the centroid SIDECAR stores (build_ann_index persists centroids as
+    given; normalization happens at assignment). Oracles that mirror
+    Lloyd's empty-cluster fallback ("keep the previous centroid") need
+    these raw vectors, not the assignment-normalized ones."""
+    rows = ",\n        ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(v)) for v in c)
+        )
+        for i, c in enumerate(raw)
+    )
+    return f"rawc(cid, rv) AS (VALUES\n        {rows})"
+
+
 @_register(
     "cosine_fixedq",
     """
@@ -12337,6 +12352,122 @@ def ann_index_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.index_ingest_drift(
         spark, path, emb.filter(F.col("vec_id") % 10 >= 8)
     )
+
+
+@_register(
+    "ann_index_retrain",
+    f"""
+    WITH {_cents_values_sql(_IVF_FIXED_RAW)},
+    {_cents_raw_values_sql(_IVF_FIXED_RAW)},
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (SELECT vec_id, v, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY list_dot_product(v, cv) DESC,
+                                                  cid) AS rn
+               FROM c CROSS JOIN cents),
+    corpus AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+    live AS (SELECT * FROM corpus WHERE vec_id % 10 <> 7),
+    counts AS (SELECT cid, COUNT(*) AS n_live FROM live GROUP BY cid),
+    stored_cids AS (SELECT DISTINCT cid FROM corpus),
+    e AS (SELECT cid, UNNEST(v) AS x,
+                 UNNEST(range(1, len(v) + 1)) AS pos FROM live),
+    m AS (SELECT cid, list(m ORDER BY pos) AS mv FROM (
+            SELECT cid, pos, AVG(x) AS m FROM e GROUP BY cid, pos)
+          GROUP BY cid),
+    nc AS (SELECT s.cid, COALESCE(mv, rv) AS nv,
+                  COALESCE(n_live, 0) AS n_live
+           FROM stored_cids s
+           LEFT JOIN m USING (cid)
+           LEFT JOIN rawc USING (cid)
+           LEFT JOIN counts USING (cid))
+    SELECT CAST(cid AS INTEGER) AS cid,
+           CAST(n_live AS BIGINT) AS n_live,
+           ROUND(sqrt(list_sum(list_transform(nv, x -> x * x))), 6) AS c_norm,
+           ROUND(list_sum(nv), 6) AS c_sum
+    FROM nc ORDER BY cid
+    """,
+)
+def ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The drift gate's ACTION, full-math oracled: retrain_index runs
+    # one warm-started Lloyd round over the index's LIVE stored
+    # vectors only (a delete batch is tombstoned first — retraining
+    # must not resurrect deleted mass) and rewrites in place. The
+    # oracle mirrors the whole step: assignment by the original
+    # unit-normalized centroids, the per-dimension mean over live
+    # members, and the empty-cluster keep-previous fallback (raw
+    # sidecar values) — reported per cid as live count + the refined
+    # centroid's norm and component sum, so the hash compare pins the
+    # actual centroid VALUES, not just cluster sizes. The re-assigned
+    # rewrite itself is golden-checked (retrained index == index
+    # built fresh with the refined centroids over the survivors).
+    import math as _math
+
+    from .jobs import retrieval as rt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_tmp_path(sf_dir, "retrain")
+    rt.build_ann_index(emb, path, centroids=_IVF_FIXED_RAW)
+    rt.delete_from_index(emb.filter(F.col("vec_id") % 10 == 7), path)
+    # pre-retrain live counts per stored cid: C rows, collected before
+    # the rewrite mutates the path (metadata-sized, like the sidecars)
+    pre = rt.index_stats(spark, path).select("cid", "live_rows").collect()
+    new_cents = rt.retrain_index(spark, path, n_iters=1)
+    rows = [
+        (
+            int(r.cid),
+            int(r.live_rows),
+            _math.sqrt(sum(x * x for x in new_cents[r.cid])),
+            sum(new_cents[r.cid]),
+        )
+        for r in pre
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "cid INT, n_live BIGINT, c_norm DOUBLE, c_sum DOUBLE"
+        )
+        .select(
+            "cid",
+            "n_live",
+            F.round("c_norm", 6).alias("c_norm"),
+            F.round("c_sum", 6).alias("c_sum"),
+        )
+        .orderBy("cid")
+    )
+
+
+@_register(
+    "minhash_index_band_stats",
+    "WITH "
+    + _lsh_bands_sql(16, 4)
+    + """,
+    live AS (SELECT * FROM bands WHERE doc_id % 7 <> 3),
+    stored AS (SELECT band, COUNT(*) AS stored_rows FROM bands GROUP BY band),
+    pb AS (SELECT band, bucket, COUNT(*) AS n FROM live GROUP BY band, bucket),
+    lv AS (SELECT band, CAST(SUM(n) AS BIGINT) AS live_rows,
+                  COUNT(*) AS n_buckets, MAX(n) AS max_bucket
+           FROM pb GROUP BY band)
+    SELECT CAST(band AS INTEGER) AS band,
+           CAST(stored_rows AS BIGINT) AS stored_rows,
+           COALESCE(live_rows, 0) AS live_rows,
+           COALESCE(CAST(n_buckets AS BIGINT), 0) AS n_buckets,
+           COALESCE(CAST(max_bucket AS BIGINT), 0) AS max_bucket
+    FROM stored LEFT JOIN lv USING (band) ORDER BY band
+    """,
+)
+def minhash_index_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-dup index health, the minhash face of ann_index_stats: per
+    # band, stored vs live rows (tombstone debt — the compaction
+    # cadence signal) and the live bucket profile (distinct buckets,
+    # hottest bucket — the skew max_bucket_size capping guards). The
+    # oracle recomputes the band rows from the shared signature math,
+    # masks the delete batch (doc_id % 7 = 3), and mirrors both
+    # rollups, so the hash compare checks that stats see through the
+    # tombstone sidecar exactly like probes do.
+    docs = _t(spark, sf_dir, "documents")
+    path = _skip_tmp_path(sf_dir, "mhstats")
+    dd.minhash_index_write(docs, path, num_hashes=16, bands=4)
+    dd.minhash_index_delete(docs.filter(F.col("doc_id") % 7 == 3), path)
+    return dd.minhash_index_stats(spark, path)
 
 
 def _skip_tmp_path(sf_dir: str, tag: str) -> str:

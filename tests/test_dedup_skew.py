@@ -265,3 +265,41 @@ def test_minhash_index_extend_resurrects_and_compact_folds(spark, tmp_path):
     dedup.minhash_index_extend(batch, path)
     got2 = set(map(tuple, dedup.minhash_index_query(probe, path).collect()))
     assert all(i != 1 for _, i in got2)
+
+
+def test_minhash_index_stats_tracks_debt_and_hot_bucket(spark, tmp_path):
+    """Per-band health: stored vs live separates tombstone debt, the
+    exact-dup pair shows up as a >=2 bucket in every band, and
+    compaction folds stored down to live."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about spark shuffles"),
+            (3, "completely unrelated prose concerning window functions"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_stats")
+    dedup.minhash_index_write(corpus, path, num_hashes=8, bands=4)
+    s0 = {r.band: r for r in dedup.minhash_index_stats(spark, path).collect()}
+    assert sorted(s0) == [0, 1, 2, 3]
+    for r in s0.values():
+        assert r.stored_rows == 4 and r.live_rows == 4
+        # docs 1 and 4 are byte-identical -> identical signatures ->
+        # they share a bucket in EVERY band
+        assert r.max_bucket >= 2
+        assert r.n_buckets <= 3
+    # tombstone the duplicate: stored unchanged, live drops, the hot
+    # bucket cools to 1 unless other docs collide
+    dedup.minhash_index_delete(corpus.filter(F.col("doc_id") == 4), path)
+    s1 = {r.band: r for r in dedup.minhash_index_stats(spark, path).collect()}
+    for r in s1.values():
+        assert r.stored_rows == 4 and r.live_rows == 3
+    # compact: the debt is folded away, stats converge
+    dedup.minhash_index_compact(spark, path)
+    s2 = {r.band: r for r in dedup.minhash_index_stats(spark, path).collect()}
+    for b, r in s2.items():
+        assert r.stored_rows == 3 and r.live_rows == 3
+        assert r.n_buckets == s1[b].n_buckets
+        assert r.max_bucket == s1[b].max_bucket

@@ -556,3 +556,79 @@ def test_index_ingest_drift_psi_separates_stable_from_drifted(spark, tmp_path):
         spark.read.parquet(path).filter(F.col("vec_id") == hot.vec_id).collect()[0].cid
     )
     assert by_cid[hot_cid].batch_share > 0.99
+
+
+def test_retrain_index_recenters_on_live_rows_only(spark, tmp_path):
+    """retrain_index = warm-started Lloyd over the LIVE stored vectors
+    + in-place rewrite: the refined centroids must match refining over
+    the survivor corpus directly, the rewritten index must equal a
+    fresh build over the survivors with those centroids, and the
+    retrain must double as compaction (tombstones folded away)."""
+    import os
+
+    corpus = _toy_corpus(spark, n=200)
+    path = str(tmp_path / "retrain_ann")
+    cents0 = rt.build_ann_index(corpus, path, n_centroids=4, n_iters=2)
+    rt.delete_from_index(corpus.filter(F.col("vec_id") % 4 == 1), path)
+    survivors = corpus.filter(F.col("vec_id") % 4 != 1)
+    new_cents = rt.retrain_index(spark, path, n_iters=2)
+    want_cents = sim.ivf_refine_centroids(survivors, cents0, n_iters=2)
+    assert len(new_cents) == len(want_cents) == 4
+    for got_c, want_c in zip(new_cents, want_cents):
+        for g, w in zip(got_c, want_c):
+            assert abs(g - w) < 1e-9  # summation-order drift only
+    # rewritten index == fresh build over survivors w/ the refined cents
+    fresh = str(tmp_path / "fresh_ann")
+    rt.build_ann_index(survivors, fresh, centroids=new_cents)
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("vec_id", "cid").collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(fresh).select("vec_id", "cid").collect())
+    )
+    assert got == want and len(got) == 150
+    # sidecar holds the refined centroids; tombstones are gone;
+    # stats agree (retrain doubled as compaction)
+    assert rt.load_ann_centroids(spark, path) == [
+        [float(x) for x in c] for c in new_cents
+    ]
+    assert not os.path.exists(rt._tombstone_sidecar(path))
+    st = rt.index_stats(spark, path).collect()
+    assert all(r.stored_rows == r.live_rows for r in st)
+    assert sum(r.stored_rows for r in st) == 150
+    # queries against the retrained index match the fresh-built one
+    q = survivors.filter(F.col("vec_id") % 40 == 0)
+    got_q = sorted(
+        map(tuple, rt.query_ann_index(spark, path, q, k=3, n_probe=2).collect())
+    )
+    want_q = sorted(
+        map(tuple, rt.query_ann_index(spark, fresh, q, k=3, n_probe=2).collect())
+    )
+    assert got_q == want_q
+
+
+def test_retrain_index_rejects_pq_layout(spark, tmp_path):
+    import pytest
+
+    corpus = _toy_corpus(spark, n=100)
+    cents = [[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]]
+    path = str(tmp_path / "retrain_pq")
+    rt.build_ivfpq_index(corpus, path, centroids=cents, codebooks=_toy_codebooks())
+    with pytest.raises(ValueError, match="build_ivfpq_index"):
+        rt.retrain_index(spark, path)
+
+
+def test_refine_kernels_agree_and_validate(spark):
+    import pytest
+
+    corpus = _toy_corpus(spark, n=120)
+    seed = [[1.0] + [0.0] * 7, [0.0] * 3 + [1.0] + [0.0] * 4]
+    fold = sim.ivf_refine_centroids(corpus, seed, n_iters=2, kernel="fold")
+    arrow = sim.ivf_refine_centroids(corpus, seed, n_iters=2, kernel="arrow")
+    for fc, ac in zip(fold, arrow):
+        for f_x, a_x in zip(fc, ac):
+            assert abs(f_x - a_x) < 1e-9
+    with pytest.raises(ValueError, match="kernel"):
+        sim.ivf_refine_centroids(corpus, seed, kernel="bogus")
+    with pytest.raises(ValueError, match="empty"):
+        sim.ivf_refine_centroids(corpus, [])

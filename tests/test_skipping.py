@@ -262,3 +262,45 @@ def test_extend_manifest_requires_fingerprints(spark, tmp_path):
     shutil.copytree(str(tmp_path / "legacy_stats"), skp._stats_path(path))
     with pytest.raises(ValueError, match="fingerprints"):
         skp.extend_file_manifest(spark, path)
+
+
+def test_manifest_staleness_reports_without_mutating(spark, tmp_path):
+    """The read-only monitoring twin of extend_file_manifest: fresh
+    manifest -> not stale; append/touch/delete -> counted, manifest
+    untouched; extend -> clean again."""
+    import os
+
+    path, _ = _clustered_table(spark, tmp_path, n=1_000, files=2)
+    skp.build_file_manifest(spark, path, ["k"])
+    assert skp.manifest_staleness(spark, path) == {
+        "n_new": 0, "n_changed": 0, "n_deleted": 0, "n_unchanged": 2,
+        "stale": False,
+    }
+    # append a file: reported as new, and the manifest itself is NOT
+    # modified by the report (byte-stable stats dataset)
+    spark.range(1_001, 1_501).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.concat(F.lit("row_"), F.col("id")).alias("payload"),
+    ).coalesce(1).write.mode("append").parquet(path)
+    before = _rows(spark.read.parquet(skp._stats_path(path)))
+    s = skp.manifest_staleness(spark, path)
+    assert s["n_new"] == 1 and s["stale"] is True and s["n_unchanged"] == 2
+    assert _rows(spark.read.parquet(skp._stats_path(path))) == before
+    # repair, then the report is clean
+    skp.extend_file_manifest(spark, path)
+    assert skp.manifest_staleness(spark, path)["stale"] is False
+    # touched + deleted files are classified, not just counted as new
+    data_files = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    st = os.stat(os.path.join(path, data_files[0]))
+    os.utime(os.path.join(path, data_files[0]), (st.st_atime, st.st_mtime + 10))
+    os.remove(os.path.join(path, data_files[1]))
+    s = skp.manifest_staleness(spark, path)
+    assert s == {
+        "n_new": 0, "n_changed": 1, "n_deleted": 1, "n_unchanged": 1,
+        "stale": True,
+    }
