@@ -168,6 +168,11 @@ HEADLINE = [
     "minhash_index_delete_probe",
     "incremental_ivfpq_ann",
     "hard_negatives_composed",
+    # round-10: maintenance-loop action — tombstoned delete batch +
+    # warm-start Lloyd retrain over the live index + in-place rewrite
+    # (timing includes the initial build; the retrain reads only the
+    # index, never the corpus)
+    "ann_index_retrain",
 ]
 
 

@@ -628,3 +628,18 @@ def test_round10_lifecycle_query_plans_hold_invariants(spark, tmp_path):
     )[1][:200]  # file-level pruning survives the tombstone mask
     s = P.assert_plan(out, forbid_nested_loop=True, forbid_row_python=True)
     assert s["broadcast_hash_joins"] >= 1  # tombstone anti-join broadcasts
+
+    # (e) index health monitoring must stay metadata-cheap: the
+    # index_stats scan reads ONLY (id, cid) — the vector column never
+    # leaves the parquet footer — and the tombstone mask joins
+    # broadcast, never shuffling the index
+    st = rt.index_stats(spark, aidx)
+    stp = st._jdf.queryExecution().executedPlan().toString()
+    read_schema = stp.split("ReadSchema", 1)[1][:200]
+    assert "vec_id" in read_schema and "embedding" not in read_schema
+    s = P.assert_plan(st, forbid_nested_loop=True, forbid_row_python=True)
+    # minhash band stats: two map-side-combined aggregates over the
+    # (id, band, bucket) rows, broadcast tombstone mask, no Python
+    ms = dd.minhash_index_stats(spark, idx)
+    s = P.assert_plan(ms, forbid_nested_loop=True, forbid_row_python=True)
+    assert s["broadcast_hash_joins"] >= 1
