@@ -175,3 +175,107 @@ def test_lakehouse_maintained_equals_recompute_random(spark, world):
         ivm.aggregate_state(replay.join(dim, ["ckey"]), ["seg"], ["cents"])
         .select("seg", "n_rows", "sum_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: the mutable-index lifecycle on RANDOM op sequences — after any
+# chain of extend / delete / compact / retrain, the live index must
+# equal a fresh build over the tracked survivor corpus, and an
+# exhaustive-probe query must equal brute-force cosine over exactly
+# those survivors (the deterministic lifecycle goldens in
+# test_retrieval_index.py, generalized by hypothesis)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def index_lifecycles(draw):
+    base = draw(st.sets(st.integers(1, 40), min_size=6, max_size=15))
+    n_ops = draw(st.integers(1, 4))
+    ops = []
+    for _ in range(n_ops):
+        kind = draw(st.sampled_from(["extend", "delete", "compact", "retrain"]))
+        if kind in ("extend", "delete"):
+            ops.append(
+                (kind, draw(st.sets(st.integers(1, 60), min_size=1, max_size=8)))
+            )
+        else:
+            ops.append((kind, None))
+    return sorted(base), ops
+
+
+@given(world=index_lifecycles())
+@settings(**_SETTINGS)
+def test_index_lifecycle_equals_fresh_build_random(spark, world):
+    import shutil
+    import tempfile
+
+    from bohemia_kenya_data_pipeline_spark.jobs import retrieval as rt
+    from bohemia_kenya_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    base_ids, ops = world
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i,) for i in sorted(ids)], "vec_id BIGINT"
+        ).select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda j: ((F.col("vec_id") * 37 + j * 11) % 19 - 9.0) / 9.0,
+            ).alias("embedding"),
+        )
+
+    root = tempfile.mkdtemp(prefix="idx_prop_")
+    path = f"{root}/idx"
+    try:
+        live = set(base_ids)
+        rt.build_ann_index(vecs(live), path, n_centroids=3, n_iters=2)
+        for kind, ids in ops:
+            if kind == "extend":
+                # the documented ingest contract: the delta is deduped
+                # upstream (incremental_exact_dedup), so only ids not
+                # currently live are appended; tombstoned ids may
+                # re-admit (extend compacts first)
+                batch = ids - live
+                if not batch:
+                    continue
+                rt.extend_ann_index(vecs(batch), path)
+                live |= batch
+            elif kind == "delete":
+                rt.delete_from_index(vecs(ids), path)
+                live -= ids
+            elif kind == "compact":
+                rt.compact_index(spark, path)
+            else:
+                rt.retrain_index(spark, path, n_iters=1)
+        # membership + payload: the tombstone-masked stored rows are
+        # exactly the tracked survivors, vectors intact
+        stored = rt._drop_tombstoned(
+            spark.read.parquet(path).select("vec_id", "embedding"),
+            spark,
+            path,
+            "vec_id",
+        ).collect()
+        assert sorted(r.vec_id for r in stored) == sorted(live)
+        want_vecs = {r.vec_id: list(r.embedding) for r in vecs(live).collect()}
+        for r in stored:
+            assert list(r.embedding) == want_vecs[r.vec_id]
+        # exhaustive-probe queries are EXACT over the live rows, for
+        # whatever centroids the op chain left behind: must equal
+        # brute-force cosine over the survivor corpus
+        n_cents = len(rt.load_ann_centroids(spark, path))
+        q = vecs(sorted(live)[:2])
+        got = sorted(
+            map(
+                tuple,
+                rt.query_ann_index(spark, path, q, k=3, n_probe=n_cents).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, sim.cosine_topk(vecs(live), q, k=3).collect())
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
