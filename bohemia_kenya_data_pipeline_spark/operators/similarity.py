@@ -51,6 +51,67 @@ def _as_double(vec_col: str) -> Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
+def validate_embeddings(
+    df: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Ingest gate for vector columns — the quarantine pattern
+    ``catalog.read_csv_form`` applies to malformed CSV rows, applied
+    to embeddings: annotate every row with an ``embedding_status`` so
+    callers split good from quarantined BEFORE a bad vector poisons
+    an index build or a scoring join (NULL scores holding ranked
+    slots, NaN propagating through every dot product it touches,
+    zero vectors folding to cosine 0 against everything).
+
+    Statuses, first match wins: ``null_vector`` (no payload),
+    ``wrong_dim`` (size ≠ dim — a model-version mixup),
+    ``null_element`` (ragged upstream join), ``non_finite``
+    (NaN/±Inf — overflow in the embedder), ``zero_vector``
+    (un-normalizable), ``ok``.
+
+    Every check is a native expression — equality/size/array_contains/
+    array_compact, no interpreted per-element lambda — so the gate
+    whole-stage-codegens and costs one scan. NaN detection rides
+    Spark SQL's NaN-equals-NaN comparison semantics (array_contains
+    uses the same equality as joins/grouping), and the null-element
+    guard runs FIRST among content checks because array_contains
+    returns NULL, not False, on arrays holding NULLs."""
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    v = F.col(vec_col)
+    status = (
+        F.when(v.isNull(), F.lit("null_vector"))
+        .when(F.size(v) != dim, F.lit("wrong_dim"))
+        .when(F.size(F.array_compact(v)) < F.size(v), F.lit("null_element"))
+        .when(
+            F.array_contains(_as_double(vec_col), F.lit(float("nan")))
+            | F.array_contains(_as_double(vec_col), F.lit(float("inf")))
+            | F.array_contains(_as_double(vec_col), F.lit(float("-inf"))),
+            F.lit("non_finite"),
+        )
+        .when(
+            _as_double(vec_col) == F.array_repeat(F.lit(0.0), dim),
+            F.lit("zero_vector"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumn("embedding_status", status)
+
+
+def quarantine_embeddings(
+    df: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) split on :func:`validate_embeddings` — good
+    rows come back without the status column (ready for an index
+    build), quarantined rows keep it (the triage key, same shape as
+    the CSV quarantine sink)."""
+    flagged = validate_embeddings(df, dim, vec_col)
+    ok = F.col("embedding_status") == "ok"
+    return (
+        flagged.filter(ok).drop("embedding_status"),
+        flagged.filter(~ok),
+    )
+
+
 def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
     """Shared retrieval contract: NULL embedding rows are dropped on
     BOTH sides of every top-k / pair generator. A NULL vector carries

@@ -12470,6 +12470,78 @@ def minhash_index_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_index_stats(spark, path)
 
 
+@_register(
+    "embedding_validation_gate",
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT vec_id, CASE vec_id % 7
+            WHEN 1 THEN NULL
+            WHEN 2 THEN v[1:32]
+            WHEN 3 THEN list_concat(v[1:63], ['nan'::DOUBLE])
+            WHEN 4 THEN list_concat(v[1:63], ['inf'::DOUBLE])
+            WHEN 5 THEN list_transform(v, y -> 0.0::DOUBLE)
+            WHEN 6 THEN list_concat(v[1:63], [NULL::DOUBLE])
+            ELSE v END AS v
+          FROM c),
+    s AS (SELECT vec_id, CASE
+            WHEN v IS NULL THEN 'null_vector'
+            WHEN len(v) <> 64 THEN 'wrong_dim'
+            WHEN len(list_filter(v, y -> y IS NOT NULL)) < len(v)
+                 THEN 'null_element'
+            WHEN list_contains(v, 'nan'::DOUBLE)
+                 OR list_contains(v, 'inf'::DOUBLE)
+                 OR list_contains(v, '-inf'::DOUBLE) THEN 'non_finite'
+            WHEN v = list_transform(v, y -> 0.0::DOUBLE) THEN 'zero_vector'
+            ELSE 'ok' END AS embedding_status
+          FROM x)
+    SELECT embedding_status,
+           COUNT(*) AS n_vecs,
+           MIN(vec_id) AS min_id,
+           MAX(vec_id) AS max_id
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_validation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The vector-column ingest gate (catalog's CSV quarantine pattern
+    # applied to embeddings): a deterministically corrupted batch —
+    # NULL vectors, truncated dims, NaN/Inf elements, all-zero
+    # vectors, ragged NULL elements — is classified by
+    # validate_embeddings in ONE whole-stage-codegen'd scan (equality/
+    # size/array_contains/array_compact, no interpreted per-element
+    # lambda). The oracle mirrors both the corruption and the full
+    # priority chain, so the hash compare checks every status rule,
+    # including that null-element masks NaN detection (array_contains
+    # returns NULL on arrays holding NULLs) and Spark's
+    # NaN-equals-NaN containment semantics.
+    emb = _t(spark, sf_dir, "embeddings")
+    v = sim._as_double("embedding")
+    m = F.col("vec_id") % 7
+    corrupted = (
+        F.when(m == 1, F.lit(None).cast("array<double>"))
+        .when(m == 2, F.slice(v, 1, 32))
+        .when(m == 3, F.concat(F.slice(v, 1, 63), F.array(F.lit(float("nan")))))
+        .when(m == 4, F.concat(F.slice(v, 1, 63), F.array(F.lit(float("inf")))))
+        .when(m == 5, F.array_repeat(F.lit(0.0), 64))
+        .when(
+            m == 6,
+            F.concat(F.slice(v, 1, 63), F.array(F.lit(None).cast("double"))),
+        )
+        .otherwise(v)
+    )
+    flagged = sim.validate_embeddings(
+        emb.select("vec_id", corrupted.alias("embedding")), dim=64
+    )
+    return (
+        flagged.groupBy("embedding_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+        )
+        .orderBy("embedding_status")
+    )
+
+
 def _skip_tmp_path(sf_dir: str, tag: str) -> str:
     import tempfile
 

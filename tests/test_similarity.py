@@ -617,3 +617,40 @@ def test_ivf_train_arrow_guards_and_sampling(spark):
     # tiny full corpus degrades to corpus size, same as the fold path
     tiny = corpus.limit(3)
     assert len(sim.ivf_train_centroids_arrow(tiny, n_centroids=8, n_iters=1)) == 3
+
+
+def test_validate_embeddings_classifies_and_quarantines(spark):
+    import pytest
+
+    rows = [
+        (1, [1.0] * 4),                    # ok
+        (2, None),                         # null_vector
+        (3, [1.0] * 3),                    # wrong_dim
+        (4, [1.0, None, 1.0, 1.0]),        # null_element
+        (5, [1.0, float("nan"), 1.0, 1.0]),  # non_finite (NaN)
+        (6, [1.0, float("inf"), 1.0, 1.0]),  # non_finite (+Inf)
+        (7, [0.0, 0.0, 0.0, 0.0]),         # zero_vector
+        (8, [1.0, None, float("nan"), 1.0]),  # null masks nan: null_element
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    got = {
+        r.vec_id: r.embedding_status
+        for r in sim.validate_embeddings(df, dim=4).collect()
+    }
+    assert got == {
+        1: "ok", 2: "null_vector", 3: "wrong_dim", 4: "null_element",
+        5: "non_finite", 6: "non_finite", 7: "zero_vector",
+        8: "null_element",
+    }
+    good, bad = sim.quarantine_embeddings(df, dim=4)
+    assert [r.vec_id for r in good.collect()] == [1]
+    assert "embedding_status" not in good.columns
+    assert sorted(r.vec_id for r in bad.collect()) == [2, 3, 4, 5, 6, 7, 8]
+    assert "embedding_status" in bad.columns
+    # float input works (index-corpus type) and dim is validated
+    fdf = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id INT, embedding ARRAY<FLOAT>"
+    )
+    assert sim.validate_embeddings(fdf, dim=2).collect()[0].embedding_status == "ok"
+    with pytest.raises(ValueError, match="dim"):
+        sim.validate_embeddings(df, dim=0)
