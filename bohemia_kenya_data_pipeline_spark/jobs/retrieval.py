@@ -466,6 +466,75 @@ def retrain_index(
     return new_cents
 
 
+def maintain_vector_index(
+    spark: SparkSession,
+    index_path: str,
+    new_rows: DataFrame | None = None,
+    psi_rebuild: float = 0.25,
+    min_live_share: float = 0.8,
+    retrain_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """The maintenance loop as ONE idempotent job tick — the decision
+    policy the monitoring operators exist for, composed:
+
+    1. If ``new_rows`` is given, gate it with
+       :func:`index_ingest_drift`: total PSI past ``psi_rebuild``
+       means the ORIGINAL centroids no longer describe the data, so
+       appending first would bucket the batch against stale
+       centroids — :func:`retrain_index` runs BEFORE the extend (the
+       batch then lands on refreshed centroids). Otherwise extend
+       directly (delta-sized).
+    2. Vacuum check: if the post-ingest live share
+       (:func:`index_stats`) is below ``min_live_share``, fold
+       tombstone debt with :func:`compact_index` — unless a retrain
+       already ran (it compacts as a side effect).
+
+    Plain ANN layout (retrain needs raw vectors). Every signal the
+    decisions read is metadata-sized (C-row frames); the expensive
+    passes (retrain rewrite, extend append) run at most once each.
+    Returns the decision trail: ``{"psi", "retrained", "extended",
+    "live_share_before", "compacted"}`` — a scheduler logs it, and
+    reruns with the same inputs are safe (PSI of an already-ingested
+    batch falls, live share recovers after compaction)."""
+    report = {
+        "psi": None,
+        "retrained": False,
+        "extended": False,
+        "live_share_before": None,
+        "compacted": False,
+    }
+    if new_rows is not None:
+        drift = index_ingest_drift(
+            spark, index_path, new_rows, vec_col=vec_col, id_col=id_col
+        )
+        psi = drift.agg(F.sum("psi_term")).collect()[0][0] or 0.0
+        report["psi"] = round(float(psi), 6)
+        if psi > psi_rebuild:
+            retrain_index(
+                spark,
+                index_path,
+                n_iters=retrain_iters,
+                vec_col=vec_col,
+                id_col=id_col,
+            )
+            report["retrained"] = True
+        extend_ann_index(
+            new_rows, index_path, vec_col=vec_col, id_col=id_col
+        )
+        report["extended"] = True
+    stats = index_stats(spark, index_path, id_col=id_col).agg(
+        F.sum("stored_rows").alias("stored"), F.sum("live_rows").alias("live")
+    ).collect()[0]
+    share = float(stats.live) / float(stats.stored) if stats.stored else 1.0
+    report["live_share_before"] = round(share, 6)
+    if share < min_live_share and not report["retrained"]:
+        compact_index(spark, index_path, id_col=id_col)
+        report["compacted"] = True
+    return report
+
+
 def extend_ann_index(
     new_rows: DataFrame,
     index_path: str,

@@ -632,3 +632,48 @@ def test_refine_kernels_agree_and_validate(spark):
         sim.ivf_refine_centroids(corpus, seed, kernel="bogus")
     with pytest.raises(ValueError, match="empty"):
         sim.ivf_refine_centroids(corpus, [])
+
+
+def test_maintain_vector_index_policy_ticks(spark, tmp_path):
+    """One scheduler tick composes the monitoring signals into the
+    documented decisions: stable batch -> plain extend; drifted batch
+    -> retrain THEN extend; tombstone debt past the vacuum threshold
+    -> compact; healthy index -> no action."""
+    import os
+
+    corpus = _toy_corpus(spark, n=400)
+    path = str(tmp_path / "maint_ann")
+    rt.build_ann_index(corpus, path, n_centroids=4, n_iters=2)
+    # stable batch: same generator -> low PSI -> extend only
+    batch1 = _toy_corpus(spark, n=500).filter(F.col("vec_id") > 400)
+    r1 = rt.maintain_vector_index(spark, path, batch1)
+    assert r1["psi"] is not None and r1["psi"] < 0.25
+    assert r1["extended"] and not r1["retrained"] and not r1["compacted"]
+    assert spark.read.parquet(path).count() == 500
+    # drifted batch: everything collapses onto one stored vector's
+    # bucket -> PSI past the rebuild band -> retrain before the extend
+    one = corpus.filter(F.col("vec_id") == 17).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    drifted = one
+    for k in range(1, 4):
+        drifted = drifted.union(
+            one.select((F.col("vec_id") + k).alias("vec_id"), "embedding")
+        )
+    r2 = rt.maintain_vector_index(spark, path, drifted)
+    assert r2["psi"] > 0.25 and r2["retrained"] and r2["extended"]
+    assert spark.read.parquet(path).count() == 504
+    # tombstone debt: delete ~half, tick with no batch -> compaction
+    rt.delete_from_index(
+        spark.read.parquet(path).filter(F.col("vec_id") % 2 == 0), path
+    )
+    r3 = rt.maintain_vector_index(spark, path)
+    assert r3["psi"] is None and r3["compacted"]
+    assert r3["live_share_before"] < 0.8
+    assert not os.path.exists(rt._tombstone_sidecar(path))
+    # healthy index: the tick is a no-op
+    r4 = rt.maintain_vector_index(spark, path)
+    assert r4 == {
+        "psi": None, "retrained": False, "extended": False,
+        "live_share_before": 1.0, "compacted": False,
+    }
