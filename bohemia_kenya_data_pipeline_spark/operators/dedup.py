@@ -965,6 +965,53 @@ def minhash_index_stats(spark, index_path: str) -> DataFrame:
     )
 
 
+def maintain_minhash_index(
+    spark,
+    index_path: str,
+    new_docs: DataFrame | None = None,
+    min_live_share: float = 0.8,
+    max_live_bucket: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """One idempotent maintenance tick for the near-dup index — the
+    minhash face of ``jobs.retrieval.maintain_vector_index``: sign and
+    append ``new_docs`` (delta-sized; re-admissions compact first via
+    :func:`minhash_index_extend`'s own guard), then read
+    :func:`minhash_index_stats` ONCE and act on it — tombstone debt
+    past ``min_live_share`` → :func:`minhash_index_compact`; a live
+    bucket past ``max_live_bucket`` → FLAGGED, not fixed (a hot bucket
+    means probes with that cap silently truncate the neighborhood; the
+    fix is re-shingling or re-banding, a corpus-sized rebuild the
+    caller schedules — this tick never pays more than one index-sized
+    pass). Returns the decision trail: ``{"extended",
+    "live_share_before", "compacted", "hot_buckets"}``."""
+    report = {
+        "extended": False,
+        "live_share_before": None,
+        "compacted": False,
+        "hot_buckets": 0,
+    }
+    if new_docs is not None:
+        minhash_index_extend(
+            new_docs, index_path, text_col=text_col, id_col=id_col
+        )
+        report["extended"] = True
+    stats = minhash_index_stats(spark, index_path).collect()  # B rows
+    stored = sum(r.stored_rows for r in stats)
+    live = sum(r.live_rows for r in stats)
+    share = live / stored if stored else 1.0
+    report["live_share_before"] = round(share, 6)
+    if max_live_bucket is not None:
+        report["hot_buckets"] = sum(
+            1 for r in stats if r.max_bucket > max_live_bucket
+        )
+    if share < min_live_share:
+        minhash_index_compact(spark, index_path)
+        report["compacted"] = True
+    return report
+
+
 def minhash_index_query(
     new_docs: DataFrame,
     index_path: str,

@@ -303,3 +303,48 @@ def test_minhash_index_stats_tracks_debt_and_hot_bucket(spark, tmp_path):
         assert r.stored_rows == 3 and r.live_rows == 3
         assert r.n_buckets == s1[b].n_buckets
         assert r.max_bucket == s1[b].max_bucket
+
+
+def test_maintain_minhash_index_policy_ticks(spark, tmp_path):
+    """The near-dup maintenance tick: extend is delta-sized, debt past
+    the vacuum threshold compacts, hot live buckets are flagged (not
+    rewritten), and a healthy tick is a no-op."""
+    import os
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about spark shuffles"),
+            (3, "completely unrelated prose concerning window functions"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_maint")
+    dedup.minhash_index_write(corpus, path, num_hashes=8, bands=4)
+    # extend a new doc + flag the exact-dup hot bucket (docs 1,4 share
+    # every band bucket, so max_live_bucket=1 flags all 4 bands)
+    batch = spark.createDataFrame(
+        [(5, "a fresh fifth document never seen before")], ["doc_id", "text"]
+    )
+    r1 = dedup.maintain_minhash_index(
+        spark, path, batch, max_live_bucket=1
+    )
+    assert r1["extended"] and not r1["compacted"]
+    assert r1["live_share_before"] == 1.0 and r1["hot_buckets"] == 4
+    assert spark.read.parquet(path).count() == 20  # 5 docs x 4 bands
+    # delete 2 of 5 docs -> live share 0.6 < 0.8 -> compaction
+    dedup.minhash_index_delete(
+        corpus.filter(F.col("doc_id").isin(2, 4)), path
+    )
+    r2 = dedup.maintain_minhash_index(spark, path)
+    assert not r2["extended"] and r2["compacted"]
+    assert abs(r2["live_share_before"] - 0.6) < 1e-9
+    assert not os.path.exists(dedup._minhash_tombstone_path(path))
+    assert spark.read.parquet(path).count() == 12
+    # healthy tick: no-op
+    r3 = dedup.maintain_minhash_index(spark, path, max_live_bucket=10)
+    assert r3 == {
+        "extended": False, "live_share_before": 1.0,
+        "compacted": False, "hot_buckets": 0,
+    }
