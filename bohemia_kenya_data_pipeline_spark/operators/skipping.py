@@ -299,6 +299,23 @@ def manifest_staleness(spark: SparkSession, path: str) -> dict:
     return summary
 
 
+def maintain_file_manifest(spark: SparkSession, path: str) -> dict:
+    """The manifest's maintenance tick, completing the symmetry with
+    ``retrieval.maintain_vector_index`` / ``dedup.maintain_minhash_index``:
+    one read-only staleness check (:func:`manifest_staleness`, a
+    driver-side listing diff — zero data files opened), and ONLY if
+    stale, the delta-sized repair (:func:`extend_file_manifest`).
+    Returns the staleness report with ``"repaired"`` added — False
+    means the tick cost one file listing and nothing else, so a
+    scheduler can run it before every pruned read."""
+    report = manifest_staleness(spark, path)
+    report["repaired"] = False
+    if report["stale"]:
+        extend_file_manifest(spark, path)
+        report["repaired"] = True
+    return report
+
+
 def extend_file_manifest(spark: SparkSession, path: str) -> dict:
     """Bring an existing manifest up to date by scanning ONLY the
     files whose size+mtime fingerprint is absent (appended files) or

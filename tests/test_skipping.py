@@ -304,3 +304,23 @@ def test_manifest_staleness_reports_without_mutating(spark, tmp_path):
         "n_new": 0, "n_changed": 1, "n_deleted": 1, "n_unchanged": 1,
         "stale": True,
     }
+
+
+def test_maintain_file_manifest_tick(spark, tmp_path):
+    """Stale -> one delta-sized repair and the pruned read is exact;
+    clean -> the tick costs a listing and touches nothing."""
+    path, _ = _clustered_table(spark, tmp_path, n=1_000, files=2)
+    skp.build_file_manifest(spark, path, ["k"])
+    r0 = skp.maintain_file_manifest(spark, path)
+    assert r0["stale"] is False and r0["repaired"] is False
+    spark.range(1_001, 1_501).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.concat(F.lit("row_"), F.col("id")).alias("payload"),
+    ).coalesce(1).write.mode("append").parquet(path)
+    r1 = skp.maintain_file_manifest(spark, path)
+    assert r1["stale"] is True and r1["repaired"] is True and r1["n_new"] == 1
+    got = skp.read_with_skipping(spark, path, [("k", ">=", 1_200)])
+    want = spark.read.parquet(path).filter(F.col("k") >= 1_200)
+    assert _rows(got) == _rows(want) and got.count() == 301
+    assert skp.maintain_file_manifest(spark, path)["repaired"] is False
