@@ -1815,3 +1815,89 @@ def mine_hard_negatives(
         wc = Window.partitionBy(anchor_col)
         out = out.withColumn("shortfall", F.count(F.lit(1)).over(wc) < n_neg)
     return out
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank of an ANN candidate pool:
+    per query, greedily select ``k`` neighbors maximizing
+    ``lam * score - (1 - lam) * max_cosine_to_already_selected`` — the
+    standard diversity-aware selection for RAG context assembly and
+    training-example curation, where the plain top-k is often k
+    near-duplicates of the same passage.
+
+    Composes downstream of ANY candidate generator (``cosine_topk``,
+    ``ivf_topk``, ``query_ann_index``, a ``candidates=``-style frame):
+    ``candidates`` is (query_id, neighbor_id, score), vectors are
+    joined from ``corpus`` once. MMR itself is inherently sequential
+    PER QUERY, so it runs as one Arrow ``applyInPandas`` over the
+    query group — the pool is generator-bounded (tens to hundreds of
+    rows), the greedy loop is O(k·|pool|·dim) numpy on that bounded
+    batch, and queries parallelize embarrassingly across the shuffle.
+    Nothing here scales with the corpus: the corpus-sized work already
+    happened in the generator. Ties break to the smaller neighbor id;
+    ``lam=1.0`` degrades to pure score order (golden-asserted).
+    Returns (query_col, neighbor_col, score_col, mmr_rank 1..k).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    pool = candidates.select(query_col, neighbor_col, score_col).join(
+        corpus.select(
+            F.col(id_col).alias(neighbor_col),
+            _as_double(vec_col).alias("_v"),
+        ),
+        neighbor_col,
+    )
+    out_schema = (
+        f"{query_col} long, {neighbor_col} long, "
+        f"{score_col} double, mmr_rank int"
+    )
+
+    def pick(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        # deterministic frame order: score desc, id asc (tie-break)
+        pdf = pdf.sort_values(
+            [score_col, neighbor_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        vm = _np.asarray(pdf["_v"].tolist(), dtype=_np.float64)
+        norms = _np.linalg.norm(vm, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine treated as 0
+        unit = vm / norms[:, None]
+        scores = pdf[score_col].to_numpy(dtype=_np.float64)
+        n = len(pdf)
+        selected: list[int] = []
+        max_sim = _np.zeros(n, dtype=_np.float64)
+        free = _np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            gain = lam * scores - (1.0 - lam) * max_sim
+            gain[~free] = -_np.inf
+            # argmax with ties to the smaller neighbor id: the frame
+            # is id-ascending within equal scores, and numpy argmax
+            # returns the first maximum
+            i = int(_np.argmax(gain))
+            selected.append(i)
+            free[i] = False
+            max_sim = _np.maximum(max_sim, unit @ unit[i])
+        return _pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[selected].to_numpy(),
+                neighbor_col: pdf[neighbor_col].iloc[selected].to_numpy(),
+                score_col: scores[selected],
+                "mmr_rank": _np.arange(1, len(selected) + 1, dtype=_np.int32),
+            }
+        )
+
+    return pool.groupBy(query_col).applyInPandas(pick, out_schema)

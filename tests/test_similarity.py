@@ -654,3 +654,47 @@ def test_validate_embeddings_classifies_and_quarantines(spark):
     assert sim.validate_embeddings(fdf, dim=2).collect()[0].embedding_status == "ok"
     with pytest.raises(ValueError, match="dim"):
         sim.validate_embeddings(df, dim=0)
+
+
+def test_mmr_rerank_diversity_and_degenerate_cases(spark):
+    import pytest
+
+    # corpus: docs 1,2 are the SAME direction (near-dups), 3 is
+    # orthogonal, 4 is a third direction; query favors the dup pair
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cands = spark.createDataFrame(
+        [(100, 1, 0.99), (100, 2, 0.98), (100, 3, 0.40), (100, 4, 0.30)],
+        "query_id BIGINT, neighbor_id BIGINT, score DOUBLE",
+    )
+    # lam=1: pure score order — identical to the generator's ranking
+    pure = sim.mmr_rerank(cands, corpus, k=3, lam=1.0).collect()
+    assert [(r.neighbor_id, r.mmr_rank) for r in
+            sorted(pure, key=lambda r: r.mmr_rank)] == [(1, 1), (2, 2), (3, 3)]
+    # lam=0.5: the near-dup of the #1 pick is demoted below the
+    # orthogonal docs — diversity beats 0.58 of raw score
+    div = sorted(
+        sim.mmr_rerank(cands, corpus, k=3, lam=0.5).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert div[0].neighbor_id == 1
+    assert {div[1].neighbor_id, div[2].neighbor_id} == {3, 4}
+    # k >= pool: everything comes back, ranks 1..n, each id once
+    allb = sim.mmr_rerank(cands, corpus, k=10, lam=0.5).collect()
+    assert sorted(r.mmr_rank for r in allb) == [1, 2, 3, 4]
+    assert len({r.neighbor_id for r in allb}) == 4
+    # composes downstream of a real generator
+    pool = sim.cosine_topk(corpus, corpus.filter(F.col("vec_id") == 3), k=4)
+    out = sim.mmr_rerank(pool, corpus, k=2, lam=0.7).collect()
+    assert len(out) == 2 and len({r.query_id for r in out}) == 1
+    with pytest.raises(ValueError, match="lam"):
+        sim.mmr_rerank(cands, corpus, k=2, lam=1.5)
+    with pytest.raises(ValueError, match="k"):
+        sim.mmr_rerank(cands, corpus, k=0)
