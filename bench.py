@@ -173,6 +173,9 @@ HEADLINE = [
     # (timing includes the initial build; the retrain reads only the
     # index, never the corpus)
     "ann_index_retrain",
+    # round-11: MMR diversity re-rank over the fixed-query cosine pool
+    # (generator + greedy applyInPandas re-rank, pool-bounded)
+    "mmr_rerank_fixedq",
 ]
 
 

@@ -1844,9 +1844,16 @@ def mmr_rerank(
     rows), the greedy loop is O(k·|pool|·dim) numpy on that bounded
     batch, and queries parallelize embarrassingly across the shuffle.
     Nothing here scales with the corpus: the corpus-sized work already
-    happened in the generator. Ties break to the smaller neighbor id;
-    ``lam=1.0`` degrades to pure score order (golden-asserted).
-    Returns (query_col, neighbor_col, score_col, mmr_rank 1..k).
+    happened in the generator. The penalty term is the SIGNED max
+    cosine to the already-selected set (textbook MMR: the first pick
+    carries no penalty; anti-correlated candidates are genuinely
+    rewarded, not floored at 0 — ADVICE r10). Ties in the marginal
+    gain break by (score desc, neighbor id asc) — the exact order the
+    ``mmr_rerank_fixedq`` SQL oracle mirrors; ``lam=1.0`` degrades to
+    pure score order (golden-asserted). Id and score columns are
+    schema-polymorphic (long/int/string ids, float/double scores —
+    the output types mirror the candidate frame's). Returns
+    (query_col, neighbor_col, score_col, mmr_rank 1..k).
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
@@ -1859,9 +1866,14 @@ def mmr_rerank(
         ),
         neighbor_col,
     )
+    # output types mirror the candidate frame's (string/int ids, float
+    # scores all pass through) — hardcoding long/double broke the text
+    # doc_id regime (ADVICE r10)
+    cand_t = {f.name: f.dataType.simpleString() for f in candidates.schema.fields}
     out_schema = (
-        f"{query_col} long, {neighbor_col} long, "
-        f"{score_col} double, mmr_rank int"
+        f"`{query_col}` {cand_t[query_col]}, "
+        f"`{neighbor_col}` {cand_t[neighbor_col]}, "
+        f"`{score_col}` {cand_t[score_col]}, mmr_rank int"
     )
 
     def pick(pdf):
@@ -1879,23 +1891,32 @@ def mmr_rerank(
         scores = pdf[score_col].to_numpy(dtype=_np.float64)
         n = len(pdf)
         selected: list[int] = []
-        max_sim = _np.zeros(n, dtype=_np.float64)
+        # penalty is the SIGNED max cosine to the selected set: None
+        # until the first pick (no penalty round 1), then the true
+        # signed running max — zero-init would floor anti-correlated
+        # candidates at 0 and under-reward maximal diversity (ADVICE
+        # r10; -inf init would NaN out at lam=1.0 via 0 * -inf)
+        max_sim = None
         free = _np.ones(n, dtype=bool)
         for _ in range(min(k, n)):
-            gain = lam * scores - (1.0 - lam) * max_sim
+            if max_sim is None:
+                gain = lam * scores
+            else:
+                gain = lam * scores - (1.0 - lam) * max_sim
             gain[~free] = -_np.inf
-            # argmax with ties to the smaller neighbor id: the frame
-            # is id-ascending within equal scores, and numpy argmax
-            # returns the first maximum
+            # argmax ties resolve to the first maximum in frame order
+            # (score desc, id asc) — i.e. higher score, then smaller
+            # neighbor id, the order the SQL oracle mirrors
             i = int(_np.argmax(gain))
             selected.append(i)
             free[i] = False
-            max_sim = _np.maximum(max_sim, unit @ unit[i])
+            sims = unit @ unit[i]
+            max_sim = sims if max_sim is None else _np.maximum(max_sim, sims)
         return _pd.DataFrame(
             {
                 query_col: pdf[query_col].iloc[selected].to_numpy(),
                 neighbor_col: pdf[neighbor_col].iloc[selected].to_numpy(),
-                score_col: scores[selected],
+                score_col: pdf[score_col].iloc[selected].to_numpy(),
                 "mmr_rank": _np.arange(1, len(selected) + 1, dtype=_np.int32),
             }
         )

@@ -11917,6 +11917,65 @@ def hard_negatives_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mmr_rerank_fixedq",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_cosine_similarity(qv, cv), 4) AS score
+          FROM q, c WHERE query_id <> neighbor_id),
+    pool AS (SELECT query_id, neighbor_id, score FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, neighbor_id) AS rnk
+               FROM s) WHERE rnk <= 8),
+    pv AS (SELECT p.query_id, p.neighbor_id, p.score, c.cv
+           FROM pool p JOIN c ON c.neighbor_id = p.neighbor_id),
+    s1 AS (SELECT query_id, neighbor_id, score, cv FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS rn
+             FROM pv) WHERE rn = 1),
+    g2 AS (SELECT p.query_id, p.neighbor_id, p.score, p.cv,
+                  list_cosine_similarity(p.cv, s1.cv) AS ms
+           FROM pv p JOIN s1 ON s1.query_id = p.query_id
+           WHERE p.neighbor_id <> s1.neighbor_id),
+    s2 AS (SELECT query_id, neighbor_id, score, cv, ms FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY 0.5 * score - 0.5 * ms DESC, score DESC, neighbor_id) AS rn
+             FROM g2) WHERE rn = 1),
+    g3 AS (SELECT g.query_id, g.neighbor_id, g.score,
+                  GREATEST(g.ms, list_cosine_similarity(g.cv, s2.cv)) AS ms
+           FROM g2 g JOIN s2 ON s2.query_id = g.query_id
+           WHERE g.neighbor_id <> s2.neighbor_id),
+    s3 AS (SELECT query_id, neighbor_id, score FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY 0.5 * score - 0.5 * ms DESC, score DESC, neighbor_id) AS rn
+             FROM g3) WHERE rn = 1)
+    SELECT query_id, neighbor_id, score, CAST(1 AS INTEGER) AS mmr_rank FROM s1
+    UNION ALL
+    SELECT query_id, neighbor_id, score, CAST(2 AS INTEGER) FROM s2
+    UNION ALL
+    SELECT query_id, neighbor_id, score, CAST(3 AS INTEGER) FROM s3
+    """,
+)
+def mmr_rerank_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MMR diversity re-rank brought into the oracle regime (VERDICT
+    # r10 ask 1): the 10 fixed queries' cosine_topk(k=8) pool is
+    # greedily re-ranked to k=3 at lam=0.5. The SQL mirror unrolls the
+    # greedy recurrence as a CTE chain (the pagerank_trade_graph
+    # template): pick_i = argmax(0.5*score - 0.5*max_cos_to_selected)
+    # with the running max carried via GREATEST, ties broken (gain
+    # desc, score desc, neighbor_id asc) — exactly the numpy argmax's
+    # frame-order tie-break. Penalties are SIGNED cosines on both
+    # sides (the ADVICE r10 textbook-MMR fix, hash-checked here).
+    emb = _t(spark, sf_dir, "embeddings")
+    pool = sim.cosine_topk(emb, _fixed_query_batch(emb), k=8)
+    return sim.mmr_rerank(pool, emb, k=3, lam=0.5)
+
+
+@_register(
     "quantile_sketch_by_priority",
     """
     WITH s AS (

@@ -698,3 +698,27 @@ def test_mmr_rerank_diversity_and_degenerate_cases(spark):
         sim.mmr_rerank(cands, corpus, k=2, lam=1.5)
     with pytest.raises(ValueError, match="k"):
         sim.mmr_rerank(cands, corpus, k=0)
+
+
+def test_mmr_rerank_schema_polymorphic_and_signed_penalty(spark):
+    # string doc ids + float32 scores (the dedup/text doc_id regime):
+    # output column types mirror the candidate frame's instead of the
+    # old hardcoded long/double (ADVICE r10)
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("o", [0.0, 1.0]), ("c", [-1.0, 0.0])],
+        "doc_id STRING, embedding ARRAY<DOUBLE>",
+    )
+    cands = spark.createDataFrame(
+        [("q", "a", 0.9), ("q", "o", 0.3), ("q", "c", 0.1)],
+        "query_id STRING, neighbor_id STRING, score FLOAT",
+    )
+    out = sim.mmr_rerank(cands, corpus, k=2, lam=0.5, id_col="doc_id")
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string", "string", "float", "int",
+    ]
+    rows = sorted(out.collect(), key=lambda r: r.mmr_rank)
+    # signed penalty: after picking `a`, candidate `c` is ANTI-correlated
+    # (cosine -1 to a) so its marginal gain is 0.5*0.1 - 0.5*(-1) = 0.55,
+    # beating the orthogonal `o` (0.5*0.3 - 0 = 0.15). The old zero-floored
+    # penalty gave c only 0.05 and wrongly picked o (ADVICE r10).
+    assert [r.neighbor_id for r in rows] == ["a", "c"]
