@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
+from ..operators.skipping import _swap_in
 
 
 def _centroid_sidecar(index_path: str) -> str:
@@ -304,14 +305,10 @@ def compact_index(
     )
     stage = index_path.rstrip("/") + "__stage"
     rows.write.mode("overwrite").partitionBy("cid").parquet(stage)
+    _swap_in(spark, index_path, stage)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(index_path).getFileSystem(conf)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(index_path), True)
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(stage),
-        jvm.org.apache.hadoop.fs.Path(index_path),
-    )
     fs.delete(jvm.org.apache.hadoop.fs.Path(_tombstone_sidecar(index_path)), True)
 
 
@@ -452,12 +449,7 @@ def retrain_index(
     assigned = _assign_for_index(live, new_cents, vec_col, id_col, assign)
     stage = index_path.rstrip("/") + "__stage"
     assigned.write.mode("overwrite").partitionBy("cid").parquet(stage)
-    fs = jvm.org.apache.hadoop.fs.Path(index_path).getFileSystem(conf)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(index_path), True)
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(stage),
-        jvm.org.apache.hadoop.fs.Path(index_path),
-    )
+    _swap_in(spark, index_path, stage)
     _drop_stale_tombstones(spark, index_path)
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(new_cents)],
@@ -494,41 +486,67 @@ def maintain_vector_index(
     Plain ANN layout (retrain needs raw vectors). Every signal the
     decisions read is metadata-sized (C-row frames); the expensive
     passes (retrain rewrite, extend append) run at most once each.
-    Returns the decision trail: ``{"psi", "retrained", "extended",
-    "live_share_before", "compacted"}`` — a scheduler logs it, and
-    reruns with the same inputs are safe (PSI of an already-ingested
-    batch falls, live share recovers after compaction)."""
+    The tick is genuinely idempotent (ADVICE r10): ``new_rows`` is
+    anti-joined against the ids already LIVE in the index before
+    anything runs (one column-pruned (id) scan of the index), so a
+    scheduler retrying a failed tick with the same batch cannot
+    double-ingest — the retried delta is empty and the tick degrades
+    to the vacuum check. A live id with a CHANGED vector is NOT an
+    ingest (it would silently be dropped here): updates are
+    delete (:func:`delete_from_index`) + re-admit, the index's only
+    mutation protocol. Returns the decision trail: ``{"psi",
+    "ingested_rows", "retrained", "extended", "live_share",
+    "compacted"}`` (``live_share`` is the POST-ingest share the vacuum
+    decision actually read) — a scheduler logs it."""
     report = {
         "psi": None,
+        "ingested_rows": 0,
         "retrained": False,
         "extended": False,
-        "live_share_before": None,
+        "live_share": None,
         "compacted": False,
     }
     if new_rows is not None:
-        drift = index_ingest_drift(
-            spark, index_path, new_rows, vec_col=vec_col, id_col=id_col
+        # idempotency guard: ids already live in the index are not a
+        # delta (tombstoned ids still pass — re-admission is handled
+        # by extend_ann_index's compact-first guard)
+        live_ids = _drop_tombstoned(
+            spark.read.parquet(index_path).select(id_col),
+            spark, index_path, id_col,
         )
-        psi = drift.agg(F.sum("psi_term")).collect()[0][0] or 0.0
-        report["psi"] = round(float(psi), 6)
-        if psi > psi_rebuild:
-            retrain_index(
-                spark,
-                index_path,
-                n_iters=retrain_iters,
-                vec_col=vec_col,
-                id_col=id_col,
+        # eager localCheckpoint: the delta's plan READS the index, and
+        # the steps below REWRITE it (retrain swap, append) — a lazy
+        # delta would re-list deleted files mid-tick. Materializing
+        # the delta-sized batch cuts that lineage once.
+        delta = new_rows.join(live_ids, id_col, "anti").localCheckpoint(
+            eager=True
+        )
+        n_delta = delta.count()
+        report["ingested_rows"] = int(n_delta)
+        if n_delta:
+            drift = index_ingest_drift(
+                spark, index_path, delta, vec_col=vec_col, id_col=id_col
             )
-            report["retrained"] = True
-        extend_ann_index(
-            new_rows, index_path, vec_col=vec_col, id_col=id_col
-        )
-        report["extended"] = True
+            psi = drift.agg(F.sum("psi_term")).collect()[0][0] or 0.0
+            report["psi"] = round(float(psi), 6)
+            if psi > psi_rebuild:
+                retrain_index(
+                    spark,
+                    index_path,
+                    n_iters=retrain_iters,
+                    vec_col=vec_col,
+                    id_col=id_col,
+                )
+                report["retrained"] = True
+            extend_ann_index(
+                delta, index_path, vec_col=vec_col, id_col=id_col
+            )
+            report["extended"] = True
     stats = index_stats(spark, index_path, id_col=id_col).agg(
         F.sum("stored_rows").alias("stored"), F.sum("live_rows").alias("live")
     ).collect()[0]
     share = float(stats.live) / float(stats.stored) if stats.stored else 1.0
-    report["live_share_before"] = round(share, 6)
+    report["live_share"] = round(share, 6)
     if share < min_live_share and not report["retrained"]:
         compact_index(spark, index_path, id_col=id_col)
         report["compacted"] = True

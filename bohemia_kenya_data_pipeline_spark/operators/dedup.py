@@ -894,7 +894,7 @@ def minhash_index_compact(spark, index_path: str) -> None:
     cadence, like any lakehouse vacuum, so query-time anti-join cost
     stays bounded. After compaction the index is byte-equivalent in
     content to one built over the surviving corpus."""
-    from .skipping import _replace_dataset
+    from .skipping import _swap_in
 
     tomb = _minhash_tombstones(spark, index_path)
     if tomb is None:
@@ -910,11 +910,7 @@ def minhash_index_compact(spark, index_path: str) -> None:
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(index_path).getFileSystem(conf)
     params_tmp = read_minhash_index_params(spark, index_path)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(index_path), True)
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(stage),
-        jvm.org.apache.hadoop.fs.Path(index_path),
-    )
+    _swap_in(spark, index_path, stage)
     # the staged swap drops the sidecar params file — restore it
     import json as _json
 
@@ -984,24 +980,52 @@ def maintain_minhash_index(
     means probes with that cap silently truncate the neighborhood; the
     fix is re-shingling or re-banding, a corpus-sized rebuild the
     caller schedules — this tick never pays more than one index-sized
-    pass). Returns the decision trail: ``{"extended",
-    "live_share_before", "compacted", "hot_buckets"}``."""
+    pass). Idempotent for real (ADVICE r10, the same guard as the
+    vector tick): ``new_docs`` is anti-joined against the ids already
+    LIVE in the index (one column-pruned (id) scan) before signing,
+    so a scheduler retrying a failed tick with the same batch cannot
+    double-append band rows; a live id with CHANGED text is
+    delete + re-admit, never a bare re-extend. Returns the decision
+    trail: ``{"ingested_docs", "extended", "live_share", "compacted",
+    "hot_buckets"}`` (``live_share`` is the POST-ingest share the
+    compaction decision actually read)."""
     report = {
+        "ingested_docs": 0,
         "extended": False,
-        "live_share_before": None,
+        "live_share": None,
         "compacted": False,
         "hot_buckets": 0,
     }
     if new_docs is not None:
-        minhash_index_extend(
-            new_docs, index_path, text_col=text_col, id_col=id_col
+        live_ids = spark.read.parquet(index_path).select(
+            F.col("id").alias(id_col)
         )
-        report["extended"] = True
+        tomb = _minhash_tombstones(spark, index_path)
+        if tomb is not None:
+            # tombstoned ids still count as a delta: re-admission runs
+            # through minhash_index_extend's compact-first guard
+            live_ids = live_ids.join(
+                F.broadcast(tomb.select(F.col("id").alias(id_col))),
+                id_col, "anti",
+            )
+        # eager localCheckpoint: the delta's plan READS the index, and
+        # a re-admitting extend REWRITES it (compact-first guard) — a
+        # lazy delta would re-list deleted files mid-tick
+        delta = new_docs.join(
+            live_ids.distinct(), id_col, "anti"
+        ).localCheckpoint(eager=True)
+        n_delta = delta.count()
+        report["ingested_docs"] = int(n_delta)
+        if n_delta:
+            minhash_index_extend(
+                delta, index_path, text_col=text_col, id_col=id_col
+            )
+            report["extended"] = True
     stats = minhash_index_stats(spark, index_path).collect()  # B rows
     stored = sum(r.stored_rows for r in stats)
     live = sum(r.live_rows for r in stats)
     share = live / stored if stored else 1.0
-    report["live_share_before"] = round(share, 6)
+    report["live_share"] = round(share, 6)
     if max_live_bucket is not None:
         report["hot_buckets"] = sum(
             1 for r in stats if r.max_bucket > max_live_bucket

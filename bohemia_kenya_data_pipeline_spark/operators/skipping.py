@@ -108,15 +108,33 @@ def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int, int
     return sorted(out)
 
 
+def _swap_in(spark: SparkSession, path: str, stage: str) -> None:
+    """Swap a staged rewrite into place with a RECOVERABLE window:
+    rename the current dataset aside, rename the stage in, then delete
+    the old copy. The naive delete-then-rename order (ADVICE r10) has
+    a crash window in which NO copy exists at ``path`` while sidecars
+    may still describe it; here every non-atomic gap leaves either the
+    old or the staged copy on disk under a deterministic sibling name
+    (``__old`` / ``__stage``), so a crashed swap is recoverable. A
+    leftover ``__old`` from a previous crash is cleared first. Shared
+    by every staged rewrite (manifest stats/bloom, ANN/IVF-PQ compact
+    + retrain, minhash compact)."""
+    jvm, fs, p = _fs(spark, path)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(p, old)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(stage), p)
+    fs.delete(old, True)
+
+
 def _replace_dataset(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Rewrite a (metadata-sized) dataset whose new contents are
     DERIVED from the old one: write to a stage sibling, then swap —
     Spark cannot overwrite a path it is still reading from."""
     stage = path.rstrip("/") + "__stage"
     df.write.mode("overwrite").parquet(stage)
-    jvm, fs, p = _fs(spark, path)
-    fs.delete(p, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(stage), p)
+    _swap_in(spark, path, stage)
 
 
 def _write_json(spark: SparkSession, path: str, obj: dict) -> None:

@@ -331,20 +331,37 @@ def test_maintain_minhash_index_policy_ticks(spark, tmp_path):
         spark, path, batch, max_live_bucket=1
     )
     assert r1["extended"] and not r1["compacted"]
-    assert r1["live_share_before"] == 1.0 and r1["hot_buckets"] == 4
+    assert r1["ingested_docs"] == 1
+    assert r1["live_share"] == 1.0 and r1["hot_buckets"] == 4
     assert spark.read.parquet(path).count() == 20  # 5 docs x 4 bands
+    # RETRIED tick with the same batch: live-id anti-join makes the
+    # rerun a no-op — no double-appended band rows (ADVICE r10)
+    r1b = dedup.maintain_minhash_index(spark, path, batch)
+    assert r1b["ingested_docs"] == 0 and not r1b["extended"]
+    assert spark.read.parquet(path).count() == 20
     # delete 2 of 5 docs -> live share 0.6 < 0.8 -> compaction
     dedup.minhash_index_delete(
         corpus.filter(F.col("doc_id").isin(2, 4)), path
     )
     r2 = dedup.maintain_minhash_index(spark, path)
     assert not r2["extended"] and r2["compacted"]
-    assert abs(r2["live_share_before"] - 0.6) < 1e-9
+    assert abs(r2["live_share"] - 0.6) < 1e-9
     assert not os.path.exists(dedup._minhash_tombstone_path(path))
     assert spark.read.parquet(path).count() == 12
     # healthy tick: no-op
     r3 = dedup.maintain_minhash_index(spark, path, max_live_bucket=10)
     assert r3 == {
-        "extended": False, "live_share_before": 1.0,
+        "ingested_docs": 0, "extended": False, "live_share": 1.0,
         "compacted": False, "hot_buckets": 0,
     }
+    # a tombstoned id in the batch is a RE-ADMISSION, not a dup: it
+    # passes the live-id guard and compacts first via extend's guard
+    dedup.minhash_index_delete(
+        corpus.filter(F.col("doc_id") == 1), path
+    )
+    r4 = dedup.maintain_minhash_index(
+        spark, path, corpus.filter(F.col("doc_id") == 1)
+    )
+    assert r4["ingested_docs"] == 1 and r4["extended"]
+    assert spark.read.parquet(path).count() == 12  # compact dropped 4, re-added 4
+    assert not os.path.exists(dedup._minhash_tombstone_path(path))

@@ -193,8 +193,10 @@ def index_lifecycles(draw):
     n_ops = draw(st.integers(1, 4))
     ops = []
     for _ in range(n_ops):
-        kind = draw(st.sampled_from(["extend", "delete", "compact", "retrain"]))
-        if kind in ("extend", "delete"):
+        kind = draw(
+            st.sampled_from(["extend", "tick", "delete", "compact", "retrain"])
+        )
+        if kind in ("extend", "tick", "delete"):
             ops.append(
                 (kind, draw(st.sets(st.integers(1, 60), min_size=1, max_size=8)))
             )
@@ -234,7 +236,7 @@ def test_index_lifecycle_equals_fresh_build_random(spark, world):
         rt.build_ann_index(vecs(live), path, n_centroids=3, n_iters=2)
         for kind, ids in ops:
             if kind == "extend":
-                # the documented ingest contract: the delta is deduped
+                # the low-level ingest contract: the delta is deduped
                 # upstream (incremental_exact_dedup), so only ids not
                 # currently live are appended; tombstoned ids may
                 # re-admit (extend compacts first)
@@ -243,6 +245,14 @@ def test_index_lifecycle_equals_fresh_build_random(spark, world):
                     continue
                 rt.extend_ann_index(vecs(batch), path)
                 live |= batch
+            elif kind == "tick":
+                # the maintenance tick takes the RAW batch — its
+                # live-id anti-join must drop already-live ids itself
+                # (the ADVICE r10 idempotency guard), so no upstream
+                # dedup here, and overlapping/repeated batches are
+                # exactly what this op is meant to survive
+                rt.maintain_vector_index(spark, path, vecs(ids))
+                live |= ids
             elif kind == "delete":
                 rt.delete_from_index(vecs(ids), path)
                 live -= ids

@@ -649,6 +649,13 @@ def test_maintain_vector_index_policy_ticks(spark, tmp_path):
     r1 = rt.maintain_vector_index(spark, path, batch1)
     assert r1["psi"] is not None and r1["psi"] < 0.25
     assert r1["extended"] and not r1["retrained"] and not r1["compacted"]
+    assert r1["ingested_rows"] == 100
+    assert spark.read.parquet(path).count() == 500
+    # RETRIED tick with the same batch: the live-id anti-join empties
+    # the delta — no double-ingest, no PSI pass (ADVICE r10)
+    r1b = rt.maintain_vector_index(spark, path, batch1)
+    assert r1b["ingested_rows"] == 0 and not r1b["extended"]
+    assert r1b["psi"] is None
     assert spark.read.parquet(path).count() == 500
     # drifted batch: everything collapses onto one stored vector's
     # bucket -> PSI past the rebuild band -> retrain before the extend
@@ -669,11 +676,11 @@ def test_maintain_vector_index_policy_ticks(spark, tmp_path):
     )
     r3 = rt.maintain_vector_index(spark, path)
     assert r3["psi"] is None and r3["compacted"]
-    assert r3["live_share_before"] < 0.8
+    assert r3["live_share"] < 0.8
     assert not os.path.exists(rt._tombstone_sidecar(path))
     # healthy index: the tick is a no-op
     r4 = rt.maintain_vector_index(spark, path)
     assert r4 == {
-        "psi": None, "retrained": False, "extended": False,
-        "live_share_before": 1.0, "compacted": False,
+        "psi": None, "ingested_rows": 0, "retrained": False,
+        "extended": False, "live_share": 1.0, "compacted": False,
     }

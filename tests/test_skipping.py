@@ -324,3 +324,22 @@ def test_maintain_file_manifest_tick(spark, tmp_path):
     want = spark.read.parquet(path).filter(F.col("k") >= 1_200)
     assert _rows(got) == _rows(want) and got.count() == 301
     assert skp.maintain_file_manifest(spark, path)["repaired"] is False
+
+
+def test_swap_in_clears_stale_old_and_swaps(spark, tmp_path):
+    # a leftover __old from a crashed previous swap must not block the
+    # next one, and the swap must leave only the new dataset (ADVICE
+    # r10: rename-aside order, recoverable window)
+    import os
+
+    from bohemia_kenya_data_pipeline_spark.operators.skipping import _swap_in
+
+    path = str(tmp_path / "ds")
+    spark.range(5).write.parquet(path)
+    spark.range(3).write.parquet(path + "__old")
+    stage = path + "__stage"
+    spark.range(7).write.parquet(stage)
+    _swap_in(spark, path, stage)
+    assert spark.read.parquet(path).count() == 7
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(stage)
