@@ -289,3 +289,106 @@ def test_index_lifecycle_equals_fresh_build_random(spark, world):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@st.composite
+def manifest_lifecycles(draw):
+    n_ops = draw(st.integers(1, 4))
+    return [
+        (
+            draw(st.sampled_from(["append", "rewrite", "delete"])),
+            draw(st.integers(0, 7)),
+        )
+        for _ in range(n_ops)
+    ]
+
+
+@given(ops=manifest_lifecycles())
+@settings(**_SETTINGS)
+def test_manifest_lifecycle_extend_equals_rebuild_random(spark, ops):
+    """Random append / file-rewrite / file-delete sequences against a
+    plain parquet directory (VERDICT r10 ask 6): after every op the
+    staleness report must match the op's ground truth, the delta-sized
+    extend must repair to clean, and at the end the extended manifest
+    (stats + bloom) must equal a from-scratch rebuild as a multiset."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from bohemia_kenya_data_pipeline_spark.operators import skipping as sk
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+
+    root = tempfile.mkdtemp(prefix="manifest_prop_")
+    path = f"{root}/tbl"
+    donor_dir = f"{root}/donor"
+    try:
+        batch(0, 40).repartition(2).write.parquet(path)
+        # donor file with the same schema but different content/size:
+        # copied over an existing name it is a REWRITE (new fingerprint)
+        batch(900, 903).coalesce(1).write.parquet(donor_dir)
+        donor = glob.glob(f"{donor_dir}/*.parquet")[0]
+        sk.build_file_manifest(spark, path, ["k"], bloom_col="k")
+        nxt = 100
+        for kind, sel in ops:
+            files = sorted(glob.glob(f"{path}/*.parquet"))
+            if kind == "append":
+                batch(nxt, nxt + 10).repartition(2).write.mode(
+                    "append"
+                ).parquet(path)
+                nxt += 10
+                n_after = len(glob.glob(f"{path}/*.parquet"))
+                want = {"n_new": n_after - len(files), "n_changed": 0,
+                        "n_deleted": 0}
+            elif kind == "rewrite":
+                tgt = files[sel % len(files)]
+                shutil.copy(donor, tgt)
+                # Hadoop's local FS keeps a .<name>.crc checksum
+                # sidecar; a byte-level rewrite must drop the stale one
+                crc = os.path.join(
+                    os.path.dirname(tgt), f".{os.path.basename(tgt)}.crc"
+                )
+                if os.path.exists(crc):
+                    os.remove(crc)
+                want = {"n_new": 0, "n_changed": 1, "n_deleted": 0}
+            else:
+                if len(files) <= 1:
+                    continue  # never drop the last data file
+                tgt = files[sel % len(files)]
+                os.remove(tgt)
+                crc = os.path.join(
+                    os.path.dirname(tgt), f".{os.path.basename(tgt)}.crc"
+                )
+                if os.path.exists(crc):
+                    os.remove(crc)
+                want = {"n_new": 0, "n_changed": 0, "n_deleted": 1}
+            rep = sk.manifest_staleness(spark, path)
+            assert rep["stale"]
+            assert {k: rep[k] for k in want} == want
+            sk.extend_file_manifest(spark, path)
+            assert not sk.manifest_staleness(spark, path)["stale"]
+        ext_stats = sorted(
+            map(repr, spark.read.parquet(sk._stats_path(path)).collect())
+        )
+        ext_bloom = sorted(
+            map(repr, spark.read.parquet(sk._bloom_path(path)).collect())
+        )
+        sk.build_file_manifest(spark, path, ["k"], bloom_col="k")
+        assert ext_stats == sorted(
+            map(repr, spark.read.parquet(sk._stats_path(path)).collect())
+        )
+        assert ext_bloom == sorted(
+            map(repr, spark.read.parquet(sk._bloom_path(path)).collect())
+        )
+        # and the repaired manifest actually prunes correctly
+        got = sk.read_with_skipping(spark, path, [("k", ">=", 100)])
+        want_rows = spark.read.parquet(path).filter(F.col("k") >= 100)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want_rows.collect())
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
