@@ -692,6 +692,115 @@ def main() -> None:
             shutil.rmtree(p, ignore_errors=True)
             shutil.rmtree(p + "__centroids", ignore_errors=True)
 
+    # r11 (VERDICT r10 ask 5): the IDLE maintenance tick — the number a
+    # scheduler actually budgets, because the tick runs before every
+    # pruned read / on every cron beat and is a no-op almost always.
+    # Each persistent structure is built over the 1x and Fx corpora
+    # with NOTHING stale (no delta, live share 1.0, manifest current),
+    # and the tick alone is timed. Expected shapes, pinned honestly:
+    # manifest tick = one FS listing diff (O(#files), zero data files
+    # opened); vector/PQ ticks = one column-pruned (id,cid) scan for
+    # index_stats (O(index rows) on two thin columns, vectors/codes
+    # never read); minhash tick = one band-rows groupBy (O(band rows)).
+    idle_names = ["idle_tick_manifest", "idle_tick_ann",
+                  "idle_tick_pq", "idle_tick_minhash"]
+    if not only or any(n in keep for n in idle_names):
+        from bohemia_kenya_data_pipeline_spark.operators import (
+            dedup as dd,
+            skipping as skp,
+        )
+
+        ipaths: dict[int, dict[str, str]] = {}
+        cents_i = sim.ivf_train_centroids(
+            _t(spark, SRC, "embeddings"), n_centroids=ANN_C, n_iters=3
+        )
+        for fct in sorted({1, big}):
+            ps = {
+                "manifest": os.path.join(SCRATCH, f"idlemani_x{fct}"),
+                "ann": os.path.join(SCRATCH, f"idleann_x{fct}"),
+                "pq": os.path.join(SCRATCH, f"idlepq_x{fct}"),
+                "minhash": os.path.join(SCRATCH, f"idlemh_x{fct}"),
+            }
+            for p in ps.values():
+                shutil.rmtree(p, ignore_errors=True)
+                for side in ("__manifest", "__centroids", "__codebooks",
+                             "__tombstones", "__stats"):
+                    shutil.rmtree(p + side, ignore_errors=True)
+            li = spark.read.parquet(
+                os.path.join(dirs[fct], "lineitem.parquet")
+            )
+            li.repartitionByRange(
+                max(8, 8 * fct), "l_shipdate"
+            ).write.mode("overwrite").parquet(ps["manifest"])
+            skp.build_file_manifest(
+                spark, ps["manifest"], ["l_shipdate", "l_quantity"]
+            )
+            emb_f = _t(spark, dirs[fct], "embeddings")
+            rt.build_ann_index(
+                emb_f, ps["ann"], centroids=cents_i, assign="arrow"
+            )
+            rt.build_ivfpq_index(
+                emb_f, ps["pq"], centroids=cents_i, assign="arrow"
+            )
+            dd.minhash_index_write(
+                _t(spark, dirs[fct], "documents"), ps["minhash"]
+            )
+            ipaths[fct] = ps
+
+        def _fct(d):
+            return 1 if d == dirs[1] else big
+
+        ticks = {
+            "idle_tick_manifest": lambda d: skp.maintain_file_manifest(
+                spark, ipaths[_fct(d)]["manifest"]
+            ),
+            "idle_tick_ann": lambda d: rt.maintain_vector_index(
+                spark, ipaths[_fct(d)]["ann"]
+            ),
+            "idle_tick_pq": lambda d: rt.maintain_pq_index(
+                spark, ipaths[_fct(d)]["pq"]
+            ),
+            "idle_tick_minhash": lambda d: dd.maintain_minhash_index(
+                spark, ipaths[_fct(d)]["minhash"]
+            ),
+        }
+        idle_notes = {
+            "idle_tick_manifest": (
+                "no-op tick = one FS listing + join diff, zero data "
+                "files opened — cost is O(#files), flat in data bytes"
+            ),
+            "idle_tick_ann": (
+                "no-op tick = index_stats on a column-pruned (id,cid) "
+                "scan; vectors never leave the footer — the slope is "
+                "the thin-column scan, not the index bytes"
+            ),
+            "idle_tick_pq": (
+                "no-op tick = same (id,cid) stats spine as the ANN "
+                "layout; codes never read"
+            ),
+            "idle_tick_minhash": (
+                "no-op tick = one groupBy over band rows (B-row "
+                "result); no signatures recomputed"
+            ),
+        }
+        for name in idle_names:
+            if only and name not in keep:
+                continue
+            # assert the tick really is a no-op before timing it
+            r1 = ticks[name](dirs[1])
+            assert not (
+                r1.get("repaired") or r1.get("extended")
+                or r1.get("compacted") or r1.get("retrained")
+            ), f"{name}: tick acted on a fresh structure: {r1}"
+            measure(name, big, ticks[name])
+            results[name]["note"] = idle_notes[name]
+        for ps in ipaths.values():
+            for p in ps.values():
+                shutil.rmtree(p, ignore_errors=True)
+                for side in ("__manifest", "__centroids", "__codebooks",
+                             "__tombstones", "__stats"):
+                    shutil.rmtree(p + side, ignore_errors=True)
+
     # Deep pass (VERDICT r5 ask 5): the entries whose 10x slope was
     # >= 0.8 get a 30x point to confirm the slope holds and no memory
     # knee appears past 10x. slope_tail isolates the 10x->30x segment:
