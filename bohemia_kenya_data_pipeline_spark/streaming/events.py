@@ -986,3 +986,108 @@ def bitmap_store_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vector_ingest_sink(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    dim: int,
+    layout: str = "ann",
+    quarantine_path: str | None = None,
+    trail_path: str | None = None,
+    psi_rebuild: float = 0.25,
+    min_live_share: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming embedding ingest into a persistent vector index — the
+    ANN face of :func:`neardup_ingest_sink`, closing the loop between
+    the round-10 ingest gate and the idempotent maintenance ticks:
+    each micro-batch is (a) split by
+    :func:`~..operators.similarity.quarantine_embeddings` (NULL /
+    wrong-dim / NaN / zero vectors land in ``quarantine_path`` with
+    their ``embedding_status``, never in the index), then (b) handed
+    to the layout's maintenance tick
+    (:func:`~..jobs.retrieval.maintain_vector_index` for the plain
+    layout, :func:`~..jobs.retrieval.maintain_pq_index` for IVF-PQ),
+    which owns the whole policy: live-id anti-join (idempotency), PSI
+    drift gate, delta-sized extend, live-share vacuum.
+
+    Delivery contract: foreachBatch is at-least-once, and the tick's
+    live-id anti-join is exactly what makes that safe — a replayed
+    batch whose extend DID commit is an empty delta, so the index
+    converges to exactly-once content with no version bookkeeping
+    (contrast :func:`bitmap_store_sink`, whose merge is not naturally
+    idempotent and needs ``_committed_versions``). The quarantine and
+    trail sidecars stay at-least-once appends: both carry
+    ``batch_id``, so downstream exactly-once = keep-first on it.
+
+    The index must exist (seed it with
+    :func:`~..jobs.retrieval.build_ann_index` /
+    :func:`~..jobs.retrieval.build_ivfpq_index` — centroids, and for
+    PQ the codebooks, are trained by that corpus pass; a stream can
+    only EXTEND a trained layout, same contract as
+    :func:`neardup_ingest_sink`).
+
+    ``trail_path`` materializes each tick's decision trail (psi,
+    ingested rows, retrain/rebuild flags, post-ingest live share) as
+    one appended row per batch — the scheduler-facing log the batch
+    ticks return as a dict, made queryable. The idle-tick scale record
+    (``BENCH_scale_r11.json``) prices the steady state: a no-op tick
+    costs one column-pruned stats scan, flat in index bytes.
+
+    100 TB shape: per batch, work is quarantine-gate scan + tick
+    (delta-sized assign/encode + append into cid partitions); the
+    corpus is embedded and bucketed once, ever. Retrain (plain
+    layout, PSI-gated) is the one index-sized pass, and the PQ layout
+    never self-retrains — drift is REPORTED (``rebuild_from_corpus``)
+    for the caller to schedule as a corpus job.
+    """
+    if layout not in ("ann", "pq"):
+        raise ValueError(f"layout must be 'ann' or 'pq', got {layout!r}")
+    from ..jobs import retrieval as _rt
+    from ..operators import similarity as _sim
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        good, bad = _sim.quarantine_embeddings(batch_df, dim, vec_col)
+        if quarantine_path is not None:
+            bad.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(quarantine_path)
+        kwargs = dict(
+            new_rows=good.select(id_col, vec_col),
+            psi_rebuild=psi_rebuild,
+            min_live_share=min_live_share,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        if layout == "pq":
+            report = _rt.maintain_pq_index(spark, index_path, **kwargs)
+        else:
+            report = _rt.maintain_vector_index(spark, index_path, **kwargs)
+        if trail_path is not None:
+            spark.createDataFrame(
+                [(
+                    int(batch_id),
+                    report.get("psi"),
+                    int(report["ingested_rows"]),
+                    bool(report["extended"]),
+                    bool(report.get("retrained", False)),
+                    bool(report.get("rebuild_from_corpus", False)),
+                    float(report["live_share"]),
+                    bool(report["compacted"]),
+                )],
+                "batch_id BIGINT, psi DOUBLE, ingested_rows BIGINT, "
+                "extended BOOLEAN, retrained BOOLEAN, "
+                "rebuild_from_corpus BOOLEAN, live_share DOUBLE, "
+                "compacted BOOLEAN",
+            ).write.mode("append").parquet(trail_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

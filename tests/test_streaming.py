@@ -1008,3 +1008,183 @@ def test_neardup_ingest_sink_matches_sequential_batch(spark, tmp_path):
         bands=4,
     )
     assert idx_rows == set(map(tuple, spark.read.parquet(want_idx).collect()))
+
+
+def test_vector_ingest_sink_matches_batch_extend(spark, tmp_path):
+    """Streamed embedding ingest must equal batch extends over the same
+    files in arrival order: good rows land in the index with the same
+    cid assignment, gated rows land in quarantine (never the index),
+    and the trail log carries one decision row per micro-batch."""
+    from bohemia_kenya_data_pipeline_spark.jobs import retrieval as rt
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "vec_incoming"
+    src.mkdir()
+    idx = str(tmp_path / "vec_idx")
+    ckpt = str(tmp_path / "vec_ckpt")
+    quar = str(tmp_path / "vec_quar")
+    trail = str(tmp_path / "vec_trail")
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])], schema
+    )
+    cents = rt.build_ann_index(seed, idx, n_centroids=2, n_iters=2)
+
+    f1 = [
+        (10, [0.9, 0.1, 0.0, 0.0]),
+        (11, [0.1, 0.9, 0.0, 0.0]),
+        (12, [0.5, 0.5, float("nan"), 0.0]),  # non_finite -> quarantine
+    ]
+    f2 = [
+        (20, [0.8, 0.2, 0.0, 0.0]),
+        (21, [0.0, 0.0, 0.0]),  # wrong_dim -> quarantine
+    ]
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    write_file("f1", f1)
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    se.vector_ingest_sink(
+        stream, idx, ckpt, dim=4, quarantine_path=quar, trail_path=trail
+    ).awaitTermination(60)
+    write_file("f2", f2)
+    se.vector_ingest_sink(
+        stream, idx, ckpt, dim=4, quarantine_path=quar, trail_path=trail
+    ).awaitTermination(60)
+
+    got = {
+        (r.vec_id, r.cid)
+        for r in spark.read.parquet(idx).select("vec_id", "cid").collect()
+    }
+
+    # batch replay of the same arrival order against a fresh index
+    idx2 = str(tmp_path / "vec_idx2")
+    rt.build_ann_index(seed, idx2, centroids=cents)
+    good1 = spark.createDataFrame(f1[:2], schema)
+    good2 = spark.createDataFrame(f2[:1], schema)
+    rt.extend_ann_index(good1, idx2)
+    rt.extend_ann_index(good2, idx2)
+    want = {
+        (r.vec_id, r.cid)
+        for r in spark.read.parquet(idx2).select("vec_id", "cid").collect()
+    }
+    assert got == want
+    assert {v for v, _ in got} == {1, 2, 10, 11, 20}
+
+    q = {
+        (r.vec_id, r.embedding_status, r.batch_id)
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert q == {(12, "non_finite", 0), (21, "wrong_dim", 1)}
+
+    t = sorted(
+        (r.batch_id, r.ingested_rows, r.extended, r.compacted)
+        for r in spark.read.parquet(trail).collect()
+    )
+    assert t == [(0, 2, True, False), (1, 1, True, False)]
+    assert all(
+        r.live_share == 1.0 for r in spark.read.parquet(trail).collect()
+    )
+
+
+def test_vector_ingest_sink_replay_is_idempotent(spark, tmp_path):
+    """A fresh checkpoint over already-ingested files (the worst-case
+    at-least-once replay: every batch re-delivered) must leave the
+    index untouched — the tick's live-id anti-join makes the replayed
+    delta empty — and log ingested_rows=0 trail rows."""
+    from bohemia_kenya_data_pipeline_spark.jobs import retrieval as rt
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "vr_incoming"
+    src.mkdir()
+    idx = str(tmp_path / "vr_idx")
+    trail = str(tmp_path / "vr_trail")
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+
+    seed = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], schema)
+    rt.build_ann_index(seed, idx, n_centroids=2, n_iters=2)
+    spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.2, 0.8])], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    se.vector_ingest_sink(
+        stream, idx, str(tmp_path / "ck1"), dim=2, trail_path=trail
+    ).awaitTermination(60)
+    before = sorted(
+        (r.vec_id, r.cid) for r in spark.read.parquet(idx).collect()
+    )
+
+    se.vector_ingest_sink(
+        stream, idx, str(tmp_path / "ck2"), dim=2, trail_path=trail
+    ).awaitTermination(60)
+    after = sorted(
+        (r.vec_id, r.cid) for r in spark.read.parquet(idx).collect()
+    )
+    assert after == before
+    ingested = sorted(
+        r.ingested_rows for r in spark.read.parquet(trail).collect()
+    )
+    assert ingested == [0, 2]  # replay tick degraded to the no-op check
+
+
+def test_vector_ingest_sink_pq_layout_reports_drift(spark, tmp_path):
+    """layout='pq': the sink extends the compressed index and REPORTS
+    drift (rebuild_from_corpus) instead of retraining — the lossy
+    layout cannot re-derive training vectors (retrieval.py guard)."""
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.jobs import retrieval as rt
+    from bohemia_kenya_data_pipeline_spark.streaming import events as se
+
+    src = tmp_path / "pq_incoming"
+    src.mkdir()
+    idx = str(tmp_path / "pq_idx")
+    trail = str(tmp_path / "pq_trail")
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+
+    # seed occupies both centroids 50/50, so a batch that collapses
+    # onto one direction shifts the assignment distribution hard
+    seed = spark.createDataFrame(
+        [
+            (
+                i,
+                [1.0 + 0.01 * i, 0.0, 0.0, 0.0]
+                if i % 2
+                else [0.0, 1.0 + 0.01 * i, 0.0, 0.0],
+            )
+            for i in range(8)
+        ],
+        schema,
+    )
+    rt.build_ivfpq_index(
+        seed, idx, n_centroids=2, n_subspaces=2, n_codewords=4, n_iters=2
+    )
+
+    # drifted batch: everything lands far from the trained direction
+    spark.createDataFrame(
+        [(100 + i, [0.0, 0.0, 1.0 + 0.01 * i, 0.0]) for i in range(8)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    se.vector_ingest_sink(
+        stream, idx, str(tmp_path / "pq_ck"), dim=4, layout="pq",
+        psi_rebuild=0.1, trail_path=trail,
+    ).awaitTermination(60)
+
+    rows = spark.read.parquet(trail).collect()
+    assert len(rows) == 1
+    assert rows[0].extended and rows[0].rebuild_from_corpus
+    assert not rows[0].retrained  # PQ never self-retrains
+    ids = {r.vec_id for r in spark.read.parquet(idx).collect()}
+    assert ids == set(range(8)) | {100 + i for i in range(8)}
+
+    with pytest.raises(ValueError, match="layout"):
+        se.vector_ingest_sink(
+            stream, idx, str(tmp_path / "bad_ck"), dim=4, layout="flat"
+        )
