@@ -25,9 +25,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["goals_cascade"](spark, sf_dir)
 
 
+# Every name the driver's 50-entry panel has already verified
+# (CORRECTNESS_r01..r10 all sampled the first 50 registrations).
+# Rotating the iteration order below puts NOT-YET-DRIVER-CHECKED
+# entries at the front, so each round's panel verifies a fresh slice
+# of the 275-entry oracled surface (VERDICT r10 "driver panel
+# breadth") — the full surface stays gate-checked in-repo either way.
+_PANEL_SEEN = frozenset({
+    "asof_weekly_snapshots", "case_when_chain", "collect_array_sorted",
+    "conditional_count_distinct", "count_distinct_approx",
+    "count_distinct_exact", "cross_join_scaffold", "distinct_pairs",
+    "exact_duplicates", "explode_uncount", "filter_project",
+    "freq_table_grand_total", "group_count", "group_window_count_filter",
+    "grouped_bool_all", "join_anti_unmatched", "join_full_outer_merge",
+    "join_inner_fact_dim", "join_left_broadcast_dim", "join_multi_key",
+    "join_right_keep_dim", "join_self_pairs", "join_semi_matched",
+    "json_extract_props", "latest_order_per_customer", "melt_unpivot",
+    "minhash_lsh_pairs", "minhash_lsh_pairs_capped", "minhash_signatures",
+    "neardup_components", "ngram_jaccard_verify", "pivot_status_by_month",
+    "pricing_summary", "ratio_post_agg", "scalar_date_pack",
+    "scalar_math_pack", "scalar_string_pack", "sessionize_events",
+    "sort_limit_topk", "split_explode_multiselect", "streaming_sessionize",
+    "streaming_window_counts", "string_agg_sorted", "summarise_all_numeric",
+    "union_ragged", "window_cumsum", "window_fill_down", "window_lag_delta",
+    "window_row_number", "window_top_n_per_group",
+})
+_ROTATION_SALT = "r11"  # bump per round to rotate the fresh slice
+
+
+def _panel_order(name: str) -> tuple:
+    import hashlib
+
+    # fresh oracled entries first (deterministically shuffled by the
+    # round salt), already-verified and rows-only entries after
+    return (
+        name in _PANEL_SEEN or name not in ORACLES,
+        hashlib.md5(f"{name}|{_ROTATION_SALT}".encode()).hexdigest(),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, fresh
+    not-yet-driver-checked entries leading (see ``_panel_order``)."""
+    return {n: QUERIES[n] for n in sorted(QUERIES, key=_panel_order)}
 
 
 def oracle_sql() -> dict[str, str]:
