@@ -328,6 +328,55 @@ def _staleness_diff(spark: SparkSession, path: str):
     return stats, fresh, drop_names, summary
 
 
+def _staleness_summary(spark: SparkSession, path: str) -> dict:
+    """The staleness COUNTS alone, as ONE aggregate job: full-outer
+    join the stored fingerprints with the listing frame and count the
+    four diff classes in a single pass. The poll path
+    (:func:`manifest_staleness`, i.e. every idle maintenance tick)
+    needs only these counts — the repair-shaped diff
+    (:func:`_staleness_diff`: fresh fingerprint list + drop-names
+    frame) costs several more jobs and is built only when a repair
+    actually runs."""
+    stats = spark.read.parquet(_stats_path(path))
+    if "_size" not in stats.columns or "_mtime" not in stats.columns:
+        raise ValueError(
+            "manifest predates staleness fingerprints: rebuild once "
+            "with build_file_manifest, then extend"
+        )
+    old = stats.select(
+        "_file",
+        F.col("_size").alias("_o_size"),
+        F.col("_mtime").alias("_o_mtime"),
+        F.lit(True).alias("_o"),
+    )
+    listing = spark.createDataFrame(
+        _list_data_files(spark, path),
+        "_file STRING, _size BIGINT, _mtime BIGINT",
+    ).select(
+        "_file",
+        F.col("_size").alias("_l_size"),
+        F.col("_mtime").alias("_l_mtime"),
+        F.lit(True).alias("_l"),
+    )
+    j = listing.join(old, "_file", "full_outer")
+    same = (F.col("_l_size") == F.col("_o_size")) & (
+        F.col("_l_mtime") == F.col("_o_mtime")
+    )
+    both = F.col("_l").isNotNull() & F.col("_o").isNotNull()
+    row = j.agg(
+        F.sum(F.col("_o").isNull().cast("long")).alias("n_new"),
+        F.sum((both & ~same).cast("long")).alias("n_changed"),
+        F.sum(F.col("_l").isNull().cast("long")).alias("n_deleted"),
+        F.sum((both & same).cast("long")).alias("n_unchanged"),
+    ).collect()[0]
+    return {
+        "n_new": int(row.n_new or 0),
+        "n_changed": int(row.n_changed or 0),
+        "n_deleted": int(row.n_deleted or 0),
+        "n_unchanged": int(row.n_unchanged or 0),
+    }
+
+
 def manifest_staleness(spark: SparkSession, path: str) -> dict:
     """Read-only staleness report for a file manifest — the
     monitoring twin of :func:`extend_file_manifest`, answering "can
@@ -340,8 +389,10 @@ def manifest_staleness(spark: SparkSession, path: str) -> dict:
     :func:`extend_file_manifest` first (delta-sized) and then read.
     This is the manifest's face of the lifecycle monitoring surface
     (``retrieval.index_stats`` / ``dedup.minhash_index_stats`` for
-    the vector and near-dup indexes)."""
-    *_, summary = _staleness_diff(spark, path)
+    the vector and near-dup indexes). Cost: the FS listing plus ONE
+    aggregate job (:func:`_staleness_summary`) — the poll-path shape
+    the idle-tick scale record prices."""
+    summary = _staleness_summary(spark, path)
     summary["stale"] = bool(
         summary["n_new"] or summary["n_changed"] or summary["n_deleted"]
     )
