@@ -176,6 +176,12 @@ HEADLINE = [
     # round-11: MMR diversity re-rank over the fixed-query cosine pool
     # (generator + greedy applyInPandas re-rank, pool-bounded)
     "mmr_rerank_fixedq",
+    # round-11: corpus-curation additions — in-job learned NB quality
+    # classifier (train + broadcast-score in one plan), the pre-flight
+    # key-skew diagnostic, and the stratified per-source quantile gate
+    "quality_classifier_score",
+    "skew_key_profile",
+    "quantile_gate_by_source",
 ]
 
 

@@ -958,3 +958,56 @@ def quarantine_split(
     good = tagged.filter(F.col("quarantine_reason").isNull()).drop("quarantine_reason")
     bad = tagged.filter(F.col("quarantine_reason").isNotNull())
     return good, bad
+
+
+def group_quantile_gate(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float = 0.25,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-group quantile floor: keep rows whose ``score_col`` is at or
+    above their OWN group's ``q``-quantile — the stratified form of a
+    quality cutoff. A single global threshold lets one strong domain
+    crowd out every other (the FineWeb-class ablation result); gating
+    each stratum against itself removes each domain's worst tail while
+    preserving the mix. The reference's analogue is its per-form
+    accuracy thresholds (anomalies_utils.R:44-57 detect_threshold,
+    one hand-set bound per form); this is the self-calibrating version
+    a many-domain corpus needs.
+
+    Returns ``(kept, report)``: ``kept`` is the filtered ``df`` (all
+    original columns); ``report`` is one row per group —
+    ``(group, threshold, n_total, n_kept, kept_share_ppm)`` with the
+    exact (interpolated) quantile and integer-exact shares.
+
+    Scale: thresholds come from one exact-``percentile`` aggregation
+    (Spark's sort-based exact percentile over each group's values —
+    group cardinality is the domain count, tiny); the per-group
+    threshold frame is broadcast into the gating join, so the fact is
+    scanned once and never shuffled on the group key a second time.
+    """
+    thr = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.percentile(F.col(score_col), F.lit(float(q))).alias("threshold"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    kept = df.join(
+        F.broadcast(thr.select("group", "threshold")),
+        F.col(group_col) == F.col("group"),
+    ).filter(F.col(score_col) >= F.col("threshold"))
+    kept_df = kept.drop("group", "threshold")
+    report = (
+        kept.groupBy("group")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(thr, "group")
+        .select(
+            "group",
+            F.round("threshold", 4).alias("threshold"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.expr("(n_kept * 1000000) div n_total")
+            .cast("bigint")
+            .alias("kept_share_ppm"),
+        )
+    )
+    return kept_df, report

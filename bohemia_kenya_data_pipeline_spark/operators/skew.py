@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Aggregations that decompose into (partial on key+salt, final on key).
@@ -112,4 +112,70 @@ def salted_aggregate(
     )
     return partial.groupBy(*keys).agg(
         *[_COMBINE[f](out).alias(out) for out, (f, c) in aggs.items()]
+    )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Key-distribution diagnostic: the planning job you run BEFORE
+    choosing between a plain shuffle, :func:`salted_join`, or
+    :func:`salted_aggregate` on a 100 TB fact.
+
+    Returns the ``top_n`` heaviest keys with exact-integer shares
+    (parts-per-million — integer math on purpose: a diagnostic that
+    drives a rewrite decision should hash-compare bit-exactly across
+    engines and runs):
+
+    - ``rank``            heavy-hitter rank (count desc, key asc);
+    - ``key``             the key, cast to string for genericity;
+    - ``n``               row count of the key;
+    - ``share_ppm``       floor(n * 1e6 / total_rows);
+    - ``cum_share_ppm``   floor(cumulative n * 1e6 / total) — "the
+      top-k keys are X% of the table", the number that says whether
+      skew is a one-key or a head-heavy problem;
+    - ``salts_rec``       ceil(n * n_partitions / total): how many
+      salt buckets flatten this key to an average partition's share
+      (1 = no salting needed at this parallelism);
+    - ``total_rows`` / ``n_keys``  table-level context.
+
+    Scale: one map-side-combinable count shuffle reduces the fact to
+    #distinct-keys rows; the top-``top_n`` cut is then a distributed
+    ``TakeOrderedAndProject`` (per-partition partial top-k, merged),
+    NOT a global single-partition sort — a billion-distinct-key fact
+    never funnels its whole count frame through one task. The
+    rank/cumsum window runs over the <= ``top_n`` survivors only
+    (cumulative share over ranks 1..k needs exactly those rows).
+    """
+    p = int(n_partitions)
+    cnt = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = cnt.orderBy(F.col("n").desc(), F.col("key").asc()).limit(int(top_n))
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("(n * 1000000) div total_rows").cast("bigint").alias("share_ppm"),
+            F.expr("(cum_n * 1000000) div total_rows")
+            .cast("bigint")
+            .alias("cum_share_ppm"),
+            F.expr(f"(n * {p} + total_rows - 1) div total_rows")
+            .cast("int")
+            .alias("salts_rec"),
+            F.col("total_rows").cast("bigint").alias("total_rows"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+        )
     )

@@ -847,3 +847,97 @@ def perplexity_buckets(
         )
     )
     return scored.unionByName(empty)
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """FastText/CCNet-style learned quality filter, trained and applied
+    in one job: multinomial Naive-Bayes log-odds weights over a capped
+    vocabulary, scored as a single linear pass over each document's
+    tokens (the production shape of "train a cheap classifier on a
+    curated positive set, score the crawl" — the reference's analogue
+    is its rule-driven anomaly flags, pipeline-cleaning/R/
+    05.run_anomaly_detection.R, which are hand-written predicates; this
+    is the learned version a 100 TB corpus needs).
+
+    ``label`` is a boolean Column over ``df``'s columns defining the
+    positive class (e.g. ``F.col("n_chars") >= 300`` for a
+    length-proxy, or membership in a curated id set). Training:
+
+    - vocabulary = top-``vocab_size`` tokens by corpus frequency
+      (ties broken by token text, so the cap is deterministic);
+    - per-token weight ``w = ln((pos_c+1)/(pos_tot+V)) -
+      ln((neg_c+1)/(neg_tot+V))`` (add-one smoothing, multinomial NB);
+    - prior ``ln(n_pos_docs / n_neg_docs)``.
+
+    Score(doc) = prior + sum of ``w`` over the doc's vocab-token
+    OCCURRENCES (repeats count, as in multinomial NB); ``pred`` is
+    ``score > 0``. Docs with zero vocab tokens keep the prior.
+
+    Scale: two map-side-combinable shuffles (token counts, per-doc
+    sums); the weight table is <= V rows and broadcast into the
+    scoring join, so the corpus is scanned twice and never
+    re-shuffled on a text-sized key. Pure Column expressions
+    end-to-end — no Python in the hot path.
+    """
+    v = int(vocab_size)
+    toks = df.select(
+        F.col(id_col),
+        label.cast("boolean").alias("__pos"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    # class-conditional occurrence counts, vocabulary cap applied by
+    # rank over total frequency (count desc, token asc)
+    cls = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("pc"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("nc"),
+    )
+    vocab = cls.orderBy(F.col("c").desc(), F.col("token").asc()).limit(v)
+    tot = vocab.agg(
+        F.sum("pc").alias("pt"), F.sum("nc").alias("nt")
+    )
+    weights = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            (
+                F.log((F.col("pc") + F.lit(1.0)) / (F.col("pt") + F.lit(float(v))))
+                - F.log((F.col("nc") + F.lit(1.0)) / (F.col("nt") + F.lit(float(v))))
+            ).alias("w"),
+        )
+    )
+    prior = df.agg(
+        F.log(
+            F.sum(label.cast("int")).cast("double")
+            / F.sum((~label).cast("int")).cast("double")
+        ).alias("__prior")
+    )
+    docsum = (
+        toks.join(F.broadcast(weights), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab_tokens"),
+            F.sum("w").alias("__s"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(docsum, id_col, "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.col(id_col),
+            F.coalesce("n_vocab_tokens", F.lit(0)).cast("bigint").alias(
+                "n_vocab_tokens"
+            ),
+            F.round(F.coalesce("__s", F.lit(0.0)) + F.col("__prior"), 6).alias(
+                "score"
+            ),
+            ((F.coalesce("__s", F.lit(0.0)) + F.col("__prior")) > 0).alias("pred"),
+        )
+    )

@@ -12843,3 +12843,102 @@ def minhash_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd.minhash_index_write(stored, path, num_hashes=16, bands=4)
     dd.minhash_index_delete(stored.filter(F.col("doc_id") % 7 == 3), path)
     return dd.minhash_index_query(probe, path)
+
+
+@_register(
+    "quality_classifier_score",
+    f"""
+    WITH tok AS (SELECT doc_id, n_chars >= 300 AS pos,
+                        unnest({_SQL_TOKS.format(c='text')}) AS token
+                 FROM documents),
+    cls AS (SELECT token, COUNT(*) AS c,
+                   SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+                   SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nc
+            FROM tok GROUP BY 1),
+    vocab AS (SELECT * FROM cls ORDER BY c DESC, token ASC LIMIT 256),
+    tot AS (SELECT SUM(pc) AS pt, SUM(nc) AS nt FROM vocab),
+    w AS (SELECT token,
+                 ln((pc + 1.0) / (pt + 256.0)) - ln((nc + 1.0) / (nt + 256.0)) AS w
+          FROM vocab CROSS JOIN tot),
+    prior AS (SELECT ln(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) * 1.0
+                        / SUM(CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END)) AS p
+              FROM documents),
+    docsum AS (SELECT tok.doc_id, COUNT(*) AS n_vocab_tokens, SUM(w.w) AS s
+               FROM tok JOIN w USING (token) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(ds.n_vocab_tokens, 0) AS BIGINT) AS n_vocab_tokens,
+           ROUND(COALESCE(ds.s, 0) + prior.p, 6) AS score,
+           (COALESCE(ds.s, 0) + prior.p) > 0 AS pred
+    FROM documents d
+    LEFT JOIN docsum ds ON d.doc_id = ds.doc_id
+    CROSS JOIN prior
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Learned quality filter (FineWeb/CCNet shape): train NB log-odds
+    # weights over a capped vocabulary against a length-proxy positive
+    # label, score every doc in the same job. Two combinable shuffles;
+    # the <=256-row weight table broadcasts into the scoring join.
+    docs = _t(spark, sf_dir, "documents")
+    return tx.quality_classifier_score(
+        docs, label=F.col("n_chars") >= 300, vocab_size=256
+    )
+
+
+@_register(
+    "skew_key_profile",
+    """
+    WITH cnt AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+                 FROM events GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total_rows, COUNT(*) AS n_keys FROM cnt),
+    rk AS (SELECT key, n,
+                  ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rank,
+                  SUM(n) OVER (ORDER BY n DESC, key ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum_n
+           FROM cnt)
+    SELECT CAST(rank AS INT) AS rank, key, CAST(n AS BIGINT) AS n,
+           CAST((n * 1000000) // total_rows AS BIGINT) AS share_ppm,
+           CAST((cum_n * 1000000) // total_rows AS BIGINT) AS cum_share_ppm,
+           CAST((n * 32 + total_rows - 1) // total_rows AS INT) AS salts_rec,
+           CAST(total_rows AS BIGINT) AS total_rows,
+           CAST(n_keys AS BIGINT) AS n_keys
+    FROM rk CROSS JOIN tot WHERE rank <= 10
+    """,
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pre-flight skew diagnostic that decides between plain
+    # shuffle, salted_join, and salted_aggregate: exact-integer
+    # heavy-hitter shares + recommended salt factors at this
+    # parallelism. The window runs over the count-reduced frame
+    # (n_keys rows), never the fact.
+    return sk.skew_profile(
+        _t(spark, sf_dir, "events"), "user_id", top_n=10, n_partitions=32
+    )
+
+
+@_register(
+    "quantile_gate_by_source",
+    """
+    WITH thr AS (SELECT source AS "group",
+                        quantile_cont(n_chars, 0.25) AS threshold,
+                        COUNT(*) AS n_total
+                 FROM documents GROUP BY 1),
+    kept AS (SELECT d.source AS "group", COUNT(*) AS n_kept
+             FROM documents d JOIN thr ON d.source = thr."group"
+             WHERE d.n_chars >= thr.threshold GROUP BY 1)
+    SELECT "group", ROUND(threshold, 4) AS threshold,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST((n_kept * 1000000) // n_total AS BIGINT) AS kept_share_ppm
+    FROM kept JOIN thr USING ("group")
+    """,
+)
+def quantile_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stratified quality floor: every source sheds its own worst
+    # quartile instead of competing against a global cutoff. Exact
+    # interpolated percentile per group; thresholds broadcast back, so
+    # the corpus is gated in one scan.
+    _, report = ql.group_quantile_gate(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", q=0.25
+    )
+    return report

@@ -643,3 +643,27 @@ def test_round10_lifecycle_query_plans_hold_invariants(spark, tmp_path):
     ms = dd.minhash_index_stats(spark, idx)
     s = P.assert_plan(ms, forbid_nested_loop=True, forbid_row_python=True)
     assert s["broadcast_hash_joins"] >= 1
+
+
+def test_round11_curation_query_plans_hold_invariants(spark):
+    """Round-11 additions: (a) the learned-classifier scoring join
+    broadcasts the <=V-row weight table and keeps Python out of the
+    plan entirely; (b) the skew profile's top-k cut is a distributed
+    TakeOrdered, never a global single-partition sort of the count
+    frame; (c) the quantile gate broadcasts the per-group thresholds
+    so the fact is scanned once and never sort-merge-shuffled."""
+    plan = _plan(QUERIES["quality_classifier_score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # weight-table scoring join
+    assert "Python" not in plan  # pure Column expressions end-to-end
+
+    df = QUERIES["skew_key_profile"](spark, SF_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    # the only global-sort window runs over the <= top_n survivors,
+    # downstream of the TakeOrdered cut — no rangepartitioning of the
+    # full count frame
+    assert "rangepartitioning" not in phys.lower()
+
+    plan = _plan(QUERIES["quantile_gate_by_source"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

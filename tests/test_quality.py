@@ -648,3 +648,70 @@ def test_bpe_ish_tokens_golden(spark):
     # the codegen invariant: no higher-order filter lambda in the expression
     expr = str(df.select(tx.bpe_ish_tokens("text").alias("t"))._jdf.queryExecution().analyzed())
     assert "array_remove" in expr and "filter(" not in expr.lower().replace("pushedfilters", "")
+
+
+def test_quality_classifier_score_separates_planted_vocab(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    # positive docs speak "good", negative docs speak "bad"; one doc
+    # has no vocabulary token at all and must keep the prior
+    rows = (
+        [(i, "good good signal", 1) for i in range(6)]
+        + [(100 + i, "bad bad noise", 0) for i in range(4)]
+        + [(999, "", 1)]
+    )
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, label INT")
+    out = tx.quality_classifier_score(
+        df, label=F.col("label") == 1, vocab_size=8
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 11
+    assert got[0].pred is True and got[0].score > 0
+    assert got[100].pred is False and got[100].score < 0
+    # zero-vocab-token doc: score == prior = ln(7/4)
+    assert got[999].n_vocab_tokens == 0
+    assert abs(got[999].score - math.log(7 / 4)) < 1e-6
+    # occurrences count (multinomial): "good good signal" = 3 tokens
+    assert got[0].n_vocab_tokens == 3
+
+
+def test_quality_classifier_vocab_cap_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    # 4 tokens with equal frequency, cap 2 -> lexicographically first
+    # two survive; rarer discriminative token is dropped by the cap
+    df = spark.createDataFrame(
+        [(1, "aa bb", 1), (2, "cc dd", 0), (3, "aa bb cc dd rare", 1)],
+        "doc_id BIGINT, text STRING, label INT",
+    )
+    out = tx.quality_classifier_score(df, label=F.col("label") == 1, vocab_size=2)
+    got = {r.doc_id: r for r in out.collect()}
+    # vocab = {aa, bb} (count 2 each, ties break by token asc over cc/dd
+    # which also have count 2 -> aa, bb win lexicographically)
+    assert got[1].n_vocab_tokens == 2
+    assert got[2].n_vocab_tokens == 0
+    assert got[3].n_vocab_tokens == 2
+
+
+def test_group_quantile_gate_per_group_floor(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(1, 9)] + [("b", 100 * i) for i in range(1, 5)],
+        "src STRING, score INT",
+    )
+    kept, report = ql.group_quantile_gate(df, "src", "score", q=0.25)
+    rep = {r.group: r for r in report.collect()}
+    # group a: quantile_cont(0.25) over 1..8 = 2.75 -> keep 3..8
+    assert rep["a"].threshold == 2.75
+    assert rep["a"].n_total == 8 and rep["a"].n_kept == 6
+    assert rep["a"].kept_share_ppm == 750000
+    # group b: 100,200,300,400 -> q25 = 175 -> keep 200,300,400
+    assert rep["b"].threshold == 175.0 and rep["b"].n_kept == 3
+    # kept frame preserves original columns only
+    assert kept.columns == ["src", "score"]
+    assert kept.filter("src = 'a'").agg({"score": "min"}).first()[0] == 3

@@ -96,3 +96,29 @@ def test_salted_aggregate_count_skips_nulls_like_plain(spark):
     plain = {r.k: r.n for r in
              df.groupBy("k").agg(F.count("v").alias("n")).collect()}
     assert out == plain == {1: 2, 2: 0}
+
+
+def test_skew_profile_shares_and_salts(spark):
+    left, _ = _hot_key_frames(spark)
+    prof = sk.skew_profile(left, "k", top_n=3, n_partitions=10)
+    rows = {r.rank: r for r in prof.collect()}
+    assert len(rows) == 3
+    top = rows[1]
+    # 900/1000 rows on key 7
+    assert top.key == "7" and top.n == 900
+    assert top.share_ppm == 900000 and top.cum_share_ppm == 900000
+    # ceil(900 * 10 / 1000) = 9 salt buckets to flatten the hot key
+    assert top.salts_rec == 9
+    assert top.total_rows == 1000 and top.n_keys == 101
+    # tail keys: 1 row each -> salts_rec 1, deterministic key tie-break
+    assert rows[2].n == 1 and rows[2].salts_rec == 1
+    assert rows[2].key < rows[3].key  # count ties break by key asc
+    assert rows[3].cum_share_ppm == 902000
+
+
+def test_skew_profile_uniform_keys_need_no_salting(spark):
+    df = spark.range(100).select((F.col("id") % 4).alias("k"))
+    prof = sk.skew_profile(df, "k", top_n=10, n_partitions=8).collect()
+    assert len(prof) == 4
+    assert all(r.salts_rec == 2 for r in prof)  # ceil(25*8/100)=2
+    assert sum(r.share_ppm for r in prof) == 1000000
