@@ -12942,3 +12942,53 @@ def quantile_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "source", "n_chars", q=0.25
     )
     return report
+
+
+@_register(
+    "resize_pixel_stats",
+    """
+    WITH d AS (SELECT doc_id, 8 + doc_id % 56 AS sw
+               FROM documents WHERE doc_id < 64),
+    g AS (SELECT doc_id, ((((t.i * sw) // 16) * 255) // (sw - 1)) AS gray
+          FROM d, range(0, 16) t(i)),
+    m AS (SELECT doc_id, AVG(gray) AS mu FROM g GROUP BY 1)
+    SELECT g.doc_id, TRUE AS valid,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           ROUND(AVG(g.gray), 4) AS mean_brightness,
+           ROUND(SQRT(AVG((g.gray - m.mu) * (g.gray - m.mu))), 4)
+             AS std_brightness
+    FROM g JOIN m USING (doc_id) GROUP BY g.doc_id
+    """,
+)
+def resize_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The first ORACLED image entry: synthesize per-doc gradient BMPs
+    # (real 24-bit pixel rows, bottom-up storage + padding), resize to
+    # a fixed 16x16 with real nearest-neighbor resampling
+    # (multimodal.resize_images), re-parse the RE-ENCODED bytes for
+    # pixel stats — and hash-match DuckDB computing the same stats
+    # from the gradient's closed form (gray(x) = (x*255)//(sw-1) at
+    # source column x = (i*sw)//16; integer math is exact on both
+    # sides, and the 16-value mean/variance are dyadic rationals, so
+    # the doubles agree bit-for-bit). Exercises decode -> resample ->
+    # encode -> decode end-to-end, not just a stats read.
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                mm.synth_bmp_gradient(8 + int(i) % 56, 8 + int(i) % 24)
+                for i in ids
+            ]
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_img = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    resized = mm.resize_images(with_img, 16, 16)
+    stats = mm.image_pixel_stats(resized)
+    return stats.select(
+        "doc_id", "valid", "width", "height",
+        F.round("mean_brightness", 4).alias("mean_brightness"),
+        F.round("std_brightness", 4).alias("std_brightness"),
+    )

@@ -212,3 +212,54 @@ def test_image_stats_row_padding_handled(spark):
     g = mm.image_pixel_stats(df).collect()[0]
     assert g.valid and g.width == 3 and g.height == 4
     assert 0 < g.mean_brightness < 255
+
+
+def test_resize_images_nearest_neighbor_golden(spark):
+    import numpy as np
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mmod
+
+    # 8x4 horizontal gradient -> 4x2: nearest-neighbor picks columns
+    # 0,2,4,6 of the source; decode of the re-encoded payload must
+    # match the index math exactly
+    src = mmod.synth_bmp_gradient(8, 4)
+    df = spark.createDataFrame([(1, src), (2, b"notabmp"), (3, None)],
+                               "doc_id BIGINT, payload BINARY")
+    out = {r.doc_id: r for r in mmod.resize_images(df, 4, 2).collect()}
+    assert out[1].valid and out[1].width == 4 and out[1].height == 2
+    px = mmod._bmp_pixels(bytes(out[1].payload))
+    assert px.shape == (2, 4, 3)
+    srcpx = mmod._bmp_pixels(src)
+    expect = srcpx[[0, 2]][:, [0, 2, 4, 6]]
+    assert np.array_equal(px, expect)
+    # undecodable inputs flow through as valid=False, payload NULL
+    assert out[2].valid is False and out[2].payload is None
+    assert out[3].valid is False
+
+
+def test_resize_images_upscale_and_validation(spark):
+    import pytest
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mmod
+
+    src = mmod.synth_bmp_gradient(2, 2)
+    df = spark.createDataFrame([(1, src)], "doc_id BIGINT, payload BINARY")
+    out = mmod.resize_images(df, 5, 3).collect()[0]
+    px = mmod._bmp_pixels(bytes(out.payload))
+    assert px.shape == (3, 5, 3)
+    # upscale repeats source pixels: cols 0,0,0,1,1 / rows 0,0,1
+    srcpx = mmod._bmp_pixels(src)
+    assert (px[0, 0] == srcpx[0, 0]).all() and (px[2, 4] == srcpx[1, 1]).all()
+    with pytest.raises(ValueError):
+        mmod.resize_images(df, 0, 3)
+
+
+def test_encode_bmp_roundtrips_odd_width(spark):
+    import numpy as np
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mmod
+
+    # width 3 -> 9-byte rows need 3 pad bytes; encode/decode must agree
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert np.array_equal(mmod._bmp_pixels(mmod.encode_bmp(px)), px)
