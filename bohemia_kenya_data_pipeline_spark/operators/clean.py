@@ -420,3 +420,62 @@ def fix_typos(df: DataFrame, col: str, fixes: dict[str, str]) -> DataFrame:
     for wrong, right in fixes.items():
         expr = F.when(F.col(col) == wrong, F.lit(right)).otherwise(expr)
     return df.withColumn(col, expr)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity: the release-gate check after C5/C6/C7 sanitization
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Re-identification risk audit: group the table by its
+    quasi-identifier combination and report every equivalence class
+    with its size and a ``risky`` flag (``n < k``). The check that
+    belongs AFTER the C5 drop / C6 hash / C7 jitter passes: those
+    remove direct identifiers, but a rare combination of innocuous
+    columns (village x age-band x species, say) can still single a
+    household out — the reference ships the sanitization but not the
+    audit; releasing at 100 TB needs the audit to be a query, not a
+    review.
+
+    Output: ``(*quasi_cols, n, risky)``, one row per distinct
+    combination (NULLs group as their own class, matching both
+    engines' GROUP BY semantics).
+
+    Scale: one map-side-combinable count shuffle on the quasi-id key;
+    the result is #equivalence-classes rows.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report needs at least one quasi column")
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).withColumn("risky", F.col("n") < int(k))
+
+
+def suppress_small_groups(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Enforce k-anonymity by suppression: keep only rows whose
+    quasi-identifier class has at least ``k`` members (the standard
+    suppression step; generalization/binning is the caller's move when
+    the suppressed share comes back too high — compose with
+    ``F.floor(col / w) * w`` bands upstream and re-audit).
+
+    Scale: the class-size frame from :func:`k_anonymity_report` is
+    #classes rows; rather than assume it is broadcast-small (a high-
+    cardinality quasi-key can approach table size), this joins it back
+    as a plain equi-join and lets AQE pick broadcast vs shuffle from
+    its measured size. One count shuffle + one join — the fact is
+    never shuffled twice on different keys.
+    """
+    sizes = k_anonymity_report(df, quasi_cols, k).filter(~F.col("risky")).select(
+        *quasi_cols
+    )
+    # NULL-safe equality: NULL quasi-values form a real equivalence
+    # class in the report (GROUP BY semantics), so the suppression join
+    # must match them too — a plain equi-join would silently drop every
+    # row with a NULL quasi-identifier no matter how large its class
+    cond = [df[c].eqNullSafe(sizes[c]) for c in quasi_cols]
+    return df.join(sizes, cond, "left_semi")

@@ -12992,3 +12992,41 @@ def resize_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_brightness", 4).alias("mean_brightness"),
         F.round("std_brightness", 4).alias("std_brightness"),
     )
+
+
+@_register(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) < 5 AS risky
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Release-gate audit downstream of the C5/C6/C7 sanitizers: size
+    # of every quasi-identifier equivalence class + the k=5 risk flag.
+    return cl.k_anonymity_report(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
+@_register(
+    "k_anonymity_suppress",
+    """
+    WITH sizes AS (SELECT c_nationkey, c_mktsegment
+                   FROM customer GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM customer c
+    JOIN sizes USING (c_nationkey, c_mktsegment)
+    GROUP BY 1
+    """,
+)
+def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Suppression enforcement: rows in risky (< k) classes removed,
+    # summarized per segment so the entry's output is class-level.
+    kept = cl.suppress_small_groups(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )
+    return kept.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )

@@ -454,3 +454,40 @@ def test_apply_cdc_log_snapshot_never_shuffled(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" not in plan2.split("LeftAnti")[0] or "SortMergeJoin" in plan2
+
+
+def test_k_anonymity_report_and_suppress(spark):
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import clean as cl
+
+    df = spark.createDataFrame(
+        [("v1", 30, i) for i in range(5)]
+        + [("v1", 40, 10), ("v1", 40, 11)]
+        + [("v2", 30, 20)]
+        + [(None, 30, 30), (None, 30, 31), (None, 30, 32)],
+        "village STRING, age_band INT, row_id INT",
+    )
+    rep = {
+        (r.village, r.age_band): (r.n, r.risky)
+        for r in cl.k_anonymity_report(df, ["village", "age_band"], k=3).collect()
+    }
+    assert rep[("v1", 30)] == (5, False)
+    assert rep[("v1", 40)] == (2, True)
+    assert rep[("v2", 30)] == (1, True)
+    # NULL quasi-values form their own equivalence class
+    assert rep[(None, 30)] == (3, False)
+
+    kept = cl.suppress_small_groups(df, ["village", "age_band"], k=3)
+    ids = sorted(r.row_id for r in kept.collect())
+    # the NULL class (size 3) survives: the join is null-safe
+    assert ids == [0, 1, 2, 3, 4, 30, 31, 32]
+    assert kept.columns == df.columns
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cl.k_anonymity_report(df, [], k=3)
+
+    # k=1: nothing suppressed
+    assert cl.suppress_small_groups(df, ["village"], k=1).count() == df.count()
