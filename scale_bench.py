@@ -123,6 +123,13 @@ LINEAR = [
     "zorder_manifest_scan",
     "minhash_index_delete_probe",
     "incremental_ivfpq_ann",
+    # round-11 curation trio: classifier = two combinable token/doc
+    # shuffles + broadcast weight join; skew profile = one count
+    # shuffle + TakeOrdered; quantile gate = one percentile agg +
+    # broadcast threshold join — all single-pass linear
+    "quality_classifier_score",
+    "skew_key_profile",
+    "quantile_gate_by_source",
 ]
 
 #: quadratic BY CONSTRUCTION (query set = fixed fraction of corpus, or
