@@ -246,3 +246,83 @@ def gc_versions(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]
     for v in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}"), True)
     return doomed
+
+
+def maintain_table_layout(
+    spark: SparkSession,
+    path: str,
+    small_file_mb: float = 16.0,
+    small_share_threshold: float = 0.5,
+    target_file_mb: float = 128.0,
+) -> dict:
+    """The TABLE's maintenance tick — completing the symmetry with the
+    index and manifest ticks (``retrieval.maintain_vector_index``,
+    ``dedup.maintain_minhash_index``, ``skipping.maintain_file_manifest``):
+    every persistent structure in the engine now has a one-call
+    check-then-repair policy a scheduler can run on a beat.
+
+    Check (metadata-only): the driver's filesystem listing counts data
+    files and how many are under ``small_file_mb`` — no data file is
+    opened, so an idle tick costs one listing RPC sweep regardless of
+    table bytes (the priced property of every tick,
+    ``BENCH_scale_r11.json`` idle_tick_*). Repair (only when the small
+    share exceeds ``small_share_threshold``): :func:`compact` into a
+    staged sibling sized from MEASURED bytes, swapped in with the
+    crash-recoverable rename-aside pattern (``skipping._swap_in`` —
+    every non-atomic gap leaves a copy on disk). After a compaction,
+    any file manifest for ``path`` is rebuilt from its stored params:
+    a rewrite invalidates every per-file fingerprint, and a stale
+    manifest would silently un-prune reads.
+
+    Returns the decision trail:
+    ``{"n_files", "n_small", "small_share", "compacted",
+    "n_files_after", "manifest"}`` (``manifest``:
+    ``"absent" | "rebuilt"``).
+
+    Idempotent: re-running after a completed compaction degrades to
+    the listing check — the repair fires only when the measured-size
+    target (``ceil(bytes / target_file_mb)``) is actually FEWER files
+    than the table has, so a table that is merely small (one
+    under-threshold file) is never rewritten in a loop.
+    """
+    from . import skipping as _skp
+
+    files = [
+        (r["file"], r["size_bytes"])
+        for r in _list_parquet_files(spark, path).collect()
+    ]
+    n_files = len(files)
+    n_small = sum(1 for _, s in files if s < small_file_mb * 1024 * 1024)
+    share = round(n_small / n_files, 6) if n_files else 0.0
+    report = {
+        "n_files": n_files,
+        "n_small": n_small,
+        "small_share": share,
+        "compacted": False,
+        "n_files_after": n_files,
+        "manifest": "absent",
+    }
+    total = sum(s for _, s in files)
+    n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    if n_files == 0 or share <= float(small_share_threshold) or n_target >= n_files:
+        return report
+    stage = path.rstrip("/") + "__stage"
+    n_after = compact(spark, path, stage, target_file_mb=target_file_mb)
+    _skp._swap_in(spark, path, stage)
+    report["compacted"] = True
+    report["n_files_after"] = n_after
+    # the compaction rewrote every data file: any manifest's
+    # fingerprints are all stale, so rebuild from the stored params
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    params_p = jvm.org.apache.hadoop.fs.Path(_skp._params_path(path))
+    if params_p.getFileSystem(conf).exists(params_p):
+        params = _skp._read_json(spark, _skp._params_path(path))
+        _skp.build_file_manifest(
+            spark,
+            path,
+            params["stats_cols"],
+            bloom_col=params.get("bloom_col"),
+        )
+        report["manifest"] = "rebuilt"
+    return report

@@ -206,3 +206,49 @@ def test_zorder_manifest_box_prunes_both_dimensions(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_maintain_table_layout_tick(spark, fragmented):
+    from bohemia_kenya_data_pipeline_spark.operators import skipping as skp
+
+    before = sorted(map(tuple, spark.read.parquet(fragmented).collect()))
+    # manifest present: a compaction must rebuild it (fingerprints of
+    # every rewritten file are stale)
+    skp.build_file_manifest(spark, fragmented, ["k"])
+
+    # 64 tiny files -> small share 1.0 -> compact + manifest rebuild
+    rep = mt.maintain_table_layout(
+        spark, fragmented, small_file_mb=1.0, small_share_threshold=0.5
+    )
+    assert rep["n_files"] == 64 and rep["small_share"] == 1.0
+    assert rep["compacted"] and rep["n_files_after"] == 1
+    assert rep["manifest"] == "rebuilt"
+    # data unchanged, files actually compacted on disk
+    assert sorted(map(tuple, spark.read.parquet(fragmented).collect())) == before
+    assert len(glob.glob(os.path.join(fragmented, "*.parquet"))) == 1
+    # the rebuilt manifest serves an exact pruned read
+    got = skp.read_with_skipping(spark, fragmented, [("k", "between", (10, 20))])
+    want = spark.read.parquet(fragmented).filter(F.col("k").between(10, 20))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # no leftover stage/old siblings from the swap
+    assert not glob.glob(fragmented + "__stage")
+    assert not glob.glob(fragmented + "__old")
+
+    # idempotent: the re-run degrades to the listing check
+    rep2 = mt.maintain_table_layout(
+        spark, fragmented, small_file_mb=1.0, small_share_threshold=0.5
+    )
+    assert not rep2["compacted"] and rep2["n_files"] == 1
+    assert rep2["manifest"] == "absent"  # nothing repaired on a no-op tick
+
+
+def test_maintain_table_layout_healthy_noop(spark, tmp_path):
+    path = str(tmp_path / "healthy")
+    spark.range(1000).coalesce(1).write.parquet(path)
+    rep = mt.maintain_table_layout(
+        spark, path, small_file_mb=0.0001, small_share_threshold=0.5
+    )
+    assert rep == {
+        "n_files": 1, "n_small": 0, "small_share": 0.0,
+        "compacted": False, "n_files_after": 1, "manifest": "absent",
+    }
