@@ -680,3 +680,178 @@ def resize_images(
             yield res
 
     return df.mapInPandas(resize, schema=schema)
+
+
+def _wav_pcm16_raw(payload: bytes):
+    """(sample_rate, n_channels, int16 frame array [n, ch]) from a
+    16-bit PCM WAV, or None — the raw-integer sibling of
+    :func:`_wav_pcm16` (no mono mixdown, no float scaling), for
+    operators that must re-encode losslessly."""
+    import numpy as np
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and pos + 24 <= len(payload):
+            channels, rate = struct.unpack_from("<HI", payload, pos + 10)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    if not (rate and channels and bits == 16 and data):
+        return None
+    n = len(data) // (2 * channels)
+    if n == 0:
+        return None
+    samples = np.frombuffer(data[: n * 2 * channels], dtype="<i2")
+    return rate, channels, samples.reshape(n, channels)
+
+
+def encode_wav(sample_rate: int, frames) -> bytes:
+    """16-bit PCM WAV bytes from an int16 [n, channels] frame array —
+    the inverse of :func:`_wav_pcm16_raw`, so decode -> transform ->
+    encode round-trips losslessly."""
+    import numpy as np
+
+    arr = np.asarray(frames, dtype="<i2")
+    n, ch = int(arr.shape[0]), int(arr.shape[1])
+    data = arr.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, ch, sample_rate, sample_rate * 2 * ch, 2 * ch, 16
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synth_wav_ramp(sample_rate: int, n_frames: int) -> bytes:
+    """A real mono PCM16 WAV whose samples follow the integer ramp
+    ``((i * 37) % 4001) - 2000`` — closed-form content (exact integer
+    math, no trig), so downstream transforms can be oracled
+    bit-exactly in SQL (the audio analog of synth_bmp_gradient)."""
+    import numpy as np
+
+    i = np.arange(n_frames, dtype=np.int64)
+    samples = ((i * 37) % 4001 - 2000).astype("<i2")
+    return encode_wav(sample_rate, samples.reshape(-1, 1))
+
+
+def resample_audio(
+    df: DataFrame,
+    out_rate: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample-rate conversion to a fixed ``out_rate`` — the
+    normalize-before-train step for audio, as REAL sample work:
+    parse the PCM16 WAV, nearest-neighbor frame pick
+    (``src_frame = (j * in_rate) // out_rate``, duration-preserving
+    ``n_out = (n_src * out_rate) // in_rate`` — pure integer index
+    math, channels preserved), re-encode. Returns
+    ``(id, valid, sample_rate, n_frames, payload)`` with NULL payload
+    for undecodable inputs (quarantine-routable, never job-fatal).
+
+    Scale: Arrow-batched ``mapInPandas``, one row out per row in, no
+    shuffle — the same scan-local map-stage shape as
+    :func:`resize_images`. Output length is proportional to target
+    rate, so a mixed-rate corpus leaves this stage uniform.
+    """
+    import numpy as np
+
+    orate = int(out_rate)
+    if orate <= 0:
+        raise ValueError(f"out_rate must be positive, got {orate}")
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("valid", BooleanType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                parsed = _wav_pcm16_raw(payload)
+                if parsed is None:
+                    rows.append((False, None, None, None))
+                    continue
+                irate, _ch, frames = parsed
+                n_out = (frames.shape[0] * orate) // irate
+                if n_out <= 0:
+                    rows.append((False, None, None, None))
+                    continue
+                idx = (np.arange(n_out, dtype=np.int64) * irate) // orate
+                out = frames[idx]
+                rows.append((True, orate, n_out, encode_wav(orate, out)))
+            res = pd.DataFrame(
+                rows, columns=["valid", "sample_rate", "n_frames", "payload"]
+            )
+            res.insert(0, id_col, pdf[id_col].astype("int64").values)
+            yield res
+
+    return df.mapInPandas(conv, schema=schema)
+
+
+def audio_pcm_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Raw-integer amplitude stats per audio payload — mean and RMS of
+    the PCM16 samples (channel-flattened), plus rate/length. The
+    ingest-validation profile that needs no FFT: integer sums are
+    exact, so these values oracle bit-for-bit where the content has a
+    closed form. Same scan-local Arrow map-stage shape as
+    :func:`image_pixel_stats`."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("valid", BooleanType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("mean_amp", DoubleType()),
+            StructField("rms_amp", DoubleType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                parsed = _wav_pcm16_raw(payload)
+                if parsed is None:
+                    rows.append((False, None, None, None, None))
+                    continue
+                rate, _ch, frames = parsed
+                v = frames.astype(np.float64).ravel()
+                rows.append(
+                    (
+                        True,
+                        rate,
+                        frames.shape[0],
+                        float(v.mean()),
+                        float(np.sqrt((v * v).mean())),
+                    )
+                )
+            res = pd.DataFrame(
+                rows,
+                columns=["valid", "sample_rate", "n_frames", "mean_amp", "rms_amp"],
+            )
+            res.insert(0, id_col, pdf[id_col].astype("int64").values)
+            yield res
+
+    return df.mapInPandas(stats, schema=schema)

@@ -13030,3 +13030,49 @@ def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept")
     )
+
+
+@_register(
+    "resample_audio_stats",
+    """
+    WITH d AS (SELECT doc_id, 256 + doc_id % 128 AS n_src
+               FROM documents WHERE doc_id < 48),
+    o AS (SELECT doc_id, n_src // 2 AS n_out FROM d),
+    s AS (SELECT o.doc_id, o.n_out,
+                 CAST((((t.i * 2) * 37) % 4001) - 2000 AS DOUBLE) AS v
+          FROM o, range(0, 192) t(i) WHERE t.i < o.n_out)
+    SELECT doc_id, TRUE AS valid, CAST(4000 AS INTEGER) AS sample_rate,
+           CAST(n_out AS BIGINT) AS n_frames,
+           ROUND(AVG(v), 4) AS mean_amp,
+           ROUND(SQRT(AVG(v * v)), 4) AS rms_amp
+    FROM s GROUP BY doc_id, n_out
+    """,
+)
+def resample_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The audio analog of resize_pixel_stats, oracled end-to-end:
+    # synthesize integer-ramp PCM16 WAVs (sample[i] = (i*37)%4001 -
+    # 2000 at 8 kHz), resample to 4 kHz with real nearest-neighbor
+    # frame picks (src = (j*8000)//4000 = 2j), re-encode, re-parse the
+    # re-encoded bytes for amplitude stats — while DuckDB computes the
+    # same stats from the ramp's closed form. Integer sums are exact
+    # on both sides, so mean/RMS agree bit-for-bit before rounding.
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                mm.synth_wav_ramp(8000, 256 + int(i) % 128) for i in ids
+            ]
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_wav = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    resampled = mm.resample_audio(with_wav, 4000)
+    stats = mm.audio_pcm_stats(resampled)
+    return stats.select(
+        "doc_id", "valid", "sample_rate", "n_frames",
+        F.round("mean_amp", 4).alias("mean_amp"),
+        F.round("rms_amp", 4).alias("rms_amp"),
+    )

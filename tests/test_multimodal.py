@@ -263,3 +263,57 @@ def test_encode_bmp_roundtrips_odd_width(spark):
     rng = np.random.default_rng(7)
     px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
     assert np.array_equal(mmod._bmp_pixels(mmod.encode_bmp(px)), px)
+
+
+def test_resample_audio_downsample_golden(spark):
+    import numpy as np
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mmod
+
+    src = mmod.synth_wav_ramp(8000, 100)
+    df = spark.createDataFrame(
+        [(1, src), (2, b"noise"), (3, None)], "doc_id BIGINT, payload BINARY"
+    )
+    out = {r.doc_id: r for r in mmod.resample_audio(df, 4000).collect()}
+    assert out[1].valid and out[1].sample_rate == 4000 and out[1].n_frames == 50
+    rate, ch, frames = mmod._wav_pcm16_raw(bytes(out[1].payload))
+    assert (rate, ch) == (4000, 1)
+    _, _, srcf = mmod._wav_pcm16_raw(src)
+    assert np.array_equal(frames, srcf[::2])  # picks every 2nd frame
+    assert out[2].valid is False and out[2].payload is None
+    assert out[3].valid is False
+
+
+def test_resample_audio_upsample_preserves_channels(spark):
+    import numpy as np
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mmod
+
+    # stereo: 4 frames at 4 kHz -> 8 frames at 8 kHz, frames repeat
+    frames = np.array([[1, -1], [2, -2], [3, -3], [4, -4]], dtype="<i2")
+    src = mmod.encode_wav(4000, frames)
+    df = spark.createDataFrame([(1, src)], "doc_id BIGINT, payload BINARY")
+    out = mmod.resample_audio(df, 8000).collect()[0]
+    assert out.n_frames == 8
+    _, ch, got = mmod._wav_pcm16_raw(bytes(out.payload))
+    assert ch == 2
+    assert np.array_equal(got, frames[[0, 0, 1, 1, 2, 2, 3, 3]])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        mmod.resample_audio(df, 0)
+
+
+def test_audio_pcm_stats_exact_on_ramp(spark):
+    import numpy as np
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mmod
+
+    src = mmod.synth_wav_ramp(8000, 64)
+    df = spark.createDataFrame([(1, src)], "doc_id BIGINT, payload BINARY")
+    out = mmod.audio_pcm_stats(df).collect()[0]
+    v = (np.arange(64, dtype=np.int64) * 37) % 4001 - 2000
+    assert out.valid and out.n_frames == 64 and out.sample_rate == 8000
+    assert out.mean_amp == v.mean()
+    assert abs(out.rms_amp - np.sqrt((v.astype(float) ** 2).mean())) < 1e-12
