@@ -710,10 +710,12 @@ def main() -> None:
     # index_stats (O(index rows) on two thin columns, vectors/codes
     # never read); minhash tick = one band-rows groupBy (O(band rows)).
     idle_names = ["idle_tick_manifest", "idle_tick_ann",
-                  "idle_tick_pq", "idle_tick_minhash"]
+                  "idle_tick_pq", "idle_tick_minhash",
+                  "idle_tick_table"]
     if not only or any(n in keep for n in idle_names):
         from bohemia_kenya_data_pipeline_spark.operators import (
             dedup as dd,
+            maintenance as mt,
             skipping as skp,
         )
 
@@ -770,6 +772,11 @@ def main() -> None:
             "idle_tick_minhash": lambda d: dd.maintain_minhash_index(
                 spark, ipaths[_fct(d)]["minhash"]
             ),
+            # healthy-layout guard: files are MBs, threshold 0.001 MB,
+            # so the tick is the pure listing check
+            "idle_tick_table": lambda d: mt.maintain_table_layout(
+                spark, ipaths[_fct(d)]["manifest"], small_file_mb=0.001
+            ),
         }
         idle_notes = {
             "idle_tick_manifest": (
@@ -788,6 +795,10 @@ def main() -> None:
             "idle_tick_minhash": (
                 "no-op tick = one groupBy over band rows (B-row "
                 "result); no signatures recomputed"
+            ),
+            "idle_tick_table": (
+                "no-op tick = one FS listing, small-file count only — "
+                "no data file opened, no Spark job at all"
             ),
         }
         for name in idle_names:
