@@ -667,3 +667,15 @@ def test_round11_curation_query_plans_hold_invariants(spark):
     plan = _plan(QUERIES["quantile_gate_by_source"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round11_multimodal_chains_are_scan_local(spark):
+    """resize_pixel_stats / resample_audio_stats: synthesize ->
+    transform -> re-parse is a pure chain of Arrow map stages — no
+    exchange anywhere (one row out per row in, parallelizes with the
+    scan), and no row-at-a-time Python (ArrowEvalPython/MapInPandas
+    only)."""
+    for name in ("resize_pixel_stats", "resample_audio_stats"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # row-Python banned
