@@ -912,10 +912,16 @@ def quality_classifier_score(
             ).alias("w"),
         )
     )
+    # try_divide: a single-class corpus (no positives or no negatives)
+    # yields NULL scores for every doc rather than an ANSI-mode
+    # division-by-zero crash mid-plan — the documented contract is
+    # "supply both classes", and NULL is the visible, filterable signal
     prior = df.agg(
         F.log(
-            F.sum(label.cast("int")).cast("double")
-            / F.sum((~label).cast("int")).cast("double")
+            F.try_divide(
+                F.sum(label.cast("int")).cast("double"),
+                F.sum((~label).cast("int")).cast("double"),
+            )
         ).alias("__prior")
     )
     docsum = (

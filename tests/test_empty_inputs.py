@@ -96,3 +96,54 @@ def test_text_quality_empty(spark):
     docs = _empty_docs(spark)
     assert tx.quality_features(docs).count() == 0
     assert tx.dedup_lines(docs).count() == 0
+
+
+def test_round11_curation_operators_empty(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import clean as cl
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mmod
+    from bohemia_kenya_data_pipeline_spark.operators import quality as ql
+    from bohemia_kenya_data_pipeline_spark.operators import skew as sk
+
+    # skew profile: empty fact -> empty profile, schema intact
+    empty_k = spark.createDataFrame([], "k BIGINT")
+    prof = sk.skew_profile(empty_k, "k")
+    assert prof.count() == 0
+    assert prof.columns == [
+        "rank", "key", "n", "share_ppm", "cum_share_ppm",
+        "salts_rec", "total_rows", "n_keys",
+    ]
+
+    # quantile gate: empty frame -> empty kept + empty report
+    empty_s = spark.createDataFrame([], "src STRING, score BIGINT")
+    kept, report = ql.group_quantile_gate(empty_s, "src", "score")
+    assert kept.count() == 0 and report.count() == 0
+
+    # k-anonymity: empty frame -> empty report; suppression keeps none
+    assert cl.k_anonymity_report(empty_s, ["src"]).count() == 0
+    assert cl.suppress_small_groups(empty_s, ["src"], k=2).count() == 0
+
+    # multimodal transforms: empty payload frames flow through
+    empty_b = spark.createDataFrame([], "doc_id BIGINT, payload BINARY")
+    assert mmod.resize_images(empty_b, 4, 4).count() == 0
+    assert mmod.resample_audio(empty_b, 8000).count() == 0
+    assert mmod.audio_pcm_stats(empty_b).count() == 0
+
+
+def test_classifier_empty_and_single_class_contract(spark):
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx2
+
+    # empty corpus: no docs to score -> empty result, schema intact
+    df = spark.createDataFrame([], "doc_id BIGINT, text STRING, pos BOOLEAN")
+    out = tx2.quality_classifier_score(df, label=F.col("pos"))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_vocab_tokens", "score", "pred"]
+
+    # single-class corpus: the prior ln(n_pos/n_neg) is undefined —
+    # scores come back NULL (log of 0 / division by 0), never a crash;
+    # documented contract: supply both classes
+    one_cls = spark.createDataFrame(
+        [(1, "a b", True), (2, "a", True)], "doc_id BIGINT, text STRING, pos BOOLEAN"
+    )
+    rows = tx2.quality_classifier_score(one_cls, label=F.col("pos")).collect()
+    assert len(rows) == 2
+    assert all(r.score is None for r in rows)
