@@ -182,6 +182,9 @@ HEADLINE = [
     "quality_classifier_score",
     "skew_key_profile",
     "quantile_gate_by_source",
+    # round-11: OPTIMIZE-shaped incremental z-order (init 60% + raw
+    # append 40% + delta-only re-cluster + manifest repair + box read)
+    "incremental_zorder_scan",
 ]
 
 

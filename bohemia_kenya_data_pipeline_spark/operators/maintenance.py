@@ -326,3 +326,165 @@ def maintain_table_layout(
         )
         report["manifest"] = "rebuilt"
     return report
+
+
+# ---------------------------------------------------------------------------
+# Incremental z-order maintenance: OPTIMIZE-style re-clustering of the
+# unclustered tail only — a 100 TB table is never fully rewritten
+# ---------------------------------------------------------------------------
+
+
+def _zparams_path(path: str) -> str:
+    # sibling file, not inside the data dir (same rule as the manifest
+    # and ANN sidecars: a nested file would be read as table data)
+    return path.rstrip("/") + "__zorder.json"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), p
+
+
+def zorder_init(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Z-order-cluster ``df`` into ``path`` (:func:`zorder_write`) and
+    record the clustering params + the clustered file set in a sidecar
+    — the tracking that makes :func:`zorder_extend` possible: later
+    appends land as UNclustered files, and the extend pass can tell
+    them apart from the tiles it already built without reading a row.
+    """
+    from . import skipping as _skp
+
+    zorder_write(df, path, col_a, col_b, n_files, bits=bits)
+    spark = df.sparkSession
+    files = [
+        (r["file"], r["size_bytes"])
+        for r in _list_parquet_files(spark, path).collect()
+    ]
+    total = sum(s for _, s in files)
+    _skp._write_json(
+        spark,
+        _zparams_path(path),
+        {
+            "col_a": col_a,
+            "col_b": col_b,
+            "bits": int(bits),
+            # per-tile byte target measured from the initial build, so
+            # every extend sizes its tile count the same way
+            "target_file_bytes": max(1, total // max(1, len(files))),
+            "files": sorted(os.path.basename(f) for f, _ in files),
+            "pending_add": [],
+            "pending_remove": [],
+        },
+    )
+
+
+def _zrecover(spark: SparkSession, path: str, params: dict) -> bool:
+    """Replay a crashed extend's journal: staged tiles still in the
+    stage dir move in; originals listed for removal are deleted. Both
+    actions are idempotent (move-if-present / delete-if-present), so
+    recovery itself can crash and re-run."""
+    jvm, fs, _ = _fs(spark, path)
+    acted = False
+    stage_dir = path.rstrip("/") + "__zstage"
+    for name in params.get("pending_add", []):
+        src = jvm.org.apache.hadoop.fs.Path(stage_dir + "/" + name)
+        if fs.exists(src):
+            fs.rename(src, jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name))
+            acted = True
+    for name in params.get("pending_remove", []):
+        victim = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name)
+        if fs.exists(victim):
+            fs.delete(victim, False)
+            acted = True
+    fs.delete(jvm.org.apache.hadoop.fs.Path(stage_dir), True)
+    return acted
+
+
+def zorder_extend(spark: SparkSession, path: str) -> dict:
+    """Incrementally restore z-order after appends: read ONLY the
+    files that postdate the last clustering pass (delta-sized I/O),
+    re-cluster those rows into new z-tiles, and atomically-enough swap
+    them for the raw originals. The table's clustered generations
+    coexist — every tile still covers a compact (a, b) box, so
+    manifest/footer pruning keeps working across generations — and a
+    100 TB history is NEVER fully rewritten to stay skippable (the
+    full :func:`zorder_write` is a one-time init, not a maintenance
+    cost; this is the OPTIMIZE-shaped upkeep).
+
+    Durability: the swap is journaled in the sidecar
+    (``pending_add``/``pending_remove``) BEFORE any visible mutation —
+    staged tiles are written outside the data dir, the journal
+    commits, then tiles move in and originals are deleted. A crash
+    anywhere replays from the journal on the next call (move-in and
+    delete are both idempotent), so the worst visible state is
+    transient duplicate rows DURING the swap window of a concurrent
+    reader — the same single-writer maintenance-window contract as
+    ``compact``'s staged swap, with loss impossible because originals
+    are only deleted after their replacement tiles are in place.
+
+    Returns ``{"extended", "recovered", "n_delta_files",
+    "n_new_tiles"}``.
+    """
+    from . import skipping as _skp
+
+    params = _skp._read_json(spark, _zparams_path(path))
+    recovered = _zrecover(spark, path, params)
+    if recovered:
+        # journal replayed: the files list in the sidecar already
+        # reflects the intended post-swap state (written at commit)
+        params["pending_add"] = []
+        params["pending_remove"] = []
+        _skp._write_json(spark, _zparams_path(path), params)
+
+    current = {
+        os.path.basename(f): s
+        for f, s in (
+            (r["file"], r["size_bytes"])
+            for r in _list_parquet_files(spark, path).collect()
+        )
+    }
+    known = set(params["files"])
+    delta = sorted(set(current) - known)
+    report = {
+        "extended": False,
+        "recovered": recovered,
+        "n_delta_files": len(delta),
+        "n_new_tiles": 0,
+    }
+    if not delta:
+        return report
+
+    delta_paths = [path.rstrip("/") + "/" + name for name in delta]
+    ddf = spark.read.parquet(*delta_paths)
+    delta_bytes = sum(current[name] for name in delta)
+    n_tiles = max(1, math.ceil(delta_bytes / params["target_file_bytes"]))
+    stage_dir = path.rstrip("/") + "__zstage"
+    keyed = ddf.withColumn(
+        "__z", zorder_value(params["col_a"], params["col_b"], params["bits"])
+    )
+    cluster_write(keyed, stage_dir, ["__z"], n_tiles, drop_cols=["__z"])
+    staged = sorted(
+        os.path.basename(r["file"])
+        for r in _list_parquet_files(spark, stage_dir).collect()
+    )
+    # journal the swap intent + the post-swap file set, THEN mutate
+    params["pending_add"] = staged
+    params["pending_remove"] = delta
+    params["files"] = sorted((known | set(staged)))
+    _skp._write_json(spark, _zparams_path(path), params)
+    _zrecover(spark, path, params)
+    params["pending_add"] = []
+    params["pending_remove"] = []
+    _skp._write_json(spark, _zparams_path(path), params)
+    report["extended"] = True
+    report["n_new_tiles"] = len(staged)
+    return report

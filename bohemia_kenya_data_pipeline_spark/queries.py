@@ -13076,3 +13076,48 @@ def resample_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_amp", 4).alias("mean_amp"),
         F.round("rms_amp", 4).alias("rms_amp"),
     )
+
+
+@_register(
+    "incremental_zorder_scan",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 200 AND 800
+      AND l_suppkey BETWEEN 20 AND 60
+    GROUP BY 1
+    """,
+)
+def incremental_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OPTIMIZE-shaped layout upkeep, oracled end-to-end: z-order-init
+    # 60% of the fact, append the other 40% raw (the steady-state
+    # ingest shape), zorder_extend re-clusters ONLY the delta files
+    # (journaled swap — no full rewrite), the manifest tick repairs
+    # stats, and the two-sided box read over the mixed-generation
+    # tiles must hash-match DuckDB's full-scan filter over ALL rows.
+    from .operators import maintenance as _mt
+    from .operators import skipping as _skp
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = _skip_tmp_path(sf_dir, "zinc")
+    base = li.filter(F.col("l_orderkey") % 10 < 6)
+    delta = li.filter(F.col("l_orderkey") % 10 >= 6)
+    _mt.zorder_init(base, path, "l_partkey", "l_suppkey", n_files=24, bits=15)
+    _skp.build_file_manifest(spark, path, ["l_partkey", "l_suppkey"])
+    delta.coalesce(4).write.mode("append").parquet(path)
+    _mt.zorder_extend(spark, path)
+    _skp.maintain_file_manifest(spark, path)
+    out = _skp.read_with_skipping(
+        spark,
+        path,
+        [
+            ("l_partkey", "between", (200, 800)),
+            ("l_suppkey", "between", (20, 60)),
+        ],
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

@@ -130,6 +130,9 @@ LINEAR = [
     "quality_classifier_score",
     "skew_key_profile",
     "quantile_gate_by_source",
+    # round-11: incremental z-order — init + delta re-cluster are both
+    # one pass over data that scales; the extend reads only delta files
+    "incremental_zorder_scan",
 ]
 
 #: quadratic BY CONSTRUCTION (query set = fixed fraction of corpus, or

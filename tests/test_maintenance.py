@@ -252,3 +252,94 @@ def test_maintain_table_layout_healthy_noop(spark, tmp_path):
         "n_files": 1, "n_small": 0, "small_share": 0.0,
         "compacted": False, "n_files_after": 1, "manifest": "absent",
     }
+
+
+def test_zorder_extend_incremental_clustering(spark, tmp_path):
+    from bohemia_kenya_data_pipeline_spark.operators import skipping as skp
+
+    path = str(tmp_path / "zinc")
+    base = spark.range(4000).select(
+        (F.col("id") % 64).alias("a"), ((F.col("id") * 7) % 64).alias("b"),
+        F.col("id").alias("v"),
+    )
+    mt.zorder_init(base, path, "a", "b", n_files=8, bits=6)
+    skp.build_file_manifest(spark, path, ["a", "b"])
+
+    # fresh table: extend is a no-op
+    rep0 = mt.zorder_extend(spark, path)
+    assert rep0 == {"extended": False, "recovered": False,
+                    "n_delta_files": 0, "n_new_tiles": 0}
+
+    # raw append (unclustered) -> extend re-clusters ONLY the delta
+    delta = spark.range(4000, 6000).select(
+        (F.col("id") % 64).alias("a"), ((F.col("id") * 7) % 64).alias("b"),
+        F.col("id").alias("v"),
+    )
+    delta.coalesce(2).write.mode("append").parquet(path)
+    n_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    rep = mt.zorder_extend(spark, path)
+    assert rep["extended"] and rep["n_delta_files"] == 2
+    assert rep["n_new_tiles"] >= 1
+    # originals swapped out, no stage leftovers
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == (
+        n_before - 2 + rep["n_new_tiles"]
+    )
+    assert not glob.glob(path + "__zstage")
+    # content is exactly base+delta (no loss, no duplication)
+    got = spark.read.parquet(path)
+    assert got.count() == 6000
+    assert got.agg(F.sum("v")).first()[0] == sum(range(6000))
+
+    # the manifest tick repairs stats and a box predicate reads exact
+    skp.maintain_file_manifest(spark, path)
+    want = got.filter(F.col("a").between(10, 20) & F.col("b").between(30, 40))
+    pruned = skp.read_with_skipping(
+        spark, path, [("a", "between", (10, 20)), ("b", "between", (30, 40))]
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, want.collect()))
+
+    # second extend with nothing new: no-op again
+    assert mt.zorder_extend(spark, path)["extended"] is False
+
+
+def test_zorder_extend_replays_crashed_journal(spark, tmp_path):
+    from bohemia_kenya_data_pipeline_spark.operators import skipping as skp
+
+    path = str(tmp_path / "zcrash")
+    base = spark.range(1000).select(
+        (F.col("id") % 32).alias("a"), ((F.col("id") * 5) % 32).alias("b"),
+        F.col("id").alias("v"),
+    )
+    mt.zorder_init(base, path, "a", "b", n_files=4, bits=5)
+    delta = spark.range(1000, 1500).select(
+        (F.col("id") % 32).alias("a"), ((F.col("id") * 5) % 32).alias("b"),
+        F.col("id").alias("v"),
+    )
+    delta.coalesce(1).write.mode("append").parquet(path)
+
+    # simulate a crash mid-swap: stage the clustered delta + journal
+    # the intent, but neither move staged tiles in nor delete originals
+    params = skp._read_json(spark, mt._zparams_path(path))
+    known = set(params["files"])
+    current = {os.path.basename(f) for f in glob.glob(os.path.join(path, "*.parquet"))}
+    dnames = sorted(current - known)
+    stage_dir = path + "__zstage"
+    ddf = spark.read.parquet(*[os.path.join(path, n) for n in dnames])
+    mt.cluster_write(
+        ddf.withColumn("__z", mt.zorder_value("a", "b", 5)),
+        stage_dir, ["__z"], 1, drop_cols=["__z"],
+    )
+    staged = sorted(os.path.basename(p) for p in glob.glob(os.path.join(stage_dir, "*.parquet")))
+    params["pending_add"] = staged
+    params["pending_remove"] = dnames
+    params["files"] = sorted(known | set(staged))
+    skp._write_json(spark, mt._zparams_path(path), params)
+
+    # next tick replays the journal, then finds nothing new
+    rep = mt.zorder_extend(spark, path)
+    assert rep["recovered"] is True and rep["extended"] is False
+    got = spark.read.parquet(path)
+    assert got.count() == 1500  # no loss, no duplication after replay
+    assert not glob.glob(stage_dir)
+    # replay is idempotent
+    assert mt.zorder_extend(spark, path)["recovered"] is False
