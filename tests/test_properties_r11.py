@@ -165,3 +165,70 @@ def test_k_anonymity_suppression_matches_counter(spark, rows, k):
     rep = cl.k_anonymity_report(df, ["qa", "qb"], k=k).collect()
     assert {(r.qa, r.qb): r.n for r in rep} == dict(sizes)
     assert all(r.risky == (r.n < k) for r in rep)
+
+
+@st.composite
+def zorder_op_sequences(draw):
+    # random alternation of raw appends and extend ticks, with random
+    # delta sizes and an optional double-extend (idempotency probe)
+    n_ops = draw(st.integers(1, 4))
+    ops = []
+    lo = 1000
+    for _ in range(n_ops):
+        size = draw(st.integers(50, 400))
+        ops.append(("append", lo, lo + size))
+        lo += size
+        if draw(st.booleans()):
+            ops.append(("extend", None, None))
+        if draw(st.booleans()):
+            ops.append(("extend", None, None))
+    return ops
+
+
+@given(ops=zorder_op_sequences())
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_lifecycle_content_and_pruning_exact(spark, ops, tmp_path_factory):
+    """Any interleaving of raw appends and extend ticks preserves the
+    exact table content, and a manifest-pruned box read over the
+    mixed-generation tiles equals the full-scan filter."""
+    from bohemia_kenya_data_pipeline_spark.operators import (
+        maintenance as mt,
+        skipping as skp,
+    )
+
+    path = str(tmp_path_factory.mktemp("zprop") / "t")
+
+    def mk(a, b):
+        return spark.range(a, b).select(
+            (F.col("id") % 41).alias("a"), ((F.col("id") * 13) % 41).alias("b"),
+            F.col("id").alias("v"),
+        )
+
+    mt.zorder_init(mk(0, 1000), path, "a", "b", n_files=4, bits=6)
+    skp.build_file_manifest(spark, path, ["a", "b"])
+    expect_hi = 1000
+    for op, a, b in ops:
+        if op == "append":
+            mk(a, b).coalesce(1).write.mode("append").parquet(path)
+            expect_hi = max(expect_hi, b)
+        else:
+            mt.zorder_extend(spark, path)
+    # close with one extend so the table ends clustered
+    mt.zorder_extend(spark, path)
+    assert mt.zorder_extend(spark, path)["extended"] is False  # converged
+
+    got = spark.read.parquet(path)
+    # content exact: ids 0..999 plus every appended range, no dup/loss
+    expected_ids = set(range(1000))
+    for op, a, b in ops:
+        if op == "append":
+            expected_ids |= set(range(a, b))
+    assert sorted(r.v for r in got.select("v").collect()) == sorted(expected_ids)
+
+    skp.maintain_file_manifest(spark, path)
+    pruned = skp.read_with_skipping(
+        spark, path, [("a", "between", (5, 15)), ("b", "between", (20, 30))]
+    )
+    want = got.filter(F.col("a").between(5, 15) & F.col("b").between(20, 30))
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, want.collect()))
