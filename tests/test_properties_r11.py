@@ -232,3 +232,54 @@ def test_zorder_lifecycle_content_and_pruning_exact(spark, ops, tmp_path_factory
     )
     want = got.filter(F.col("a").between(5, 15) & F.col("b").between(20, 30))
     assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, want.collect()))
+
+
+@given(
+    sw=st.integers(1, 24), sh=st.integers(1, 12),
+    ow=st.integers(1, 16), oh=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_resize_matches_numpy_indexing_any_dims(spark, sw, sh, ow, oh, seed):
+    import numpy as np
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mmod
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(sh, sw, 3), dtype=np.uint8)
+    src = mmod.encode_bmp(px)
+    df = spark.createDataFrame([(1, src)], "doc_id BIGINT, payload BINARY")
+    out = mmod.resize_images(df, ow, oh).collect()[0]
+    got = mmod._bmp_pixels(bytes(out.payload))
+    ri = (np.arange(oh, dtype=np.int64) * sh) // oh
+    ci = (np.arange(ow, dtype=np.int64) * sw) // ow
+    assert np.array_equal(got, px[ri][:, ci])
+
+
+@given(
+    n=st.integers(1, 300), irate=st.sampled_from([4000, 8000, 44100]),
+    orate=st.sampled_from([2000, 8000, 16000]), ch=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_resample_matches_numpy_indexing_any_rates(spark, n, irate, orate, ch, seed):
+    import numpy as np
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mmod
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(-32768, 32768, size=(n, ch)).astype("<i2")
+    src = mmod.encode_wav(irate, frames)
+    df = spark.createDataFrame([(1, src)], "doc_id BIGINT, payload BINARY")
+    out = mmod.resample_audio(df, orate).collect()[0]
+    n_out = (n * orate) // irate
+    if n_out == 0:
+        assert out.valid is False and out.payload is None
+        return
+    assert out.valid and out.n_frames == n_out
+    _, got_ch, got = mmod._wav_pcm16_raw(bytes(out.payload))
+    assert got_ch == ch
+    idx = (np.arange(n_out, dtype=np.int64) * irate) // orate
+    assert np.array_equal(got, frames[idx])
