@@ -488,3 +488,70 @@ def zorder_extend(spark: SparkSession, path: str) -> dict:
     report["extended"] = True
     report["n_new_tiles"] = len(staged)
     return report
+
+
+def maintain_table(
+    spark: SparkSession,
+    path: str,
+    small_file_mb: float = 16.0,
+    small_share_threshold: float = 0.5,
+    target_file_mb: float = 128.0,
+) -> dict:
+    """One scheduler call per table: compose the layout tick, the
+    incremental z-order extend (when the table was ``zorder_init``-ed),
+    and the manifest repair tick, in the order that avoids paying any
+    pass twice:
+
+    1. **z-order extend first** (if a z-order sidecar exists): it
+       rewrites only delta files, and doing it before the small-file
+       check means freshly clustered tiles are counted at their real
+       size instead of tripping the compactor;
+    2. **layout tick**: compacts only if the small-file share still
+       exceeds the threshold after clustering (a compaction would
+       destroy z-locality, so a z-ordered table should normally be
+       healthy here — if it does fire, the sidecar's file list is
+       reset so the next extend re-inits from the compacted layout);
+    3. **manifest tick last**: one staleness check + delta-sized
+       repair covering whatever 1–2 changed.
+
+    Each stage is itself idempotent and crash-recoverable (journaled
+    z-swap, staged compaction swap, fingerprint-diffed manifest), so
+    the composition is too: re-running after any crash converges.
+    Returns ``{"zorder", "layout", "manifest"}`` — each stage's own
+    decision trail (``None`` for stages whose structure is absent).
+    """
+    from . import skipping as _skp
+
+    jvm, fs, _ = _fs(spark, path)
+    report: dict = {"zorder": None, "layout": None, "manifest": None}
+
+    zp = jvm.org.apache.hadoop.fs.Path(_zparams_path(path))
+    if fs.exists(zp):
+        report["zorder"] = zorder_extend(spark, path)
+
+    layout = maintain_table_layout(
+        spark,
+        path,
+        small_file_mb=small_file_mb,
+        small_share_threshold=small_share_threshold,
+        target_file_mb=target_file_mb,
+    )
+    report["layout"] = layout
+    if layout["compacted"] and fs.exists(zp):
+        # the compaction rewrote every file: the z sidecar's file list
+        # is stale; reset it so the next extend sees the whole table as
+        # already-written files (re-clustering is a fresh zorder_init
+        # decision, not an automatic full rewrite)
+        params = _skp._read_json(spark, _zparams_path(path))
+        params["files"] = sorted(
+            os.path.basename(r["file"])
+            for r in _list_parquet_files(spark, path).collect()
+        )
+        params["pending_add"] = []
+        params["pending_remove"] = []
+        _skp._write_json(spark, _zparams_path(path), params)
+
+    mp = jvm.org.apache.hadoop.fs.Path(_skp._params_path(path))
+    if fs.exists(mp):
+        report["manifest"] = _skp.maintain_file_manifest(spark, path)
+    return report

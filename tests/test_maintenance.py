@@ -343,3 +343,50 @@ def test_zorder_extend_replays_crashed_journal(spark, tmp_path):
     assert not glob.glob(stage_dir)
     # replay is idempotent
     assert mt.zorder_extend(spark, path)["recovered"] is False
+
+
+def test_maintain_table_composed_tick(spark, tmp_path):
+    from bohemia_kenya_data_pipeline_spark.operators import skipping as skp
+
+    path = str(tmp_path / "master")
+    base = spark.range(3000).select(
+        (F.col("id") % 50).alias("a"), ((F.col("id") * 11) % 50).alias("b"),
+        F.col("id").alias("v"),
+    )
+    mt.zorder_init(base, path, "a", "b", n_files=4, bits=6)
+    skp.build_file_manifest(spark, path, ["a", "b"])
+
+    # healthy table: every stage reports a no-op
+    rep = mt.maintain_table(spark, path, small_file_mb=0.0001)
+    assert rep["zorder"]["extended"] is False
+    assert rep["layout"]["compacted"] is False
+    assert rep["manifest"]["repaired"] is False
+
+    # raw append -> one call re-clusters the delta AND repairs the
+    # manifest; the pruned read is exact immediately afterwards
+    spark.range(3000, 4000).select(
+        (F.col("id") % 50).alias("a"), ((F.col("id") * 11) % 50).alias("b"),
+        F.col("id").alias("v"),
+    ).coalesce(1).write.mode("append").parquet(path)
+    rep2 = mt.maintain_table(spark, path, small_file_mb=0.0001)
+    assert rep2["zorder"]["extended"] is True
+    assert rep2["manifest"]["repaired"] is True
+    got = skp.read_with_skipping(
+        spark, path, [("a", "between", (10, 20)), ("b", "between", (10, 20))]
+    )
+    want = spark.read.parquet(path).filter(
+        F.col("a").between(10, 20) & F.col("b").between(10, 20)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # converged: a third call is a pure check
+    rep3 = mt.maintain_table(spark, path, small_file_mb=0.0001)
+    assert rep3["zorder"]["extended"] is False
+    assert rep3["manifest"]["repaired"] is False
+
+    # plain table without sidecars: only the layout stage runs
+    plain = str(tmp_path / "plain")
+    spark.range(100).coalesce(1).write.parquet(plain)
+    rep4 = mt.maintain_table(spark, plain, small_file_mb=0.0001)
+    assert rep4["zorder"] is None and rep4["manifest"] is None
+    assert rep4["layout"]["compacted"] is False
