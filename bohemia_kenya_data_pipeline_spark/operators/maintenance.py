@@ -313,18 +313,39 @@ def maintain_table_layout(
     report["n_files_after"] = n_after
     # the compaction rewrote every data file: any manifest's
     # fingerprints are all stale, so rebuild from the stored params
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm, fs, _p = _fs(spark, path)
     params_p = jvm.org.apache.hadoop.fs.Path(_skp._params_path(path))
-    if params_p.getFileSystem(conf).exists(params_p):
+    if fs.exists(params_p):
         params = _skp._read_json(spark, _skp._params_path(path))
+        # thread the stored bloom sizing through (n_bits/n_hashes/seed)
+        # — rebuilding with defaults would permanently downgrade a
+        # manifest sized for its key cardinality (review finding), and
+        # extend_file_manifest already preserves these on its path
         _skp.build_file_manifest(
             spark,
             path,
             params["stats_cols"],
             bloom_col=params.get("bloom_col"),
+            n_bits=params.get("n_bits", _skp.FILE_BLOOM_N_BITS),
+            n_hashes=params.get("n_hashes", _skp.DEFAULT_N_HASHES),
+            seed=params.get("seed", 42),
         )
         report["manifest"] = "rebuilt"
+    # a z-order sidecar's file list is equally stale after a
+    # compaction: reset it HERE (not only in the composed tick) so a
+    # direct layout-tick call can never make the next zorder_extend
+    # misread the whole rewritten table as "delta" and re-cluster it
+    zp = jvm.org.apache.hadoop.fs.Path(_zparams_path(path))
+    if fs.exists(zp):
+        zparams = _skp._read_json(spark, _zparams_path(path))
+        zparams["files"] = sorted(
+            os.path.basename(r["file"])
+            for r in _list_parquet_files(spark, path).collect()
+        )
+        zparams["pending_add"] = []
+        zparams["pending_remove"] = []
+        _skp._write_json(spark, _zparams_path(path), zparams)
+        report["zorder_sidecar"] = "reset"
     return report
 
 
@@ -340,11 +361,9 @@ def _zparams_path(path: str) -> str:
     return path.rstrip("/") + "__zorder.json"
 
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, p.getFileSystem(conf), p
+# one FS-handle helper for the whole engine — maintenance shares
+# skipping's (review finding: a byte-identical local copy had crept in)
+from .skipping import _fs  # noqa: E402
 
 
 def zorder_init(
@@ -509,8 +528,9 @@ def maintain_table(
     2. **layout tick**: compacts only if the small-file share still
        exceeds the threshold after clustering (a compaction would
        destroy z-locality, so a z-ordered table should normally be
-       healthy here — if it does fire, the sidecar's file list is
-       reset so the next extend re-inits from the compacted layout);
+       healthy here — if it does fire, the layout tick itself resets
+       the z sidecar's file list so the next extend re-inits from the
+       compacted layout);
     3. **manifest tick last**: one staleness check + delta-sized
        repair covering whatever 1–2 changed.
 
@@ -537,19 +557,9 @@ def maintain_table(
         target_file_mb=target_file_mb,
     )
     report["layout"] = layout
-    if layout["compacted"] and fs.exists(zp):
-        # the compaction rewrote every file: the z sidecar's file list
-        # is stale; reset it so the next extend sees the whole table as
-        # already-written files (re-clustering is a fresh zorder_init
-        # decision, not an automatic full rewrite)
-        params = _skp._read_json(spark, _zparams_path(path))
-        params["files"] = sorted(
-            os.path.basename(r["file"])
-            for r in _list_parquet_files(spark, path).collect()
-        )
-        params["pending_add"] = []
-        params["pending_remove"] = []
-        _skp._write_json(spark, _zparams_path(path), params)
+    # a firing compaction resets the z sidecar inside the layout tick
+    # itself, so a direct maintain_table_layout caller gets the same
+    # protection as this composed path
 
     mp = jvm.org.apache.hadoop.fs.Path(_skp._params_path(path))
     if fs.exists(mp):

@@ -382,30 +382,19 @@ def synth_wav_tone(
 
 
 def _wav_pcm16(payload: bytes):
-    """(sample_rate, mono float64 samples) from a 16-bit PCM WAV, or
-    None if the payload is not one. Stereo averages to mono."""
+    """(sample_rate, mono float64 samples in [-1, 1)) from a 16-bit
+    PCM WAV, or None. Stereo averages to mono. The chunk walk lives in
+    :func:`_wav_pcm16_raw` (single parser for every decode path —
+    review finding); this is its normalized mono-float view."""
     import numpy as np
 
-    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    parsed = _wav_pcm16_raw(payload)
+    if parsed is None:
         return None
-    rate = channels = bits = None
-    data = None
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        if cid == b"fmt " and pos + 24 <= len(payload):
-            channels, rate = struct.unpack_from("<HI", payload, pos + 10)
-            bits = struct.unpack_from("<H", payload, pos + 22)[0]
-        elif cid == b"data":
-            data = payload[pos + 8 : pos + 8 + size]
-        pos += 8 + size + (size % 2)
-    if not (rate and channels and bits == 16 and data):
-        return None
-    samples = np.frombuffer(data[: len(data) - len(data) % (2 * channels)], dtype="<i2")
-    if channels > 1:
-        samples = samples.reshape(-1, channels).mean(axis=1)
-    return rate, samples.astype(np.float64) / 32768.0
+    rate, channels, frames = parsed
+    samples = frames.astype(np.float64)
+    samples = samples.mean(axis=1) if channels > 1 else samples[:, 0]
+    return rate, samples / 32768.0
 
 
 AUDIO_FEATURE_SCHEMA = StructType(

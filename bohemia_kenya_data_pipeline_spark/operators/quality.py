@@ -986,26 +986,34 @@ def group_quantile_gate(
     group cardinality is the domain count, tiny); the per-group
     threshold frame is broadcast into the gating join, so the fact is
     scanned once and never shuffled on the group key a second time.
+
+    The gating join is NULL-safe (``eqNullSafe``): a NULL group is a
+    real stratum with its own threshold, exactly as GROUP BY treats
+    it — a plain equi-join would silently drop every NULL-group row
+    (the same contract :func:`~.clean.suppress_small_groups`
+    documents). Internal join columns carry a ``__gq_`` prefix so a
+    user column named ``group``/``threshold`` survives untouched.
     """
-    thr = df.groupBy(F.col(group_col).alias("group")).agg(
-        F.percentile(F.col(score_col), F.lit(float(q))).alias("threshold"),
-        F.count(F.lit(1)).alias("n_total"),
+    thr = df.groupBy(F.col(group_col).alias("__gq_group")).agg(
+        F.percentile(F.col(score_col), F.lit(float(q))).alias("__gq_threshold"),
+        F.count(F.lit(1)).alias("__gq_n_total"),
     )
     kept = df.join(
-        F.broadcast(thr.select("group", "threshold")),
-        F.col(group_col) == F.col("group"),
-    ).filter(F.col(score_col) >= F.col("threshold"))
-    kept_df = kept.drop("group", "threshold")
+        F.broadcast(thr.select("__gq_group", "__gq_threshold")),
+        df[group_col].eqNullSafe(F.col("__gq_group")),
+    ).filter(F.col(score_col) >= F.col("__gq_threshold"))
+    kept_df = kept.drop("__gq_group", "__gq_threshold")
+    counted = kept.groupBy("__gq_group").agg(F.count(F.lit(1)).alias("__gq_n_kept"))
     report = (
-        kept.groupBy("group")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-        .join(thr, "group")
+        counted.join(
+            thr, counted["__gq_group"].eqNullSafe(thr["__gq_group"])
+        )
         .select(
-            "group",
-            F.round("threshold", 4).alias("threshold"),
-            F.col("n_total").cast("bigint").alias("n_total"),
-            F.col("n_kept").cast("bigint").alias("n_kept"),
-            F.expr("(n_kept * 1000000) div n_total")
+            counted["__gq_group"].alias("group"),
+            F.round("__gq_threshold", 4).alias("threshold"),
+            F.col("__gq_n_total").cast("bigint").alias("n_total"),
+            F.col("__gq_n_kept").cast("bigint").alias("n_kept"),
+            F.expr("(__gq_n_kept * 1000000) div __gq_n_total")
             .cast("bigint")
             .alias("kept_share_ppm"),
         )

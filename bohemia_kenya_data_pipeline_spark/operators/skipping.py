@@ -115,14 +115,23 @@ def _swap_in(spark: SparkSession, path: str, stage: str) -> None:
     a crash window in which NO copy exists at ``path`` while sidecars
     may still describe it; here every non-atomic gap leaves either the
     old or the staged copy on disk under a deterministic sibling name
-    (``__old`` / ``__stage``), so a crashed swap is recoverable. A
-    leftover ``__old`` from a previous crash is cleared first. Shared
-    by every staged rewrite (manifest stats/bloom, ANN/IVF-PQ compact
-    + retrain, minhash compact)."""
+    (``__old`` / ``__stage``), so a crashed swap is recoverable —
+    and recovery is AUTOMATIC: if a previous swap died between the
+    two renames (``__old`` exists but ``path`` does not), the old
+    copy is renamed back into place before this swap proceeds, so
+    the next tick self-heals instead of every reader failing until a
+    human intervenes. A leftover ``__old`` next to an intact ``path``
+    (crash after the second rename) is cleared as before. Shared by
+    every staged rewrite (manifest stats/bloom, ANN/IVF-PQ compact
+    + retrain, minhash compact, table compaction)."""
     jvm, fs, p = _fs(spark, path)
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
     if fs.exists(old):
-        fs.delete(old, True)
+        if not fs.exists(p):
+            # crashed mid-swap: restore the parked copy first
+            fs.rename(old, p)
+        else:
+            fs.delete(old, True)
     fs.rename(p, old)
     fs.rename(jvm.org.apache.hadoop.fs.Path(stage), p)
     fs.delete(old, True)
@@ -267,14 +276,30 @@ def read_manifest_params(spark: SparkSession, path: str) -> dict:
     return _read_json(spark, _params_path(path))
 
 
-def _mask_dropped(df: DataFrame, drop_names: DataFrame) -> DataFrame:
-    """Remove rows for dropped files with a broadcast anti-join on the
-    file name — the tombstone-mask pattern (``retrieval._drop_tombstoned``),
+#: above this many dropped names the mask stops forcing a broadcast
+#: and lets AQE pick the join strategy from measured bytes — an
+#: out-of-band full rewrite can make the drop-list history-sized, and
+#: force-broadcasting a history-sized frame is the driver-object
+#: failure mode this module exists to avoid (review finding)
+MASK_BROADCAST_MAX_NAMES = 100_000
+
+
+def _mask_dropped(
+    df: DataFrame, drop_names: DataFrame, n_drop: int | None = None
+) -> DataFrame:
+    """Remove rows for dropped files with an anti-join on the file
+    name — the tombstone-mask pattern (``retrieval._drop_tombstoned``),
     NOT an ``isin`` literal: at a 100 TB history with millions of
     files a drop-list folded into the plan is a plan-sized object the
-    driver must serialize to every task (VERDICT r10); a broadcast
-    anti-join ships it once, off the plan."""
-    return df.join(F.broadcast(drop_names.select("_file")), "_file", "anti")
+    driver must serialize to every task (VERDICT r10). The broadcast
+    hint is applied only while the KNOWN drop count (the diff summary
+    computes it for free) stays metadata-sized; past
+    ``MASK_BROADCAST_MAX_NAMES`` the degenerate everything-changed
+    case falls back to AQE's own strategy choice."""
+    names = drop_names.select("_file")
+    if n_drop is None or n_drop <= MASK_BROADCAST_MAX_NAMES:
+        names = F.broadcast(names)
+    return df.join(names, "_file", "anti")
 
 
 def _staleness_diff(spark: SparkSession, path: str):
@@ -407,7 +432,15 @@ def maintain_file_manifest(spark: SparkSession, path: str) -> dict:
     stale, the delta-sized repair (:func:`extend_file_manifest`).
     Returns the staleness report with ``"repaired"`` added — False
     means the tick cost one file listing and nothing else, so a
-    scheduler can run it before every pruned read."""
+    scheduler can run it before every pruned read.
+
+    Deliberate cost shape: the STALE path re-derives the diff inside
+    :func:`extend_file_manifest` (a second listing + a few
+    metadata-sized jobs) rather than threading the poll's frames
+    through — the no-op poll is the frequent path and keeps its
+    one-aggregate-job optimum, while the repair path's extra metadata
+    work is dominated by the data files the repair must actually
+    read."""
     report = manifest_staleness(spark, path)
     report["repaired"] = False
     if report["stale"]:
@@ -455,7 +488,7 @@ def extend_file_manifest(spark: SparkSession, path: str) -> dict:
         # dataset this function is about to REPLACE — a lazy mask
         # would re-list swapped-away files during the bloom rewrite
         drop_names = drop_names.localCheckpoint(eager=True)
-    kept = _mask_dropped(stats, drop_names) if n_drop else stats
+    kept = _mask_dropped(stats, drop_names, n_drop) if n_drop else stats
     new_df = None
     if fresh:
         # basePath reconstructs hive partition columns from the leaf
@@ -470,7 +503,7 @@ def extend_file_manifest(spark: SparkSession, path: str) -> dict:
     if params.get("bloom_col") is not None:
         words = spark.read.parquet(_bloom_path(path))
         if n_drop:
-            words = _mask_dropped(words, drop_names)
+            words = _mask_dropped(words, drop_names, n_drop)
         if new_df is not None:
             words = words.unionByName(
                 _bloom_rows(

@@ -715,3 +715,34 @@ def test_group_quantile_gate_per_group_floor(spark):
     # kept frame preserves original columns only
     assert kept.columns == ["src", "score"]
     assert kept.filter("src = 'a'").agg({"score": "min"}).first()[0] == 3
+
+
+def test_group_quantile_gate_null_group_and_name_collisions(spark):
+    # NULL group = a real stratum (review finding): its rows must be
+    # gated against their OWN threshold, never silently dropped
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4),
+         (None, 10), (None, 20), (None, 30), (None, 40)],
+        "src STRING, score INT",
+    )
+    kept, report = ql.group_quantile_gate(df, "src", "score", q=0.25)
+    rep = {r.group: r for r in report.collect()}
+    assert rep[None].n_total == 4 and rep[None].n_kept == 3
+    assert rep[None].threshold == 17.5  # q25 of 10,20,30,40
+    assert sorted(r.score for r in kept.filter("src IS NULL").collect()) == [20, 30, 40]
+
+    # user columns named 'group'/'threshold' survive the gate intact
+    from pyspark.sql import functions as F2
+
+    df2 = spark.createDataFrame(
+        [("a", 5, "g1", 99.0), ("a", 6, "g2", 98.0), ("a", 7, "g3", 97.0), ("a", 8, "g4", 96.0)],
+        "src STRING, score INT, group STRING, threshold DOUBLE",
+    )
+    kept2, rep2 = ql.group_quantile_gate(df2, "src", "score", q=0.25)
+    assert kept2.columns == ["src", "score", "group", "threshold"]
+    assert kept2.count() == 3
+    assert {r.group for r in kept2.collect()} <= {"g1", "g2", "g3", "g4"}
+    # even gating BY a column named 'group' works (no ambiguous refs):
+    # every stratum has one row, q50 == the value, so all rows survive
+    kept3, rep3 = ql.group_quantile_gate(df2, "group", "score", q=0.5)
+    assert kept3.count() == 4 and rep3.count() == 4

@@ -368,3 +368,25 @@ def test_manifest_drop_mask_plan_has_no_isin_literal(spark):
     plan = masked._jdf.queryExecution().executedPlan().toString()
     assert "isin" not in plan.lower()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_swap_in_restores_parked_copy_after_mid_swap_crash(spark, tmp_path):
+    # crash window: path was renamed aside but the stage never moved in
+    # (path missing, __old present). The next swap must rename the
+    # parked copy back before proceeding — self-healing, not manual.
+    import os
+    import shutil
+
+    from bohemia_kenya_data_pipeline_spark.operators.skipping import _swap_in
+
+    path = str(tmp_path / "ds")
+    spark.range(5).write.parquet(path)
+    shutil.move(path, path + "__old")  # simulate the crashed state
+    assert not os.path.exists(path)
+
+    stage = path + "__stage"
+    spark.range(9).write.parquet(stage)
+    _swap_in(spark, path, stage)
+    assert spark.read.parquet(path).count() == 9
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(stage)
