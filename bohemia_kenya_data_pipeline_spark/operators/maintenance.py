@@ -287,6 +287,23 @@ def maintain_table_layout(
     """
     from . import skipping as _skp
 
+    # Replay a crashed zorder_extend's swap journal BEFORE measuring or
+    # compacting (advice finding): if staged tiles already moved into
+    # the data dir but their delta originals weren't deleted yet, a
+    # direct layout-tick call would compact the duplicated rows into
+    # the new table and then clear the journal below — making the
+    # duplicates permanent. The replay is idempotent, so doing it here
+    # as well as in zorder_extend/maintain_table is safe.
+    jvm, fs, _p = _fs(spark, path)
+    zp = jvm.org.apache.hadoop.fs.Path(_zparams_path(path))
+    if fs.exists(zp):
+        zparams = _skp._read_json(spark, _zparams_path(path))
+        if zparams.get("pending_add") or zparams.get("pending_remove"):
+            _zrecover(spark, path, zparams)
+            zparams["pending_add"] = []
+            zparams["pending_remove"] = []
+            _skp._write_json(spark, _zparams_path(path), zparams)
+
     files = [
         (r["file"], r["size_bytes"])
         for r in _list_parquet_files(spark, path).collect()
@@ -313,7 +330,6 @@ def maintain_table_layout(
     report["n_files_after"] = n_after
     # the compaction rewrote every data file: any manifest's
     # fingerprints are all stale, so rebuild from the stored params
-    jvm, fs, _p = _fs(spark, path)
     params_p = jvm.org.apache.hadoop.fs.Path(_skp._params_path(path))
     if fs.exists(params_p):
         params = _skp._read_json(spark, _skp._params_path(path))

@@ -993,6 +993,15 @@ def group_quantile_gate(
     (the same contract :func:`~.clean.suppress_small_groups`
     documents). Internal join columns carry a ``__gq_`` prefix so a
     user column named ``group``/``threshold`` survives untouched.
+
+    Zero-kept groups STILL get a report row (ADVICE r11): the report
+    left-joins thresholds to kept-counts, so a group whose every row
+    fell below its threshold appears with ``n_kept = 0`` instead of
+    vanishing. One such group exists by construction: a group whose
+    ``score_col`` is entirely NULL gets a NULL quantile threshold, so
+    ``score >= NULL`` keeps none of its rows — that group reports
+    ``(threshold = NULL, n_kept = 0)``, making the silent-drop visible
+    to the caller rather than invisible.
     """
     thr = df.groupBy(F.col(group_col).alias("__gq_group")).agg(
         F.percentile(F.col(score_col), F.lit(float(q))).alias("__gq_threshold"),
@@ -1003,17 +1012,24 @@ def group_quantile_gate(
         df[group_col].eqNullSafe(F.col("__gq_group")),
     ).filter(F.col(score_col) >= F.col("__gq_threshold"))
     kept_df = kept.drop("__gq_group", "__gq_threshold")
-    counted = kept.groupBy("__gq_group").agg(F.count(F.lit(1)).alias("__gq_n_kept"))
+    # counted's lineage includes thr (via the gating join), so joining
+    # the two on a same-named column is ambiguous to Catalyst — give
+    # the kept-count side its own key name
+    counted = kept.groupBy(
+        F.col("__gq_group").alias("__gq_group_k")
+    ).agg(F.count(F.lit(1)).alias("__gq_n_kept"))
     report = (
-        counted.join(
-            thr, counted["__gq_group"].eqNullSafe(thr["__gq_group"])
+        thr.join(
+            counted, F.col("__gq_group").eqNullSafe(F.col("__gq_group_k")), "left"
         )
         .select(
-            counted["__gq_group"].alias("group"),
+            F.col("__gq_group").alias("group"),
             F.round("__gq_threshold", 4).alias("threshold"),
             F.col("__gq_n_total").cast("bigint").alias("n_total"),
-            F.col("__gq_n_kept").cast("bigint").alias("n_kept"),
-            F.expr("(__gq_n_kept * 1000000) div __gq_n_total")
+            F.coalesce(F.col("__gq_n_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.expr("(coalesce(__gq_n_kept, 0) * 1000000) div __gq_n_total")
             .cast("bigint")
             .alias("kept_share_ppm"),
         )

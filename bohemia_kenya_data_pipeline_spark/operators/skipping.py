@@ -147,19 +147,37 @@ def _replace_dataset(spark: SparkSession, df: DataFrame, path: str) -> None:
 
 
 def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
+    """Durable sidecar/journal write: create a temp sibling, then
+    rename into place (the same primitive ``_swap_in`` relies on).
+    These JSON files anchor the z-order swap journal and every index
+    sidecar — an in-place overwrite torn by a crash would leave a
+    corrupt file with no self-heal path (ADVICE r11), whereas a crash
+    here leaves either the old intact file or a stray ``__tmp`` that
+    the next write overwrites."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
-    out = p.getFileSystem(conf).create(p, True)
+    fs = p.getFileSystem(conf)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "__tmp")
+    out = fs.create(tmp, True)
     out.write(bytearray(_json.dumps(obj).encode()))
     out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)
 
 
 def _read_json(spark: SparkSession, path: str) -> dict:
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
-    stream = p.getFileSystem(conf).open(p)
+    fs = p.getFileSystem(conf)
+    # self-heal _write_json's delete→rename gap: a crash there leaves
+    # only the fully-written __tmp sibling — promote it and carry on
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "__tmp")
+    if not fs.exists(p) and fs.exists(tmp):
+        fs.rename(tmp, p)
+    stream = fs.open(p)
     try:
         return _json.loads(bytes(stream.readAllBytes()).decode())
     finally:

@@ -932,6 +932,11 @@ def quality_classifier_score(
             F.sum("w").alias("__s"),
         )
     )
+    # pred derives from the ROUNDED score (ADVICE r11): F.sum over
+    # doubles is partition-order dependent, so a near-zero raw sum
+    # could flip `raw > 0` across runs/engines even when the rounded
+    # score agrees — round first, compare once, hash-stable boolean.
+    score = F.round(F.coalesce("__s", F.lit(0.0)) + F.col("__prior"), 6)
     return (
         df.select(id_col)
         .join(docsum, id_col, "left")
@@ -941,9 +946,7 @@ def quality_classifier_score(
             F.coalesce("n_vocab_tokens", F.lit(0)).cast("bigint").alias(
                 "n_vocab_tokens"
             ),
-            F.round(F.coalesce("__s", F.lit(0.0)) + F.col("__prior"), 6).alias(
-                "score"
-            ),
-            ((F.coalesce("__s", F.lit(0.0)) + F.col("__prior")) > 0).alias("pred"),
+            score.alias("score"),
+            (score > 0).alias("pred"),
         )
     )

@@ -10855,7 +10855,7 @@ _BM25_CTE = f"""
     "bm25_search_topk",
     f"""
     WITH {_BM25_CTE}
-    SELECT query_id, doc_id, score_micros, rank FROM bm25r
+    SELECT query_id, doc_id, rank FROM bm25r
     WHERE rank <= 10
     """,
 )
@@ -10863,6 +10863,24 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BM25 retrieval: top-10 docs for three fixed search queries over
     # the inverted-index plan (postings shuffle once; query-sized
     # term stats broadcast). k1=1.2, b=0.75 (so k1+1=2.2, 1-b=0.25).
+    # Hashed contract is RANK-ONLY: per-term micro-weights are
+    # ROUND(idf*tf_norm*1e6) and at sf0.01 several contributions sit
+    # within 3e-4 of the .5 boundary, so a cross-engine libm ln/FMA
+    # difference can flip single micros in score_micros while every
+    # rank margin is >=197 micros. Ranks are the stable contract;
+    # scores stay observable via the rows-only bm25_search_scores twin.
+    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    return tx.bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+
+
+@_register("bm25_search_scores", None)
+def bm25_search_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only twin of bm25_search_topk exposing the quantized
+    # score_micros column (float-product quantization is one ulp from
+    # a rounding boundary on some terms -> not hash-stable cross-libm;
+    # see bm25_search_topk). Row count + schema are still checked.
     qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
     return tx.bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=10)
 
@@ -12868,7 +12886,7 @@ def minhash_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(COALESCE(ds.n_vocab_tokens, 0) AS BIGINT) AS n_vocab_tokens,
            ROUND(COALESCE(ds.s, 0) + prior.p, 6) AS score,
-           (COALESCE(ds.s, 0) + prior.p) > 0 AS pred
+           ROUND(COALESCE(ds.s, 0) + prior.p, 6) > 0 AS pred
     FROM documents d
     LEFT JOIN docsum ds ON d.doc_id = ds.doc_id
     CROSS JOIN prior
@@ -12924,13 +12942,15 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                         COUNT(*) AS n_total
                  FROM documents GROUP BY 1),
     kept AS (SELECT d.source AS "group", COUNT(*) AS n_kept
-             FROM documents d JOIN thr ON d.source = thr."group"
+             FROM documents d
+             JOIN thr ON d.source IS NOT DISTINCT FROM thr."group"
              WHERE d.n_chars >= thr.threshold GROUP BY 1)
-    SELECT "group", ROUND(threshold, 4) AS threshold,
+    SELECT thr."group", ROUND(threshold, 4) AS threshold,
            CAST(n_total AS BIGINT) AS n_total,
-           CAST(n_kept AS BIGINT) AS n_kept,
-           CAST((n_kept * 1000000) // n_total AS BIGINT) AS kept_share_ppm
-    FROM kept JOIN thr USING ("group")
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST((COALESCE(n_kept, 0) * 1000000) // n_total AS BIGINT)
+             AS kept_share_ppm
+    FROM thr LEFT JOIN kept ON thr."group" IS NOT DISTINCT FROM kept."group"
     """,
 )
 def quantile_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:

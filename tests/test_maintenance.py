@@ -390,3 +390,65 @@ def test_maintain_table_composed_tick(spark, tmp_path):
     rep4 = mt.maintain_table(spark, plain, small_file_mb=0.0001)
     assert rep4["zorder"] is None and rep4["manifest"] is None
     assert rep4["layout"]["compacted"] is False
+
+
+def test_layout_tick_replays_pending_zjournal_before_compaction(spark, tmp_path):
+    """ADVICE r11 (medium): a crashed zorder_extend can leave staged
+    tiles ALREADY moved into the data dir while the delta originals are
+    not yet deleted (mid-_zrecover crash). A direct maintain_table_layout
+    call must replay that journal BEFORE compacting — otherwise the
+    compaction bakes the duplicated rows into the new table and then
+    resets the journal, making them permanent."""
+    from bohemia_kenya_data_pipeline_spark.operators import skipping as skp
+
+    path = str(tmp_path / "zlayout")
+    base = spark.range(1000).select(
+        (F.col("id") % 32).alias("a"), ((F.col("id") * 5) % 32).alias("b"),
+        F.col("id").alias("v"),
+    )
+    mt.zorder_init(base, path, "a", "b", n_files=4, bits=5)
+    delta = spark.range(1000, 1500).select(
+        (F.col("id") % 32).alias("a"), ((F.col("id") * 5) % 32).alias("b"),
+        F.col("id").alias("v"),
+    )
+    delta.coalesce(1).write.mode("append").parquet(path)
+
+    # stage the clustered delta and journal the swap intent
+    params = skp._read_json(spark, mt._zparams_path(path))
+    known = set(params["files"])
+    current = {
+        os.path.basename(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    }
+    dnames = sorted(current - known)
+    stage_dir = path + "__zstage"
+    ddf = spark.read.parquet(*[os.path.join(path, n) for n in dnames])
+    mt.cluster_write(
+        ddf.withColumn("__z", mt.zorder_value("a", "b", 5)),
+        stage_dir, ["__z"], 1, drop_cols=["__z"],
+    )
+    staged = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(stage_dir, "*.parquet"))
+    )
+    params["pending_add"] = staged
+    params["pending_remove"] = dnames
+    params["files"] = sorted(known | set(staged))
+    skp._write_json(spark, mt._zparams_path(path), params)
+    # crash mid-replay: staged tiles moved in, originals NOT deleted —
+    # the table now physically holds the delta rows TWICE
+    for name in staged:
+        os.rename(os.path.join(stage_dir, name), os.path.join(path, name))
+    assert spark.read.parquet(path).count() == 2000  # 1500 + dup 500
+
+    # force the compactor to fire (tiny target so n_target < n_files)
+    rep = mt.maintain_table_layout(
+        spark, path, small_file_mb=64.0, small_share_threshold=0.0,
+        target_file_mb=64.0,
+    )
+    got = spark.read.parquet(path)
+    assert got.count() == 1500  # journal replayed first: no duplicates
+    assert got.agg(F.sum("v")).first()[0] == sum(range(1500))
+    assert rep["compacted"] is True
+    # journal cleared and converged: another extend finds nothing
+    params2 = skp._read_json(spark, mt._zparams_path(path))
+    assert params2["pending_add"] == [] and params2["pending_remove"] == []
+    assert mt.zorder_extend(spark, path)["extended"] is False

@@ -746,3 +746,47 @@ def test_group_quantile_gate_null_group_and_name_collisions(spark):
     # every stratum has one row, q50 == the value, so all rows survive
     kept3, rep3 = ql.group_quantile_gate(df2, "group", "score", q=0.5)
     assert kept3.count() == 4 and rep3.count() == 4
+
+
+def test_group_quantile_gate_zero_kept_group_still_reported(spark):
+    """ADVICE r11: a group whose score_col is entirely NULL gets a NULL
+    threshold, so score >= NULL keeps none of its rows. That group must
+    still SURFACE in the report (threshold NULL, n_kept 0) instead of
+    vanishing through an inner join — the silent drop must be visible."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4),
+         ("dead", None), ("dead", None)],
+        "src STRING, score INT",
+    )
+    kept, report = ql.group_quantile_gate(df, "src", "score", q=0.25)
+    rep = {r.group: r for r in report.collect()}
+    assert set(rep) == {"a", "dead"}  # zero-kept group is reported
+    assert rep["dead"].threshold is None
+    assert rep["dead"].n_total == 2 and rep["dead"].n_kept == 0
+    assert rep["dead"].kept_share_ppm == 0
+    assert kept.filter("src = 'dead'").count() == 0
+    # the healthy group is unaffected by the left join
+    assert rep["a"].n_kept == 3 and rep["a"].kept_share_ppm == 750000
+
+
+def test_quality_classifier_pred_derives_from_rounded_score(spark):
+    """ADVICE r11: pred must compare the ROUNDED score (the hashed
+    contract column), not the raw partition-order-dependent float sum —
+    a balanced corpus whose score is exactly 0 pins the boundary:
+    round(0, 6) > 0 is False on both engines, whereas a raw sum could
+    land at ±1e-18 and flip."""
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import text as tx
+
+    # identical text in both classes -> every token weight is exactly 0
+    # and the prior is ln(1/1) = 0 -> score rounds to 0.0 exactly
+    df = spark.createDataFrame(
+        [(1, "same same text", 1), (2, "same same text", 0)],
+        "doc_id BIGINT, text STRING, label INT",
+    )
+    out = tx.quality_classifier_score(df, label=F.col("label") == 1, vocab_size=4)
+    for r in out.collect():
+        assert r.score == 0.0 and r.pred is False
+        # the invariant the oracle hash relies on:
+        assert r.pred == (r.score > 0)

@@ -390,3 +390,24 @@ def test_swap_in_restores_parked_copy_after_mid_swap_crash(spark, tmp_path):
     assert spark.read.parquet(path).count() == 9
     assert not os.path.exists(path + "__old")
     assert not os.path.exists(stage)
+
+
+def test_write_json_is_atomic_and_read_self_heals(spark, tmp_path):
+    """ADVICE r11: sidecar/journal JSON anchors the z-order swap
+    journal — a torn in-place overwrite would brick every subsequent
+    extend. _write_json now stages to a __tmp sibling and renames;
+    _read_json self-heals the delete->rename gap (only __tmp exists)."""
+    p = str(tmp_path / "side.json")
+    skp._write_json(spark, p, {"v": 1})
+    assert skp._read_json(spark, p) == {"v": 1}
+    # overwrite leaves no __tmp behind and replaces the content
+    skp._write_json(spark, p, {"v": 2})
+    assert skp._read_json(spark, p) == {"v": 2}
+    import os as _os
+
+    assert not _os.path.exists(p + "__tmp")
+    # simulate a crash between delete(p) and rename(tmp, p): only the
+    # fully-written __tmp exists -> read promotes it and succeeds
+    _os.rename(p, p + "__tmp")
+    assert skp._read_json(spark, p) == {"v": 2}
+    assert _os.path.exists(p) and not _os.path.exists(p + "__tmp")
