@@ -1020,7 +1020,9 @@ def group_quantile_gate(
     ).agg(F.count(F.lit(1)).alias("__gq_n_kept"))
     report = (
         thr.join(
-            counted, F.col("__gq_group").eqNullSafe(F.col("__gq_group_k")), "left"
+            F.broadcast(counted),
+            F.col("__gq_group").eqNullSafe(F.col("__gq_group_k")),
+            "left",
         )
         .select(
             F.col("__gq_group").alias("group"),

@@ -631,11 +631,21 @@ def js_divergence(
         (F.col("n_c") > 0).cast("int").alias("in_c"),
         F.round(contrib * 1_000_000_000, 0).cast("bigint").alias("c_nano"),
     )
+    # jsd_bits is reported at MICRO precision, re-quantized from the
+    # exact nano-unit total (hash-stability audit, round 12): a single
+    # per-term c_nano can flip by one nano when its pre-round value
+    # sits a libm-ulp from the .5 boundary, so hashing the raw
+    # nano-total would flake on a 1-nano shift; the micro re-rounding
+    # absorbs any plausible handful of such flips (the audit asserts
+    # the total sits >= 100 nanos from the micro boundary and that at
+    # most a few terms are boundary-near).
     return per_term.agg(
         F.sum("in_b").cast("bigint").alias("n_terms_base"),
         F.sum("in_c").cast("bigint").alias("n_terms_cur"),
         F.sum(F.col("in_b") * F.col("in_c")).cast("bigint").alias("n_shared"),
-        (F.sum("c_nano") / 1_000_000_000).alias("jsd_bits"),
+        (F.round(F.sum("c_nano") / 1000.0, 0).cast("bigint") / 1_000_000.0).alias(
+            "jsd_bits"
+        ),
     )
 
 

@@ -4047,14 +4047,34 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(cf) AS n_total FROM corpus)
     SELECT cnt.doc_id,
            CAST(SUM(cnt.c) AS BIGINT) AS n_tokens,
-           ROUND(-SUM(cnt.c * ln(corpus.cf / (1.0 * tot.n_total))) / SUM(cnt.c), 6)
-             AS mean_nll
+           CAST(ROUND(ROUND(-SUM(cnt.c * ln(corpus.cf / (1.0 * tot.n_total)))
+                            / SUM(cnt.c), 6) * 100, 0) AS BIGINT) AS nll_centi
     FROM cnt JOIN corpus USING (token) CROSS JOIN tot
     GROUP BY cnt.doc_id
     """,
 )
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Perplexity-style quality proxy under the corpus's own unigram LM.
+    # Hashed contract is the CENTI-nll integer (hash audit r12): the
+    # raw per-doc mean_nll sits as close as 2.2e-10 relative to a
+    # 6-decimal rounding boundary at sf0.01 — inside the empirically
+    # observed ~1.5e-9 cross-libm divergence band (the class that
+    # flipped bm25 in r11) — while the centi quantization's measured
+    # boundary distance is 8.8e-6 relative. The 6-decimal float stays
+    # observable via the rows-only unigram_logprob_scores twin. Both
+    # sides double-round (raw -> 6dp -> centi) identically.
+    out = tx.unigram_logprob(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("mean_nll") * 100, 0).cast("bigint").alias("nll_centi"),
+    )
+
+
+@_register("unigram_logprob_scores", None)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only twin exposing the 6-decimal mean_nll (not hash-stable
+    # cross-libm; see unigram_logprob). Row count + schema checked.
     return tx.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
@@ -10511,7 +10531,7 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(in_b) AS BIGINT) AS n_terms_base,
            CAST(SUM(in_c) AS BIGINT) AS n_terms_cur,
            CAST(SUM(in_b * in_c) AS BIGINT) AS n_shared,
-           CAST(SUM(c_nano) AS BIGINT) / 1000000000.0 AS jsd_bits
+           CAST(ROUND(SUM(c_nano) / 1000.0, 0) AS BIGINT) / 1000000.0 AS jsd_bits
     FROM pt
     """,
 )
@@ -10520,7 +10540,9 @@ def jsd_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token distributions — the text-distribution drift gate (PSI's
     # companion). Per-term contributions are quantized to integer
     # nano-units before the vocabulary-sized sum, so the total is
-    # order-invariant exact integer addition in both engines.
+    # order-invariant exact integer addition in both engines; the
+    # hashed jsd_bits is the micro-rounded total (a 1-nano per-term
+    # flip at a libm boundary cannot move it — hash audit r12).
     docs = _t(spark, sf_dir, "documents")
     return tx.js_divergence(
         docs.filter(F.col("lang") == "en"),
@@ -10709,13 +10731,13 @@ def split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                   LN((cf_t + 1.0) / (nt + v)) - LN((cf_r + 1.0) / (nr + v)) AS lrat
            FROM vocab CROSS JOIN tots),
     perdoc AS (SELECT cnt.doc_id,
-                      ROUND(SUM(cnt.c * lr.lrat) / SUM(cnt.c), 6) AS log_ratio
+                      SUM(cnt.c * lr.lrat) / SUM(cnt.c) AS raw_lr
                FROM cnt JOIN lr USING (token) GROUP BY cnt.doc_id),
-    keyed AS (SELECT doc_id, log_ratio,
+    keyed AS (SELECT doc_id,
                      LN(-LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8))::BIGINT
-                             + 0.5) / 4294967296.0)) - log_ratio AS gkey
+                             + 0.5) / 4294967296.0)) - raw_lr AS gkey
               FROM perdoc)
-    SELECT doc_id, log_ratio,
+    SELECT doc_id,
            CAST(ROW_NUMBER() OVER (ORDER BY gkey, doc_id) AS INTEGER) AS rank
     FROM keyed
     QUALIFY rank <= 100
@@ -10762,13 +10784,19 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log((F.col("cf_r") + 1.0) / (F.col("nr") + F.col("v")))
         ).alias("lrat"),
     )
+    # Gumbel key built from the RAW log-ratio on both engines (hash
+    # audit r12): keying on the 6-decimal ROUND value made the
+    # ordering hostage to a 1e-6 jump whenever the raw ratio sat a
+    # libm-ulp from its rounding boundary (measured as close as
+    # 3.8e-10); the raw key's drift is ~1e-9 against a measured
+    # 3.1e-5 adjacent-key margin. The hashed contract is rank-only —
+    # the float ratio lives in the rows-only dsir_importance_scores
+    # twin.
     perdoc = (
         cnt.join(lr, "token")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.col("c") * F.col("lrat")) / F.sum("c"), 6
-            ).alias("log_ratio")
+            (F.sum(F.col("c") * F.col("lrat")) / F.sum("c")).alias("raw_lr")
         )
     )
     u = (
@@ -10781,7 +10809,7 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         + 0.5
     ) / F.lit(4294967296.0)
-    keyed = perdoc.withColumn("gkey", F.log(-F.log(u)) - F.col("log_ratio"))
+    keyed = perdoc.withColumn("gkey", F.log(-F.log(u)) - F.col("raw_lr"))
     # distributed top-k FIRST (TakeOrderedAndProject — per-partition
     # heaps, no global sort), THEN rank the k survivors; a bare global
     # row_number window would funnel the whole corpus through one task
@@ -10789,8 +10817,59 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("gkey", "doc_id")
     return (
         top.withColumn("rank", F.row_number().over(w).cast("int"))
-        .select("doc_id", "log_ratio", "rank")
+        .select("doc_id", "rank")
     )
+
+
+@_register("dsir_importance_scores", None)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only twin of dsir_importance_sample exposing the 6-decimal
+    # importance log-ratio alongside the sampled ranks (the float is
+    # not hash-stable cross-libm; see dsir_importance_sample).
+    sampled = QUERIES["dsir_importance_sample"](spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("token")
+    )
+    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    # per-doc mean token corpus-logprob ratio recomputed for display
+    corpus_r = cnt.groupBy("token").agg(F.sum("c").alias("cf_r"))
+    corpus_t = (
+        docs.filter(F.col("lang") == "en")
+        .select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cf_t"))
+    )
+    vocab = (
+        corpus_r.join(corpus_t, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("cf_r", F.lit(0)).alias("cf_r"),
+            F.coalesce("cf_t", F.lit(0)).alias("cf_t"),
+        )
+    )
+    tots = vocab.agg(
+        F.sum("cf_t").cast("bigint").alias("nt"),
+        F.sum("cf_r").cast("bigint").alias("nr"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lr = vocab.crossJoin(F.broadcast(tots)).select(
+        "token",
+        (
+            F.log((F.col("cf_t") + 1.0) / (F.col("nt") + F.col("v")))
+            - F.log((F.col("cf_r") + 1.0) / (F.col("nr") + F.col("v")))
+        ).alias("lrat"),
+    )
+    perdoc = (
+        cnt.join(lr, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("c") * F.col("lrat")) / F.sum("c"), 6).alias(
+                "log_ratio"
+            )
+        )
+    )
+    return sampled.join(perdoc, "doc_id").select("doc_id", "log_ratio", "rank")
 
 
 @_register(
@@ -10904,20 +10983,26 @@ def bm25_search_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY mean_nll ASC, nll.doc_id ASC) AS rn,
                       COUNT(*) OVER (PARTITION BY d.lang) AS cnt_g
                FROM nll JOIN documents d USING (doc_id))
-    SELECT doc_id, lang, n_tokens, mean_nll,
+    SELECT doc_id, lang, n_tokens,
            CASE ((rn - 1) * 3) // cnt_g
                 WHEN 0 THEN 'head' WHEN 2 THEN 'tail' ELSE 'middle' END AS bucket
     FROM ranked
     UNION ALL
-    SELECT d.doc_id, d.lang, CAST(0 AS BIGINT) AS n_tokens,
-           CAST(NULL AS DOUBLE) AS mean_nll, 'tail' AS bucket
+    SELECT d.doc_id, d.lang, CAST(0 AS BIGINT) AS n_tokens, 'tail' AS bucket
     FROM documents d ANTI JOIN nll USING (doc_id)
     """,
 )
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet-style per-language head/middle/tail quality bucketing by
-    # unigram-LM perplexity; integer order-statistic boundaries.
-    return tx.perplexity_buckets(_t(spark, sf_dir, "documents"), n_buckets=3)
+    # unigram-LM perplexity; integer order-statistic boundaries. The
+    # hashed contract drops the 6-decimal mean_nll column (same
+    # cross-libm boundary hazard as unigram_logprob — hash audit r12);
+    # bucket membership itself is safe: the measured per-language
+    # bucket-cut margins are 1.4e-5 nll (3.7e-6 relative), so a
+    # 1-micro flip of one doc's rounded nll cannot cross a cut.
+    return tx.perplexity_buckets(
+        _t(spark, sf_dir, "documents"), n_buckets=3
+    ).select("doc_id", "lang", "n_tokens", "bucket")
 
 
 @_register(
@@ -12885,7 +12970,6 @@ def minhash_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM tok JOIN w USING (token) GROUP BY 1)
     SELECT d.doc_id,
            CAST(COALESCE(ds.n_vocab_tokens, 0) AS BIGINT) AS n_vocab_tokens,
-           ROUND(COALESCE(ds.s, 0) + prior.p, 6) AS score,
            ROUND(COALESCE(ds.s, 0) + prior.p, 6) > 0 AS pred
     FROM documents d
     LEFT JOIN docsum ds ON d.doc_id = ds.doc_id
@@ -12897,6 +12981,21 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weights over a capped vocabulary against a length-proxy positive
     # label, score every doc in the same job. Two combinable shuffles;
     # the <=256-row weight table broadcasts into the scoring join.
+    # Hashed contract is (doc_id, n_vocab_tokens, pred) — the
+    # 6-decimal score sits 2.5e-9 relative from a rounding boundary at
+    # sf0.01 (inside the observed cross-libm band; hash audit r12),
+    # while pred's decision margin is 5.4e-3 (1.5e-3 relative). The
+    # score stays observable via the rows-only twin below.
+    docs = _t(spark, sf_dir, "documents")
+    return tx.quality_classifier_score(
+        docs, label=F.col("n_chars") >= 300, vocab_size=256
+    ).select("doc_id", "n_vocab_tokens", "pred")
+
+
+@_register("quality_classifier_scores", None)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only twin exposing the 6-decimal NB score (not hash-stable
+    # cross-libm; see quality_classifier_score).
     docs = _t(spark, sf_dir, "documents")
     return tx.quality_classifier_score(
         docs, label=F.col("n_chars") >= 300, vocab_size=256
