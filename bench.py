@@ -185,6 +185,14 @@ HEADLINE = [
     # round-11: OPTIMIZE-shaped incremental z-order (init 60% + raw
     # append 40% + delta-only re-cluster + manifest repair + box read)
     "incremental_zorder_scan",
+    # round-12: generation folding (init + 2 append/extend ticks +
+    # fold of the delta generations + box read; base never rewritten).
+    # LIFECYCLE-PRICED (~11 s steady): the cost is five physical write
+    # passes + a manifest build/repair, each hash-guarded through the
+    # final pruned read — profile: init 8.0 / manifest 2.6 / 2x
+    # append+extend 5.8 / fold+repair 8.3 / read 1.1 (cold); the
+    # read itself is 1 s. Same class as incremental_zorder_scan.
+    "zorder_fold_scan",
 ]
 
 

@@ -254,6 +254,7 @@ def maintain_table_layout(
     small_file_mb: float = 16.0,
     small_share_threshold: float = 0.5,
     target_file_mb: float = 128.0,
+    max_z_generations: int = 4,
 ) -> dict:
     """The TABLE's maintenance tick — completing the symmetry with the
     index and manifest ticks (``retrieval.maintain_vector_index``,
@@ -287,22 +288,20 @@ def maintain_table_layout(
     """
     from . import skipping as _skp
 
-    # Replay a crashed zorder_extend's swap journal BEFORE measuring or
-    # compacting (advice finding): if staged tiles already moved into
-    # the data dir but their delta originals weren't deleted yet, a
-    # direct layout-tick call would compact the duplicated rows into
-    # the new table and then clear the journal below — making the
-    # duplicates permanent. The replay is idempotent, so doing it here
-    # as well as in zorder_extend/maintain_table is safe.
+    # Z-ordered tables first go through zorder_fold, which (a) replays
+    # a crashed extend's swap journal BEFORE anything measures or
+    # compacts (advice finding: a direct layout tick compacting a
+    # half-swapped table would bake the duplicated delta rows in and
+    # then clear the journal — permanent duplicates), and (b) folds
+    # accumulated tile generations back together once their count
+    # passes ``max_z_generations`` (overlapping small generations decay
+    # box-pruning selectivity; VERDICT r11 ask 4). Both actions are
+    # idempotent and journaled.
     jvm, fs, _p = _fs(spark, path)
     zp = jvm.org.apache.hadoop.fs.Path(_zparams_path(path))
+    zfold = None
     if fs.exists(zp):
-        zparams = _skp._read_json(spark, _zparams_path(path))
-        if zparams.get("pending_add") or zparams.get("pending_remove"):
-            _zrecover(spark, path, zparams)
-            zparams["pending_add"] = []
-            zparams["pending_remove"] = []
-            _skp._write_json(spark, _zparams_path(path), zparams)
+        zfold = zorder_fold(spark, path, max_generations=max_z_generations)
 
     files = [
         (r["file"], r["size_bytes"])
@@ -319,9 +318,18 @@ def maintain_table_layout(
         "n_files_after": n_files,
         "manifest": "absent",
     }
+    if zfold is not None:
+        report["zfold"] = zfold
     total = sum(s for _, s in files)
     n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     if n_files == 0 or share <= float(small_share_threshold) or n_target >= n_files:
+        # a fold rewrote files without compacting: repair any manifest
+        # here so a DIRECT layout-tick caller never reads stale
+        # fingerprints (the composed maintain_table repairs last anyway)
+        if zfold is not None and zfold["folded"]:
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(_skp._params_path(path))):
+                report["manifest"] = "repaired"
+                _skp.maintain_file_manifest(spark, path)
         return report
     stage = path.rstrip("/") + "__stage"
     n_after = compact(spark, path, stage, target_file_mb=target_file_mb)
@@ -358,6 +366,8 @@ def maintain_table_layout(
             os.path.basename(r["file"])
             for r in _list_parquet_files(spark, path).collect()
         )
+        # a compaction collapses every tile generation into one
+        zparams["generations"] = [zparams["files"]]
         zparams["pending_add"] = []
         zparams["pending_remove"] = []
         _skp._write_json(spark, _zparams_path(path), zparams)
@@ -405,6 +415,7 @@ def zorder_init(
         for r in _list_parquet_files(spark, path).collect()
     ]
     total = sum(s for _, s in files)
+    names = sorted(os.path.basename(f) for f, _ in files)
     _skp._write_json(
         spark,
         _zparams_path(path),
@@ -415,11 +426,101 @@ def zorder_init(
             # per-tile byte target measured from the initial build, so
             # every extend sizes its tile count the same way
             "target_file_bytes": max(1, total // max(1, len(files))),
-            "files": sorted(os.path.basename(f) for f, _ in files),
+            "files": names,
+            # tile GENERATIONS: the init build is generation 0; every
+            # extend appends one. zorder_fold re-clusters the non-base
+            # generations together once the count passes its threshold
+            # (overlapping small generations degrade box pruning)
+            "generations": [names],
             "pending_add": [],
             "pending_remove": [],
         },
     )
+
+
+def _zgenerations(params: dict) -> list[list[str]]:
+    """The sidecar's tile-generation list; legacy sidecars (written
+    before generations were tracked) degrade to one generation holding
+    every known file — fold then treats the whole table as base and
+    no-ops, which is the safe reading."""
+    gens = params.get("generations")
+    if gens:
+        return [sorted(g) for g in gens]
+    return [sorted(params["files"])]
+
+
+def zorder_fold(
+    spark: SparkSession, path: str, max_generations: int = 4
+) -> dict:
+    """Fold accumulated z-order tile GENERATIONS back into one:
+    :func:`zorder_extend` re-clusters only each append's delta, so a
+    steady-state append workload accrues one small generation per
+    tick; their (a, b) boxes overlap the older generations', so a box
+    read opens ~one tile per generation and pruning selectivity decays
+    linearly with tick count. Once the generation count passes
+    ``max_generations``, this pass re-clusters every NON-BASE
+    generation together into fresh tiles — bounded I/O (the base
+    build, normally the vast majority of a 100 TB table's bytes, is
+    never rewritten) and journaled exactly like the extend swap
+    (``pending_add``/``pending_remove`` commit before any visible
+    mutation; replay is idempotent).
+
+    Returns ``{"folded", "recovered", "n_generations",
+    "n_new_tiles"}`` — ``n_generations`` is the count BEFORE folding.
+
+    Unclustered raw appends (files newer than the last extend) are
+    untouched: they belong to no generation and remain the next
+    extend's delta.
+    """
+    from . import skipping as _skp
+
+    params = _skp._read_json(spark, _zparams_path(path))
+    recovered = _zrecover(spark, path, params)
+    if recovered:
+        params["pending_add"] = []
+        params["pending_remove"] = []
+        _skp._write_json(spark, _zparams_path(path), params)
+
+    gens = _zgenerations(params)
+    report = {
+        "folded": False,
+        "recovered": recovered,
+        "n_generations": len(gens),
+        "n_new_tiles": 0,
+    }
+    if len(gens) <= int(max_generations):
+        return report
+
+    victims = sorted(set().union(*gens[1:]))
+    sizes = {
+        os.path.basename(r["file"]): r["size_bytes"]
+        for r in _list_parquet_files(spark, path).collect()
+    }
+    victim_bytes = sum(sizes.get(n, 0) for n in victims)
+    n_tiles = max(1, math.ceil(victim_bytes / params["target_file_bytes"]))
+    stage_dir = path.rstrip("/") + "__zstage"
+    ddf = spark.read.parquet(*[path.rstrip("/") + "/" + n for n in victims])
+    keyed = ddf.withColumn(
+        "__z", zorder_value(params["col_a"], params["col_b"], params["bits"])
+    )
+    cluster_write(keyed, stage_dir, ["__z"], n_tiles, drop_cols=["__z"])
+    staged = sorted(
+        os.path.basename(r["file"])
+        for r in _list_parquet_files(spark, stage_dir).collect()
+    )
+    # journal the swap intent + the post-fold state, THEN mutate
+    params["pending_add"] = staged
+    params["pending_remove"] = victims
+    params["files"] = sorted(set(gens[0]) | set(staged))
+    params["generations"] = [gens[0], staged]
+    _skp._write_json(spark, _zparams_path(path), params)
+    _zrecover(spark, path, params)
+    params["pending_add"] = []
+    params["pending_remove"] = []
+    _skp._write_json(spark, _zparams_path(path), params)
+    report["folded"] = True
+    report["n_new_tiles"] = len(staged)
+    return report
 
 
 def _zrecover(spark: SparkSession, path: str, params: dict) -> bool:
@@ -512,9 +613,13 @@ def zorder_extend(spark: SparkSession, path: str) -> dict:
         for r in _list_parquet_files(spark, stage_dir).collect()
     )
     # journal the swap intent + the post-swap file set, THEN mutate
+    # (generation list derives from the PRE-extend state, so read it
+    # before the files field is overwritten)
+    prior_gens = _zgenerations(params)
     params["pending_add"] = staged
     params["pending_remove"] = delta
     params["files"] = sorted((known | set(staged)))
+    params["generations"] = prior_gens + [staged]
     _skp._write_json(spark, _zparams_path(path), params)
     _zrecover(spark, path, params)
     params["pending_add"] = []
@@ -531,6 +636,7 @@ def maintain_table(
     small_file_mb: float = 16.0,
     small_share_threshold: float = 0.5,
     target_file_mb: float = 128.0,
+    max_z_generations: int = 4,
 ) -> dict:
     """One scheduler call per table: compose the layout tick, the
     incremental z-order extend (when the table was ``zorder_init``-ed),
@@ -571,6 +677,7 @@ def maintain_table(
         small_file_mb=small_file_mb,
         small_share_threshold=small_share_threshold,
         target_file_mb=target_file_mb,
+        max_z_generations=max_z_generations,
     )
     report["layout"] = layout
     # a firing compaction resets the z sidecar inside the layout tick

@@ -133,6 +133,9 @@ LINEAR = [
     # round-11: incremental z-order — init + delta re-cluster are both
     # one pass over data that scales; the extend reads only delta files
     "incremental_zorder_scan",
+    # round-12: generation folding — fold I/O is the non-base
+    # generations' bytes (a fixed fraction here), one clustered pass
+    "zorder_fold_scan",
 ]
 
 #: quadratic BY CONSTRUCTION (query set = fixed fraction of corpus, or

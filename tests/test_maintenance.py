@@ -452,3 +452,81 @@ def test_layout_tick_replays_pending_zjournal_before_compaction(spark, tmp_path)
     params2 = skp._read_json(spark, mt._zparams_path(path))
     assert params2["pending_add"] == [] and params2["pending_remove"] == []
     assert mt.zorder_extend(spark, path)["extended"] is False
+
+
+def test_zorder_fold_restores_pruning_and_content(spark, tmp_path):
+    """VERDICT r11 ask 4: steady-state appends accrue one small tile
+    generation per extend, and their overlapping (a, b) boxes decay
+    pruning selectivity. zorder_fold (via the layout tick) re-clusters
+    the non-base generations together: content identical, box reads
+    open strictly fewer files, and the folded read equals a
+    from-scratch single rebuild."""
+    from bohemia_kenya_data_pipeline_spark.operators import skipping as skp
+
+    path = str(tmp_path / "zfold")
+
+    def slab(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 64).alias("a"), ((F.col("id") * 7) % 64).alias("b"),
+            F.col("id").alias("v"),
+        )
+
+    mt.zorder_init(slab(0, 4000), path, "a", "b", n_files=8, bits=6)
+    skp.build_file_manifest(spark, path, ["a", "b"])
+    for k in range(4):  # 4 append+extend ticks -> 5 generations
+        slab(4000 + k * 500, 4000 + (k + 1) * 500).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        assert mt.zorder_extend(spark, path)["extended"] is True
+    params = skp._read_json(spark, mt._zparams_path(path))
+    assert len(params["generations"]) == 5
+    skp.maintain_file_manifest(spark, path)
+
+    preds = [("a", "between", (10, 20)), ("b", "between", (30, 40))]
+    kept_before, total_before = skp.prune_files(spark, path, preds)
+
+    # fold fires through the layout tick once the count passes the cap
+    rep = mt.maintain_table_layout(
+        spark, path, small_file_mb=0.0001, max_z_generations=3
+    )
+    assert rep["zfold"]["folded"] is True and rep["zfold"]["n_generations"] == 5
+    assert rep["compacted"] is False  # fold, not compaction
+    assert rep["manifest"] == "repaired"  # direct caller stays exact
+    params2 = skp._read_json(spark, mt._zparams_path(path))
+    assert len(params2["generations"]) == 2  # base + one folded
+    assert params2["pending_add"] == [] and params2["pending_remove"] == []
+    assert not glob.glob(path + "__zstage")
+
+    # content is exactly base + all deltas (no loss, no duplication)
+    got = spark.read.parquet(path)
+    assert got.count() == 6000
+    assert got.agg(F.sum("v")).first()[0] == sum(range(6000))
+
+    # pruning selectivity strictly recovers
+    kept_after, total_after = skp.prune_files(spark, path, preds)
+    assert len(kept_after) < len(kept_before)
+
+    # folded pruned read == a from-scratch single rebuild's pruned read
+    rebuilt = str(tmp_path / "zrebuild")
+    mt.zorder_init(slab(0, 6000), rebuilt, "a", "b", n_files=10, bits=6)
+    skp.build_file_manifest(spark, rebuilt, ["a", "b"])
+    got_rows = sorted(map(tuple, skp.read_with_skipping(spark, path, preds).collect()))
+    want_rows = sorted(
+        map(tuple, skp.read_with_skipping(spark, rebuilt, preds).collect())
+    )
+    assert got_rows == want_rows
+
+    # idempotent: a second tick finds 2 generations and no-ops
+    rep2 = mt.maintain_table_layout(
+        spark, path, small_file_mb=0.0001, max_z_generations=3
+    )
+    assert rep2["zfold"]["folded"] is False
+    assert rep2["zfold"]["n_generations"] == 2
+
+    # raw appends newer than the last extend are NOT folded: they stay
+    # the next extend's delta
+    slab(6000, 6500).coalesce(1).write.mode("append").parquet(path)
+    rep3 = mt.zorder_fold(spark, path, max_generations=1)
+    assert rep3["folded"] is True  # folds the 2 clustered generations
+    assert spark.read.parquet(path).count() == 6500
+    assert mt.zorder_extend(spark, path)["extended"] is True  # delta intact
