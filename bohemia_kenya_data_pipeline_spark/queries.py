@@ -8464,18 +8464,48 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("audio_spectral_features", None)
+@_register(
+    "audio_spectral_features",
+    """
+    WITH d AS (SELECT doc_id, 250.0 * (1 + doc_id % 8) AS f
+               FROM documents WHERE doc_id < 64),
+    s AS (SELECT doc_id, f,
+                 CAST(TRUNC(16383.5 * SIN(((2 * PI()) * f) * (t.k / 8000.0)))
+                      AS BIGINT) AS s
+          FROM d, range(0, 2048) t(k)),
+    agg AS (SELECT doc_id, f, SUM(s * s) AS ss FROM s GROUP BY 1, 2)
+    SELECT doc_id, TRUE AS valid,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(2048 AS BIGINT) AS n_frames,
+           ROUND(f, 2) AS dominant_hz,
+           ROUND(SQRT(ss / (2048.0 * 1073741824.0)), 4) AS rms
+    FROM agg
+    """,
+)
 def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Real audio DSP over multimodal columns: deterministic sine-tone
-    # WAVs synthesized per doc_id (real PCM bytes), then numpy-rfft
-    # band energies via Arrow-batched mapInPandas
-    # (multimodal.audio_band_energies). Rows-only by design — an FFT
-    # has no SQL oracle; the spectral correctness goldens (exact
-    # dominant bin, sine RMS = A/sqrt(2), band concentration) live in
-    # tests/test_multimodal.py.
+    # Real audio DSP over multimodal columns, VALUE-ORACLED (VERDICT
+    # r11 ask 5): deterministic sine-tone WAVs per doc (real int16 PCM
+    # bytes), numpy-rfft features via Arrow-batched mapInPandas
+    # (multimodal.audio_band_energies), hash-matched against DuckDB
+    # computing the closed forms. Why this is hash-exact:
+    # - the tone is BIN-ALIGNED (f = 250m, n_fft=256 @ 8 kHz -> bin
+    #   8m, integer cycles per window -> zero leakage), so the argmax
+    #   dominant bin is the theory bin and dominant_hz = f exactly;
+    # - rms: samples/32768 are dyadic, x^2 and their sums are exact in
+    #   any order (< 2^53), /2048/2^30 are exponent shifts, and sqrt
+    #   is correctly rounded — both engines produce the IDENTICAL
+    #   double from the same int16 samples;
+    # - the int16 samples themselves: both engines truncate
+    #   16383.5*sin(theta) with bit-identical theta; numpy-vs-duckdb
+    #   sin ulps are guarded by tests/test_hash_boundary_audit.py
+    #   (measured min distance to a truncation boundary) and a direct
+    #   per-sample differential in tests/test_multimodal.py.
+    # Band energies (genuinely FFT-only) stay in the goldens.
     import pandas as _pd
 
-    d = _t(spark, sf_dir, "documents").select("doc_id").limit(64)
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -9499,23 +9529,61 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("image_pixel_stats", None)
+@_register(
+    "image_pixel_stats",
+    """
+    WITH d AS (SELECT doc_id,
+                      (1 << (3 + doc_id % 4)) AS w,
+                      (1 << (3 + (doc_id // 4) % 3)) AS h
+               FROM documents WHERE doc_id < 64),
+    g AS (SELECT doc_id, w, h, t.x,
+                 (t.x * 255) // (w - 1) AS gray
+          FROM d, range(0, 64) t(x) WHERE t.x < w),
+    mu AS (SELECT doc_id, AVG(gray) AS m FROM g GROUP BY 1),
+    ed AS (SELECT g.doc_id,
+                  AVG(ABS(((g.x + 1) * 255) // (g.w - 1)
+                          - (g.x * 255) // (g.w - 1))) AS e
+           FROM g WHERE g.x < g.w - 1 GROUP BY 1)
+    SELECT g.doc_id, TRUE AS valid,
+           CAST(MIN(g.w) AS INTEGER) AS width,
+           CAST(MIN(g.h) AS INTEGER) AS height,
+           ROUND(AVG(g.gray), 4) AS mean_brightness,
+           ROUND(SQRT(AVG((g.gray - mu.m) * (g.gray - mu.m))), 4)
+             AS std_brightness,
+           ROUND(MIN(ed.e), 4) AS edge_energy
+    FROM g JOIN mu USING (doc_id) JOIN ed USING (doc_id)
+    GROUP BY g.doc_id
+    """,
+)
 def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Real image analytics over multimodal columns: deterministic
-    # gradient BMPs synthesized per doc_id (real pixel rows with
-    # bottom-up storage and 4-byte padding), then numpy pixel stats
-    # via Arrow-batched mapInPandas (multimodal.image_pixel_stats).
-    # Rows-only by design like audio_spectral_features; closed-form
-    # pixel goldens live in tests/test_multimodal.py.
+    # Real image analytics over multimodal columns, VALUE-ORACLED
+    # (VERDICT r11 ask 5): deterministic gradient BMPs per doc (real
+    # 24-bit pixel rows, bottom-up storage + padding), numpy pixel
+    # stats via Arrow-batched mapInPandas, hash-matched against DuckDB
+    # computing the gradient's closed form gray(x) = (x*255)//(w-1)
+    # (exact — the float product never rounds up across an integer at
+    # these dims, the r11 resize-oracle argument). Why hash-exact:
+    # the dims are chosen so w*h is a POWER OF TWO, making the pixel
+    # mean, every deviation, its square, and their sums exact dyadic
+    # rationals — numpy's pairwise summation and DuckDB's streaming
+    # aggregate produce bit-identical doubles in any order. Gray is
+    # constant down each column, so the oracle's x-only aggregation
+    # equals the pixel-space one exactly (IEEE division of the same
+    # rational). Edge energy is an integer-sum mean (exact in any
+    # order at any dims).
     import pandas as _pd
 
-    d = _t(spark, sf_dir, "documents").select("doc_id").limit(64)
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
 
     def synth(batches):
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
             payloads = [
-                mm.synth_bmp_gradient(8 + int(i) % 56, 8 + int(i) % 24)
+                mm.synth_bmp_gradient(
+                    1 << (3 + int(i) % 4), 1 << (3 + (int(i) // 4) % 3)
+                )
                 for i in ids
             ]
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})

@@ -342,3 +342,35 @@ def test_jsd_micro_total_absorbs_term_flips(con):
     assert n_risky * 10 <= dist, (
         f"{n_risky} boundary-near terms could shift the total vs {dist}-nano margin"
     )
+
+
+def test_audio_pcm_truncation_boundaries(con):
+    """audio_spectral_features' only cross-engine freedom is sin():
+    both engines truncate 16383.5*sin(theta) to int16 from
+    bit-identical theta. Level 1: no sample may sit within drift of a
+    truncation (integer) boundary. Level 2: even if a few samples DID
+    flip by one PCM unit, the rms ROUND(.,4) boundary distance must
+    dwarf the resulting shift (~2.5e-5 per flipped sample).
+
+    The nearest-integer-0 samples (sin(pi*n) ~ +/-1e-16 at the tone's
+    zero crossings) are excluded from level 1: truncation toward zero
+    maps BOTH signs to 0, so no drift there can change the PCM."""
+    row = con.sql(
+        """
+        WITH d AS (SELECT doc_id, 250.0 * (1 + doc_id % 8) AS f
+                   FROM documents WHERE doc_id < 64),
+        s AS (SELECT doc_id, 16383.5 * SIN(((2 * PI()) * f) * (t.k / 8000.0)) AS v
+              FROM d, range(0, 2048) t(k)),
+        q AS (SELECT doc_id, v, CAST(TRUNC(v) AS BIGINT) AS s FROM s),
+        agg AS (SELECT doc_id, SUM(s * s) AS ss FROM q GROUP BY 1),
+        rms AS (SELECT SQRT(ss / (2048.0 * 1073741824.0)) * 1e4 AS m FROM agg)
+        SELECT (SELECT MIN(ABS(v - ROUND(v, 0))) FROM s
+                WHERE ROUND(v, 0) <> 0),
+               (SELECT MIN(ABS(m - FLOOR(m) - 0.5)) FROM rms)
+        """
+    ).fetchone()
+    sample_dist, rms_dist = float(row[0]), float(row[1])
+    # sin ulp drift is ~2e-12 absolute at this amplitude; 1e-9 = 500x
+    assert sample_dist >= 1e-9, f"PCM sample {sample_dist:.3e} from trunc boundary"
+    # a flipped sample moves m by ~2.5e-5; demand 40x headroom
+    assert rms_dist >= 1e-3, f"rms quantization margin {rms_dist:.3e} too thin"

@@ -317,3 +317,37 @@ def test_audio_pcm_stats_exact_on_ramp(spark):
     assert out.valid and out.n_frames == 64 and out.sample_rate == 8000
     assert out.mean_amp == v.mean()
     assert abs(out.rms_amp - np.sqrt((v.astype(float) ** 2).mean())) < 1e-12
+
+
+def test_wav_tone_pcm_matches_duckdb_reconstruction():
+    """The audio_spectral_features oracle recomputes the int16 PCM as
+    CAST(TRUNC(16383.5*SIN(((2*PI())*f)*(k/8000.0))) AS BIGINT) — the
+    exact association numpy uses in synth_wav_tone. Verify the two
+    pipelines agree PER SAMPLE for every tone the entry synthesizes
+    (the sin-ulp boundary margins are audited separately in
+    test_hash_boundary_audit.py)."""
+    import duckdb
+    import numpy as np
+
+    from bohemia_kenya_data_pipeline_spark.operators import multimodal as mm
+
+    con = duckdb.connect()
+    for m in range(1, 9):
+        f = 250.0 * m
+        wav = mm.synth_wav_tone(8000, 2048, f)
+        parsed = mm._wav_pcm16_raw(wav)
+        assert parsed is not None
+        rate, channels, frames = parsed
+        got = frames[:, 0].astype(np.int64)
+        want = np.array(
+            [
+                r[0]
+                for r in con.sql(
+                    f"""SELECT CAST(TRUNC(16383.5 * SIN(((2 * PI()) * {f})
+                                          * (t.k / 8000.0))) AS BIGINT)
+                        FROM range(0, 2048) t(k) ORDER BY t.k"""
+                ).fetchall()
+            ],
+            dtype=np.int64,
+        )
+        assert (got == want).all(), f"PCM mismatch for f={f}"
