@@ -185,6 +185,10 @@ HEADLINE = [
     # round-11: OPTIMIZE-shaped incremental z-order (init 60% + raw
     # append 40% + delta-only re-cluster + manifest repair + box read)
     "incremental_zorder_scan",
+    # round-12: the curation trio composed as ONE hash-checked DAG:
+    # quantile gate -> NB classify (trained on the gated corpus) ->
+    # exact dedup -> per-source packing; integer-only output contract
+    "curation_release_e2e",
     # round-12: generation folding (init + 2 append/extend ticks +
     # fold of the delta generations + box read; base never rewritten).
     # LIFECYCLE-PRICED (~11 s steady): the cost is five physical write

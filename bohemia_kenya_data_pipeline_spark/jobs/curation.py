@@ -139,3 +139,64 @@ def build_pretrain_dataset(
         tiebreak_cols=[id_col],
     )
     return packed.select(id_col, domain_col, "n_tokens", "cum_tokens", "chunk_id")
+
+
+def curate_release(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    gate_col: str = "n_chars",
+    q: float = 0.25,
+    label=None,
+    vocab_size: int = 256,
+    pack_tokens: int = 512,
+    seed: int = 42,
+) -> DataFrame:
+    """The round-11 curation trio composed into one release DAG:
+    **gate → classify → dedup → pack**, one lazy plan.
+
+    1. stratified quantile gate: every ``group_col`` stratum sheds its
+       own worst ``q``-tail of ``gate_col`` (quality.group_quantile_gate
+       — broadcast thresholds, NULL-safe strata);
+    2. learned NB quality classifier trained ON THE GATED corpus (the
+       production shape — the filter model never sees the rows the
+       gate already rejected); only ``pred`` survivors continue;
+    3. exact dedup (min-id per content hash);
+    4. per-stratum sequence packing into ``pack_tokens`` shards with
+       the hash-priority order (windows.pack_sequences).
+
+    Returns ``(id, group, n_tokens, cum_tokens, chunk_id)`` — all
+    integers/strings, so the end-to-end DAG is hash-checkable with NO
+    quantized float in the output (the float machinery only routes
+    rows; its decision margins are audited in
+    tests/test_hash_boundary_audit.py).
+
+    Shuffle census at 100 TB: percentile agg (group-sized), classifier
+    token/doc aggregates (2, map-side combinable; weight table
+    broadcast), dedup groupBy on md5(text), ONE window exchange on the
+    stratum for budget+packing. Nothing corpus-sized shuffles twice.
+    """
+    from ..operators import quality as ql
+    from ..operators import windows as W
+    from ..operators.sampling import _hash_hex
+
+    label = F.col(gate_col) >= 300 if label is None else label
+    gated, _report = ql.group_quantile_gate(docs, group_col, gate_col, q=q)
+    scored = tx.quality_classifier_score(
+        gated, label=label, id_col=id_col, text_col=text_col,
+        vocab_size=vocab_size,
+    )
+    kept = gated.join(
+        scored.filter(F.col("pred")).select(id_col), id_col, "semi"
+    )
+    deduped = dd.drop_exact_duplicates(kept, text_col=text_col, id_col=id_col)
+    nt = deduped.select(
+        F.col(id_col), F.col(group_col),
+        tx.token_count(text_col).cast("bigint").alias("n_tokens"),
+    ).withColumn("__prio", _hash_hex(F.col(id_col), seed))
+    packed = W.pack_sequences(
+        nt, "n_tokens", "__prio", [group_col], pack_tokens,
+        tiebreak_cols=[id_col],
+    )
+    return packed.select(id_col, group_col, "n_tokens", "cum_tokens", "chunk_id")

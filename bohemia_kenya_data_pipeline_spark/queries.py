@@ -13132,6 +13132,67 @@ def quantile_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "curation_release_e2e",
+    f"""
+    WITH thr AS (SELECT source AS grp,
+                        quantile_cont(n_chars, 0.25) AS t
+                 FROM documents GROUP BY 1),
+    gated AS (SELECT d.* FROM documents d
+              JOIN thr ON d.source IS NOT DISTINCT FROM thr.grp
+              WHERE d.n_chars >= thr.t),
+    tok AS (SELECT doc_id, n_chars >= 300 AS pos,
+                   unnest({_SQL_TOKS.format(c='text')}) AS token
+            FROM gated),
+    cls AS (SELECT token, COUNT(*) AS c,
+                   SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+                   SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nc
+            FROM tok GROUP BY 1),
+    vocab AS (SELECT * FROM cls ORDER BY c DESC, token ASC LIMIT 256),
+    tot AS (SELECT SUM(pc) AS pt, SUM(nc) AS nt FROM vocab),
+    w AS (SELECT token,
+                 ln((pc + 1.0) / (pt + 256.0)) - ln((nc + 1.0) / (nt + 256.0)) AS w
+          FROM vocab CROSS JOIN tot),
+    prior AS (SELECT ln(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) * 1.0
+                        / SUM(CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END)) AS p
+              FROM gated),
+    docsum AS (SELECT tok.doc_id, SUM(w.w) AS s
+               FROM tok JOIN w USING (token) GROUP BY 1),
+    kept AS (SELECT g.* FROM gated g
+             LEFT JOIN docsum ds ON g.doc_id = ds.doc_id
+             CROSS JOIN prior
+             WHERE ROUND(COALESCE(ds.s, 0) + prior.p, 6) > 0),
+    exact AS (SELECT doc_id, source, text FROM (
+                SELECT doc_id, source, text,
+                       MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+                FROM kept) WHERE doc_id = rep),
+    nt AS (SELECT doc_id, source,
+                  CAST(len({_SQL_TOKS.format(c='text')}) AS BIGINT) AS n_tokens
+           FROM exact)
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER pw AS BIGINT) AS cum_tokens,
+           CAST(FLOOR((CAST(SUM(n_tokens) OVER pw AS BIGINT) - n_tokens) / 512.0)
+                AS BIGINT) AS chunk_id
+    FROM nt
+    WINDOW pw AS (PARTITION BY source
+                  ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8),
+                           doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def curation_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The round-11 curation trio composed as ONE hash-checked DAG
+    # (VERDICT r11 ask 6), the flagship LLM-pipeline story the way
+    # cleaning_dag_e2e is for the reference pipeline: stratified
+    # quantile gate -> NB classifier (trained on the gated corpus,
+    # pred survivors only) -> exact dedup -> per-source 512-token
+    # shard packing. Output is integers/strings only, so the whole
+    # DAG is value-hashed with no quantized float in the contract
+    # (the classifier's decision margin over the gated corpus is
+    # audited in tests/test_hash_boundary_audit.py).
+    return jobs.curate_release(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "resize_pixel_stats",
     """
     WITH d AS (SELECT doc_id, 8 + doc_id % 56 AS sw

@@ -136,6 +136,10 @@ LINEAR = [
     # round-12: generation folding — fold I/O is the non-base
     # generations' bytes (a fixed fraction here), one clustered pass
     "zorder_fold_scan",
+    # round-12: composed curation DAG — percentile agg + 2 combinable
+    # classifier shuffles + dedup groupBy + one stratum window, all
+    # single-pass linear in corpus bytes
+    "curation_release_e2e",
 ]
 
 #: quadratic BY CONSTRUCTION (query set = fixed fraction of corpus, or

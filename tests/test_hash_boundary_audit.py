@@ -374,3 +374,40 @@ def test_audio_pcm_truncation_boundaries(con):
     assert sample_dist >= 1e-9, f"PCM sample {sample_dist:.3e} from trunc boundary"
     # a flipped sample moves m by ~2.5e-5; demand 40x headroom
     assert rms_dist >= 1e-3, f"rms quantization margin {rms_dist:.3e} too thin"
+
+
+def test_curation_release_pred_margin_on_gated_corpus(con):
+    """curation_release_e2e routes rows through pred computed over the
+    GATED corpus (different weights/prior than the full-corpus
+    classifier entry): its decision margin needs its own audit."""
+    row = con.sql(
+        f"""
+        WITH thr AS (SELECT source AS grp, quantile_cont(n_chars, 0.25) AS t
+                     FROM documents GROUP BY 1),
+        gated AS (SELECT d.* FROM documents d
+                  JOIN thr ON d.source IS NOT DISTINCT FROM thr.grp
+                  WHERE d.n_chars >= thr.t),
+        tok AS (SELECT doc_id, n_chars >= 300 AS pos,
+                       unnest({_TOKS}) AS token FROM gated),
+        cls AS (SELECT token, COUNT(*) AS c,
+                       SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+                       SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nc
+                FROM tok GROUP BY 1),
+        vocab AS (SELECT * FROM cls ORDER BY c DESC, token ASC LIMIT 256),
+        tot AS (SELECT SUM(pc) AS pt, SUM(nc) AS nt FROM vocab),
+        w AS (SELECT token,
+                     ln((pc + 1.0) / (pt + 256.0)) - ln((nc + 1.0) / (nt + 256.0)) AS w
+              FROM vocab CROSS JOIN tot),
+        prior AS (SELECT ln(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) * 1.0
+                            / SUM(CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END)) AS p
+                  FROM gated),
+        ds AS (SELECT tok.doc_id, SUM(w.w) AS s FROM tok JOIN w USING (token) GROUP BY 1)
+        SELECT MIN(ABS(COALESCE(ds.s, 0) + prior.p)),
+               MAX(ABS(COALESCE(ds.s, 0) + prior.p))
+        FROM gated g LEFT JOIN ds ON g.doc_id = ds.doc_id
+        CROSS JOIN prior
+        """
+    ).fetchone()
+    assert row[0] / max(1.0, row[1]) >= REL_EPS, (
+        f"gated-corpus pred margin {row[0]:.3e} too thin vs {row[1]:.3e}"
+    )

@@ -321,3 +321,45 @@ def test_pretrain_dataset_span_cut_drops_wall_to_wall_dupes(spark):
     # doc 1 is cut to nothing -> dropped; doc 2 keeps its unique tail
     assert 1 not in out
     assert out[2] == 2 and out[3] == 5
+
+
+def test_curate_release_end_to_end(spark):
+    """curate_release (gate -> classify -> dedup -> pack), planted:
+    the gate drops each source's worst n_chars quartile, the
+    classifier (trained on the gated corpus, length-proxy label)
+    rejects the negative-vocabulary doc, exact dedup keeps the min-id
+    duplicate, and packing emits integer shard assignments."""
+    from bohemia_kenya_data_pipeline_spark.jobs import curate_release
+
+    good = "signal quality prose " * 40   # pos-class vocabulary
+    bad = "junk spam noise " * 40         # neg-class vocabulary
+    df = spark.createDataFrame(
+        [
+            # source a: n_chars 100 is a's q25 tail -> gated out
+            (1, good, "a", 400),
+            (2, good, "a", 350),           # duplicate text of doc 1
+            (3, bad, "a", 320),            # survives gate, pred False
+            (4, bad, "a", 100),            # gated out (worst quartile)
+            (5, bad, "a", 100),            # gated out
+            # source b: its own threshold; pos docs survive
+            (6, good + "extra b words", "b", 500),
+            (7, bad, "b", 90),             # gated out in b
+            (8, bad, "b", 80),             # gated out in b
+            (9, good + "more b prose", "b", 450),
+        ],
+        "doc_id INT, text STRING, source STRING, n_chars INT",
+    )
+    out = curate_release(df, pack_tokens=100)
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 2 deduped into doc 1; bad docs rejected by gate or classifier
+    assert set(rows) == {1, 6, 9}
+    assert rows[1].source == "a" and rows[1].n_tokens == 120
+    # per-source packing: cumulative sums restart per stratum and
+    # chunk ids are the 100-token shard of the row's starting offset
+    for r in rows.values():
+        assert r.chunk_id == (r.cum_tokens - r.n_tokens) // 100
+    b_rows = sorted(
+        (r for r in rows.values() if r.source == "b"),
+        key=lambda r: r.cum_tokens,
+    )
+    assert b_rows[-1].cum_tokens == sum(r.n_tokens for r in b_rows)

@@ -679,3 +679,18 @@ def test_round11_multimodal_chains_are_scan_local(spark):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert "Exchange" not in plan, name
         assert "BatchEvalPython" not in plan, name  # row-Python banned
+
+
+def test_curation_release_dag_plan_invariants(spark):
+    """curation_release_e2e (gate -> classify -> dedup -> pack): the
+    per-group thresholds and the <=V-row weight table must broadcast
+    into the corpus scan (no corpus-sized sort-merge join against a
+    group-sized frame), no cartesian products, and no row-at-a-time
+    Python anywhere in the composed DAG."""
+    plan = _plan(QUERIES["curation_release_e2e"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # broadcast semi join routes classifier survivors back onto the
+    # gated rows without shuffling the corpus a second time
+    assert "LeftSemi" in plan
