@@ -82,7 +82,10 @@ def _panel_order(name: str) -> tuple:
     import hashlib
 
     # retried fixes first, then fresh oracled entries (deterministically
-    # shuffled by the round salt), already-verified and rows-only after
+    # shuffled by the round salt), already-verified and rows-only after.
+    # Cost note (VERDICT r11 ask 7): one md5 per registered name, run
+    # once when queries() sorts at driver startup — ~300 hashes of
+    # ~30-byte strings, microseconds total; not worth caching.
     return (
         name not in _PANEL_RETRY,
         name in _PANEL_SEEN or name not in ORACLES,

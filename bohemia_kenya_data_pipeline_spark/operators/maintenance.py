@@ -26,10 +26,77 @@ from __future__ import annotations
 
 import math
 import os
+import threading
+import time
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentMaintenanceError(RuntimeError):
+    """Another maintenance tick holds this table's writer lock."""
+
+
+#: paths whose tick lock THIS process already holds (re-entrancy for
+#: the composed tick: maintain_table -> zorder_extend/fold -> layout)
+_TICK_LOCKS = threading.local()
+
+
+@contextmanager
+def _single_writer(spark: SparkSession, path: str, stale_seconds: float = 3600.0):
+    """Advisory single-writer lock for a table's maintenance window
+    (VERDICT r11 ask 7): every staged rewrite in this module swaps
+    through the deterministic ``__zstage``/``__stage``/``__old``
+    sibling names, so two ticks targeting the same path concurrently
+    would collide on those paths and corrupt each other's journals.
+    The single-writer contract was previously documentation-only; this
+    asserts it with a ``__tick.lock`` sibling created atomically
+    (``fs.create(overwrite=False)`` — the create itself is the race
+    arbiter, not the exists pre-check). A lock older than
+    ``stale_seconds`` is presumed crashed and stolen (the journaled
+    swaps make that safe — recovery is idempotent). Re-entrant within
+    one process so the composed tick's stages share one lock.
+
+    Advisory, not ironclad: two writers stealing the SAME stale lock
+    in the same instant can both proceed (delete-then-create has a
+    window) — the lock turns the silent-corruption hazard into a
+    detected error for the realistic case (a scheduler double-firing
+    a live tick), while crash recovery stays journal-based.
+    """
+    held = getattr(_TICK_LOCKS, "paths", None)
+    if held is None:
+        held = set()
+        _TICK_LOCKS.paths = held
+    key = path.rstrip("/")
+    if key in held:
+        yield
+        return
+    jvm, fs, _ = _fs(spark, path)
+    lock = jvm.org.apache.hadoop.fs.Path(key + "__tick.lock")
+    if fs.exists(lock):
+        age = time.time() - fs.getFileStatus(lock).getModificationTime() / 1000.0
+        if age < stale_seconds:
+            raise ConcurrentMaintenanceError(
+                f"maintenance tick already running on {key} "
+                f"(lock age {age:.0f}s < {stale_seconds:.0f}s)"
+            )
+        fs.delete(lock, False)  # crashed writer: steal the stale lock
+    try:
+        out = fs.create(lock, False)  # atomic create-if-absent
+    except Exception as exc:  # raced by another writer between steps
+        raise ConcurrentMaintenanceError(
+            f"lost the lock race on {key}: {exc}"
+        ) from None
+    out.write(bytearray(str(os.getpid()).encode()))
+    out.close()
+    held.add(key)
+    try:
+        yield
+    finally:
+        held.discard(key)
+        fs.delete(lock, False)
 
 
 def dataset_file_stats(
@@ -256,6 +323,26 @@ def maintain_table_layout(
     target_file_mb: float = 128.0,
     max_z_generations: int = 4,
 ) -> dict:
+    """Single-writer-locked entry point; see :func:`_maintain_table_layout`."""
+    with _single_writer(spark, path):
+        return _maintain_table_layout(
+            spark,
+            path,
+            small_file_mb=small_file_mb,
+            small_share_threshold=small_share_threshold,
+            target_file_mb=target_file_mb,
+            max_z_generations=max_z_generations,
+        )
+
+
+def _maintain_table_layout(
+    spark: SparkSession,
+    path: str,
+    small_file_mb: float = 16.0,
+    small_share_threshold: float = 0.5,
+    target_file_mb: float = 128.0,
+    max_z_generations: int = 4,
+) -> dict:
     """The TABLE's maintenance tick — completing the symmetry with the
     index and manifest ticks (``retrieval.maintain_vector_index``,
     ``dedup.maintain_minhash_index``, ``skipping.maintain_file_manifest``):
@@ -452,6 +539,14 @@ def _zgenerations(params: dict) -> list[list[str]]:
 def zorder_fold(
     spark: SparkSession, path: str, max_generations: int = 4
 ) -> dict:
+    """Single-writer-locked entry point; see :func:`_zorder_fold`."""
+    with _single_writer(spark, path):
+        return _zorder_fold(spark, path, max_generations=max_generations)
+
+
+def _zorder_fold(
+    spark: SparkSession, path: str, max_generations: int = 4
+) -> dict:
     """Fold accumulated z-order tile GENERATIONS back into one:
     :func:`zorder_extend` re-clusters only each append's delta, so a
     steady-state append workload accrues one small generation per
@@ -546,6 +641,12 @@ def _zrecover(spark: SparkSession, path: str, params: dict) -> bool:
 
 
 def zorder_extend(spark: SparkSession, path: str) -> dict:
+    """Single-writer-locked entry point; see :func:`_zorder_extend`."""
+    with _single_writer(spark, path):
+        return _zorder_extend(spark, path)
+
+
+def _zorder_extend(spark: SparkSession, path: str) -> dict:
     """Incrementally restore z-order after appends: read ONLY the
     files that postdate the last clustering pass (delta-sized I/O),
     re-cluster those rows into new z-tiles, and atomically-enough swap
@@ -631,6 +732,26 @@ def zorder_extend(spark: SparkSession, path: str) -> dict:
 
 
 def maintain_table(
+    spark: SparkSession,
+    path: str,
+    small_file_mb: float = 16.0,
+    small_share_threshold: float = 0.5,
+    target_file_mb: float = 128.0,
+    max_z_generations: int = 4,
+) -> dict:
+    """Single-writer-locked entry point; see :func:`_maintain_table`."""
+    with _single_writer(spark, path):
+        return _maintain_table(
+            spark,
+            path,
+            small_file_mb=small_file_mb,
+            small_share_threshold=small_share_threshold,
+            target_file_mb=target_file_mb,
+            max_z_generations=max_z_generations,
+        )
+
+
+def _maintain_table(
     spark: SparkSession,
     path: str,
     small_file_mb: float = 16.0,

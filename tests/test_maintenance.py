@@ -530,3 +530,52 @@ def test_zorder_fold_restores_pruning_and_content(spark, tmp_path):
     assert rep3["folded"] is True  # folds the 2 clustered generations
     assert spark.read.parquet(path).count() == 6500
     assert mt.zorder_extend(spark, path)["extended"] is True  # delta intact
+
+
+def test_maintenance_ticks_hold_single_writer_lock(spark, tmp_path):
+    """VERDICT r11 ask 7: the staged-swap sibling names (__zstage,
+    __stage, __old) assume one writer per table; the tick lock turns a
+    concurrent second tick from silent journal corruption into a
+    detected error, steals crashed (stale) locks, and is re-entrant so
+    the composed tick's stages share one acquisition."""
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "locked")
+    spark.range(1000).select(
+        (F.col("id") % 16).alias("a"), ((F.col("id") * 3) % 16).alias("b"),
+        F.col("id").alias("v"),
+    ).coalesce(4).write.parquet(path)
+    mt.zorder_init(spark.read.parquet(path), path + "_z", "a", "b",
+                   n_files=2, bits=4)
+
+    lock = path + "__tick.lock"
+    # a live lock (fresh mtime) blocks every public tick
+    with open(lock, "w") as fh:
+        fh.write("99999")
+    with _pytest.raises(mt.ConcurrentMaintenanceError):
+        mt.maintain_table_layout(spark, path, small_file_mb=0.0001)
+    with _pytest.raises(mt.ConcurrentMaintenanceError):
+        mt.maintain_table(spark, path)
+
+    # a stale lock is presumed crashed and stolen
+    _os.utime(lock, (1, 1))
+    rep = mt.maintain_table_layout(spark, path, small_file_mb=0.0001)
+    assert rep["n_files"] == 4
+    assert not _os.path.exists(lock)  # released after the tick
+
+    # composed tick re-enters through its stages without deadlocking,
+    # and the z-ordered table's extend/fold acquire+release their own
+    rep2 = mt.maintain_table(spark, path + "_z", small_file_mb=0.0001)
+    assert rep2["zorder"]["extended"] is False
+    assert not _os.path.exists(path + "_z__tick.lock")
+
+    # the lock releases on failure too (no stuck table after an error)
+    try:
+        with mt._single_writer(spark, path):
+            raise ValueError("boom")
+    except ValueError:
+        pass
+    assert not _os.path.exists(lock)
