@@ -660,6 +660,7 @@ def label_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
     label_col: str = "label",
+    decimals: int = 6,
 ) -> DataFrame:
     """Per-label embedding centroids in long form: (label, pos, c) with
     ``c`` the mean of vector component ``pos`` — class prototypes for
@@ -670,11 +671,16 @@ def label_centroids(
     map-side, so the shuffle carries only (labels × dims) groups — the
     distributed vector-mean shape (an array-valued aggregate would
     haul whole vectors through the shuffle instead).
+
+    ``decimals`` quantizes the reported mean; cross-engine
+    comparisons should use 4 (the measured hash-safe granularity for
+    a float AVG whose summation order re-associates — see
+    tests/test_hash_boundary_audit.py).
     """
     return (
         df.select(F.col(label_col), F.posexplode(_as_double(vec_col)).alias("pos", "v"))
         .groupBy(label_col, "pos")
-        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .agg(F.round(F.avg("v"), int(decimals)).alias("c"))
     )
 
 

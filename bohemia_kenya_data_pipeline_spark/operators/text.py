@@ -361,16 +361,28 @@ def tfidf_top_terms(
     tf = _doc_token_counts(df, text_col, id_col).withColumnRenamed("c", "tf")
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_total"))
+    # rank on the RAW product (hash audit r12): ordering by the
+    # 6-decimal ROUND value made ranks hostage to a 1e-6 jump whenever
+    # a raw product sat a libm-ulp from its rounding boundary, while
+    # the raw top-k margins measure 6.2e-4 relative (exact ties — same
+    # (tf, df) — are bit-equal within each engine, so the token
+    # tie-break stays deterministic). The rounded column is display.
     scored = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_total") / F.col("df")), 6))
+        .withColumn("__raw", F.col("tf") * F.log(F.col("n_total") / F.col("df")))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__raw"), F.asc("token"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select(id_col, "token", F.col("tf").cast("bigint").alias("tf"), "tfidf", F.col("rk").cast("int").alias("rk"))
+        .select(
+            id_col,
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round("__raw", 6).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
     )
 
 

@@ -4023,17 +4023,31 @@ def vocabulary_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_total FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.token, tf.tf,
-             ROUND(tf.tf * ln(n.n_total / (1.0 * dfreq.df)), 6) AS tfidf
+             tf.tf * ln(n.n_total / (1.0 * dfreq.df)) AS raw
       FROM tf JOIN dfreq USING (token) CROSS JOIN n),
     rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                        ORDER BY tfidf DESC, token ASC) AS rk
+                                        ORDER BY raw DESC, token ASC) AS rk
            FROM scored)
-    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rk AS INT) AS rk
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(rk AS INT) AS rk
     FROM rk WHERE rk <= 3
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Keyword extraction: top-3 characteristic terms per doc by TF-IDF.
+    # Hashed contract is rank-only (hash audit r12): the 6-decimal
+    # tfidf measures 6.8e-9 relative from a rounding boundary at
+    # sf0.01 — inside the observed cross-libm band — while the raw
+    # top-k ordering margins are 6.2e-4 relative. The float stays
+    # observable via the rows-only tfidf_top_scores twin.
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3).select(
+        "doc_id", "token", "tf", "rk"
+    )
+
+
+@_register("tfidf_top_scores", None)
+def tfidf_top_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only twin exposing the 6-decimal tfidf value (not
+    # hash-stable cross-libm; see tfidf_top_terms).
     return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
@@ -4120,7 +4134,7 @@ from .operators import skew as sk  # noqa: E402
     "embedding_centroids",
     """
     SELECT label, CAST(i - 1 AS INTEGER) AS pos,
-           ROUND(AVG(embedding[i]), 6) AS c
+           ROUND(AVG(embedding[i]), 4) AS c
     FROM embeddings, range(1, 65) t(i)
     GROUP BY 1, 2
     """,
@@ -4128,8 +4142,12 @@ from .operators import skew as sk  # noqa: E402
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Class prototypes: per-label mean vector in long (label, pos, c)
     # form — posexplode + map-side-combining average, the shuffle
-    # carries labels x dims groups only.
-    return sim.label_centroids(_t(spark, sf_dir, "embeddings"))
+    # carries labels x dims groups only. Quantized at 4 decimals
+    # (hash audit r12): a float AVG re-associates across engines
+    # (~1e-13 relative), and the 6-decimal boundary distance measured
+    # 1.1e-7 relative — under the 1e-6 policy bar — while 4 decimals
+    # measure 1.6e-6 with a ~1e7x margin over the summation drift.
+    return sim.label_centroids(_t(spark, sf_dir, "embeddings"), decimals=4)
 
 
 @_register(

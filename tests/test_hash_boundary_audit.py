@@ -411,3 +411,49 @@ def test_curation_release_pred_margin_on_gated_corpus(con):
     assert row[0] / max(1.0, row[1]) >= REL_EPS, (
         f"gated-corpus pred margin {row[0]:.3e} too thin vs {row[1]:.3e}"
     )
+
+
+def test_embedding_centroids_4dp_off_boundary(con):
+    """embedding_centroids hashes ROUND(AVG(component), 4): a float
+    AVG re-associates across engines (~1e-13 relative), and 6 decimals
+    measured 1.1e-7 relative — under the bar — so the contract moved
+    to 4 decimals; pin the measured margin."""
+    row = con.sql(
+        """
+        WITH c AS (SELECT label, i, AVG(embedding[i]) AS a
+                   FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2)
+        SELECT MIN(ABS(a * 1e4 - FLOOR(a * 1e4) - 0.5)
+                   / GREATEST(1.0, ABS(a * 1e4)))
+        FROM c
+        """
+    ).fetchone()
+    assert row[0] >= REL_EPS, f"centroid 4dp margin {row[0]:.3e} under bar"
+
+
+def test_tfidf_rank_ordering_margin(con):
+    """tfidf_top_terms hashes rank-only, ordered by the RAW tf*ln
+    product: adjacent distinct raw values in the top-4 slice must be
+    separated by far more than cross-libm drift (exact ties — same
+    (tf, df) — are bit-equal within each engine and fall to the token
+    tie-break, so they are excluded here)."""
+    row = con.sql(
+        f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_total FROM documents),
+        sc AS (SELECT tf.doc_id, tf.token,
+                      tf.tf * ln(n.n_total / (1.0 * dfreq.df)) AS x
+               FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        rk AS (SELECT doc_id, x,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY x DESC, token ASC) AS r
+               FROM sc),
+        top AS (SELECT doc_id, x, LEAD(x) OVER (PARTITION BY doc_id
+                                                ORDER BY r) AS nx
+                FROM rk WHERE r <= 4)
+        SELECT MIN((x - nx) / GREATEST(1.0, ABS(x)))
+        FROM top WHERE nx IS NOT NULL AND x <> nx
+        """
+    ).fetchone()
+    assert row[0] >= REL_EPS, f"tfidf rank margin {row[0]:.3e} under bar"
