@@ -73,9 +73,28 @@ _PANEL_SEEN = frozenset({
 })
 _ROTATION_SALT = "r12"  # bump per round to rotate the fresh slice
 
-#: entries whose contract changed after a red driver row — pinned to
-#: the very front of the panel so the fix is re-checked this round
-_PANEL_RETRY = frozenset({"bm25_search_topk"})
+#: entries whose hashed contract CHANGED this round (the r11 red-row
+#: fix plus every hash-stability-policy migration and the round's new
+#: composed entries) — pinned to the very front of the panel so the
+#: driver re-verifies the new contracts rather than trusting green
+#: rows recorded against contracts that no longer exist (review
+#: finding). 14 pins leave 36 fresh slots in the 50-entry panel.
+_PANEL_RETRY = frozenset({
+    "bm25_search_topk",
+    "unigram_logprob",
+    "perplexity_buckets",
+    "quality_classifier_score",
+    "dsir_importance_sample",
+    "jsd_lang_drift",
+    "quantile_gate_by_source",
+    "tfidf_top_terms",
+    "embedding_centroids",
+    "nearest_centroid_confusion",
+    "audio_spectral_features",
+    "image_pixel_stats",
+    "zorder_fold_scan",
+    "curation_release_e2e",
+})
 
 
 def _panel_order(name: str) -> tuple:

@@ -89,8 +89,14 @@ def _single_writer(spark: SparkSession, path: str, stale_seconds: float = 3600.0
         raise ConcurrentMaintenanceError(
             f"lost the lock race on {key}: {exc}"
         ) from None
-    out.write(bytearray(str(os.getpid()).encode()))
-    out.close()
+    try:
+        out.write(bytearray(str(os.getpid()).encode()))
+        out.close()
+    except Exception:
+        # a failed pid write must not leave the table locked for
+        # stale_seconds with no tick running (review finding)
+        fs.delete(lock, False)
+        raise
     held.add(key)
     try:
         yield
@@ -386,9 +392,21 @@ def _maintain_table_layout(
     # idempotent and journaled.
     jvm, fs, _p = _fs(spark, path)
     zp = jvm.org.apache.hadoop.fs.Path(_zparams_path(path))
-    zfold = None
-    if fs.exists(zp):
-        zfold = zorder_fold(spark, path, max_generations=max_z_generations)
+    has_z = fs.exists(zp)
+    zrecovered = False
+    if has_z:
+        # replay a crashed swap journal NOW (cheap, correctness-
+        # critical) — but defer the fold itself until after the
+        # compaction decision: a fold whose tiles the compactor is
+        # about to rewrite anyway would be pure wasted I/O (review
+        # finding)
+        zparams = _skp._read_json(spark, _zparams_path(path))
+        if zparams.get("pending_add") or zparams.get("pending_remove"):
+            _zrecover(spark, path, zparams)
+            zparams["pending_add"] = []
+            zparams["pending_remove"] = []
+            _skp._write_json(spark, _zparams_path(path), zparams)
+            zrecovered = True
 
     files = [
         (r["file"], r["size_bytes"])
@@ -405,15 +423,19 @@ def _maintain_table_layout(
         "n_files_after": n_files,
         "manifest": "absent",
     }
-    if zfold is not None:
-        report["zfold"] = zfold
     total = sum(s for _, s in files)
     n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     if n_files == 0 or share <= float(small_share_threshold) or n_target >= n_files:
-        # a fold rewrote files without compacting: repair any manifest
-        # here so a DIRECT layout-tick caller never reads stale
-        # fingerprints (the composed maintain_table repairs last anyway)
-        if zfold is not None and zfold["folded"]:
+        zfold = None
+        if has_z:
+            zfold = zorder_fold(spark, path, max_generations=max_z_generations)
+            report["zfold"] = zfold
+        # a fold OR a journal replay rewrote/removed files without
+        # compacting: repair any manifest here so a DIRECT layout-tick
+        # caller never reads stale fingerprints (review finding: the
+        # recovery path needs this as much as the fold path — replay
+        # deletes delta originals and moves staged tiles in)
+        if zrecovered or (zfold is not None and zfold["folded"]):
             if fs.exists(jvm.org.apache.hadoop.fs.Path(_skp._params_path(path))):
                 report["manifest"] = "repaired"
                 _skp.maintain_file_manifest(spark, path)

@@ -699,10 +699,15 @@ def nearest_centroid_assign(
     Plan: centroids reassemble to one array row per label (labels ×
     dims values — tiny) and broadcast; each vector scores against all
     K centroids with a zip_with/aggregate fold (JVM-side), then a
-    per-vector top-1 window. Distances round to 6 with a label
-    tiebreak so the argmin is deterministic cross-engine.
+    per-vector top-1 window ordered by the RAW distance with a label
+    tiebreak. Hash audit r12: centroids quantize at 4 decimals (so
+    both engines score against identical prototypes — 6 decimals sat
+    1.1e-7 relative from a rounding boundary), and the argmin orders
+    on the raw distance (ordering by a 6dp-rounded distance was
+    hostage to 1e-6 jumps; the measured top-2 raw-distance margin is
+    3.1e-5 relative vs ~1e-13 summation-order drift).
     """
-    cents = label_centroids(df, vec_col, label_col)
+    cents = label_centroids(df, vec_col, label_col, decimals=4)
     cvec = (
         cents.groupBy(label_col)
         .agg(
@@ -717,7 +722,7 @@ def nearest_centroid_assign(
     ).crossJoin(F.broadcast(cvec))
     diff2 = F.zip_with(F.col("_v"), F.col("cent"), lambda a, b: (a - b) * (a - b))
     scored = scored.withColumn(
-        "_d", F.round(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x), 6)
+        "_d", F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("c_label"))
     top = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)

@@ -4879,15 +4879,15 @@ def percent_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nearest_centroid_confusion",
     """
     WITH cent AS (
-      SELECT label AS c_label, i, ROUND(AVG(embedding[i]), 6) AS c
+      SELECT label AS c_label, i, ROUND(AVG(embedding[i]), 4) AS c
       FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
     cvec AS (SELECT c_label, list(c ORDER BY i) AS cent FROM cent GROUP BY 1),
     scored AS (
       SELECT e.vec_id, e.label, c.c_label,
-             ROUND(list_sum([
+             list_sum([
                (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
                * (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
-               for i in range(1, 65)]), 6) AS d
+               for i in range(1, 65)]) AS d
       FROM embeddings e CROSS JOIN cvec c),
     rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                         ORDER BY d, c_label) AS rk
@@ -4899,7 +4899,8 @@ def percent_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Nearest-centroid classifier confusion matrix over the labeled
     # embeddings — broadcast K prototypes, JVM-side distance folds,
-    # deterministic argmin (rounded distance + label tiebreak).
+    # deterministic argmin (RAW distance + label tiebreak over
+    # 4-decimal centroids; margins audited — hash audit r12).
     return sim.nearest_centroid_assign(_t(spark, sf_dir, "embeddings"))
 
 
@@ -10834,11 +10835,40 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # importance weight = target-LM / raw-LM likelihood ratio under
     # add-1-smoothed unigram LMs over the UNION vocabulary, then
     # weighted sampling WITHOUT replacement via the Gumbel-top-k trick
-    # — rank by ln(-ln(u)) - log_ratio with a hash-derived u, which
+    # — rank by ln(-ln(u)) - raw_lr with a hash-derived u, which
     # orders exactly like u^(1/w) but never exponentiates the weight
     # (u = (hash32 + 0.5)/2^32 stays strictly inside (0,1), dodging
     # the Spark-NULL/DuckDB-inf ln(0) hazard). Deterministic,
-    # partition-invariant, mirrored exactly by the oracle.
+    # partition-invariant, mirrored exactly by the oracle. Hashed
+    # contract is rank-only; the float ratio lives in the rows-only
+    # dsir_importance_scores twin (see _dsir_gumbel_keyed).
+    keyed = _dsir_gumbel_keyed(spark, sf_dir)
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), THEN rank the k survivors; a bare global
+    # row_number window would funnel the whole corpus through one task
+    top = keyed.orderBy("gkey", "doc_id").limit(100)
+    w = Window.orderBy("gkey", "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "rank")
+    )
+
+
+def _dsir_gumbel_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR pipeline up to the Gumbel key: per-doc raw
+    importance log-ratio under add-1-smoothed unigram LMs over the
+    UNION vocabulary, plus gkey = ln(-ln(u)) - raw_lr with a
+    hash-derived u. One builder feeds both the rank-only hashed entry
+    and its rows-only scores twin (review finding: two hand-kept
+    copies could silently drift apart).
+
+    The Gumbel key is built from the RAW log-ratio on both engines
+    (hash audit r12): keying on the 6-decimal ROUND value made the
+    ordering hostage to a 1e-6 jump whenever the raw ratio sat a
+    libm-ulp from its rounding boundary (measured as close as
+    3.8e-10); the raw key's drift is ~1e-9 against a measured 3.1e-5
+    adjacent-key margin.
+    """
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(tx.tokens(F.col("text"))).alias("token")
@@ -10870,14 +10900,6 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log((F.col("cf_r") + 1.0) / (F.col("nr") + F.col("v")))
         ).alias("lrat"),
     )
-    # Gumbel key built from the RAW log-ratio on both engines (hash
-    # audit r12): keying on the 6-decimal ROUND value made the
-    # ordering hostage to a 1e-6 jump whenever the raw ratio sat a
-    # libm-ulp from its rounding boundary (measured as close as
-    # 3.8e-10); the raw key's drift is ~1e-9 against a measured
-    # 3.1e-5 adjacent-key margin. The hashed contract is rank-only —
-    # the float ratio lives in the rows-only dsir_importance_scores
-    # twin.
     perdoc = (
         cnt.join(lr, "token")
         .groupBy("doc_id")
@@ -10895,67 +10917,22 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         + 0.5
     ) / F.lit(4294967296.0)
-    keyed = perdoc.withColumn("gkey", F.log(-F.log(u)) - F.col("raw_lr"))
-    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
-    # heaps, no global sort), THEN rank the k survivors; a bare global
-    # row_number window would funnel the whole corpus through one task
-    top = keyed.orderBy("gkey", "doc_id").limit(100)
-    w = Window.orderBy("gkey", "doc_id")
-    return (
-        top.withColumn("rank", F.row_number().over(w).cast("int"))
-        .select("doc_id", "rank")
-    )
+    return perdoc.withColumn("gkey", F.log(-F.log(u)) - F.col("raw_lr"))
 
 
 @_register("dsir_importance_scores", None)
 def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rows-only twin of dsir_importance_sample exposing the 6-decimal
-    # importance log-ratio alongside the sampled ranks (the float is
-    # not hash-stable cross-libm; see dsir_importance_sample).
-    sampled = QUERIES["dsir_importance_sample"](spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("token")
+    # importance log-ratio alongside the sampled ranks — SAME builder,
+    # same single corpus pass (the float is not hash-stable
+    # cross-libm; see dsir_importance_sample).
+    keyed = _dsir_gumbel_keyed(spark, sf_dir)
+    top = keyed.orderBy("gkey", "doc_id").limit(100)
+    w = Window.orderBy("gkey", "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", F.round("raw_lr", 6).alias("log_ratio"), "rank")
     )
-    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
-    # per-doc mean token corpus-logprob ratio recomputed for display
-    corpus_r = cnt.groupBy("token").agg(F.sum("c").alias("cf_r"))
-    corpus_t = (
-        docs.filter(F.col("lang") == "en")
-        .select(F.explode(tx.tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cf_t"))
-    )
-    vocab = (
-        corpus_r.join(corpus_t, "token", "full_outer")
-        .select(
-            "token",
-            F.coalesce("cf_r", F.lit(0)).alias("cf_r"),
-            F.coalesce("cf_t", F.lit(0)).alias("cf_t"),
-        )
-    )
-    tots = vocab.agg(
-        F.sum("cf_t").cast("bigint").alias("nt"),
-        F.sum("cf_r").cast("bigint").alias("nr"),
-        F.count(F.lit(1)).cast("bigint").alias("v"),
-    )
-    lr = vocab.crossJoin(F.broadcast(tots)).select(
-        "token",
-        (
-            F.log((F.col("cf_t") + 1.0) / (F.col("nt") + F.col("v")))
-            - F.log((F.col("cf_r") + 1.0) / (F.col("nr") + F.col("v")))
-        ).alias("lrat"),
-    )
-    perdoc = (
-        cnt.join(lr, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(F.col("c") * F.col("lrat")) / F.sum("c"), 6).alias(
-                "log_ratio"
-            )
-        )
-    )
-    return sampled.join(perdoc, "doc_id").select("doc_id", "log_ratio", "rank")
 
 
 @_register(

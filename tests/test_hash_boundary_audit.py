@@ -457,3 +457,33 @@ def test_tfidf_rank_ordering_margin(con):
         """
     ).fetchone()
     assert row[0] >= REL_EPS, f"tfidf rank margin {row[0]:.3e} under bar"
+
+
+def test_nearest_centroid_argmin_margin(con):
+    """nearest_centroid_confusion hashes assignment COUNTS: the argmin
+    orders raw squared distances to 4-decimal centroids (identical on
+    both engines), so the only freedom is the distance fold's
+    summation order (~1e-13 relative). Pin the top-2 margin."""
+    row = con.sql(
+        """
+        WITH cent AS (
+          SELECT label AS c_label, i, ROUND(AVG(embedding[i]), 4) AS c
+          FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+        cvec AS (SELECT c_label, list(c ORDER BY i) AS cent FROM cent GROUP BY 1),
+        scored AS (
+          SELECT e.vec_id, c.c_label,
+                 list_sum([
+                   (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+                   * (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+                   for i in range(1, 65)]) AS d
+          FROM embeddings e CROSS JOIN cvec c),
+        rk AS (SELECT vec_id, d,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d, c_label) AS rk
+               FROM scored)
+        SELECT MIN((b.d - a.d) / GREATEST(1.0, a.d))
+        FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2
+        WHERE b.d <> a.d
+        """
+    ).fetchone()
+    assert row[0] >= REL_EPS, f"argmin margin {row[0]:.3e} under bar"

@@ -579,3 +579,64 @@ def test_maintenance_ticks_hold_single_writer_lock(spark, tmp_path):
     except ValueError:
         pass
     assert not _os.path.exists(lock)
+
+
+def test_layout_tick_repairs_manifest_after_recovery_only(spark, tmp_path):
+    """Review finding (r12): a direct layout tick that only REPLAYS a
+    crashed extend journal (no fold, no compaction) still moved/
+    deleted data files — the stats manifest must be repaired in that
+    branch too, or pruned reads hit deleted paths / silently miss the
+    moved-in tiles."""
+    from bohemia_kenya_data_pipeline_spark.operators import skipping as skp
+
+    path = str(tmp_path / "zrec")
+    base = spark.range(1000).select(
+        (F.col("id") % 32).alias("a"), ((F.col("id") * 5) % 32).alias("b"),
+        F.col("id").alias("v"),
+    )
+    mt.zorder_init(base, path, "a", "b", n_files=4, bits=5)
+    skp.build_file_manifest(spark, path, ["a", "b"])
+    delta = spark.range(1000, 1500).select(
+        (F.col("id") % 32).alias("a"), ((F.col("id") * 5) % 32).alias("b"),
+        F.col("id").alias("v"),
+    )
+    delta.coalesce(1).write.mode("append").parquet(path)
+    skp.maintain_file_manifest(spark, path)  # manifest knows the delta
+
+    # stage + journal a swap, crash before any replay (pending intent)
+    params = skp._read_json(spark, mt._zparams_path(path))
+    known = set(params["files"])
+    dnames = sorted(
+        {os.path.basename(f) for f in glob.glob(os.path.join(path, "*.parquet"))}
+        - known
+    )
+    stage_dir = path + "__zstage"
+    ddf = spark.read.parquet(*[os.path.join(path, n) for n in dnames])
+    mt.cluster_write(
+        ddf.withColumn("__z", mt.zorder_value("a", "b", 5)),
+        stage_dir, ["__z"], 1, drop_cols=["__z"],
+    )
+    staged = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(stage_dir, "*.parquet"))
+    )
+    params["pending_add"] = staged
+    params["pending_remove"] = dnames
+    params["files"] = sorted(known | set(staged))
+    params["generations"] = mt._zgenerations(params) + [staged]
+    skp._write_json(spark, mt._zparams_path(path), params)
+
+    # direct layout tick: healthy small-file share (no compaction),
+    # generation count under the cap (no fold) -> recovery only
+    rep = mt.maintain_table_layout(spark, path, small_file_mb=0.0001)
+    assert rep["compacted"] is False
+    assert rep["zfold"]["folded"] is False and rep["zfold"]["recovered"] is False
+    assert rep["manifest"] == "repaired"
+    # the pruned read over the repaired manifest is exact (no missing
+    # files, no ghost rows)
+    preds = [("a", "between", (5, 25)), ("b", "between", (5, 25))]
+    got = skp.read_with_skipping(spark, path, preds)
+    want = spark.read.parquet(path).filter(
+        F.col("a").between(5, 25) & F.col("b").between(5, 25)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert spark.read.parquet(path).count() == 1500
