@@ -169,8 +169,9 @@ def test_k_anonymity_suppression_matches_counter(spark, rows, k):
 
 @st.composite
 def zorder_op_sequences(draw):
-    # random alternation of raw appends and extend ticks, with random
-    # delta sizes and an optional double-extend (idempotency probe)
+    # random alternation of raw appends, extend ticks and generation
+    # FOLDS (r12), with random delta sizes and an optional
+    # double-extend (idempotency probe)
     n_ops = draw(st.integers(1, 4))
     ops = []
     lo = 1000
@@ -182,6 +183,8 @@ def zorder_op_sequences(draw):
             ops.append(("extend", None, None))
         if draw(st.booleans()):
             ops.append(("extend", None, None))
+        if draw(st.booleans()):
+            ops.append(("fold", draw(st.integers(1, 3)), None))
     return ops
 
 
@@ -189,8 +192,9 @@ def zorder_op_sequences(draw):
 @settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_zorder_lifecycle_content_and_pruning_exact(spark, ops, tmp_path_factory):
-    """Any interleaving of raw appends and extend ticks preserves the
-    exact table content, and a manifest-pruned box read over the
+    """Any interleaving of raw appends, extend ticks and generation
+    folds preserves the exact table content, keeps the generation
+    count at the fold cap, and a manifest-pruned box read over the
     mixed-generation tiles equals the full-scan filter."""
     from bohemia_kenya_data_pipeline_spark.operators import (
         maintenance as mt,
@@ -212,6 +216,13 @@ def test_zorder_lifecycle_content_and_pruning_exact(spark, ops, tmp_path_factory
         if op == "append":
             mk(a, b).coalesce(1).write.mode("append").parquet(path)
             expect_hi = max(expect_hi, b)
+        elif op == "fold":
+            rep = mt.zorder_fold(spark, path, max_generations=a)
+            gens = mt._zgenerations(
+                skp._read_json(spark, mt._zparams_path(path))
+            )
+            assert len(gens) <= max(a, 2)  # base + one folded at most
+            assert rep["folded"] == (rep["n_generations"] > a)
         else:
             mt.zorder_extend(spark, path)
     # close with one extend so the table ends clustered
