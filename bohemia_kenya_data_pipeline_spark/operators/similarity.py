@@ -677,10 +677,13 @@ def label_centroids(
     a float AVG whose summation order re-associates — see
     tests/test_hash_boundary_audit.py).
     """
+    # + 0.0 normalizes IEEE negative zero: a small negative mean that
+    # rounds to zero would otherwise be -0.0 here and possibly +0.0 in
+    # another engine — equal by ==, different by repr/hash
     return (
         df.select(F.col(label_col), F.posexplode(_as_double(vec_col)).alias("pos", "v"))
         .groupBy(label_col, "pos")
-        .agg(F.round(F.avg("v"), int(decimals)).alias("c"))
+        .agg((F.round(F.avg("v"), int(decimals)) + F.lit(0.0)).alias("c"))
     )
 
 

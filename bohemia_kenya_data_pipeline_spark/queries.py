@@ -4134,7 +4134,7 @@ from .operators import skew as sk  # noqa: E402
     "embedding_centroids",
     """
     SELECT label, CAST(i - 1 AS INTEGER) AS pos,
-           ROUND(AVG(embedding[i]), 4) AS c
+           ROUND(AVG(embedding[i]), 4) + 0.0 AS c
     FROM embeddings, range(1, 65) t(i)
     GROUP BY 1, 2
     """,
