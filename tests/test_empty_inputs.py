@@ -147,3 +147,54 @@ def test_classifier_empty_and_single_class_contract(spark):
     rows = tx2.quality_classifier_score(one_cls, label=F.col("pos")).collect()
     assert len(rows) == 2
     assert all(r.score is None for r in rows)
+
+
+def test_curate_release_empty_and_degenerate_contract(spark):
+    """Round-12 composed DAG: an empty corpus flows through the whole
+    gate -> classify -> dedup -> pack chain as an empty frame with the
+    contract schema; a single-class corpus (classifier prior
+    undefined -> NULL scores -> pred never true) packs zero docs
+    rather than crashing."""
+    from bohemia_kenya_data_pipeline_spark.jobs import curate_release
+
+    empty = spark.createDataFrame(
+        [], "doc_id BIGINT, text STRING, source STRING, n_chars INT"
+    )
+    out = curate_release(empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "source", "n_tokens", "cum_tokens", "chunk_id"]
+
+    one_cls = spark.createDataFrame(
+        [(1, "alpha beta", "a", 400), (2, "gamma delta", "a", 500)],
+        "doc_id BIGINT, text STRING, source STRING, n_chars INT",
+    )
+    assert curate_release(one_cls).count() == 0  # NULL pred -> all filtered
+
+
+def test_zorder_fold_fresh_and_legacy_sidecar_contract(spark, tmp_path):
+    """Round-12 fold: a freshly initialized table (one generation) is
+    a no-op at any cap; a LEGACY sidecar without a generations field
+    degrades to one base generation and also no-ops (never rewrites a
+    table it cannot attribute)."""
+    from bohemia_kenya_data_pipeline_spark.operators import (
+        maintenance as mt,
+        skipping as skp,
+    )
+
+    path = str(tmp_path / "zfresh")
+    df = spark.range(500).select(
+        (F.col("id") % 16).alias("a"), ((F.col("id") * 3) % 16).alias("b"),
+        F.col("id").alias("v"),
+    )
+    mt.zorder_init(df, path, "a", "b", n_files=2, bits=4)
+    rep = mt.zorder_fold(spark, path, max_generations=1)
+    assert rep == {"folded": False, "recovered": False,
+                   "n_generations": 1, "n_new_tiles": 0}
+
+    # legacy sidecar: strip the generations field
+    params = skp._read_json(spark, mt._zparams_path(path))
+    params.pop("generations")
+    skp._write_json(spark, mt._zparams_path(path), params)
+    rep2 = mt.zorder_fold(spark, path, max_generations=1)
+    assert rep2["folded"] is False and rep2["n_generations"] == 1
+    assert spark.read.parquet(path).count() == 500
