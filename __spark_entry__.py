@@ -70,30 +70,41 @@ _PANEL_SEEN = frozenset({
     "tpch_q5_local_supplier_volume", "tpch_q9_product_profit",
     "trailing_window_7d", "unigram_logprob", "vocabulary_top",
     "weighted_median_price", "zorder_manifest_scan",
+    # r12 panel (CORRECTNESS_r12.json): the 49 green rows; the one red
+    # row (orc_roundtrip_docs) is deliberately NOT seen — it re-leads
+    # the r13 panel as a retried entry after the scratch-dir lifecycle
+    # fix (unique-per-build dirs + eager pin, queries._fresh_tmp_path)
+    "ann_index_stats", "ann_ivfpq_fixedq", "anomalies_summary",
+    "audio_spectral_features", "bitmap_distinct_rollup", "bm25_search_topk",
+    "budget_allocation_largest_remainder", "corr_covar_rollup",
+    "cosine_topk", "curation_release_e2e", "data_dictionary_customer",
+    "embedding_centroids", "ento_species_unpivot",
+    "goals_cascade_deep", "hard_negatives_composed", "image_pixel_stats",
+    "ivf_ann_fixedq", "jsd_lang_drift", "lab_reconciliation_asof",
+    "lead_time_sla", "minhash_index_band_stats", "mmr_rerank_fixedq",
+    "nearest_centroid_confusion", "percent_rank_price",
+    "perplexity_buckets", "pii_scrub", "pq_topk",
+    "quantile_gate_by_source", "resize_pixel_stats",
+    "resolution_delete_set", "resolution_expand", "revenue_gini",
+    "rfm_segments_scalable", "salted_join_agg", "scd2_merge",
+    "seasonality_dow_profile", "semantic_dedup_capped",
+    "spatial_cluster_assign", "streaming_interval_join_left",
+    "tfidf_top_terms", "time_weighted_avg", "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customer", "train_test_split",
+    "weighted_sample_docs", "zorder_fold_scan",
 })
-_ROTATION_SALT = "r12"  # bump per round to rotate the fresh slice
+_ROTATION_SALT = "r13"  # bump per round to rotate the fresh slice
 
-#: entries whose hashed contract CHANGED this round (the r11 red-row
-#: fix plus every hash-stability-policy migration and the round's new
-#: composed entries) — pinned to the very front of the panel so the
-#: driver re-verifies the new contracts rather than trusting green
-#: rows recorded against contracts that no longer exist (review
-#: finding). 14 pins leave 36 fresh slots in the 50-entry panel.
+#: entries whose hashed contract (or execution lifecycle) CHANGED this
+#: round — pinned to the very front of the panel so the driver
+#: re-verifies them rather than trusting rows recorded against behavior
+#: that no longer exists. 1 pin leaves 49 fresh slots in the 50-entry
+#: panel.
 _PANEL_RETRY = frozenset({
-    "bm25_search_topk",
-    "unigram_logprob",
-    "perplexity_buckets",
-    "quality_classifier_score",
-    "dsir_importance_sample",
-    "jsd_lang_drift",
-    "quantile_gate_by_source",
-    "tfidf_top_terms",
-    "embedding_centroids",
-    "nearest_centroid_confusion",
-    "audio_spectral_features",
-    "image_pixel_stats",
-    "zorder_fold_scan",
-    "curation_release_e2e",
+    # r13: the one r12 red row — its scratch-dir lifecycle is now
+    # unique-per-build + eagerly pinned (queries._fresh_tmp_path/_pin),
+    # so the driver must re-verify it under the immunized contract
+    "orc_roundtrip_docs",
 })
 
 

@@ -22,6 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import itertools
 import os
 from collections.abc import Callable
 
@@ -71,6 +72,71 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TIMESTAMP_NTZ(micros) -> LTZ cast is exact under the pinned UTC
     # session timezone (session.py); no-op when already TimestampType.
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+#: Per-process monotonic counter: every lifecycle query that
+#: materializes scratch state gets a NEVER-REUSED directory, so no two
+#: build invocations — even interleaved in one process (a harness retry
+#: thread, concurrent panel workers, a second ``queries()`` build racing
+#: the first build's hash action) — can ever overwrite each other's part
+#: files. Round-13 fix for the r12 ``orc_roundtrip_docs`` driver red row:
+#: the old pid-keyed-but-process-stable dirs let a second in-process
+#: build rewrite the directory a first build's lazy plan was about to
+#: read.
+#: ``itertools.count`` is a C-level iterator, so ``next()`` is atomic
+#: under the GIL — safe without a lock even when harness threads race.
+_TMP_SEQ = itertools.count()
+
+
+def _fresh_tmp_path(prefix: str, sf_dir: str) -> str:
+    """Unique-per-invocation scratch directory under the system temp dir.
+
+    ``pid`` isolates concurrent harness processes on one host; the
+    monotonic counter isolates concurrent/repeated builds WITHIN a
+    process. Callers pair this with :func:`_pin` so the directory is
+    disposable the moment the query's (metadata-sized) result is
+    computed."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_"
+        + os.path.basename(os.path.normpath(sf_dir))
+        + f"_{os.getpid()}_{next(_TMP_SEQ)}",
+    )
+
+
+def _pin(df: DataFrame, *scratch_paths: str) -> DataFrame:
+    """Eagerly pin a METADATA-SIZED result, then drop its scratch dirs.
+
+    ``localCheckpoint(eager=True)`` computes the plan NOW and replaces
+    it with the materialized rows (block-manager backed), so the
+    returned DataFrame can never observe a later mutation of the temp
+    directories it was derived from — regardless of how the harness
+    schedules builds vs. actions. Only call this on small results
+    (aggregates, top-k, stats rows: ≤ a few thousand rows); the corpus
+    itself is never checkpointed. After the pin the scratch dirs are
+    dead weight, so they are removed best-effort — this also keeps
+    /tmp bounded now that every build gets a fresh directory."""
+    import glob
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    for p in scratch_paths:
+        base = p.rstrip("/")
+        # every index/layout sidecar hangs off the base path as
+        # ``<base>__<tag>`` (centroids/codebooks/tombstones/manifest/
+        # journal/lock) — and the base is unique per invocation, so the
+        # glob can only ever match THIS invocation's artifacts
+        for victim in [base, *glob.glob(base + "__*")]:
+            if os.path.isdir(victim):
+                shutil.rmtree(victim, ignore_errors=True)
+            elif os.path.exists(victim):
+                try:
+                    os.remove(victim)
+                except OSError:
+                    pass
+    return out
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3642,28 +3708,17 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash equality proves the encode/decode is lossless end to end
     # (md5-distinct over text catches any escape/unicode/null mangling;
     # keep_nulls=True preserves explicit nulls through the trip).
-    import tempfile
-
     from . import catalog as cat
 
     docs = _t(spark, sf_dir, "documents")
-    # pid-suffixed so two concurrent harness runs (e.g. the default and
-    # an SPARK_GRAFT_EXTRA_CONF adversarial sweep on one host) can't
-    # overwrite each other's part files mid-read; stable within a
-    # process so repeated bench runs reuse rather than accumulate dirs.
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_jsonl_"
-        + os.path.basename(os.path.normpath(sf_dir))
-        + f"_{os.getpid()}",
-    )
+    path = _fresh_tmp_path("spark_graft_jsonl", sf_dir)
     cat.write_jsonl(docs, path)
     back = cat.read_jsonl(
         spark,
         path,
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
     )
-    return back.groupBy("lang", "source").agg(
+    out = back.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct(F.md5("text")).alias("distinct_texts"),
         F.sum(F.length("text")).alias("sum_len"),
@@ -3671,6 +3726,7 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+    return _pin(out, path)
 
 
 @_register(
@@ -3694,24 +3750,17 @@ def orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equality proves the columnar encode/decode is lossless, under a
     # non-default codec and with index structures enabled. Splittable
     # at any codec (stripe-level), unlike compressed JSONL.
-    import tempfile
-
     from . import catalog as cat
 
     docs = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_orc_"
-        + os.path.basename(os.path.normpath(sf_dir))
-        + f"_{os.getpid()}",
-    )
+    path = _fresh_tmp_path("spark_graft_orc", sf_dir)
     cat.write_orc(docs, path, compression="zstd", bloom_filter_cols=["doc_id"])
     back = cat.read_orc(
         spark,
         path,
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
     )
-    return back.groupBy("lang", "source").agg(
+    out = back.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct(F.md5("text")).alias("distinct_texts"),
         F.sum(F.length("text")).alias("sum_len"),
@@ -3719,6 +3768,7 @@ def orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+    return _pin(out, path)
 
 
 @_register(
@@ -3740,26 +3790,20 @@ def text_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # proving the .txt ingest path mangles nothing (no quoting, no
     # header rows, no encoding drift). The embedded-newline caveat is
     # covered separately as a golden in tests/test_catalog.py.
-    import tempfile
-
     from . import catalog as cat
 
     docs = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_txt_"
-        + os.path.basename(os.path.normpath(sf_dir))
-        + f"_{os.getpid()}",
-    )
+    path = _fresh_tmp_path("spark_graft_txt", sf_dir)
     cat.write_text_corpus(docs, path)
     back = cat.read_text_corpus(spark, path)
-    return back.agg(
+    out = back.agg(
         F.count("*").alias("n_lines"),
         F.countDistinct(F.md5("value")).alias("distinct_texts"),
         F.sum(F.length("value")).cast("long").alias("sum_len"),
         F.min(F.length("value")).cast("long").alias("min_len"),
         F.max(F.length("value")).cast("long").alias("max_len"),
     )
+    return _pin(out, path)
 
 
 @_register(
@@ -11999,21 +12043,15 @@ def ann_index_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe/score/rank semantics. Same oracle SQL as ivf_ann_fixedq by
     # construction — the hash compare proves the persisted layout and
     # the pruned read change nothing.
-    import tempfile
-
     from .jobs import retrieval as rt
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_annidx_"
-        + os.path.basename(os.path.normpath(sf_dir))
-        + f"_{os.getpid()}",
-    )
+    path = _fresh_tmp_path("spark_graft_annidx", sf_dir)
     rt.build_ann_index(emb, path, centroids=_IVF_FIXED_RAW)
-    return rt.query_ann_index(
+    out = rt.query_ann_index(
         spark, path, _fixed_query_batch(emb), k=5, n_probe=2
     )
+    return _pin(out, path)
 
 
 _HARD_NEG_SQL = """
@@ -12355,14 +12393,7 @@ def _ivfpq_sql(rerank: int = 0, index_filter: str = "") -> str:
 
 
 def _ivfpq_tmp_path(sf_dir: str, tag: str) -> str:
-    import tempfile
-
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivfpq_{tag}_"
-        + os.path.basename(os.path.normpath(sf_dir))
-        + f"_{os.getpid()}",
-    )
+    return _fresh_tmp_path(f"spark_graft_ivfpq_{tag}", sf_dir)
 
 
 @_register("ann_ivfpq_fixedq", _ivfpq_sql())
@@ -12382,9 +12413,10 @@ def ann_ivfpq_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt.build_ivfpq_index(
         emb, path, centroids=_IVF_FIXED_RAW, codebooks=_PQ_CB
     )
-    return rt.query_ivfpq_index(
+    out = rt.query_ivfpq_index(
         spark, path, _fixed_query_batch(emb), k=5, n_probe=2
     )
+    return _pin(out, path)
 
 
 @_register("ann_ivfpq_rerank_fixedq", _ivfpq_sql(rerank=20))
@@ -12402,9 +12434,10 @@ def ann_ivfpq_rerank_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt.build_ivfpq_index(
         emb, path, centroids=_IVF_FIXED_RAW, codebooks=_PQ_CB, store_vec=True
     )
-    return rt.query_ivfpq_index(
+    out = rt.query_ivfpq_index(
         spark, path, _fixed_query_batch(emb), k=5, n_probe=2, rerank=20
     )
+    return _pin(out, path)
 
 
 @_register("incremental_ivfpq_ann", _ivfpq_sql(rerank=20))
@@ -12427,9 +12460,10 @@ def incremental_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, path, centroids=_IVF_FIXED_RAW, codebooks=_PQ_CB, store_vec=True
     )
     rt.extend_ivfpq_index(delta, path)
-    return rt.query_ivfpq_index(
+    out = rt.query_ivfpq_index(
         spark, path, _fixed_query_batch(emb), k=5, n_probe=2, rerank=20
     )
+    return _pin(out, path)
 
 
 @_register(
@@ -12455,9 +12489,10 @@ def ann_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, path, centroids=_IVF_FIXED_RAW, codebooks=_PQ_CB, store_vec=True
     )
     rt.delete_from_index(emb.filter(F.col("vec_id") % 10 == 7), path)
-    return rt.query_ivfpq_index(
+    out = rt.query_ivfpq_index(
         spark, path, _fixed_query_batch(emb), k=5, n_probe=2, rerank=20
     )
+    return _pin(out, path)
 
 
 @_register(
@@ -12480,9 +12515,10 @@ def ann_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rt.delete_from_index(emb.filter(F.col("vec_id") % 10 == 7), path)
     rt.compact_index(spark, path)
-    return rt.query_ivfpq_index(
+    out = rt.query_ivfpq_index(
         spark, path, _fixed_query_batch(emb), k=5, n_probe=2, rerank=20
     )
+    return _pin(out, path)
 
 
 @_register(
@@ -12522,7 +12558,7 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ivfpq_tmp_path(sf_dir, "stats")
     rt.build_ann_index(emb, path, centroids=_IVF_FIXED_RAW)
     rt.delete_from_index(emb.filter(F.col("vec_id") % 10 == 7), path)
-    return rt.index_stats(spark, path)
+    return _pin(rt.index_stats(spark, path), path)
 
 
 @_register(
@@ -12574,9 +12610,10 @@ def ann_index_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt.build_ann_index(
         emb.filter(F.col("vec_id") % 10 < 8), path, centroids=_IVF_FIXED_RAW
     )
-    return rt.index_ingest_drift(
+    out = rt.index_ingest_drift(
         spark, path, emb.filter(F.col("vec_id") % 10 >= 8)
     )
+    return _pin(out, path)
 
 
 @_register(
@@ -12646,7 +12683,7 @@ def ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in pre
     ]
-    return (
+    out = (
         spark.createDataFrame(
             rows, "cid INT, n_live BIGINT, c_norm DOUBLE, c_sum DOUBLE"
         )
@@ -12658,6 +12695,9 @@ def ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+    # driver-local rows already (no lazy read of `path` remains), but
+    # pin anyway for a uniform family contract and drop the scratch dir
+    return _pin(out, path)
 
 
 @_register(
@@ -12692,7 +12732,7 @@ def minhash_index_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _skip_tmp_path(sf_dir, "mhstats")
     dd.minhash_index_write(docs, path, num_hashes=16, bands=4)
     dd.minhash_index_delete(docs.filter(F.col("doc_id") % 7 == 3), path)
-    return dd.minhash_index_stats(spark, path)
+    return _pin(dd.minhash_index_stats(spark, path), path)
 
 
 @_register(
@@ -12768,14 +12808,7 @@ def embedding_validation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _skip_tmp_path(sf_dir: str, tag: str) -> str:
-    import tempfile
-
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_skip_{tag}_"
-        + os.path.basename(os.path.normpath(sf_dir))
-        + f"_{os.getpid()}",
-    )
+    return _fresh_tmp_path(f"spark_graft_skip_{tag}", sf_dir)
 
 
 @_register(
@@ -12817,11 +12850,12 @@ def manifest_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_quantity", ">", 30),
         ],
     )
-    return out.groupBy("l_returnflag").agg(
+    agg = out.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+    return _pin(agg, path)
 
 
 @_register(
@@ -12849,11 +12883,12 @@ def bloom_skip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = o.filter(F.col("o_orderkey") % 997 == 1).select("o_orderkey")
     out = _skp.read_with_skipping(spark, path, in_keys=("o_orderkey", keys))
-    return out.select(
+    sel = out.select(
         "o_orderkey",
         "o_custkey",
         F.round(F.col("o_totalprice"), 2).alias("total"),
     )
+    return _pin(sel, path)
 
 
 @_register(
@@ -12900,11 +12935,12 @@ def incremental_manifest_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_discount", ">=", 0.05),
         ],
     )
-    return out.groupBy("l_linestatus").agg(
+    agg = out.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+    return _pin(agg, path)
 
 
 @_register(
@@ -12936,7 +12972,7 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = docs.filter(F.col("doc_id") % 10 >= 8)
     dd.minhash_index_write(base, path, num_hashes=16, bands=4)
     dd.minhash_index_extend(ext, path)
-    return dd.minhash_index_query(probe, path)
+    return _pin(dd.minhash_index_query(probe, path), path)
 
 
 @_register(
@@ -12976,10 +13012,11 @@ def zorder_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_suppkey", "between", (20, 60)),
         ],
     )
-    return out.groupBy("l_returnflag").agg(
+    agg = out.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+    return _pin(agg, path)
 
 
 @_register(
@@ -13008,7 +13045,7 @@ def minhash_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = docs.filter(F.col("doc_id") % 10 >= 8)
     dd.minhash_index_write(stored, path, num_hashes=16, bands=4)
     dd.minhash_index_delete(stored.filter(F.col("doc_id") % 7 == 3), path)
-    return dd.minhash_index_query(probe, path)
+    return _pin(dd.minhash_index_query(probe, path), path)
 
 
 @_register(
@@ -13360,10 +13397,11 @@ def incremental_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_suppkey", "between", (20, 60)),
         ],
     )
-    return out.groupBy("l_returnflag").agg(
+    agg = out.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+    return _pin(agg, path)
 
 
 @_register(
@@ -13415,7 +13453,8 @@ def zorder_fold_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_suppkey", "between", (10, 50)),
         ],
     )
-    return out.groupBy("l_linestatus").agg(
+    agg = out.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+    return _pin(agg, path)

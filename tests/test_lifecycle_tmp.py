@@ -1,0 +1,101 @@
+"""Round-13 regression pack for the pid-keyed temp-dir hazard.
+
+Round 12's one red driver row (``orc_roundtrip_docs``: rows/schema
+matched, hash didn't) was traced to the lifecycle queries' scratch
+directories being *process-stable*: two builds of the same entry in one
+process — a harness retry thread, concurrent panel workers, a second
+``queries()`` build racing the first build's hash action — shared one
+directory, so build #2's ``mode("overwrite")`` could rewrite the part
+files build #1's still-lazy plan was about to read (mixed/duplicated
+parts flip integer aggregates while preserving group keys and schema —
+exactly the observed signature).
+
+The round-13 contract, pinned here:
+
+1. ``queries._fresh_tmp_path`` never hands out the same directory twice
+   (pid + per-process monotonic counter);
+2. every lifecycle entry returns an EAGERLY PINNED result
+   (``localCheckpoint(eager=True)``) — the returned DataFrame is
+   immune to ANY later mutation of scratch state, however the harness
+   schedules builds vs. actions;
+3. scratch dirs (and their ``__<tag>`` sidecars) are deleted at pin
+   time, so /tmp stays bounded even though every build gets a fresh
+   directory.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+
+from bohemia_kenya_data_pipeline_spark import queries as Q
+
+from conftest import SF_DIR
+
+
+def _hashable(df):
+    """Order-insensitive value snapshot (the driver compare's shape)."""
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_fresh_tmp_path_never_repeats():
+    seen = {Q._fresh_tmp_path("spark_graft_t13", SF_DIR) for _ in range(64)}
+    assert len(seen) == 64
+    # pid-scoped (isolates concurrent harness processes on one host)
+    assert all(f"_{os.getpid()}_" in p for p in seen)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["orc_roundtrip_docs", "ann_index_fixedq", "minhash_index_band_stats"],
+)
+def test_interleaved_double_build_hashes_identically(spark, name):
+    """The r12 driver failure mode, reproduced deliberately: build the
+    entry TWICE in one process, act on the second build first, then act
+    on the first — under the old process-stable dirs, build #2's
+    overwrite corrupted build #1's lazy read; pinned results must hash
+    identically no matter the action order."""
+    fn = Q.QUERIES[name]
+    df1 = fn(spark, SF_DIR)
+    df2 = fn(spark, SF_DIR)  # would have rewritten df1's dir pre-r13
+    snap2 = _hashable(df2)  # act on the SECOND build first
+    snap1 = _hashable(df1)  # first build's result must be unharmed
+    assert snap1 == snap2
+    # and re-collecting long after both scratch dirs are gone still
+    # answers from the pinned blocks
+    assert _hashable(df1) == snap1
+
+
+def test_pin_survives_scratch_dir_removal(spark):
+    """The pinned DataFrame must not depend on the temp dir at all —
+    the dir is already deleted by the time the query returns."""
+    df = Q.QUERIES["orc_roundtrip_docs"](spark, SF_DIR)
+    sf = os.path.basename(os.path.normpath(SF_DIR))
+    pat = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_orc_{sf}_{os.getpid()}_*"
+    )
+    assert glob.glob(pat) == []  # scratch dropped at pin time
+    assert len(df.collect()) > 0  # still answers
+
+
+def test_pin_cleans_sidecar_dirs(spark):
+    """Index entries leave no ``__centroids``/``__tombstones``/
+    ``__manifest`` orphans behind (the sidecars hang off the unique
+    base path, so the pin-time glob can only match this build's)."""
+    Q.QUERIES["ann_index_stats"](spark, SF_DIR)
+    Q.QUERIES["zorder_fold_scan"](spark, SF_DIR)
+    sf = os.path.basename(os.path.normpath(SF_DIR))
+    leftovers = [
+        p
+        for pref in ("spark_graft_ivfpq_stats", "spark_graft_skip_zfold")
+        for p in glob.glob(
+            os.path.join(
+                tempfile.gettempdir(), f"{pref}_{sf}_{os.getpid()}_*"
+            )
+        )
+    ]
+    assert leftovers == []
