@@ -28,6 +28,7 @@ import math
 import os
 import threading
 import time
+import uuid
 from collections.abc import Sequence
 from contextlib import contextmanager
 
@@ -59,11 +60,23 @@ def _single_writer(spark: SparkSession, path: str, stale_seconds: float = 3600.0
     swaps make that safe — recovery is idempotent). Re-entrant within
     one process so the composed tick's stages share one lock.
 
+    Ownership is tokened (ADVICE r12): the lock file holds a unique
+    ``pid:uuid`` token, a background heartbeat refreshes the lock
+    mtime every ``stale_seconds / 4`` while the tick runs (so a LIVE
+    tick longer than ``stale_seconds`` is never presumed crashed),
+    and release deletes the lock ONLY if it still holds this tick's
+    token — a holder that somehow lost the lock to a steal can no
+    longer delete the NEW holder's lock and admit a third writer.
+
     Advisory, not ironclad: two writers stealing the SAME stale lock
     in the same instant can both proceed (delete-then-create has a
-    window) — the lock turns the silent-corruption hazard into a
-    detected error for the realistic case (a scheduler double-firing
-    a live tick), while crash recovery stays journal-based.
+    window), and create-then-write-token is two steps — a crash
+    between them leaves a zero-byte lock that blocks ticks until it
+    goes stale (the heartbeat never runs for a crashed holder, so the
+    block is bounded by ``stale_seconds``). The lock turns the
+    silent-corruption hazard into a detected error for the realistic
+    case (a scheduler double-firing a live tick), while crash
+    recovery stays journal-based.
     """
     held = getattr(_TICK_LOCKS, "paths", None)
     if held is None:
@@ -89,20 +102,58 @@ def _single_writer(spark: SparkSession, path: str, stale_seconds: float = 3600.0
         raise ConcurrentMaintenanceError(
             f"lost the lock race on {key}: {exc}"
         ) from None
+    token = f"{os.getpid()}:{uuid.uuid4().hex}"
     try:
-        out.write(bytearray(str(os.getpid()).encode()))
+        out.write(bytearray(token.encode()))
         out.close()
     except Exception:
-        # a failed pid write must not leave the table locked for
+        # a failed token write must not leave the table locked for
         # stale_seconds with no tick running (review finding)
         fs.delete(lock, False)
         raise
+    # heartbeat: a live tick longer than stale_seconds must never be
+    # presumed crashed and stolen (ADVICE r12 — fold/compaction over a
+    # large table can legitimately run for hours). setTimes on a path
+    # the new holder already replaced is harmless (it only freshens
+    # THEIR lock once) and on a deleted path just errors out.
+    stop_heartbeat = threading.Event()
+
+    def _heartbeat() -> None:
+        while not stop_heartbeat.wait(stale_seconds / 4.0):
+            try:
+                now_ms = int(time.time() * 1000)
+                fs.setTimes(lock, now_ms, now_ms)
+            except Exception:
+                return
+
+    beat = threading.Thread(
+        target=_heartbeat, name=f"tick-lock-heartbeat:{key}", daemon=True
+    )
+    beat.start()
     held.add(key)
     try:
         yield
     finally:
+        stop_heartbeat.set()
         held.discard(key)
-        fs.delete(lock, False)
+        # tokened release: only delete a lock we still own — after a
+        # (stale-presumption) steal, the file holds the NEW holder's
+        # token and must survive this holder's exit
+        if _lock_token(fs, lock) == token:
+            fs.delete(lock, False)
+
+
+def _lock_token(fs, lock) -> str | None:
+    """Read a ``__tick.lock`` file's ownership token (None if the lock
+    is gone or unreadable — either way, not provably ours)."""
+    try:
+        stream = fs.open(lock)
+        try:
+            return bytes(stream.readAllBytes()).decode("utf-8", "replace")
+        finally:
+            stream.close()
+    except Exception:
+        return None
 
 
 def dataset_file_stats(
@@ -605,10 +656,17 @@ def _zorder_fold(
         "n_generations": len(gens),
         "n_new_tiles": 0,
     }
-    if len(gens) <= int(max_generations):
+    # clamp: the base generation is never a fold victim, so any
+    # max_generations <= 0 means "fold everything but the base" — a
+    # raw 0 with a single-generation (or legacy) sidecar would pass
+    # the gate (1 <= 0 is false) with an EMPTY victims list and throw
+    # on the zero-path read below (ADVICE r12)
+    if len(gens) <= max(1, int(max_generations)):
         return report
 
     victims = sorted(set().union(*gens[1:]))
+    if not victims:
+        return report
     sizes = {
         os.path.basename(r["file"]): r["size_bytes"]
         for r in _list_parquet_files(spark, path).collect()

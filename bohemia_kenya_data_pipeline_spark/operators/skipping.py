@@ -129,11 +129,20 @@ def _swap_in(spark: SparkSession, path: str, stage: str) -> None:
     if fs.exists(old):
         if not fs.exists(p):
             # crashed mid-swap: restore the parked copy first
-            fs.rename(old, p)
+            if not fs.rename(old, p):
+                raise OSError(f"swap recovery rename failed: {path}__old -> {path}")
         else:
             fs.delete(old, True)
-    fs.rename(p, old)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(stage), p)
+    # every rename checked: Hadoop signals failure by returning false
+    # (ADVICE r12), and proceeding past a failed park/promote would
+    # delete the only live copy or leave readers on the stale one
+    if not fs.rename(p, old):
+        raise OSError(f"swap park rename failed: {path} -> {path}__old")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(stage), p):
+        # best-effort immediate restore; the __old/__stage siblings
+        # also make the next tick's recovery path self-heal this
+        fs.rename(old, p)
+        raise OSError(f"swap promote rename failed: {stage} -> {path}")
     fs.delete(old, True)
 
 
@@ -164,7 +173,12 @@ def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
     out.close()
     if fs.exists(p):
         fs.delete(p, False)
-    fs.rename(tmp, p)
+    # Hadoop rename reports failure by RETURNING false, not raising
+    # (ADVICE r12) — a silently-unrenamed journal here would let a
+    # z-order swap move/delete data files with no persisted intent,
+    # reopening the crash-corruption window this primitive closes
+    if not fs.rename(tmp, p):
+        raise OSError(f"sidecar/journal rename failed: {path}__tmp -> {path}")
 
 
 def _read_json(spark: SparkSession, path: str) -> dict:

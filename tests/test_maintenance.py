@@ -640,3 +640,75 @@ def test_layout_tick_repairs_manifest_after_recovery_only(spark, tmp_path):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert spark.read.parquet(path).count() == 1500
+
+
+def test_lock_release_is_tokened_after_steal(spark, tmp_path):
+    """ADVICE r12 (medium): the original holder's exit must NOT delete
+    a lock that was (stale-presumption) stolen by a new holder — an
+    unconditional delete would admit a third concurrent writer, the
+    silent-corruption scenario the lock exists to prevent. Release is
+    now conditional on the lock still holding this tick's token."""
+    path = str(tmp_path / "tok")
+    lock = path + "__tick.lock"
+    with mt._single_writer(spark, path):
+        assert os.path.exists(lock)
+        own = open(lock).read()
+        assert ":" in own and own.split(":")[0] == str(os.getpid())
+        # simulate a steal: a new holder replaced the lock file with
+        # its own token while this tick was still running
+        with open(lock, "w") as fh:
+            fh.write("4242:feedfacefeedfacefeedfacefeedface")
+    # the stolen lock SURVIVES the original holder's exit
+    assert os.path.exists(lock)
+    assert open(lock).read().startswith("4242:")
+    os.remove(lock)
+    # and the normal (un-stolen) exit still releases
+    with mt._single_writer(spark, path):
+        pass
+    assert not os.path.exists(lock)
+
+
+def test_lock_heartbeat_keeps_long_live_tick_fresh(spark, tmp_path):
+    """ADVICE r12 (medium): a legitimate tick can outlive
+    stale_seconds (hours-long fold/compaction on a 100 TB table); the
+    heartbeat refreshes the lock mtime every stale_seconds/4 so a
+    competitor never presumes a LIVE tick crashed and steals it."""
+    import threading as _threading
+    import time as _time
+
+    path = str(tmp_path / "hb")
+    outcome: dict = {}
+
+    def _attempt() -> None:
+        # a different thread has its own _TICK_LOCKS (threading.local),
+        # so this goes through the full contention check
+        try:
+            with mt._single_writer(spark, path, stale_seconds=1.2):
+                outcome["entered"] = True
+        except mt.ConcurrentMaintenanceError:
+            outcome["blocked"] = True
+
+    with mt._single_writer(spark, path, stale_seconds=1.2):
+        _time.sleep(2.6)  # > 2x stale_seconds; heartbeat fires ~every 0.3s
+        t = _threading.Thread(target=_attempt)
+        t.start()
+        t.join()
+    assert outcome == {"blocked": True}
+    assert not os.path.exists(path + "__tick.lock")
+
+
+def test_zorder_fold_clamps_nonpositive_max_generations(spark, tmp_path):
+    """ADVICE r12 (low): max_generations <= 0 on a single-generation
+    table used to pass the fold gate with an empty victims list and
+    throw on the zero-path read; the base generation is never a fold
+    victim, so the cap clamps to >= 1 and the tick no-ops."""
+    path = str(tmp_path / "clamp0")
+    df = spark.range(600).select(
+        (F.col("id") % 16).alias("a"),
+        ((F.col("id") * 7) % 16).alias("b"),
+        F.col("id").alias("v"),
+    )
+    mt.zorder_init(df, path, "a", "b", n_files=2, bits=4)
+    rep = mt.zorder_fold(spark, path, max_generations=0)
+    assert rep["folded"] is False and rep["n_generations"] == 1
+    assert spark.read.parquet(path).count() == 600
