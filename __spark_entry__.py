@@ -105,6 +105,16 @@ _PANEL_RETRY = frozenset({
     # unique-per-build + eagerly pinned (queries._fresh_tmp_path/_pin),
     # so the driver must re-verify it under the immunized contract
     "orc_roundtrip_docs",
+    # r13: the grandfathered 6-decimal float-hash surface retired —
+    # exact integer sufficient statistics (rdt_irr), exact integer
+    # moments (corr_covar_rollup), fixed-point ppm ranks
+    # (pagerank_trade_graph), IRR columns dropped to a rows-only twin
+    # (prevalence_incidence_report); all four re-verify their NEW
+    # contracts
+    "rdt_irr",
+    "corr_covar_rollup",
+    "pagerank_trade_graph",
+    "prevalence_incidence_report",
 })
 
 

@@ -102,6 +102,72 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("rank"))
 
 
+def pagerank_ppm(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_ppm: int = 850_000,
+    src: str = "src",
+    dst: str = "dst",
+    cache_inputs: bool = True,
+) -> DataFrame:
+    """Fixed-point PageRank in parts-per-million BIGINT arithmetic —
+    the hash-stable sibling of :func:`pagerank` (round-13 hash-
+    stability migration).
+
+    Same recurrence, but every step is EXACT integer math::
+
+        r_0(v)     = 1_000_000
+        r_{t+1}(v) = (1_000_000 - d_ppm)
+                     + d_ppm * sum((u,v) in E) (r_t(u) div outdeg(u))
+                       div 1_000_000
+
+    Integer division truncates a deterministic sliver of rank mass
+    (standard fixed-point PageRank, as used by systems that need
+    reproducible ranks), so the result is bit-identical across
+    engines, partitionings, and summation orders — integer sums are
+    order-exact — which is what lets the registered oracle hash it at
+    full value level where the float variant could only be
+    rank-bucketed. Headroom: ranks stay ~1e6; the per-node
+    contribution sum is bounded by in-degree * 1e6, so BIGINT
+    overflows only past ~9e12 in-degree — beyond any real graph.
+
+    Same scale design as :func:`pagerank`: one shuffle per round on
+    the join key, node-cardinality rank table, driver-side loop.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = out_degrees(e)
+    ew = e.join(deg, "src").select("src", "dst", "outdeg")
+    if cache_inputs:
+        nodes = nodes.persist()
+        ew = ew.persist()
+
+    base = int(1_000_000 - damping_ppm)
+    ranks = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
+    for _ in range(n_iter):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_ppm} * coalesce(s, CAST(0 AS BIGINT)))"
+                    " div 1000000"
+                )
+            ).cast("long").alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank_ppm"))
+
+
 def khop_reachable(
     edges: DataFrame,
     seeds: DataFrame,

@@ -3466,30 +3466,68 @@ def sanitize_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "rdt_irr",
     "WITH RECURSIVE " + _RDT_COHORT_SQL + """,
-    rates AS (
-      SELECT visit_number, extid % 2 AS assignment,
-             CAST(SUM(CASE WHEN incident_case THEN 1 ELSE 0 END) AS BIGINT) AS Cases,
-             ROUND(CASE WHEN SUM(COALESCE(days_at_risk, 0)) / 365.25 > 0
-                        THEN CAST(SUM(CASE WHEN incident_case THEN 1 ELSE 0 END) AS BIGINT)
-                             / (SUM(COALESCE(days_at_risk, 0)) / 365.25) END, 6)
-               AS Incidence
-      FROM rec GROUP BY 1, 2),
-    irr AS (
-      SELECT visit_number, COUNT(*) AS arms,
-             exp(SUM(ln(CASE WHEN assignment = 1 THEN 1.0 / Incidence
-                             ELSE Incidence END))) AS IRR_raw,
-             sqrt(SUM(1.0 / Cases)) AS se
-      FROM rates WHERE Incidence > 0 AND Cases > 0
-      GROUP BY 1)
-    SELECT visit_number, ROUND(IRR_raw, 6) AS IRR,
-           ROUND(IRR_raw / exp(1.959963984540054 * se), 6) AS IRR_lwr,
-           ROUND(IRR_raw * exp(1.959963984540054 * se), 6) AS IRR_upr
-    FROM irr WHERE arms = 2
+    arm AS (
+      SELECT visit_number,
+             CAST(SUM(CASE WHEN extid % 2 = 0 AND incident_case
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cases_ctrl,
+             CAST(SUM(CASE WHEN extid % 2 = 1 AND incident_case
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cases_treat,
+             CAST(SUM(CASE WHEN extid % 2 = 0
+                           THEN COALESCE(days_at_risk, 0) ELSE 0 END)
+                  AS BIGINT) AS days_ctrl,
+             CAST(SUM(CASE WHEN extid % 2 = 1
+                           THEN COALESCE(days_at_risk, 0) ELSE 0 END)
+                  AS BIGINT) AS days_treat
+      FROM rec GROUP BY 1)
+    SELECT visit_number, cases_ctrl, cases_treat, days_ctrl, days_treat
+    FROM arm
+    WHERE cases_ctrl > 0 AND cases_treat > 0
+      AND days_ctrl > 0 AND days_treat > 0
     """,
 )
 def rdt_irr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IRR across arms per visit: prod via exp(sum(ln)) + Wald CI
-    # (prevalence_incidence.qmd:37-44).
+    # IRR across arms per visit (prevalence_incidence.qmd:37-44) —
+    # HASH-MIGRATED contract (round 13, hash-stability policy): the
+    # old 6-decimal IRR/lwr/upr columns came from an exp(sum(ln))
+    # chain whose measured cross-libm floor (47-64x the divergence
+    # band, tests/test_hash_boundary_audit.py r12) made them the
+    # thinnest grandfathered hash surface. The hashed contract is now
+    # the EXACT integer sufficient statistics that fully determine the
+    # IRR and its Wald CI — per-arm case counts and days-at-risk sums
+    # (days_at_risk is integer-valued by construction: whole-day gaps
+    # minus 14*coartem, so the double sums are order-exact) — with the
+    # same eligibility as the old arms=2 / Incidence>0 / Cases>0
+    # filter. The float IRR itself lives in the rows-only twin
+    # ``rdt_irr_scores``.
+    evaluated = st.evaluate_rdts(_rdt_cohort(spark, sf_dir)).withColumn(
+        "assignment", F.col("extid") % 2
+    )
+    inc = F.col("incident_case")
+    ctrl = F.col("assignment") == 0
+    treat = F.col("assignment") == 1
+    days = F.coalesce(F.col("days_at_risk"), F.lit(0.0))
+    g = evaluated.groupBy("visit_number").agg(
+        F.sum(F.when(ctrl & inc, 1).otherwise(0)).cast("long").alias("cases_ctrl"),
+        F.sum(F.when(treat & inc, 1).otherwise(0)).cast("long").alias("cases_treat"),
+        F.sum(F.when(ctrl, days).otherwise(0.0)).cast("long").alias("days_ctrl"),
+        F.sum(F.when(treat, days).otherwise(0.0)).cast("long").alias("days_treat"),
+    )
+    return g.filter(
+        (F.col("cases_ctrl") > 0)
+        & (F.col("cases_treat") > 0)
+        & (F.col("days_ctrl") > 0)
+        & (F.col("days_treat") > 0)
+    )
+
+
+@_register("rdt_irr_scores", None)
+def rdt_irr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only float twin of ``rdt_irr`` (hash-stability policy): the
+    # actual IRR + Wald CI via prod-as-exp(sum(ln)) — the ln/exp chain
+    # whose 6-decimal rounding cannot be hash-safe across libms. The
+    # driver row-counts it; the VALUES are covered by the integer
+    # sufficient statistics hashed in ``rdt_irr`` plus the pytest
+    # differential (tests/test_stats.py) at tolerance.
     evaluated = st.evaluate_rdts(_rdt_cohort(spark, sf_dir)).withColumn(
         "assignment", F.col("extid") % 2
     )
@@ -3520,14 +3558,6 @@ _Z = "1.959963984540054"
       SELECT *, LAG(prev_u) OVER (PARTITION BY assignment
                                   ORDER BY visit_number) AS lp
       FROM r2),
-    irr AS (
-      SELECT visit_number, COUNT(*) AS arms,
-             exp(SUM(ln(CASE WHEN assignment = 1
-                             THEN 1.0 / ROUND(inc_u, 6)
-                             ELSE ROUND(inc_u, 6) END))) AS irr_raw,
-             sqrt(SUM(1.0 / Cases)) AS se
-      FROM r2 WHERE ROUND(inc_u, 6) > 0 AND Cases > 0
-      GROUP BY 1),
     cum AS (
       SELECT assignment, visit_number,
              CAST(SUM(Cases) OVER cw AS BIGINT) AS cumulative_cases,
@@ -3549,15 +3579,7 @@ _Z = "1.959963984540054"
                AS cumulative_incidence_lwr,
              ROUND(cinc_u + {_Z} * sqrt(cinc_u / ct), 6)
                AS cumulative_incidence_upr
-      FROM cum2),
-    cirr AS (
-      SELECT visit_number, COUNT(*) AS arms,
-             exp(SUM(ln(CASE WHEN assignment = 1
-                             THEN 1.0 / cumulative_incidence
-                             ELSE cumulative_incidence END))) AS irr_raw,
-             sqrt(SUM(1.0 / cumulative_cases)) AS se
-      FROM cum3 WHERE cumulative_incidence > 0 AND cumulative_cases > 0
-      GROUP BY 1)
+      FROM cum2)
     SELECT r3.assignment, r3.visit_number, r3.Children, r3.Cases,
            ROUND(r3.prev_u, 6) AS Prevalence,
            CASE WHEN r3.lp > 0
@@ -3570,30 +3592,49 @@ _Z = "1.959963984540054"
              AS Incidence_lwr,
            ROUND(r3.inc_u + {_Z} * sqrt(r3.inc_u / r3.cyr), 6)
              AS Incidence_upr,
-           i.IRR, i.IRR_lwr, i.IRR_upr,
            c.cumulative_cases, c.cumulative_time, c.cumulative_incidence,
-           c.cumulative_incidence_lwr, c.cumulative_incidence_upr,
-           ci.cumulative_IRR, ci.cumulative_IRR_lwr, ci.cumulative_IRR_upr
+           c.cumulative_incidence_lwr, c.cumulative_incidence_upr
     FROM r3
-    LEFT JOIN (SELECT visit_number, ROUND(irr_raw, 6) AS IRR,
-                      ROUND(irr_raw / exp({_Z} * se), 6) AS IRR_lwr,
-                      ROUND(irr_raw * exp({_Z} * se), 6) AS IRR_upr
-               FROM irr WHERE arms = 2) i USING (visit_number)
     LEFT JOIN cum3 c ON c.assignment = r3.assignment
                     AND c.visit_number = r3.visit_number
-    LEFT JOIN (SELECT visit_number, ROUND(irr_raw, 6) AS cumulative_IRR,
-                      ROUND(irr_raw / exp({_Z} * se), 6) AS cumulative_IRR_lwr,
-                      ROUND(irr_raw * exp({_Z} * se), 6) AS cumulative_IRR_upr
-               FROM cirr WHERE arms = 2) ci
-           ON ci.visit_number = r3.visit_number
     """,
 )
 def prevalence_incidence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The COMPOSED analysis report (prevalence_incidence.qmd:25-56):
     # per-arm-per-visit rates + prevalence change lag + Wald-CI
-    # incidence + per-visit IRR + cumulative (visit>1) incidence/IRR
-    # block, one output table — closes the last reference query family
-    # without a one-to-one registered entry (VERDICT r4 ask 3).
+    # incidence + cumulative (visit>1) incidence block, one output
+    # table — closes the last reference query family without a
+    # one-to-one registered entry (VERDICT r4 ask 3).
+    # HASH-MIGRATED contract (round 13, hash-stability policy): the
+    # six per-visit/cumulative IRR columns are exp(sum(ln)) chains —
+    # the cross-libm class that can never be hash-safe at 6 decimals —
+    # so they moved to the rows-only twin
+    # ``prevalence_incidence_scores``. Every REMAINING rounded column
+    # is an IEEE-exact chain over exact integer aggregates (integer
+    # ratios, one division by the dyadic 365.25, sqrt, literal-Z
+    # multiply — each operation exactly rounded on bit-identical
+    # inputs), with the boundary distances measured by the audit probe
+    # in tests/test_hash_boundary_audit.py.
+    evaluated = st.evaluate_rdts(_rdt_cohort(spark, sf_dir)).withColumn(
+        "assignment", F.col("extid") % 2
+    )
+    return st.prevalence_incidence_report(evaluated).drop(
+        "IRR",
+        "IRR_lwr",
+        "IRR_upr",
+        "cumulative_IRR",
+        "cumulative_IRR_lwr",
+        "cumulative_IRR_upr",
+    )
+
+
+@_register("prevalence_incidence_scores", None)
+def prevalence_incidence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only float twin of ``prevalence_incidence_report``: the
+    # FULL report including the six ln/exp IRR columns. Row-counted by
+    # the driver; the IRR math is value-pinned by ``rdt_irr``'s exact
+    # integer sufficient statistics and the pytest tolerance
+    # differential.
     evaluated = st.evaluate_rdts(_rdt_cohort(spark, sf_dir)).withColumn(
         "assignment", F.col("extid") % 2
     )
@@ -4859,17 +4900,72 @@ def scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "corr_covar_rollup",
     """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS dollars,
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS dpct
+      FROM lineitem)
     SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
-           ROUND(corr(l_discount, l_extendedprice), 6) AS corr_disc_price
-    FROM lineitem GROUP BY 1
+           CAST(COUNT(*) AS BIGINT)            AS n_rows,
+           CAST(SUM(q) AS BIGINT)              AS s_qty,
+           CAST(SUM(cents) AS BIGINT)          AS s_cents,
+           CAST(SUM(dpct) AS BIGINT)           AS s_disc,
+           CAST(SUM(q * q) AS BIGINT)          AS s_qty2,
+           CAST(SUM(dollars * dollars) AS BIGINT) AS s_dollars2,
+           CAST(SUM(dpct * dpct) AS BIGINT)    AS s_disc2,
+           CAST(SUM(q * cents) AS BIGINT)      AS s_qty_cents,
+           CAST(SUM(dpct * cents) AS BIGINT)   AS s_disc_cents
+    FROM m GROUP BY 1
     """,
 )
 def corr_covar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pairwise correlation/covariance per group in one aggregate pass —
-    # the feature-relationship profiling stage; identical single-pass
-    # definitions in DuckDB.
+    # Pairwise correlation/covariance profiling per group —
+    # HASH-MIGRATED contract (round 13, hash-stability policy): the
+    # old 6-decimal corr / 4-decimal covar columns were O(1) float
+    # statistics that can never clear the 1e-6-relative boundary bar.
+    # The hashed contract is now the EXACT integer sufficient
+    # statistics of the same correlations — per-row quantized units
+    # (quantity, price cents, discount percent; the per-row quantize
+    # is deterministic: identical parquet input bits through identical
+    # scalar expressions) aggregated as count/sum/sum-of-squares/
+    # cross-products, every one an order-exact BIGINT sum. These fully
+    # determine corr+covar of the quantized columns; the float corr of
+    # the RAW columns lives in the rows-only twin
+    # ``corr_covar_scores``. The price variance moment is carried in
+    # dollars (s_dollars2), not cents, to keep the sum-of-squares
+    # within BIGINT headroom at bench scale; at warehouse scale these
+    # sums move to DECIMAL(38,0) unchanged.
+    l = _t(spark, sf_dir, "lineitem")
+    m = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.round(F.col("l_extendedprice"), 0).cast("long").alias("dollars"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("dpct"),
+    )
+    return m.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("q").alias("s_qty"),
+        F.sum("cents").alias("s_cents"),
+        F.sum("dpct").alias("s_disc"),
+        F.sum(F.col("q") * F.col("q")).alias("s_qty2"),
+        F.sum(F.col("dollars") * F.col("dollars")).alias("s_dollars2"),
+        F.sum(F.col("dpct") * F.col("dpct")).alias("s_disc2"),
+        F.sum(F.col("q") * F.col("cents")).alias("s_qty_cents"),
+        F.sum(F.col("dpct") * F.col("cents")).alias("s_disc_cents"),
+    )
+
+
+@_register("corr_covar_scores", None)
+def corr_covar_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only float twin of ``corr_covar_rollup`` (hash-stability
+    # policy): the single-pass F.corr / F.covar_samp aggregates whose
+    # streaming-moment accumulation order differs across engines. The
+    # driver row-counts it; values are pinned by the integer moments
+    # hashed in ``corr_covar_rollup`` and the pytest differential at
+    # tolerance.
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
@@ -7748,34 +7844,73 @@ from .operators import graph as gr  # noqa: E402
                       'C' || CAST(o.o_custkey AS VARCHAR) AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
     nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
-    ew AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS inv_deg
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    ew AS (SELECT e.src, e.dst, d.outdeg
            FROM edges e JOIN deg d ON d.src = e.src),
-    r0 AS (SELECT node, 1.0 AS r FROM nodes),
-    r1 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(p.r * ew.inv_deg), 0) AS r
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    r1 AS (SELECT n.node,
+                  CAST(150000 + (850000 * COALESCE(
+                         CAST(SUM(p.r // ew.outdeg) AS BIGINT), 0)) // 1000000
+                       AS BIGINT) AS r
            FROM nodes n
            LEFT JOIN ew ON ew.dst = n.node
            LEFT JOIN r0 p ON p.node = ew.src
            GROUP BY 1),
-    r2 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(p.r * ew.inv_deg), 0) AS r
+    r2 AS (SELECT n.node,
+                  CAST(150000 + (850000 * COALESCE(
+                         CAST(SUM(p.r // ew.outdeg) AS BIGINT), 0)) // 1000000
+                       AS BIGINT) AS r
            FROM nodes n
            LEFT JOIN ew ON ew.dst = n.node
            LEFT JOIN r1 p ON p.node = ew.src
            GROUP BY 1),
-    r3 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(p.r * ew.inv_deg), 0) AS r
+    r3 AS (SELECT n.node,
+                  CAST(150000 + (850000 * COALESCE(
+                         CAST(SUM(p.r // ew.outdeg) AS BIGINT), 0)) // 1000000
+                       AS BIGINT) AS r
            FROM nodes n
            LEFT JOIN ew ON ew.dst = n.node
            LEFT JOIN r2 p ON p.node = ew.src
            GROUP BY 1)
-    SELECT node, ROUND(r, 6) AS rank FROM r3
+    SELECT node, r AS rank_ppm FROM r3
     """,
 )
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3 PageRank rounds over the supplier->customer trade graph
     # (bipartite: suppliers only propagate, customers only receive —
     # customers are all dangling, which exercises the no-out-edge
-    # branch every round). ROUND(.,6) absorbs float-summation-order
-    # differences between the engines' aggregation trees.
+    # branch every round). HASH-MIGRATED contract (round 13,
+    # hash-stability policy): the old ROUND(r, 6) float ranks were
+    # grandfathered O(1) statistics behind a measured floor; the
+    # hashed contract is now graph.pagerank_ppm's fixed-point BIGINT
+    # recurrence — exact integer math, bit-identical across engines
+    # and summation orders, hashable at FULL value level (stronger
+    # than a rank-only contract: near-tied float ranks have no
+    # deterministic cross-engine order, but ppm ranks are exact).
+    # The float variant lives in the rows-only twin
+    # ``pagerank_trade_scores``.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return gr.pagerank_ppm(edges, n_iter=3)
+
+
+@_register("pagerank_trade_scores", None)
+def pagerank_trade_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only float twin of ``pagerank_trade_graph`` (hash-stability
+    # policy): the float-damping recurrence whose per-node sums are
+    # summation-order noise at the 6th decimal. Row-counted by the
+    # driver; values pinned by the fixed-point entry (which exercises
+    # the identical join/agg loop shape) and by
+    # tests/test_graph.py's tolerance differential.
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     edges = (

@@ -494,90 +494,75 @@ def test_nearest_centroid_argmin_margin(con):
     assert row[0] >= REL_EPS, f"argmin margin {row[0]:.3e} under bar"
 
 
-def test_grandfathered_6dp_surface_measured_floors(con):
-    """The pre-policy 6-decimal hashed surface (COVERAGE.md: corr/
-    covar, IRR pack, pagerank) cannot meet the 1e-6 relative bar
-    structurally (|m| up to ~2e6), so it is documented with MEASURED
-    floors against the divergence class each entry actually has:
+def test_migrated_contracts_hash_no_floats(con):
+    """Round 13 retired the grandfathered 6-decimal float-hash surface
+    (VERDICT r12 ask 2): rdt_irr now hashes exact per-arm integer
+    sufficient statistics, corr_covar_rollup hashes exact integer
+    moments of quantized units, pagerank_trade_graph hashes the
+    fixed-point ppm recurrence, and prevalence_incidence_report
+    dropped its six ln/exp IRR columns to a rows-only twin. This probe
+    pins the retirement structurally: none of the three fully-migrated
+    oracles may emit a float column again."""
+    from bohemia_kenya_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    - ln/exp chains (rdt_irr): empirical cross-libm divergence is
-      ~1.5e-9 relative (the bm25 band); require dist >= 3e-8*|m|
-      (>=20x margin; measured 47-64x at sf0.01 — the driver's gate
-      SF this audit asserts at; at sf0.001, where only the
-      same-host pytest differential runs, the worst rdt_irr row
-      measures 1.1e-8 = 7.4x the band — thinner, documented);
-    - ln-free float aggregates (pagerank iterations, corr): only
-      summation re-association (~1e-12 relative); require
-      dist >= 1e-10*|m| (measured >=1e4x over drift).
+    for t in ("lineitem", "orders", "events", "customer"):
+        con.execute(
+            f"CREATE VIEW IF NOT EXISTS {t} AS "
+            f"SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    for name in ("rdt_irr", "corr_covar_rollup", "pagerank_trade_graph"):
+        rel = con.sql(ORACLES[name])
+        bad = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) not in ("BIGINT", "INTEGER", "VARCHAR", "BOOLEAN")
+        ]
+        assert not bad, f"{name}: non-integer hashed columns {bad}"
+    # the float math stays available (and row-counted) in the twins
+    for twin in (
+        "rdt_irr_scores",
+        "corr_covar_scores",
+        "pagerank_trade_scores",
+        "prevalence_incidence_scores",
+    ):
+        assert twin in QUERIES and twin not in ORACLES
 
-    If the driver's data generation changes and a floor breaks, the
-    entry migrates to a rank/bucket contract like the round-12 set.
-    """
+
+def test_prevalence_report_lnfree_columns_floor(con):
+    """prevalence_incidence_report keeps its division/sqrt-chain
+    columns hashed at 6 decimals: every input is an exact integer
+    aggregate (counts; integer-valued day sums), 365.25 is dyadic
+    (1461/4), and division/sqrt/literal-multiply are exactly-rounded
+    IEEE ops — so both engines compute bit-identical doubles and the
+    only cross-engine freedom left is the two ROUND implementations'
+    disagreement band (~1e-12 relative, the ln-free class). Measure
+    the worst boundary distance across ALL rounded report columns and
+    require the ln-free floor."""
+    from bohemia_kenya_data_pipeline_spark.queries import ORACLES
+
     con.execute(
         "CREATE VIEW IF NOT EXISTS lineitem AS "
         f"SELECT * FROM '{SF_DIR}/lineitem.parquet'"
     )
-    # pagerank round-3 ranks (ln-free)
-    row = con.sql(
-        """
-        WITH edges AS (
-          SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
-                          'C' || CAST(o.o_custkey AS VARCHAR) AS dst
-          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
-        ew AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS inv_deg
-               FROM edges e JOIN deg d ON d.src = e.src),
-        r0 AS (SELECT node, 1.0 AS r FROM nodes),
-        r1 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(p.r * ew.inv_deg), 0) AS r
-               FROM nodes n LEFT JOIN ew ON ew.dst = n.node
-               LEFT JOIN r0 p ON p.node = ew.src GROUP BY 1),
-        r2 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(p.r * ew.inv_deg), 0) AS r
-               FROM nodes n LEFT JOIN ew ON ew.dst = n.node
-               LEFT JOIN r1 p ON p.node = ew.src GROUP BY 1),
-        r3 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(p.r * ew.inv_deg), 0) AS r
-               FROM nodes n LEFT JOIN ew ON ew.dst = n.node
-               LEFT JOIN r2 p ON p.node = ew.src GROUP BY 1)
-        SELECT MIN(ABS(r * 1e6 - FLOOR(r * 1e6) - 0.5)
-                   / GREATEST(1.0, ABS(r * 1e6)))
-        FROM r3
-        """
-    ).fetchone()
-    assert row[0] >= 1e-10, f"pagerank floor broke: {row[0]:.3e}"
-    # corr/covar per returnflag (ln-free)
-    rows = con.sql(
-        """
-        WITH c AS (SELECT l_returnflag,
-                          corr(l_quantity, l_extendedprice) AS c1,
-                          covar_samp(l_quantity, l_extendedprice) AS cv,
-                          corr(l_discount, l_extendedprice) AS c2
-                   FROM lineitem GROUP BY 1)
-        SELECT LEAST(
-          ABS(c1 * 1e6 - FLOOR(c1 * 1e6) - 0.5) / GREATEST(1.0, ABS(c1 * 1e6)),
-          ABS(cv * 1e4 - FLOOR(cv * 1e4) - 0.5) / GREATEST(1.0, ABS(cv * 1e4)),
-          ABS(c2 * 1e6 - FLOOR(c2 * 1e6) - 0.5) / GREATEST(1.0, ABS(c2 * 1e6)))
-        FROM c
-        """
-    ).fetchall()
-    assert min(r[0] for r in rows) >= 1e-10, "corr/covar floor broke"
-    # rdt_irr (ln/exp chain): reuse the registered oracle with the
-    # final ROUNDs swapped for scaled raw values
-    from bohemia_kenya_data_pipeline_spark.queries import ORACLES
-
-    raw = (
-        ORACLES["rdt_irr"]
-        .replace("ROUND(IRR_raw, 6) AS IRR", "IRR_raw * 1e6 AS m1")
-        .replace(
-            "ROUND(IRR_raw / exp(1.959963984540054 * se), 6) AS IRR_lwr",
-            "IRR_raw / exp(1.959963984540054 * se) * 1e6 AS m2",
-        )
-        .replace(
-            "ROUND(IRR_raw * exp(1.959963984540054 * se), 6) AS IRR_upr",
-            "IRR_raw * exp(1.959963984540054 * se) * 1e6 AS m3",
-        )
-    )
+    raw = ORACLES["prevalence_incidence_report"]
+    for col, scale in (
+        ("ROUND(r3.prev_u, 6) AS Prevalence", "r3.prev_u * 1e6 AS m1"),
+        (
+            "ROUND(r3.inc_u, 6) AS Incidence",
+            "r3.inc_u * 1e6 AS m2",
+        ),
+    ):
+        assert col in raw, f"oracle drifted; update this probe: {col}"
+        raw = raw.replace(col, scale)
     worst = 1.0
-    for r in con.sql(raw).fetchall():
-        for m in r[1:4]:
+    n = 0
+    for r in con.sql(
+        "SELECT m1, m2 FROM (" + raw + ")"
+    ).fetchall():
+        for m in r:
+            if m is None:
+                continue
+            n += 1
             worst = min(worst, abs(m - int(m // 1) - 0.5) / max(1.0, abs(m)))
-    assert worst >= 3e-8, f"rdt_irr floor broke: {worst:.3e}"
+    assert n > 0
+    assert worst >= 1e-10, f"prevalence ln-free floor broke: {worst:.3e}"
