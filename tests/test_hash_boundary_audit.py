@@ -30,6 +30,7 @@ the two engines share, not either engine's plan.
 from __future__ import annotations
 
 import os
+import re
 
 import duckdb
 import pytest
@@ -566,3 +567,115 @@ def test_prevalence_report_lnfree_columns_floor(con):
             worst = min(worst, abs(m - int(m // 1) - 0.5) / max(1.0, abs(m)))
     assert n > 0
     assert worst >= 1e-10, f"prevalence ln-free floor broke: {worst:.3e}"
+
+
+# ---------------------------------------------------------------------------
+# Round-13 sweep (VERDICT r12 ask 3): the ROUND(SUM(money), 2) report
+# surface, measured — not assumed.
+#
+# Money columns in the testdata are 2-decimal at source, so their
+# doubles deviate from exact cents by <= 2^-52 relative per row and a
+# PURE money sum scaled by 1e2 lands within ~1e-3 of an INTEGER —
+# i.e. >= ~0.499 away from the .5 rounding boundary, robust against
+# any summation-order noise (measured 0.4997+ on every probed entry).
+#
+# PRODUCT sums (price*(1-disc), price*disc) live on a 0.01 grid after
+# scaling (2dp x 2dp = 4dp per row), so their boundary distance is a
+# grid multiple >= 0.01 UNLESS a data regeneration lands a gridpoint
+# exactly on .5 — the one configuration where cross-engine summation
+# noise (~2.5e-4 at the largest probed magnitude) decides the hash.
+# These probes are the tripwire: floors at half a grid step (0.005),
+# far above the noise band, failing LOUDLY on a boundary landing so
+# the affected column migrates to exact integer cent-percent units
+# (the corr_covar_rollup pattern) instead of flipping a driver row.
+# ---------------------------------------------------------------------------
+
+
+def _unround(sql: str, alias: str) -> tuple[str, int]:
+    """Rewrite ``ROUND(expr, d) AS alias`` to ``((expr) * 1e<d>) AS
+    alias`` via a paren-balanced scan (nested CASE/parens safe).
+    Raises on pattern drift so a reworked oracle forces a probe
+    update rather than silently probing nothing."""
+    m = re.search(r"\sAS\s+" + re.escape(alias) + r"\b", sql)
+    assert m, f"alias {alias} not found"
+    i = m.start()
+    j = sql.rfind("ROUND(", 0, i)
+    assert j >= 0, f"no ROUND( before {alias}"
+    depth = 0
+    k = j + len("ROUND(") - 1
+    end = last_comma = None
+    for p in range(k, i):
+        c = sql[p]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                end = p
+                break
+        elif c == "," and depth == 1:
+            last_comma = p
+    assert end is not None and last_comma is not None, f"unbalanced ROUND for {alias}"
+    assert not sql[end + 1 : i].strip(), f"ROUND not adjacent to AS {alias}"
+    expr = sql[k + 1 : last_comma]
+    d = int(sql[last_comma + 1 : end].strip())
+    return sql[:j] + "((" + expr + ") * 1e" + str(d) + ")" + sql[end + 1 :], d
+
+
+#: (entry, hashed column) -> minimum boundary distance of the SCALED
+#: value. Classes: 0.4 = pure 2dp money/qty sum (near-integer);
+#: 0.005 = 4dp-product sum on the 0.01 grid (half a grid step);
+#: 1e-3 = 4dp ratio/mean of money aggregates (measured 0.0074-0.27,
+#: noise < 1e-5).
+_MONEY_FLOORS = {
+    ("pricing_summary", "sum_qty"): 0.4,
+    ("pricing_summary", "sum_base_price"): 0.4,
+    ("sessionize_events", "session_value"): 0.4,
+    ("zorder_fold_scan", "revenue"): 0.4,
+    ("manifest_skip_scan", "revenue"): 0.4,
+    ("pricing_summary", "sum_disc_price"): 0.005,
+    ("pricing_summary", "sum_charge"): 0.005,
+    ("join_left_broadcast_dim", "revenue"): 0.005,
+    ("tpch_q3_shipping_priority", "revenue"): 0.005,
+    ("tpch_q5_local_supplier_volume", "revenue"): 0.005,
+    ("tpch_q6_forecast_revenue", "revenue"): 0.005,
+    ("tpch_q7_volume_shipping", "revenue"): 0.005,
+    ("tpch_q10_returned_items", "revenue"): 0.005,
+    ("tpch_q15_top_supplier", "total_revenue"): 0.005,
+    ("tpch_q19_disjunctive_revenue", "revenue"): 0.005,
+    ("pricing_summary", "avg_qty"): 1e-3,
+    ("pricing_summary", "avg_price"): 1e-3,
+    ("pricing_summary", "avg_disc"): 1e-3,
+    ("tpch_q14_promo_revenue", "promo_pct"): 1e-3,
+    ("tpch_q8_market_share", "mkt_share"): 1e-3,
+}
+
+
+@pytest.mark.parametrize("entry,alias", sorted(_MONEY_FLOORS))
+def test_money_sum_boundary_floors(con, entry, alias):
+    from bohemia_kenya_data_pipeline_spark.queries import ORACLES
+
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region", "part", "events"):
+        con.execute(
+            f"CREATE VIEW IF NOT EXISTS {t} AS "
+            f"SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    sql, _d = _unround(ORACLES[entry], alias)
+    rows = [
+        r[0]
+        for r in con.sql(f"SELECT {alias} FROM ({sql})").fetchall()
+        if r[0] is not None
+    ]
+    if not rows:
+        # an all-NULL column (e.g. a disjunctive filter matching
+        # nothing at this SF) is trivially hash-stable
+        return
+    worst = min(abs(m - int(m // 1) - 0.5) for m in rows)
+    floor = _MONEY_FLOORS[(entry, alias)]
+    assert worst >= floor, (
+        f"{entry}.{alias}: scaled boundary distance {worst:.6f} under the "
+        f"{floor} floor — a data regeneration landed a grid point on the "
+        f".5 boundary; migrate this column to exact integer units (see "
+        f"corr_covar_rollup, round 13)"
+    )
