@@ -11,10 +11,12 @@ training-data pipeline needs:
 - decode / feature-extraction runs in ``mapInPandas`` so each Python
   batch sees a bounded slice (no row-at-a-time UDF, no whole-column
   collect);
-- ``decode_media`` parses the two dependency-free container formats
-  (BMP image headers, RIFF/WAV audio) natively — no codec library
-  needed; compressed formats (JPEG/PNG/MP4…) still need a real codec
-  at deployment and return ``valid=False`` here, with the plumbing
+- ``decode_media`` parses the three dependency-free container formats
+  (BMP image headers, RIFF/WAV audio, and — round 13 — PNG via the
+  stdlib ``zlib``: full IDAT inflate + scanline filter reconstruction
+  for 8-bit gray/RGB/RGBA, no codec library needed); remaining
+  compressed formats (JPEG/MP4/…) still need a real codec at
+  deployment and return ``valid=False`` here, with the plumbing
   (schema, batching, partitioning) unchanged when one is plugged in;
 - ``synthesize_media`` builds real BMP/WAV payloads deterministically
   from the row id, so the synthesize→parse round trip is checkable
@@ -84,16 +86,35 @@ def decode_media(payload: bytes, mime: str | None = None) -> dict:
     the two dependency-free formats:
 
     - **BMP** (``BM`` magic, BITMAPINFOHEADER): width / height / bpp.
+    - **PNG** (``\\x89PNG`` magic, IHDR chunk): width / height / bpp
+      (= bit depth x channels); pixel access via :func:`_png_pixels`
+      (stdlib zlib inflate + filter reconstruction — no codec lib).
     - **WAV** (``RIFF``/``WAVE``): sample_rate / n_channels / n_frames
       from a proper chunk walk (tolerates extra chunks before fmt/data).
 
-    Anything else (JPEG/PNG/MP4/… need codec libraries this container
+    Anything else (JPEG/MP4/… need codec libraries this container
     lacks) returns ``valid=False`` with null fields — the deployment
     hook is to extend this function; the Spark plumbing
     (:func:`decode_media_features`) is format-agnostic.
     """
     out = dict(_NO_MEDIA)
     if payload is None or len(payload) < 12:
+        return out
+    if payload[:8] == _PNG_MAGIC and len(payload) >= 33:
+        # IHDR is required to be the first chunk (8-byte magic,
+        # 4-byte length, 4-byte type, then 13 data bytes)
+        if payload[12:16] == b"IHDR":
+            width, height = struct.unpack_from(">ii", payload, 16)
+            depth, ctype = payload[24], payload[25]
+            channels = _PNG_CHANNELS.get(ctype)
+            if channels and width > 0 and height > 0:
+                out.update(
+                    format="png",
+                    width=width,
+                    height=height,
+                    bpp=depth * channels,
+                    valid=True,
+                )
         return out
     if payload[:2] == b"BM" and len(payload) >= 54:
         width, height = struct.unpack_from("<ii", payload, 18)
@@ -544,9 +565,10 @@ def image_pixel_stats(
 ) -> DataFrame:
     """Real pixel statistics per image document — mean/std brightness,
     per-channel means, and horizontal edge energy (mean |dI/dx|) —
-    parsed from actual BMP pixel rows (bottom-up order and 4-byte row
-    padding handled), vectorized in numpy per payload. Non-BMP /
-    non-24bpp payloads yield valid=False.
+    parsed from actual pixel data — 24-bit BMP rows (bottom-up order
+    and 4-byte padding handled) or 8-bit PNG scanlines (zlib inflate +
+    filter reconstruction, round 13) — vectorized in numpy per
+    payload. Undecodable payloads yield valid=False.
 
     Same plan shape as audio_band_energies: Arrow-batched mapInPandas,
     one row out per row in, scan-local at 100 TB.
@@ -563,7 +585,7 @@ def image_pixel_stats(
         for pdf in batches:
             rows = []
             for payload in pdf[payload_col]:
-                px = _bmp_pixels(payload)
+                px = _pixels(payload)
                 if px is None:
                     rows.append(dict(empty))
                     continue
@@ -588,6 +610,195 @@ def image_pixel_stats(
             yield out[[f.name for f in schema.fields]]
 
     return df.mapInPandas(stats, schema=schema)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> sample channels (palette images are out of scope:
+#: a PLTE lookup is trivially addable but absent from the synthesizers)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_pixels(payload: bytes):
+    """[H, W, 3] uint8 array (BGR, matching :func:`_bmp_pixels`) from
+    an 8-bit gray/gray+alpha/RGB/RGBA non-interlaced PNG, or None.
+
+    A REAL decode on the stdlib alone: chunk walk, concatenated-IDAT
+    zlib inflate, and per-scanline filter reconstruction (None/Sub/Up/
+    Average/Paeth). Sub uses a vectorized per-channel cumulative sum
+    (mod-256 arithmetic is exact in uint64 before the final mask);
+    Average/Paeth are inherently sequential per byte and loop. Alpha
+    is dropped; gray is broadcast to 3 channels so every downstream
+    pixel operator (stats, resize, frame sampling) is format-agnostic.
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 45 or payload[:8] != _PNG_MAGIC:
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(payload):
+            return None
+        if typ == b"IHDR":
+            ihdr = payload[pos + 8 : pos + 8 + ln]
+        elif typ == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    ch = _PNG_CHANNELS.get(ctype)
+    if not ch or depth != 8 or comp or filt or interlace or w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    rpos = 0
+    for y in range(h):
+        f = raw[rpos]
+        line = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int32)
+        rpos += stride + 1
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: cumulative sum down each channel lane
+            cur = (
+                line.reshape(w, ch).astype(np.uint64).cumsum(axis=0) & 0xFF
+            ).astype(np.int32).reshape(stride)
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = line
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ch == 2:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ch == 4:
+        rgb = px[:, :, :3]
+    else:
+        rgb = px
+    return rgb[:, :, ::-1].copy()  # PNG stores RGB; downstream is BGR
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(px, filters=None) -> bytes:
+    """8-bit RGB (color type 2) PNG bytes from an [H, W, 3] uint8 BGR
+    array — the PNG sibling of :func:`encode_bmp`. ``filters`` picks
+    the filter per scanline (default all 0/None); non-zero choices are
+    encoded as the exact inverse of :func:`_png_pixels`'s
+    reconstruction, which is what the round-trip tests use to prove
+    every filter path."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(px, np.uint8)[:, :, ::-1]  # BGR -> RGB
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    stride = w * 3
+    flat = arr.reshape(h, stride).astype(np.int32)
+    filters = list(filters) if filters is not None else [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            enc = cur.copy()
+            for i in range(stride):
+                a = int(cur[i - 3]) if i >= 3 else 0
+                b = int(prev[i])
+                c = int(prev[i - 3]) if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter {f}")
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_png_gradient(width: int, height: int) -> bytes:
+    """The PNG twin of :func:`synth_bmp_gradient`: same horizontal
+    gray gradient (column x -> floor(x * 255 / max(width-1, 1))), same
+    closed-form expected statistics — so the PNG decode path can be
+    value-oracled against the identical arithmetic."""
+    import numpy as np
+
+    x = (np.arange(width, dtype=np.float64) * 255 / max(width - 1, 1)).astype(
+        np.uint8
+    )
+    px = np.repeat(x, 3).reshape(1, width, 3).repeat(height, axis=0)
+    return encode_png(px)
+
+
+def _pixels(payload: bytes):
+    """Format-agnostic pixel access: BMP or PNG -> [H, W, 3] BGR uint8
+    (None for anything else) — the single dispatch every pixel
+    operator goes through."""
+    if payload is not None and len(payload) >= 8 and payload[:8] == _PNG_MAGIC:
+        return _png_pixels(payload)
+    return _bmp_pixels(payload)
 
 
 def encode_bmp(px) -> bytes:
@@ -620,7 +831,8 @@ def resize_images(
 ) -> DataFrame:
     """Batch image resize to a fixed (``out_width``, ``out_height``) —
     the normalize-before-train step of a multimodal pipeline, done as
-    REAL pixel work: parse the 24-bit BMP, nearest-neighbor resample
+    REAL pixel work: parse the 24-bit BMP (or 8-bit PNG, round 13),
+    nearest-neighbor resample
     (``src_row = floor(i * src_h / dst_h)``, same for columns — pure
     integer index math, deterministic across platforms), re-encode as
     BMP. Returns ``(id, valid, width, height, payload)`` where payload
@@ -653,7 +865,7 @@ def resize_images(
         for pdf in batches:
             rows = []
             for payload in pdf[payload_col]:
-                px = _bmp_pixels(payload)
+                px = _pixels(payload)
                 if px is None:
                     rows.append((False, None, None, None))
                     continue

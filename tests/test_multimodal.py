@@ -351,3 +351,108 @@ def test_wav_tone_pcm_matches_duckdb_reconstruction():
             dtype=np.int64,
         )
         assert (got == want).all(), f"PCM mismatch for f={f}"
+
+
+# ---------------------------------------------------------------------------
+# Round 13: PNG decode on the stdlib alone (VERDICT r12 ask 8) — full
+# IDAT inflate + scanline filter reconstruction, proven by exact
+# encode/decode round trips against known pixel arrays.
+# ---------------------------------------------------------------------------
+
+
+def test_png_every_filter_type_round_trips():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(10, 13, 3), dtype=np.uint8)
+    for filters in (
+        [0] * 10, [1] * 10, [2] * 10, [3] * 10, [4] * 10,
+        [0, 1, 2, 3, 4, 4, 3, 2, 1, 0],  # mixed, order-dependent state
+    ):
+        back = mm._png_pixels(mm.encode_png(px, filters=filters))
+        assert back is not None and (back == px).all(), filters
+
+
+def test_png_decode_media_metadata():
+    meta = mm.decode_media(mm.synth_png_gradient(16, 8))
+    assert meta == dict(
+        format="png", width=16, height=8, bpp=24,
+        sample_rate=None, n_channels=None, n_frames=None, valid=True,
+    )
+
+
+def test_png_bmp_gradient_pixel_parity():
+    """synth_png_gradient must decode to the exact pixels of
+    synth_bmp_gradient — the property that lets png_pixel_stats reuse
+    image_pixel_stats' closed-form oracle verbatim."""
+    for w, h in ((1, 1), (2, 3), (16, 8), (31, 17)):
+        a = mm._bmp_pixels(mm.synth_bmp_gradient(w, h))
+        b = mm._png_pixels(mm.synth_png_gradient(w, h))
+        assert a is not None and b is not None and (a == b).all(), (w, h)
+
+
+def test_png_gray_and_rgba_color_types():
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+
+    def build(ctype, arr):
+        h, w = arr.shape[0], arr.shape[1]
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ctype, 0, 0, 0])
+        )
+        return (
+            mm._PNG_MAGIC
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(raw))
+            + mm._png_chunk(b"IEND", b"")
+        )
+
+    g = rng.randint(0, 256, size=(4, 5), dtype=np.uint8)
+    out = mm._png_pixels(build(0, g))
+    assert all((out[:, :, c] == g).all() for c in range(3))  # gray -> 3ch
+    rgba = rng.randint(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    out = mm._png_pixels(build(6, rgba))
+    assert (out == rgba[:, :, :3][:, :, ::-1]).all()  # alpha off, BGR
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    assert mm._png_pixels(None) is None
+    assert mm._png_pixels(mm._PNG_MAGIC + b"\x00" * 40) is None
+    assert mm._png_pixels(mm.synth_png_gradient(16, 8)[:-20]) is None
+    assert mm.decode_media(b"\x89PNG\r\n\x1a\nJUNKJUNKJUNKJUNK")["valid"] is False
+    # 16-bit depth is out of scope -> decode to None, not garbage
+    body = mm.synth_png_gradient(4, 4)
+    depth16 = bytearray(body)
+    depth16[24] = 16  # IHDR bit depth (CRC now wrong too, irrelevant)
+    assert mm._png_pixels(bytes(depth16)) is None
+
+
+def test_pixel_ops_accept_png_payloads(spark):
+    """image_pixel_stats and resize_images go through the
+    format-agnostic _pixels dispatch: a PNG payload must produce the
+    same stats row as the equivalent BMP payload."""
+    import pandas as pd
+
+    rows = [
+        (1, mm.synth_bmp_gradient(16, 8)),
+        (2, mm.synth_png_gradient(16, 8)),
+        (3, b"not an image"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]),
+        schema="doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in mm.image_pixel_stats(df).collect()}
+    assert out[3].valid is False
+    assert out[1].valid and out[2].valid
+    for f in ("width", "height", "mean_brightness", "std_brightness",
+              "mean_b", "edge_energy"):
+        assert getattr(out[1], f) == getattr(out[2], f), f
+    rs = {r.doc_id: r for r in mm.resize_images(df, 8, 4).collect()}
+    assert rs[1].valid and rs[2].valid and rs[3].valid is False
+    assert rs[1].payload == rs[2].payload  # identical resized BMP bytes
