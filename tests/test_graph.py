@@ -94,3 +94,71 @@ def test_triangle_count_hand_graphs(spark):
     # triangle-free square
     sq = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
     assert gr.triangle_count(sq).collect()[0].n_triangles == 0
+
+
+# ---------------------------------------------------------------------------
+# Round 13: fixed-point (ppm BIGINT) PageRank — the hash-stable variant
+# behind the migrated pagerank_trade_graph contract. Its claim is
+# EXACTNESS: bit-identical results across engines, partitionings, and
+# summation orders, so the tests pin it against a pure-Python integer
+# reference and against itself under different physical layouts.
+# ---------------------------------------------------------------------------
+
+
+def _ppm_reference(pairs, n_iter=3):
+    """Driver-side integer reference of graph.pagerank_ppm — same
+    recurrence, plain dicts, no Spark."""
+    nodes = {n for p in pairs for n in p}
+    outdeg: dict = {}
+    for s, _ in pairs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(n_iter):
+        contrib: dict = {n: 0 for n in nodes}
+        for s, d in pairs:
+            contrib[d] += r[s] // outdeg[s]
+        r = {n: 150_000 + (850_000 * contrib[n]) // 1_000_000 for n in nodes}
+    return r
+
+
+def test_pagerank_ppm_matches_pure_python_reference(spark):
+    pairs = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"),
+        ("c", "a"), ("d", "a"), ("e", "a"),  # e dangles into a only
+    ]
+    for n in (1, 3, 5):
+        got = {
+            r.node: r.rank_ppm
+            for r in gr.pagerank_ppm(_edges(spark, pairs), n_iter=n).collect()
+        }
+        assert got == _ppm_reference(pairs, n_iter=n), f"n_iter={n}"
+
+
+def test_pagerank_ppm_partition_invariant(spark):
+    """Integer sums are order-exact: any repartitioning of the edge
+    input must produce the IDENTICAL ppm ranks — the property the
+    float variant lacks (its last-ulp depends on summation order) and
+    the reason the migrated oracle can hash at full value level."""
+    pairs = [(f"s{i % 7}", f"c{(i * 3) % 11}") for i in range(60)]
+    e = _edges(spark, pairs).distinct()
+    base = {
+        r.node: r.rank_ppm for r in gr.pagerank_ppm(e, n_iter=3).collect()
+    }
+    for layout in (e.repartition(1), e.repartition(16, "dst"), e.coalesce(2)):
+        got = {
+            r.node: r.rank_ppm
+            for r in gr.pagerank_ppm(layout, n_iter=3).collect()
+        }
+        assert got == base
+
+
+def test_pagerank_ppm_dangling_nodes_keep_base_rank(spark):
+    # customers in a bipartite graph: receive but never propagate;
+    # sources with no in-edges settle at exactly 150_000 ppm
+    e = _edges(spark, [("s1", "c1"), ("s1", "c2"), ("s2", "c1")])
+    got = {
+        r.node: r.rank_ppm for r in gr.pagerank_ppm(e, n_iter=3).collect()
+    }
+    assert got["s1"] == got["s2"] == 150_000
+    # c1 gets s1's half + s2's all, c2 gets s1's half — exact integers
+    assert got == _ppm_reference([("s1", "c1"), ("s1", "c2"), ("s2", "c1")])

@@ -694,3 +694,19 @@ def test_curation_release_dag_plan_invariants(spark):
     # broadcast semi join routes classifier survivors back onto the
     # gated rows without shuffling the corpus a second time
     assert "LeftSemi" in plan
+
+
+def test_corr_moments_single_scan_single_shuffle(spark):
+    """Round-13 migrated corr_covar_rollup: the integer-moment contract
+    must still be ONE pruned scan + ONE partial-aggregated shuffle —
+    the migration changed the hashed columns, not the plan shape."""
+    plan = _plan(QUERIES["corr_covar_rollup"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    opt = (
+        QUERIES["corr_covar_rollup"](spark, SF_DIR)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert opt.count("Relation [") == 1  # lineitem scanned once
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # only the four source columns are read from the 16-column table
+    assert read and "l_comment" not in read[0] and "l_shipdate" not in read[0]
