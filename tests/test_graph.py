@@ -162,3 +162,15 @@ def test_pagerank_ppm_dangling_nodes_keep_base_rank(spark):
     assert got["s1"] == got["s2"] == 150_000
     # c1 gets s1's half + s2's all, c2 gets s1's half — exact integers
     assert got == _ppm_reference([("s1", "c1"), ("s1", "c2"), ("s2", "c1")])
+
+
+def test_pagerank_ppm_empty_and_single_edge(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert gr.pagerank_ppm(empty, n_iter=3).collect() == []
+    one = {
+        r.node: r.rank_ppm
+        for r in gr.pagerank_ppm(
+            _edges(spark, [("a", "b")]), n_iter=2
+        ).collect()
+    }
+    assert one == _ppm_reference([("a", "b")], n_iter=2)

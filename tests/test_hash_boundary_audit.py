@@ -633,6 +633,9 @@ _MONEY_FLOORS = {
     ("sessionize_events", "session_value"): 0.4,
     ("zorder_fold_scan", "revenue"): 0.4,
     ("manifest_skip_scan", "revenue"): 0.4,
+    ("rfm_segments", "monetary"): 0.4,
+    ("grouping_sets_sales", "revenue"): 0.4,
+    ("join_inner_fact_dim", "revenue"): 0.4,
     ("pricing_summary", "sum_disc_price"): 0.005,
     ("pricing_summary", "sum_charge"): 0.005,
     ("join_left_broadcast_dim", "revenue"): 0.005,

@@ -99,3 +99,18 @@ def test_pin_cleans_sidecar_dirs(spark):
         )
     ]
     assert leftovers == []
+
+
+def test_pin_handles_empty_results(spark):
+    """_pin on a 0-row (but schema'd) result: the eager checkpoint must
+    not choke, and the scratch dir still gets dropped."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(10).filter(F.col("id") < 0).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    scratch = Q._fresh_tmp_path("spark_graft_t13_empty", SF_DIR)
+    os.makedirs(scratch, exist_ok=True)
+    out = Q._pin(df, scratch)
+    assert out.collect() == [] and out.columns == ["k", "v"]
+    assert not os.path.exists(scratch)

@@ -456,3 +456,17 @@ def test_pixel_ops_accept_png_payloads(spark):
     rs = {r.doc_id: r for r in mm.resize_images(df, 8, 4).collect()}
     assert rs[1].valid and rs[2].valid and rs[3].valid is False
     assert rs[1].payload == rs[2].payload  # identical resized BMP bytes
+
+
+def test_png_degenerate_dims_round_trip():
+    import numpy as np
+
+    for h, w in ((1, 1), (1, 7), (5, 1)):
+        px = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+        back = mm._png_pixels(mm.encode_png(px))
+        assert back is not None and (back == px).all(), (h, w)
+    # zero-dimension IHDR -> None, not a crash
+    body = mm.encode_png(np.zeros((1, 1, 3), np.uint8))
+    zero_w = bytearray(body)
+    zero_w[16:20] = (0).to_bytes(4, "big")
+    assert mm._png_pixels(bytes(zero_w)) is None
