@@ -140,6 +140,13 @@ LINEAR = [
     # classifier shuffles + dedup groupBy + one stratum window, all
     # single-pass linear in corpus bytes
     "curation_release_e2e",
+    # round-13 contract migrations (same plans, new hashed columns —
+    # re-measured because the implementations changed): exact integer
+    # moments = one pruned scan + one partial-agg shuffle; rdt integer
+    # sufficient statistics = the state-machine scan + one groupBy.
+    # pagerank_trade_graph (now fixed-point ppm) is already above.
+    "corr_covar_rollup",
+    "rdt_irr",
 ]
 
 #: quadratic BY CONSTRUCTION (query set = fixed fraction of corpus, or
