@@ -114,3 +114,56 @@ def test_pin_handles_empty_results(spark):
     out = Q._pin(df, scratch)
     assert out.collect() == [] and out.columns == ["k", "v"]
     assert not os.path.exists(scratch)
+
+
+def test_threaded_concurrent_builds_hash_identically(spark):
+    """The driver-shaped race, run for real: TWO THREADS build and act
+    on the same lifecycle entry concurrently (Spark schedules jobs from
+    both threads into one context). Under the old process-stable dirs
+    this interleaving is exactly what mixed part files mid-read; with
+    unique dirs + eager pinning both threads must produce identical
+    hashes, and each result must survive re-collection afterwards."""
+    import threading
+
+    fn = Q.QUERIES["orc_roundtrip_docs"]
+    results: dict = {}
+    errors: list = []
+
+    def build_and_hash(tag: str) -> None:
+        try:
+            df = fn(spark, SF_DIR)
+            results[tag] = (df, _hashable(df))
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errors.append((tag, exc))
+
+    threads = [
+        threading.Thread(target=build_and_hash, args=(f"t{i}",))
+        for i in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert len(results) == 2
+    (df_a, snap_a), (df_b, snap_b) = results["t0"], results["t1"]
+    assert snap_a == snap_b
+    # pinned results are stable under LATER re-collection too
+    assert _hashable(df_a) == snap_a and _hashable(df_b) == snap_b
+
+
+def test_no_query_uses_process_stable_scratch_dirs():
+    """Structural guard: the ONLY gettempdir() in queries.py is inside
+    _fresh_tmp_path, so no future lifecycle entry can quietly revert to
+    a process-stable scratch dir (the r12 red-row class)."""
+    import inspect
+
+    src = inspect.getsource(Q)
+    uses = [
+        ln.strip()
+        for ln in src.splitlines()
+        if "gettempdir()" in ln and not ln.strip().startswith("#")
+    ]
+    assert len(uses) == 1, uses
+    # and every _fresh_tmp_path result is pid+sequence suffixed
+    assert "_{os.getpid()}_{next(_TMP_SEQ)}" in src
