@@ -92,29 +92,51 @@ _PANEL_SEEN = frozenset({
     "tfidf_top_terms", "time_weighted_avg", "tpch_q14_promo_revenue",
     "tpch_q18_large_volume_customer", "train_test_split",
     "weighted_sample_docs", "zorder_fold_scan",
+    # r13 panel (CORRECTNESS_r13.json): the 49 green rows; the one red
+    # row (orc_roundtrip_docs) is deliberately NOT seen — it re-leads
+    # the r14 panel as a retried entry after its HUGEINT oracle fix
+    # (uncast DuckDB SUM materializes as float64 at the driver vs
+    # Spark BIGINT; now CAST(... AS BIGINT) — the actual root cause)
+    "ab_test_proportions", "activity_streaks",
+    "anomalies_inconsistent_group", "argmax_order_per_priority",
+    "array_hof_pack", "chunk_documents", "cms_user_counts",
+    "corr_covar_rollup", "cube_sales_matrix", "dedup_within_gap",
+    "embedding_quantize_error", "event_disorder_profile",
+    "group_ols_trend", "hierarchy_closure", "icf_verification_metrics",
+    "incremental_ivfpq_ann", "incremental_manifest_extend",
+    "interval_union_time", "kaplan_meier_churn", "mad_outlier_filter",
+    "manifest_skip_scan", "multimodal_features", "ngram_contamination",
+    "ntile_price_quartiles", "pagerank_trade_graph",
+    "pharmacy_ledger_reconciliation", "pk_visit_matrix", "pretrain_mix",
+    "pretrain_mix_spans", "prevalence_incidence_report",
+    "price_percentiles", "quantile_sketch_prices", "rdt_incidence_rates",
+    "rdt_irr", "rdt_state_machine", "resample_audio_stats",
+    "rolling_distinct_users", "semantic_decontamination",
+    "spatial_cluster_assign_bucketed", "streaming_dedup_pairs",
+    "streaming_enrich_join", "streaming_interval_join",
+    "streaming_session_window", "temperature_mix_sample", "token_counts",
+    "tpch_q12_late_shipments", "tpch_q20_part_promotion_suppliers",
+    "triangle_count_trade", "winsorize_prices",
 })
-_ROTATION_SALT = "r13"  # bump per round to rotate the fresh slice
+_ROTATION_SALT = "r14"  # bump per round to rotate the fresh slice
 
 #: entries whose hashed contract (or execution lifecycle) CHANGED this
 #: round — pinned to the very front of the panel so the driver
 #: re-verifies them rather than trusting rows recorded against behavior
-#: that no longer exists. 1 pin leaves 49 fresh slots in the 50-entry
+#: that no longer exists. 3 pins leave 47 fresh slots in the 50-entry
 #: panel.
 _PANEL_RETRY = frozenset({
-    # r13: the one r12 red row — its scratch-dir lifecycle is now
-    # unique-per-build + eagerly pinned (queries._fresh_tmp_path/_pin),
-    # so the driver must re-verify it under the immunized contract
+    # r14: the HUGEINT oracle class (VERDICT r13 root-cause finding).
+    # DuckDB types SUM(BIGINT) as HUGEINT; the driver materializes
+    # oracle results via pandas/arrow where HUGEINT -> float64 (662.0)
+    # while Spark returns BIGINT (662) -> hash mismatch with
+    # rows+schema green. All three uncast SUMs now CAST(... AS BIGINT):
+    # orc_roundtrip_docs (red in r12+r13 with exactly this signature),
+    # jsonl_roundtrip_docs (identical oracle, never panel-sampled —
+    # latent guaranteed red), hybrid_rank_fusion (rrf_nanos, latent).
     "orc_roundtrip_docs",
-    # r13: the grandfathered 6-decimal float-hash surface retired —
-    # exact integer sufficient statistics (rdt_irr), exact integer
-    # moments (corr_covar_rollup), fixed-point ppm ranks
-    # (pagerank_trade_graph), IRR columns dropped to a rows-only twin
-    # (prevalence_incidence_report); all four re-verify their NEW
-    # contracts
-    "rdt_irr",
-    "corr_covar_rollup",
-    "pagerank_trade_graph",
-    "prevalence_incidence_report",
+    "jsonl_roundtrip_docs",
+    "hybrid_rank_fusion",
 })
 
 

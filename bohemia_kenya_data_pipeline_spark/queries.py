@@ -3734,8 +3734,8 @@ from .operators import sampling as smp  # noqa: E402
     SELECT lang, source,
            COUNT(*)                  AS n_docs,
            COUNT(DISTINCT md5(text)) AS distinct_texts,
-           SUM(length(text))         AS sum_len,
-           SUM(n_chars)              AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+           CAST(SUM(n_chars) AS BIGINT)      AS sum_chars,
            MIN(doc_id)               AS min_doc,
            MAX(doc_id)               AS max_doc
     FROM documents
@@ -3776,8 +3776,8 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            COUNT(*)                  AS n_docs,
            COUNT(DISTINCT md5(text)) AS distinct_texts,
-           SUM(length(text))         AS sum_len,
-           SUM(n_chars)              AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+           CAST(SUM(n_chars) AS BIGINT)      AS sum_chars,
            MIN(doc_id)               AS min_doc,
            MAX(doc_id)               AS max_doc
     FROM documents
@@ -8675,7 +8675,7 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, TRUE AS valid,
            CAST(8000 AS INTEGER) AS sample_rate,
            CAST(2048 AS BIGINT) AS n_frames,
-           ROUND(f, 2) AS dominant_hz,
+           CAST(ROUND(f, 2) AS DOUBLE) AS dominant_hz,
            ROUND(SQRT(ss / (2048.0 * 1073741824.0)), 4) AS rms
     FROM agg
     """,
@@ -9597,8 +9597,8 @@ def zipf_vocabulary_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders),
     c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
     t AS (SELECT SUM(n) AS tot FROM c)
-    SELECT c.bin, ROUND(c.bin * 25000.0, 1) AS bin_lo,
-           ROUND((c.bin + 1) * 25000.0, 1) AS bin_hi,
+    SELECT c.bin, CAST(ROUND(c.bin * 25000.0, 1) AS DOUBLE) AS bin_lo,
+           CAST(ROUND((c.bin + 1) * 25000.0, 1) AS DOUBLE) AS bin_hi,
            c.n, ROUND(c.n * 1.0 / t.tot, 4) AS share
     FROM c, t
     """,
@@ -11633,7 +11633,8 @@ _HYBRID_QVEC_IDS = [q * 100 for q, _ in _BM25_QUERIES]
           UNION ALL
           SELECT query_id, doc_id,
                  CAST(ROUND(1e9 / (rank + 60)) AS BIGINT) AS c_nanos FROM dense),
-    fused AS (SELECT query_id, doc_id, SUM(c_nanos) AS rrf_nanos
+    fused AS (SELECT query_id, doc_id,
+                     CAST(SUM(c_nanos) AS BIGINT) AS rrf_nanos
               FROM u GROUP BY 1, 2)
     SELECT query_id, doc_id, rrf_nanos,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
