@@ -127,9 +127,17 @@ def pagerank_ppm(
     engines, partitionings, and summation orders — integer sums are
     order-exact — which is what lets the registered oracle hash it at
     full value level where the float variant could only be
-    rank-bucketed. Headroom: ranks stay ~1e6; the per-node
-    contribution sum is bounded by in-degree * 1e6, so BIGINT
-    overflows only past ~9e12 in-degree — beyond any real graph.
+    rank-bucketed. Headroom: the damping multiply is applied via the
+    exact split identity ``(s*d) div m = (s div m)*d +
+    ((s mod m)*d) div m`` (valid for nonnegative s), so the largest
+    intermediate is ``max(s div 1e6 * d, 1e6 * d) < max(s, 1e12)`` —
+    the multiply cannot overflow before the contribution sum ``s``
+    itself (bounded by in-degree * rank, ranks ~1e6) would exceed
+    BIGINT at ~9.2e18, i.e. ~9e12 in-degree at 1e6-scale ranks. A
+    naive ``d * s`` would wrap ~6 orders of magnitude earlier
+    (``850000 * s`` exceeds 2^63 at s ~ 1.08e13, ~1e7 in-degree —
+    within range of popular nodes in real web/social graphs), and
+    non-ANSI Spark wraps silently.
 
     Same scale design as :func:`pagerank`: one shuffle per round on
     the join key, node-cardinality rank table, driver-side loop.
@@ -155,13 +163,17 @@ def pagerank_ppm(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        # (s * d) div 1e6 via the split identity — bit-identical values
+        # with 1e6x more overflow headroom (see docstring)
         ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
             "node",
             (
                 F.lit(base)
                 + F.expr(
-                    f"({damping_ppm} * coalesce(s, CAST(0 AS BIGINT)))"
-                    " div 1000000"
+                    f"(coalesce(s, CAST(0 AS BIGINT)) div 1000000)"
+                    f" * {damping_ppm}"
+                    f" + ((coalesce(s, CAST(0 AS BIGINT)) % 1000000)"
+                    f" * {damping_ppm}) div 1000000"
                 )
             ).cast("long").alias("r"),
         )

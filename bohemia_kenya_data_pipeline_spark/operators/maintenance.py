@@ -117,17 +117,11 @@ def _single_writer(spark: SparkSession, path: str, stale_seconds: float = 3600.0
     # the new holder already replaced is harmless (it only freshens
     # THEIR lock once) and on a deleted path just errors out.
     stop_heartbeat = threading.Event()
-
-    def _heartbeat() -> None:
-        while not stop_heartbeat.wait(stale_seconds / 4.0):
-            try:
-                now_ms = int(time.time() * 1000)
-                fs.setTimes(lock, now_ms, now_ms)
-            except Exception:
-                return
-
     beat = threading.Thread(
-        target=_heartbeat, name=f"tick-lock-heartbeat:{key}", daemon=True
+        target=_heartbeat_loop,
+        args=(fs, lock, stop_heartbeat, stale_seconds / 4.0),
+        name=f"tick-lock-heartbeat:{key}",
+        daemon=True,
     )
     beat.start()
     held.add(key)
@@ -141,6 +135,29 @@ def _single_writer(spark: SparkSession, path: str, stale_seconds: float = 3600.0
         # token and must survive this holder's exit
         if _lock_token(fs, lock) == token:
             fs.delete(lock, False)
+
+
+def _heartbeat_loop(fs, lock, stop, interval: float) -> None:
+    """Freshen the lock mtime every ``interval`` seconds until stopped
+    or the lock file is provably gone (stolen/released).
+
+    Any other ``setTimes`` failure — a transient FS hiccup, or an
+    object store where setTimes is unsupported — is a MISSED BEAT,
+    not a reason to exit: a permanently-dead heartbeat silently
+    re-opens the exact stale-steal window it exists to close (an
+    hours-long live tick would become stealable after stale_seconds —
+    ADVICE r13). Module-level (not a closure) so the resilience
+    contract is unit-testable with a duck-typed fs."""
+    while not stop.wait(interval):
+        try:
+            now_ms = int(time.time() * 1000)
+            fs.setTimes(lock, now_ms, now_ms)
+        except Exception:
+            try:
+                if not fs.exists(lock):
+                    return  # lock gone: nothing left to freshen
+            except Exception:
+                pass  # can't even stat: transient — keep beating
 
 
 def _lock_token(fs, lock) -> str | None:

@@ -3473,10 +3473,14 @@ def sanitize_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN extid % 2 = 1 AND incident_case
                            THEN 1 ELSE 0 END) AS BIGINT) AS cases_treat,
              CAST(SUM(CASE WHEN extid % 2 = 0
-                           THEN COALESCE(days_at_risk, 0) ELSE 0 END)
+                           THEN CAST(TRUNC(COALESCE(days_at_risk, 0))
+                                     AS BIGINT)
+                           ELSE 0 END)
                   AS BIGINT) AS days_ctrl,
              CAST(SUM(CASE WHEN extid % 2 = 1
-                           THEN COALESCE(days_at_risk, 0) ELSE 0 END)
+                           THEN CAST(TRUNC(COALESCE(days_at_risk, 0))
+                                     AS BIGINT)
+                           ELSE 0 END)
                   AS BIGINT) AS days_treat
       FROM rec GROUP BY 1)
     SELECT visit_number, cases_ctrl, cases_treat, days_ctrl, days_treat
@@ -3505,12 +3509,21 @@ def rdt_irr(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = F.col("incident_case")
     ctrl = F.col("assignment") == 0
     treat = F.col("assignment") == 1
-    days = F.coalesce(F.col("days_at_risk"), F.lit(0.0))
+    # Per-row long cast BEFORE the sum (ADVICE r13): the old
+    # sum-doubles-then-cast truncated the SUM while the oracle's
+    # CAST(SUM(...)) rounds — agreeing only because days_at_risk is
+    # integer-valued by construction. Casting each row (Spark cast =
+    # truncate toward zero; oracle TRUNC + cast, identical on the
+    # nonnegative domain) makes both sides structurally integer, so
+    # the sums are order-exact BIGINT regardless of the construction
+    # invariant.
+    days = F.coalesce(F.col("days_at_risk"), F.lit(0.0)).cast("long")
+    zero = F.lit(0).cast("long")
     g = evaluated.groupBy("visit_number").agg(
         F.sum(F.when(ctrl & inc, 1).otherwise(0)).cast("long").alias("cases_ctrl"),
         F.sum(F.when(treat & inc, 1).otherwise(0)).cast("long").alias("cases_treat"),
-        F.sum(F.when(ctrl, days).otherwise(0.0)).cast("long").alias("days_ctrl"),
-        F.sum(F.when(treat, days).otherwise(0.0)).cast("long").alias("days_treat"),
+        F.sum(F.when(ctrl, days).otherwise(zero)).alias("days_ctrl"),
+        F.sum(F.when(treat, days).otherwise(zero)).alias("days_treat"),
     )
     return g.filter(
         (F.col("cases_ctrl") > 0)

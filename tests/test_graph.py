@@ -174,3 +174,36 @@ def test_pagerank_ppm_empty_and_single_edge(spark):
         ).collect()
     }
     assert one == _ppm_reference([("a", "b")], n_iter=2)
+
+
+def test_pagerank_ppm_damping_multiply_headroom(spark):
+    """ADVICE r13 (medium): the naive ``850000 * s`` damping multiply
+    wraps silently (non-ANSI Spark) once the contribution sum s passes
+    ~1.08e13 — only ~1e7 in-degree at 1e6-scale ranks, within range of
+    popular nodes in real web/social graphs. pagerank_ppm now applies
+    the exact split identity ``(s*d) div m = (s div m)*d +
+    ((s mod m)*d) div m``, whose largest intermediate stays below s
+    itself — the multiply can no longer overflow before the BIGINT sum
+    would. Evaluate both forms in Spark at hostile magnitudes against
+    Python big-int semantics."""
+    from pyspark.sql import functions as F
+
+    d, m = 850_000, 1_000_000
+    hostile = [
+        10_852_338_771_764_706,     # just past the naive wrap point
+        2**62,                      # 4.6e18
+        9_000_000_000_000_000_000,  # near BIGINT max
+    ]
+    df = spark.createDataFrame([(s,) for s in hostile], "s long")
+    rows = df.select(
+        "s",
+        F.expr(f"(s div {m}) * {d} + ((s % {m}) * {d}) div {m}").alias("split"),
+        # try_multiply -> NULL on overflow (under ANSI the plain
+        # multiply throws; under non-ANSI it would wrap silently —
+        # either way the naive form cannot produce the right rank)
+        F.expr(f"try_multiply(CAST({d} AS LONG), s) div {m}").alias("naive"),
+    ).collect()
+    for r in rows:
+        exact = (r.s * d) // m  # Python big-int: never wraps
+        assert r.split == exact, f"split identity broke at s={r.s}"
+        assert r.naive is None, f"naive multiply unexpectedly fit at s={r.s}"

@@ -712,3 +712,102 @@ def test_zorder_fold_clamps_nonpositive_max_generations(spark, tmp_path):
     rep = mt.zorder_fold(spark, path, max_generations=0)
     assert rep["folded"] is False and rep["n_generations"] == 1
     assert spark.read.parquet(path).count() == 600
+
+
+def test_heartbeat_survives_transient_settimes_failures():
+    """ADVICE r13 (low): the heartbeat used to exit permanently on the
+    FIRST setTimes exception — one transient FS hiccup (or an object
+    store with unsupported setTimes) and an hours-long live tick
+    becomes stealable after stale_seconds, the exact hazard the
+    heartbeat prevents. It must treat failures as missed beats and
+    keep going while the lock still exists."""
+    import threading
+    import time as _time
+
+    class FlakyFS:
+        def __init__(self):
+            self.beats = 0
+            self.stats = 0
+
+        def setTimes(self, lock, a, b):
+            self.beats += 1
+            if self.beats <= 3:
+                raise RuntimeError("transient fs hiccup")
+
+        def exists(self, lock):
+            self.stats += 1
+            return True
+
+    fs = FlakyFS()
+    stop = threading.Event()
+    t = threading.Thread(
+        target=mt._heartbeat_loop, args=(fs, "lk", stop, 0.02), daemon=True
+    )
+    t.start()
+    deadline = _time.time() + 10
+    while fs.beats < 6 and _time.time() < deadline:
+        _time.sleep(0.02)
+    stop.set()
+    t.join(2)
+    assert fs.beats >= 6, "heartbeat died on a transient failure"
+    assert fs.stats >= 3  # it checked the lock on each failure
+    assert not t.is_alive()
+
+
+def test_heartbeat_keeps_beating_when_stat_also_fails():
+    """A failing exists() probe is also transient — only a PROVABLY
+    missing lock (exists() returns False) ends the loop early."""
+    import threading
+    import time as _time
+
+    class BlindFS:
+        def __init__(self):
+            self.beats = 0
+
+        def setTimes(self, lock, a, b):
+            self.beats += 1
+            raise RuntimeError("down")
+
+        def exists(self, lock):
+            raise RuntimeError("also down")
+
+    fs = BlindFS()
+    stop = threading.Event()
+    t = threading.Thread(
+        target=mt._heartbeat_loop, args=(fs, "lk", stop, 0.02), daemon=True
+    )
+    t.start()
+    deadline = _time.time() + 10
+    while fs.beats < 4 and _time.time() < deadline:
+        _time.sleep(0.02)
+    stop.set()
+    t.join(2)
+    assert fs.beats >= 4
+    assert not t.is_alive()
+
+
+def test_heartbeat_exits_once_lock_provably_gone():
+    """When the lock file no longer exists (released or stolen), the
+    loop ends — setTimes on a deleted path must not spin forever."""
+    import threading
+
+    class GoneFS:
+        def __init__(self):
+            self.beats = 0
+
+        def setTimes(self, lock, a, b):
+            self.beats += 1
+            raise RuntimeError("FileNotFound")
+
+        def exists(self, lock):
+            return False
+
+    fs = GoneFS()
+    stop = threading.Event()
+    t = threading.Thread(
+        target=mt._heartbeat_loop, args=(fs, "lk", stop, 0.02), daemon=True
+    )
+    t.start()
+    t.join(5)
+    assert not t.is_alive()
+    assert fs.beats == 1
