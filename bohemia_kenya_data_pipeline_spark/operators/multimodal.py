@@ -778,18 +778,22 @@ def encode_png(px, filters=None) -> bytes:
     )
 
 
-def synth_png_gradient(width: int, height: int) -> bytes:
+def synth_png_gradient(width: int, height: int, filters=None) -> bytes:
     """The PNG twin of :func:`synth_bmp_gradient`: same horizontal
     gray gradient (column x -> floor(x * 255 / max(width-1, 1))), same
     closed-form expected statistics — so the PNG decode path can be
-    value-oracled against the identical arithmetic."""
+    value-oracled against the identical arithmetic. ``filters``
+    (optional, per scanline) passes through to :func:`encode_png`:
+    cycling all five filter types yields byte-different files that
+    must decode to the identical pixels — the property the
+    ``png_resize_roundtrip`` oracle chain leans on."""
     import numpy as np
 
     x = (np.arange(width, dtype=np.float64) * 255 / max(width - 1, 1)).astype(
         np.uint8
     )
     px = np.repeat(x, 3).reshape(1, width, 3).repeat(height, axis=0)
-    return encode_png(px)
+    return encode_png(px, filters=filters)
 
 
 def _pixels(payload: bytes):
@@ -828,6 +832,7 @@ def resize_images(
     out_height: int,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    out_format: str = "bmp",
 ) -> DataFrame:
     """Batch image resize to a fixed (``out_width``, ``out_height``) —
     the normalize-before-train step of a multimodal pipeline, done as
@@ -835,7 +840,10 @@ def resize_images(
     nearest-neighbor resample
     (``src_row = floor(i * src_h / dst_h)``, same for columns — pure
     integer index math, deterministic across platforms), re-encode as
-    BMP. Returns ``(id, valid, width, height, payload)`` where payload
+    BMP (or PNG with ``out_format="png"`` — round 14, so an
+    all-PNG decode -> transform -> encode -> decode chain can be
+    value-oracled end to end).
+    Returns ``(id, valid, width, height, payload)`` where payload
     is the resized image's bytes (NULL for undecodable inputs, which
     keeps them routable to quarantine instead of crashing the job).
 
@@ -851,6 +859,9 @@ def resize_images(
     ow, oh = int(out_width), int(out_height)
     if ow <= 0 or oh <= 0:
         raise ValueError(f"target size must be positive, got {ow}x{oh}")
+    if out_format not in ("bmp", "png"):
+        raise ValueError(f"out_format must be 'bmp' or 'png', got {out_format!r}")
+    enc = encode_bmp if out_format == "bmp" else encode_png
     schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -873,7 +884,7 @@ def resize_images(
                 ri = (np.arange(oh, dtype=np.int64) * sh) // oh
                 ci = (np.arange(ow, dtype=np.int64) * sw) // ow
                 out = px[ri][:, ci]
-                rows.append((True, ow, oh, encode_bmp(out)))
+                rows.append((True, ow, oh, enc(out)))
             res = pd.DataFrame(
                 rows, columns=["valid", "width", "height", "payload"]
             )

@@ -13462,6 +13462,47 @@ def resize_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("png_resize_roundtrip", ORACLES["resize_pixel_stats"])
+def png_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The all-PNG sibling of resize_pixel_stats (round 14, VERDICT r13
+    # ask 8): the SAME per-doc gradients, but synthesized as real PNGs
+    # whose scanline filters CYCLE through all five types (None/Sub/
+    # Up/Average/Paeth — byte-different files, identical pixels), then
+    # decoded through the full inflate + filter-reconstruction path,
+    # nearest-neighbor resized, RE-ENCODED AS PNG
+    # (resize_images out_format="png"), and decoded again for stats.
+    # Hash equality against the closed-form oracle proves the entire
+    # compressed-format decode -> transform -> encode -> decode chain
+    # lossless, with every filter path exercised driver-facing (the
+    # round-13 png_pixel_stats entry only proved filter-0 decode).
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                sh = 8 + int(i) % 24
+                payloads.append(
+                    mm.synth_png_gradient(
+                        8 + int(i) % 56, sh,
+                        filters=[(int(i) + y) % 5 for y in range(sh)],
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_img = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    resized = mm.resize_images(with_img, 16, 16, out_format="png")
+    stats = mm.image_pixel_stats(resized)
+    return stats.select(
+        "doc_id", "valid", "width", "height",
+        F.round("mean_brightness", 4).alias("mean_brightness"),
+        F.round("std_brightness", 4).alias("std_brightness"),
+    )
+
+
 @_register(
     "k_anonymity_audit",
     """

@@ -470,3 +470,61 @@ def test_png_degenerate_dims_round_trip():
     zero_w = bytearray(body)
     zero_w[16:20] = (0).to_bytes(4, "big")
     assert mm._png_pixels(bytes(zero_w)) is None
+
+
+def test_png_rejects_16bit_and_interlaced_via_stats(spark):
+    """Round-14 caveat pin (VERDICT r13 ask 8): depth-16 and
+    Adam7-interlaced PNGs are documented out of scope for the stdlib
+    decoder — they must surface as ``valid=False`` quarantine rows
+    through image_pixel_stats (the driver-facing path), never crash
+    or decode to garbage pixels."""
+    import pandas as pd
+
+    body = mm.synth_png_gradient(4, 4)
+    depth16 = bytearray(body)
+    depth16[24] = 16  # IHDR bit-depth byte
+    interlaced = bytearray(body)
+    interlaced[28] = 1  # IHDR interlace byte (Adam7)
+    assert mm._png_pixels(bytes(depth16)) is None
+    assert mm._png_pixels(bytes(interlaced)) is None
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "payload": [bytes(depth16), bytes(interlaced)]}
+        ),
+        schema="doc_id long, payload binary",
+    )
+    out = mm.image_pixel_stats(df).collect()
+    assert len(out) == 2 and all(r.valid is False for r in out)
+    # and the resize path quarantines them the same way
+    rs = mm.resize_images(df, 8, 4).collect()
+    assert all(r.valid is False and r.payload is None for r in rs)
+
+
+def test_resize_out_format_png_matches_bmp_pixels(spark):
+    """resize_images(out_format='png') must produce PNG payloads whose
+    decoded pixels are identical to the BMP-output variant — same
+    resample, different lossless container."""
+    import pandas as pd
+    import pytest as _pytest
+
+    rows = [
+        (1, mm.synth_png_gradient(16, 8, filters=[0, 1, 2, 3, 4, 0, 1, 2])),
+        (2, mm.synth_bmp_gradient(16, 8)),
+        (3, b"junk"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]),
+        schema="doc_id long, payload binary",
+    )
+    png_out = {r.doc_id: r for r in mm.resize_images(df, 8, 4, out_format="png").collect()}
+    bmp_out = {r.doc_id: r for r in mm.resize_images(df, 8, 4).collect()}
+    for i in (1, 2):
+        assert png_out[i].payload[:8] == mm._PNG_MAGIC
+        px_png = mm._png_pixels(bytes(png_out[i].payload))
+        px_bmp = mm._bmp_pixels(bytes(bmp_out[i].payload))
+        assert px_png is not None and (px_png == px_bmp).all(), i
+    # filter-cycled source and plain BMP source resize to the SAME png
+    assert bytes(png_out[1].payload) == bytes(png_out[2].payload)
+    assert png_out[3].valid is False and png_out[3].payload is None
+    with _pytest.raises(ValueError):
+        mm.resize_images(df, 8, 4, out_format="jpeg")

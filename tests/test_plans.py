@@ -675,7 +675,11 @@ def test_round11_multimodal_chains_are_scan_local(spark):
     exchange anywhere (one row out per row in, parallelizes with the
     scan), and no row-at-a-time Python (ArrowEvalPython/MapInPandas
     only)."""
-    for name in ("resize_pixel_stats", "resample_audio_stats"):
+    for name in (
+        "resize_pixel_stats",
+        "resample_audio_stats",
+        "png_resize_roundtrip",  # r14: the all-PNG chain keeps the shape
+    ):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert "Exchange" not in plan, name
         assert "BatchEvalPython" not in plan, name  # row-Python banned
