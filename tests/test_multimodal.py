@@ -528,3 +528,35 @@ def test_resize_out_format_png_matches_bmp_pixels(spark):
     assert png_out[3].valid is False and png_out[3].payload is None
     with _pytest.raises(ValueError):
         mm.resize_images(df, 8, 4, out_format="jpeg")
+
+
+def test_png_random_filters_round_trip_property():
+    """Hypothesis differential for the PNG codec (round 14): ANY pixel
+    content at ANY small shape under ANY per-scanline filter choice
+    must round-trip bit-exactly — the invariant png_resize_roundtrip's
+    oracle chain stands on. Filter state is order-dependent (Up/
+    Average/Paeth read the previous RECONSTRUCTED row), so random
+    filter sequences probe the cross-row state machine, not just each
+    filter in isolation."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        fseed=st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w, seed, fseed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        filters = np.random.RandomState(fseed).randint(0, 5, size=h).tolist()
+        back = mm._png_pixels(mm.encode_png(px, filters=filters))
+        assert back is not None and (back == px).all(), (h, w, filters)
+        # filter choice must not leak into decoded content: canonical
+        # filter-0 encoding of the same pixels decodes identically
+        assert (mm._png_pixels(mm.encode_png(px)) == back).all()
+
+    prop()
