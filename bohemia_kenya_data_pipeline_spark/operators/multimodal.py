@@ -737,6 +737,11 @@ def encode_png(px, filters=None) -> bytes:
     stride = w * 3
     flat = arr.reshape(h, stride).astype(np.int32)
     filters = list(filters) if filters is not None else [0] * h
+    if len(filters) != h:
+        raise ValueError(
+            f"filters must have one entry per scanline: got {len(filters)} "
+            f"for height {h}"
+        )
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):

@@ -54,22 +54,46 @@ def _dtype_class(v) -> str:
         return "f"
     if isinstance(v, (list, tuple)):
         return "l:" + ",".join(_dtype_class(x) for x in v[:1])
+    if isinstance(v, dict) or hasattr(v, "asDict"):
+        return "s"  # struct: content-compared in _norm_faithful
     return type(v).__name__[:1]
 
 
 def _norm_faithful(v):
     """Class-tagged normalization: value equality AND dtype-class
-    equality, so ('i', 662) != ('f', 662.0)."""
+    equality, so ('i', 662) != ('f', 662.0). Spark Rows (struct
+    columns) and DuckDB STRUCT dicts normalize to the same sorted
+    key/value shape so a future struct oracle compares by content
+    instead of container class."""
+    if hasattr(v, "asDict"):  # pyspark Row (struct column)
+        v = v.asDict()
+    if isinstance(v, dict):
+        return ("s", tuple((k, _norm_faithful(v[k])) for k in sorted(v)))
     if isinstance(v, (list, tuple)):
         return (_dtype_class(v), tuple(_norm_faithful(x) for x in v))
     return (_dtype_class(v), _norm(v))
 
 
 def _duck_rows_arrow(rel, cols_sorted):
-    """Materialize a DuckDB relation the way the driver evidently does:
-    through arrow (HUGEINT -> float64, DECIMAL -> decimal128), then
-    normalize with dtype-class tags. ``fetchall()`` would hand back
-    exact Python ints for HUGEINT and hide the class split."""
+    """Materialize a DuckDB relation through arrow and normalize with
+    dtype-class tags. Why arrow, and why this catches the driver's
+    failure class: the driver evidently materializes BOTH sides
+    through a pandas-equivalent path — proven empirically by five
+    driver-GREEN entries whose integer output columns carry NULLs
+    (icf_verification_metrics, prevalence_incidence_report,
+    spatial_cluster_assign[_bucketed], streaming_interval_join_left);
+    under pandas, nullable ints become float64/NaN on BOTH sides
+    symmetrically, so they hash green. The classes that stay
+    ASYMMETRIC under that model are exactly the ones whose DuckDB
+    type degrades while the Spark type does not: HUGEINT (pandas
+    float64 / arrow decimal128 vs Spark int64) and DECIMAL (pandas
+    float64 vs fetchall Decimal). Arrow materialization tags both as
+    non-int classes (HUGEINT -> Decimal here, NOT float64 — the
+    float64 form appears on the pandas path) against Spark's 'i',
+    reproducing the driver red without false-positiving on the 12
+    NULL-bearing-integer entries a pandas-based compare would flag.
+    ``fetchall()`` would hand back exact Python ints for HUGEINT and
+    hide the split entirely (662 == 662.0)."""
     tbl = rel.arrow()
     rows = tbl.to_pylist()
     return sorted(
@@ -142,7 +166,7 @@ def main() -> int:
                     (tuple(_norm_faithful(r[c]) for c in cols) for r in sp_rows),
                     key=repr,
                 )
-                du_f = _duck_rows_arrow(con.sql(ORACLES[name]), cols)
+                du_f = _duck_rows_arrow(rel, cols)  # relations re-execute lazily
                 ok_f = sp_f == du_f
             tag = "OK" if ok and ok_f else ("FAIL-ARROW" if ok else "FAIL")
             print(f"{name}: {tag} rows={len(sp)}/{len(du)}", flush=True)

@@ -560,3 +560,17 @@ def test_png_random_filters_round_trip_property():
         assert (mm._png_pixels(mm.encode_png(px)) == back).all()
 
     prop()
+
+
+def test_encode_png_rejects_wrong_filter_count():
+    """Round-14 self-review: a filters list shorter (or longer) than
+    the scanline count must fail with a clear ValueError at call time,
+    not an IndexError from inside a mapInPandas worker."""
+    import numpy as np
+    import pytest as _pytest
+
+    px = np.zeros((4, 3, 3), np.uint8)
+    for bad in ([0, 1], [0] * 5):
+        with _pytest.raises(ValueError, match="one entry per scanline"):
+            mm.encode_png(px, filters=bad)
+    assert mm._png_pixels(mm.encode_png(px, filters=[0, 1, 2, 3])) is not None

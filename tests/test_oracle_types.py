@@ -15,8 +15,8 @@ Two defenses, both here:
 1. A type-level scan: no registered oracle may emit a HUGEINT /
    UHUGEINT / DECIMAL output column. Integer sums must be
    ``CAST(... AS BIGINT)``; decimal arithmetic must be cast to DOUBLE.
-   (Binding only — ``rel.types`` plans without executing, so the whole
-   288-oracle scan runs in seconds.)
+   (Binding only — ``rel.types`` plans without executing, so scanning
+   every registered oracle runs in seconds.)
 2. A regression-style demonstration that the gate's driver-faithful
    arrow pass (``gate._duck_rows_arrow`` + ``gate._norm_faithful``)
    catches the class that plain equality cannot — i.e. the r13 failure
@@ -156,3 +156,37 @@ def test_roundtrip_oracles_cast_their_sums(name):
 
 def test_hybrid_rank_fusion_oracle_casts_rrf_nanos():
     assert "CAST(SUM(C_NANOS) AS BIGINT)" in ORACLES["hybrid_rank_fusion"].upper()
+
+
+def test_faithful_norm_structs_compare_by_content():
+    """Latent-class guard (round-14 self-review): a Spark struct column
+    collects as a Row (a tuple subclass) while DuckDB STRUCT arrives
+    as a dict — containers differ even when content matches. The
+    faithful normalizer maps both to the same sorted key/value shape,
+    so the first struct oracle (none exist today) compares by content
+    instead of spuriously FAIL-ARROWing."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    sp = Row(a=1, b="x", d=datetime.date(2024, 2, 29))
+    du = {"b": "x", "a": 1, "d": datetime.date(2024, 2, 29)}
+    assert gate._norm_faithful(sp) == gate._norm_faithful(du)
+    assert gate._norm_faithful(Row(a=1)) != gate._norm_faithful({"a": 1.0})
+
+
+def test_nullable_integer_columns_are_not_flagged():
+    """The driver is SYMMETRIC under pandas degradation: five
+    driver-green entries carry NULLs in integer output columns
+    (nullable int -> float64/NaN on BOTH sides), so the faithful pass
+    must NOT flag NULL-bearing BIGINT — arrow keeps exact int/None,
+    matching Spark collect()."""
+    con = duckdb.connect()
+    rel = con.sql(
+        "SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (NULL)) t(v)"
+    )
+    du_f = gate._duck_rows_arrow(rel, ["v"])
+    sp_f = sorted(
+        [(gate._norm_faithful(1),), (gate._norm_faithful(None),)], key=repr
+    )
+    assert sp_f == du_f
