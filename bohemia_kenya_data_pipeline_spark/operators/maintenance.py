@@ -203,11 +203,15 @@ def dataset_file_stats(
     )
 
 
-def _list_parquet_files(spark: SparkSession, path: str) -> DataFrame:
-    """(file, size_bytes) for every data file under ``path`` via the
-    Hadoop FileSystem API — works for any scheme Spark can read
-    (file://, s3a://, ...), and normalizes to the same URI form
-    ``input_file_name()`` reports."""
+def _list_parquet_file_infos(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Driver-side ``[(file, size_bytes)]`` listing via the Hadoop
+    FileSystem API — works for any scheme Spark can read (file://,
+    s3a://, ...). This is pure metadata: callers that only need the
+    Python list (every maintenance tick's measure/decide step) must
+    use THIS, not a createDataFrame/collect round trip — the round
+    trip costs a full Spark job per call for data that never left the
+    driver (r14 optimization: the zorder/layout ticks paid 6-8 such
+    jobs per maintenance pass)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -219,7 +223,17 @@ def _list_parquet_files(spark: SparkSession, path: str) -> DataFrame:
         name = st.getPath().toString()
         if name.endswith(".parquet"):
             out.append((name, st.getLen()))
-    return spark.createDataFrame(out, "file STRING, size_bytes BIGINT")
+    return out
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> DataFrame:
+    """(file, size_bytes) for every data file under ``path`` as a
+    DataFrame — for callers that JOIN the listing against distributed
+    data (:func:`dataset_file_stats`). Driver-only consumers use
+    :func:`_list_parquet_file_infos` directly."""
+    return spark.createDataFrame(
+        _list_parquet_file_infos(spark, path), "file STRING, size_bytes BIGINT"
+    )
 
 
 def _qualified_uri(spark: SparkSession, path: str) -> str:
@@ -476,10 +490,7 @@ def _maintain_table_layout(
             _skp._write_json(spark, _zparams_path(path), zparams)
             zrecovered = True
 
-    files = [
-        (r["file"], r["size_bytes"])
-        for r in _list_parquet_files(spark, path).collect()
-    ]
+    files = _list_parquet_file_infos(spark, path)
     n_files = len(files)
     n_small = sum(1 for _, s in files if s < small_file_mb * 1024 * 1024)
     share = round(n_small / n_files, 6) if n_files else 0.0
@@ -540,8 +551,8 @@ def _maintain_table_layout(
     if fs.exists(zp):
         zparams = _skp._read_json(spark, _zparams_path(path))
         zparams["files"] = sorted(
-            os.path.basename(r["file"])
-            for r in _list_parquet_files(spark, path).collect()
+            os.path.basename(f)
+            for f, _ in _list_parquet_file_infos(spark, path)
         )
         # a compaction collapses every tile generation into one
         zparams["generations"] = [zparams["files"]]
@@ -587,10 +598,7 @@ def zorder_init(
 
     zorder_write(df, path, col_a, col_b, n_files, bits=bits)
     spark = df.sparkSession
-    files = [
-        (r["file"], r["size_bytes"])
-        for r in _list_parquet_files(spark, path).collect()
-    ]
+    files = _list_parquet_file_infos(spark, path)
     total = sum(s for _, s in files)
     names = sorted(os.path.basename(f) for f, _ in files)
     _skp._write_json(
@@ -685,8 +693,8 @@ def _zorder_fold(
     if not victims:
         return report
     sizes = {
-        os.path.basename(r["file"]): r["size_bytes"]
-        for r in _list_parquet_files(spark, path).collect()
+        os.path.basename(f): s
+        for f, s in _list_parquet_file_infos(spark, path)
     }
     victim_bytes = sum(sizes.get(n, 0) for n in victims)
     n_tiles = max(1, math.ceil(victim_bytes / params["target_file_bytes"]))
@@ -697,8 +705,8 @@ def _zorder_fold(
     )
     cluster_write(keyed, stage_dir, ["__z"], n_tiles, drop_cols=["__z"])
     staged = sorted(
-        os.path.basename(r["file"])
-        for r in _list_parquet_files(spark, stage_dir).collect()
+        os.path.basename(f)
+        for f, _ in _list_parquet_file_infos(spark, stage_dir)
     )
     # journal the swap intent + the post-fold state, THEN mutate
     params["pending_add"] = staged
@@ -781,10 +789,7 @@ def _zorder_extend(spark: SparkSession, path: str) -> dict:
 
     current = {
         os.path.basename(f): s
-        for f, s in (
-            (r["file"], r["size_bytes"])
-            for r in _list_parquet_files(spark, path).collect()
-        )
+        for f, s in _list_parquet_file_infos(spark, path)
     }
     known = set(params["files"])
     delta = sorted(set(current) - known)
@@ -807,8 +812,8 @@ def _zorder_extend(spark: SparkSession, path: str) -> dict:
     )
     cluster_write(keyed, stage_dir, ["__z"], n_tiles, drop_cols=["__z"])
     staged = sorted(
-        os.path.basename(r["file"])
-        for r in _list_parquet_files(spark, stage_dir).collect()
+        os.path.basename(f)
+        for f, _ in _list_parquet_file_infos(spark, stage_dir)
     )
     # journal the swap intent + the post-swap file set, THEN mutate
     # (generation list derives from the PRE-extend state, so read it
