@@ -141,13 +141,17 @@ def build_ann_index(
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid INT, cv ARRAY<DOUBLE>",
-    ).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
+    ).coalesce(1).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
     return centroids
 
 
 def load_ann_centroids(spark: SparkSession, index_path: str) -> list[list[float]]:
     """Centroids from the index sidecar, in cid order."""
-    rows = spark.read.parquet(_centroid_sidecar(index_path)).collect()
+    # explicit schema (matches the writer above): a serving query
+    # should not pay a footer-inference listing per call
+    rows = spark.read.schema("cid INT, cv ARRAY<DOUBLE>").parquet(
+        _centroid_sidecar(index_path)
+    ).collect()
     return [list(r.cv) for r in sorted(rows, key=lambda r: r.cid)]
 
 
@@ -454,7 +458,7 @@ def retrain_index(
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(new_cents)],
         "cid INT, cv ARRAY<DOUBLE>",
-    ).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
+    ).coalesce(1).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
     return new_cents
 
 
@@ -659,7 +663,9 @@ def _codebook_sidecar(index_path: str) -> str:
 
 def load_pq_codebooks(spark: SparkSession, index_path: str) -> list[list[list[float]]]:
     """Codebooks from the IVF-PQ index sidecar, ``[m][k][sub_dim]``."""
-    rows = spark.read.parquet(_codebook_sidecar(index_path)).collect()
+    rows = spark.read.schema("m INT, k INT, cw ARRAY<DOUBLE>").parquet(
+        _codebook_sidecar(index_path)
+    ).collect()
     by_m: dict[int, list] = {}
     for r in rows:
         by_m.setdefault(r.m, []).append((r.k, list(r.cw)))
@@ -721,7 +727,7 @@ def build_ivfpq_index(
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid INT, cv ARRAY<DOUBLE>",
-    ).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
+    ).coalesce(1).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
     spark.createDataFrame(
         [
             (m, k, [float(x) for x in cw])
@@ -729,7 +735,7 @@ def build_ivfpq_index(
             for k, cw in enumerate(book)
         ],
         "m INT, k INT, cw ARRAY<DOUBLE>",
-    ).write.mode("overwrite").parquet(_codebook_sidecar(index_path))
+    ).coalesce(1).write.mode("overwrite").parquet(_codebook_sidecar(index_path))
     return centroids, codebooks
 
 

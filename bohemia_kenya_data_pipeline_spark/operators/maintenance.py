@@ -319,7 +319,16 @@ def cluster_write(
     if not cluster_cols:
         raise ValueError("cluster_write needs at least one cluster column")
     cols = [F.col(c) if isinstance(c, str) else c for c in cluster_cols]
-    out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    if n_files == 1:
+        # single-tile write (the steady-state zorder_extend delta and
+        # every small fold land here): one partition sorted locally IS
+        # the range layout — skip the range exchange entirely (no
+        # bounds-sampling pass, no shuffle write/fetch; r14, guide
+        # §2.4 "remove shuffles outright"). Identical file content:
+        # same rows, same within-file sort.
+        out = df.coalesce(1).sortWithinPartitions(*cols)
+    else:
+        out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
     if drop_cols:
         out = out.drop(*drop_cols)
     out.write.mode(mode).parquet(path)
