@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
 from ..operators.skipping import _swap_in
+from ..session import local_df
 
 
 def _centroid_sidecar(index_path: str) -> str:
@@ -138,7 +139,8 @@ def build_ann_index(
     assigned.write.mode("overwrite").partitionBy("cid").parquet(index_path)
     spark = corpus.sparkSession
     _drop_stale_tombstones(spark, index_path)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid INT, cv ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
@@ -455,7 +457,8 @@ def retrain_index(
     assigned.write.mode("overwrite").partitionBy("cid").parquet(stage)
     _swap_in(spark, index_path, stage)
     _drop_stale_tombstones(spark, index_path)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(new_cents)],
         "cid INT, cv ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
@@ -724,11 +727,13 @@ def build_ivfpq_index(
     coded.write.mode("overwrite").partitionBy("cid").parquet(index_path)
     spark = corpus.sparkSession
     _drop_stale_tombstones(spark, index_path)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid INT, cv ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(_centroid_sidecar(index_path))
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (m, k, [float(x) for x in cw])
             for m, book in enumerate(codebooks)

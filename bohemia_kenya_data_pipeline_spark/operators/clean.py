@@ -36,6 +36,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 # ---------------------------------------------------------------------------
 # Repeat-key parsing (shared by C1/C2 repeat paths)
 # ---------------------------------------------------------------------------
@@ -284,7 +286,7 @@ def expand_resolution(
     """
     spark = resolution.sparkSession
     mapping = list(mapping if mapping is not None else DEFAULT_CASCADE_MAPPING)
-    map_df = spark.createDataFrame(mapping, ["source", "cascade_to"])
+    map_df = local_df(spark, mapping, ["source", "cascade_to"])
     expanded = (
         resolution.filter(F.col("Operation") == "SET")
         .join(F.broadcast(map_df), F.col("Column") == F.col("source"), "inner")

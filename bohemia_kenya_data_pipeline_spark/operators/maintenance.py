@@ -35,6 +35,8 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 
 class ConcurrentMaintenanceError(RuntimeError):
     """Another maintenance tick holds this table's writer lock."""
@@ -231,8 +233,10 @@ def _list_parquet_files(spark: SparkSession, path: str) -> DataFrame:
     DataFrame — for callers that JOIN the listing against distributed
     data (:func:`dataset_file_stats`). Driver-only consumers use
     :func:`_list_parquet_file_infos` directly."""
-    return spark.createDataFrame(
-        _list_parquet_file_infos(spark, path), "file STRING, size_bytes BIGINT"
+    return local_df(
+        spark,
+        _list_parquet_file_infos(spark, path),
+        "file STRING, size_bytes BIGINT",
     )
 
 

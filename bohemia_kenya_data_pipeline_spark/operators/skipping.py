@@ -36,6 +36,7 @@ import re as _re
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_df
 from .bloom import DEFAULT_N_HASHES, _positions
 
 MANIFEST_SUFFIX = "__manifest"
@@ -239,8 +240,11 @@ def _stats_rows(
         aggs.append(F.max(c).alias(f"max_{c}"))
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nnull_{c}"))
     stats = df.groupBy("_file").agg(*aggs)
-    fp = spark.createDataFrame(
-        fingerprints, "_file STRING, _size BIGINT, _mtime BIGINT"
+    # local_df, NOT createDataFrame(list): the RDD-backed literal frame
+    # re-enters a Python worker inside the stats-write task — measured
+    # 4.4 s of blocked wait per manifest build/extend (r14, guide §4)
+    fp = local_df(
+        spark, fingerprints, "_file STRING, _size BIGINT, _mtime BIGINT"
     )
     return fp.join(stats, "_file", "left").withColumn(
         "n_rows", F.coalesce("n_rows", F.lit(0).cast("long"))
@@ -390,8 +394,8 @@ def _staleness_diff(spark: SparkSession, path: str):
         F.lit(True).alias("_o"),
     )
     listed = _list_data_files(spark, path)
-    listing = spark.createDataFrame(
-        listed, "_file STRING, _size BIGINT, _mtime BIGINT"
+    listing = local_df(
+        spark, listed, "_file STRING, _size BIGINT, _mtime BIGINT"
     ).withColumn("_l", F.lit(True))
     same = (F.col("_size") == F.col("_o_size")) & (
         F.col("_mtime") == F.col("_o_mtime")
@@ -430,7 +434,8 @@ def _staleness_diff(spark: SparkSession, path: str):
         # unchanged count needs no second aggregate
         "n_unchanged": len(listed) - n_new - n_changed,
     }
-    drop_names = spark.createDataFrame(
+    drop_names = local_df(
+        spark,
         [(r._file,) for r in diff_rows if r._class in ("changed", "deleted")],
         "_file STRING",
     )
@@ -628,9 +633,18 @@ def prune_files(
                 f"no min/max stats for {col!r}: manifest covers "
                 f"{params['stats_cols']}"
             )
-    total = stats.count()
-    kept = stats.filter(_file_match_cond(predicates)).select("_file").collect()
-    return sorted(r._file for r in kept), total
+    # ONE aggregate job returns both outputs (collect_list skips the
+    # NULL/non-matching names): the previous count() + filter().collect()
+    # pair paid a second manifest-scan job whose result
+    # read_with_skipping discarded (r14, guide §1.2 "don't compute
+    # things you throw away"). Only kept names reach the driver.
+    row = stats.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sort_array(
+            F.collect_list(F.when(_file_match_cond(predicates), F.col("_file")))
+        ).alias("kept"),
+    ).collect()[0]
+    return list(row.kept), row.total
 
 
 def bloom_candidate_files(

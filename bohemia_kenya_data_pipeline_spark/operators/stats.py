@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     BooleanType, DoubleType, StructField, StructType,
 )
 
+from ..session import local_df
+
 #: qnorm(0.975) — the reference's CI constant.
 Z975 = 1.959963984540054
 
@@ -638,8 +640,8 @@ def sketch_quantiles(
         ),
     ).select(*[F.col(c).alias(f"__g_{c}") for c in by], "bin", "cum")
     total = sketch.groupBy(*by).agg(F.sum("cnt").cast("long").alias("n"))
-    probes = sketch.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q DOUBLE"
+    probes = local_df(
+        sketch.sparkSession, [(float(q),) for q in qs], "q DOUBLE"
     ).crossJoin(F.broadcast(total))
     cond = F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
     for c in by:

@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 
 from . import jobs
 from .operators import dedup as dd
+from .session import local_df
 from .operators import similarity as sim
 from .operators import skipping as skp
 from .operators import text as tx
@@ -9529,7 +9530,7 @@ def khop_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a frontier join + anti-join against the visited set, so work is
     # proportional to the reachable subgraph, not k * edges.
     edges = _trade_edges(spark, sf_dir)
-    seeds = spark.createDataFrame([("NATION_2",)], "node string")
+    seeds = local_df(spark, [("NATION_2",)], "node string")
     return gr.khop_reachable(edges, seeds, k=2).select(
         "node", F.col("hops").cast("int").alias("hops")
     )
@@ -11242,7 +11243,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # difference can flip single micros in score_micros while every
     # rank margin is >=197 micros. Ranks are the stable contract;
     # scores stay observable via the rows-only bm25_search_scores twin.
-    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    qdf = local_df(spark, _BM25_QUERIES, ["query_id", "query_text"])
     return tx.bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=10).select(
         "query_id", "doc_id", "rank"
     )
@@ -11254,7 +11255,7 @@ def bm25_search_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score_micros column (float-product quantization is one ulp from
     # a rounding boundary on some terms -> not hash-stable cross-libm;
     # see bm25_search_topk). Row count + schema are still checked.
-    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    qdf = local_df(spark, _BM25_QUERIES, ["query_id", "query_text"])
     return tx.bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=10)
 
 
@@ -11666,7 +11667,7 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking. Both legs are top-10-sized before fusion — RRF never
     # touches anything corpus-sized.
     docs = _t(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    qdf = local_df(spark, _BM25_QUERIES, ["query_id", "query_text"])
     bm = tx.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
     emb = _t(spark, sf_dir, "embeddings")
     # Arrow IVF leg (exact parity with the fold path — tested) keeps
@@ -12872,8 +12873,8 @@ def ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in pre
     ]
     out = (
-        spark.createDataFrame(
-            rows, "cid INT, n_live BIGINT, c_norm DOUBLE, c_sum DOUBLE"
+        local_df(
+            spark, rows, "cid INT, n_live BIGINT, c_norm DOUBLE, c_sum DOUBLE"
         )
         .select(
             "cid",
@@ -13615,7 +13616,11 @@ def incremental_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = li.filter(F.col("l_orderkey") % 10 >= 6)
     _mt.zorder_init(base, path, "l_partkey", "l_suppkey", n_files=24, bits=15)
     _skp.build_file_manifest(spark, path, ["l_partkey", "l_suppkey"])
-    delta.coalesce(4).write.mode("append").parquet(path)
+    # repartition, NOT coalesce: coalesce(4) folded the whole delta
+    # scan+filter into 4 tasks (3.9 s single-threaded decode, r14
+    # profile); a round-robin exchange of the delta keeps the scan
+    # parallel and still lands exactly 4 raw files
+    delta.repartition(4).write.mode("append").parquet(path)
     _mt.zorder_extend(spark, path)
     _skp.maintain_file_manifest(spark, path)
     out = _skp.read_with_skipping(
@@ -13669,7 +13674,7 @@ def zorder_fold_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lo, hi in ((6, 8), (8, 10)):
         li.filter(
             (F.col("l_orderkey") % 10 >= lo) & (F.col("l_orderkey") % 10 < hi)
-        ).coalesce(1).write.mode("append").parquet(path)
+        ).repartition(1).write.mode("append").parquet(path)
         _mt.zorder_extend(spark, path)
     _mt.maintain_table_layout(
         spark, path, small_file_mb=0.0001, max_z_generations=2

@@ -14,9 +14,50 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 APP_NAME = "bohemia-kenya-data-pipeline-spark"
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """JVM-literal frame (``LocalTableScan``) from driver-side rows.
+
+    ``spark.createDataFrame(list, schema)`` builds an RDD-backed plan
+    (``Scan ExistingRDD``) whose scan re-enters a **Python worker at
+    execution time** — measured 0.3-4.5 s of pure handshake/pickle wait
+    per task that touches it (r14 thread-dump evidence: the manifest
+    stats write blocked 4.4 s in ``BasePythonRunner.ReaderInputStream``
+    with 0.1 s CPU). Routing the same rows through pandas takes the
+    Arrow path (guide §4/§6: Arrow for driver transfers), which
+    materializes a ``LocalTableScan``: no Python process in the executed
+    plan, and the optimizer sees a sized literal it can broadcast.
+
+    ``schema`` is a DDL string (``"a INT, b STRING"``), a
+    ``StructType``, or a list of column names (types inferred, same as
+    the classic list path: int→bigint, str→string, float→double).
+    Result rows are identical to the classic path for the types this
+    engine stores in sidecars/manifests (strings, ints, floats, bools,
+    dates, array<double>); ``tests/test_local_df.py`` pins the parity.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if isinstance(schema, StructType):
+        rows = list(rows)
+        if not rows:
+            # empty pandas frames fall back to the RDD path — project a
+            # typed empty frame from range(0) instead (pure JVM)
+            from pyspark.sql import functions as F
+
+            return spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema]
+            )
+        pdf = pd.DataFrame.from_records(rows, columns=schema.fieldNames())
+        return spark.createDataFrame(pdf, schema=schema)
+    pdf = pd.DataFrame.from_records(list(rows), columns=list(schema))
+    return spark.createDataFrame(pdf)
 
 
 def get_spark(

@@ -24,6 +24,8 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..session import local_df
 from pyspark.sql.types import (
     BooleanType, DoubleType, LongType, StructField, StructType, TimestampType,
 )
@@ -305,7 +307,7 @@ def incremental_dedup_sink(
             # ONLY the path-missing case may degrade to an empty
             # history — a transient IO/permission failure must raise,
             # not silently disable dedup for the batch
-            history = spark.createDataFrame([], "content_hash STRING")
+            history = local_df(spark, [], "content_hash STRING")
         accepted, new_hashes = _dd.incremental_exact_dedup(
             batch_df, history, text_col, id_col
         )
@@ -557,8 +559,8 @@ def scd2_history_sink(
                 for f in batch_df.schema.fields
                 if f.name in (*key_cols, *tracked_cols)
             )
-            current = spark.createDataFrame(
-                [], fields + ", valid_from DATE, valid_to DATE"
+            current = local_df(
+                spark, [], fields + ", valid_from DATE, valid_to DATE"
             )
         effective = batch_df.agg(
             F.max(F.col(effective_date_col).cast("date")).alias("d")
@@ -1068,7 +1070,8 @@ def vector_ingest_sink(
         else:
             report = _rt.maintain_vector_index(spark, index_path, **kwargs)
         if trail_path is not None:
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [(
                     int(batch_id),
                     report.get("psi"),
