@@ -1189,10 +1189,15 @@ def assign_semantic_cluster(
     anchor index identically everywhere. Pure Column expressions —
     the anchor fold runs map-side in the scan stage, no shuffle.
     """
-    from .similarity import cosine, norm
+    from .similarity import _sql_dbl, cosine, norm
 
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in a]) for a in anchors]
+    # one SQL parse, not k×dim py4j F.lit calls (see _centroid_literal)
+    cents = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_dbl(x) for x in a) + ")" for a in anchors
+        )
+        + ")"
     )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(

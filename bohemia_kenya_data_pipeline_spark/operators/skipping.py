@@ -533,12 +533,6 @@ def extend_file_manifest(spark: SparkSession, path: str, _diff=None) -> dict:
     n_drop = summary["n_changed"] + summary["n_deleted"]
     if not fresh and not n_drop:
         return summary  # fingerprints all current: zero data files read
-    # drop_names is a local-literal frame (built from collected names),
-    # so the mask can never re-list files this function swaps away
-    # during the stats/bloom rewrite below
-    kept = _mask_dropped(stats, drop_names, n_drop) if n_drop else stats
-    # post-repair table file count (listed files = new+changed+unchanged)
-    n_listed = summary["n_new"] + summary["n_changed"] + summary["n_unchanged"]
     new_df = None
     if fresh:
         # basePath reconstructs hive partition columns from the leaf
@@ -546,6 +540,34 @@ def extend_file_manifest(spark: SparkSession, path: str, _diff=None) -> dict:
         new_df = spark.read.option("basePath", path).parquet(
             *[n for n, _, _ in fresh]
         ).withColumn("_file", _canon_col(F.input_file_name()))
+    if not n_drop:
+        # append-only repair (the steady-state ingest tick): the kept
+        # rows are untouched on disk, so APPEND the delta-sized stats
+        # rows instead of read + union + full stats rewrite + swap —
+        # per-file rows make append == rebuild bit-for-bit (r14; the
+        # stats dataset stays one-file-per-tick until the next full
+        # build/compaction resets it, still manifest-sized)
+        _stats_rows(spark, new_df, params["stats_cols"], fresh).coalesce(
+            _stats_out_parts(len(fresh))
+        ).write.mode("append").parquet(_stats_path(path))
+        if params.get("bloom_col") is not None:
+            _bloom_rows(
+                new_df,
+                params["bloom_col"],
+                params["n_bits"],
+                params["n_hashes"],
+                params["seed"],
+            ).coalesce(
+                _bloom_out_parts(len(fresh), params["n_bits"])
+            ).write.mode("append").parquet(_bloom_path(path))
+        return summary
+    # drop_names is a local-literal frame (built from collected names),
+    # so the mask can never re-list files this function swaps away
+    # during the stats/bloom rewrite below
+    kept = _mask_dropped(stats, drop_names, n_drop)
+    # post-repair table file count (listed files = new+changed+unchanged)
+    n_listed = summary["n_new"] + summary["n_changed"] + summary["n_unchanged"]
+    if new_df is not None:
         kept = kept.unionByName(
             _stats_rows(spark, new_df, params["stats_cols"], fresh)
         )
@@ -554,8 +576,7 @@ def extend_file_manifest(spark: SparkSession, path: str, _diff=None) -> dict:
     )
     if params.get("bloom_col") is not None:
         words = spark.read.parquet(_bloom_path(path))
-        if n_drop:
-            words = _mask_dropped(words, drop_names, n_drop)
+        words = _mask_dropped(words, drop_names, n_drop)
         if new_df is not None:
             words = words.unionByName(
                 _bloom_rows(

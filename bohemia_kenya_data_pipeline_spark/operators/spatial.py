@@ -62,28 +62,28 @@ def polygon_literal(polygons: Sequence[tuple[int, Sequence[tuple[float, float]]]
     driver-side metadata (≤ a few hundred polygons), evaluated
     map-side. The precomputed bounding box is the per-point pruning
     index: candidate selection is 4 comparisons instead of a ray-cast."""
+    from .similarity import _sql_dbl
+
+    # one SQL parse for the whole polygon set, not a py4j call per
+    # coordinate (see similarity._centroid_literal — same r14 fix)
     entries = []
     for pid, verts in polygons:
         lons = [float(lon) for lon, _ in verts]
         lats = [float(lat) for _, lat in verts]
+        vs = ",".join(
+            "named_struct('lon', {}, 'lat', {})".format(
+                _sql_dbl(lon), _sql_dbl(lat)
+            )
+            for lon, lat in verts
+        )
         entries.append(
-            F.struct(
-                F.lit(pid).alias("pid"),
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(float(lon)).alias("lon"), F.lit(float(lat)).alias("lat")
-                        )
-                        for lon, lat in verts
-                    ]
-                ).alias("verts"),
-                F.lit(min(lons)).alias("minlon"),
-                F.lit(max(lons)).alias("maxlon"),
-                F.lit(min(lats)).alias("minlat"),
-                F.lit(max(lats)).alias("maxlat"),
+            "named_struct('pid', {}, 'verts', array({}), "
+            "'minlon', {}, 'maxlon', {}, 'minlat', {}, 'maxlat', {})".format(
+                int(pid), vs, _sql_dbl(min(lons)), _sql_dbl(max(lons)),
+                _sql_dbl(min(lats)), _sql_dbl(max(lats)),
             )
         )
-    return F.array(*entries)
+    return F.expr("array(" + ",".join(entries) + ")")
 
 
 def _edges(verts: Column) -> Column:
