@@ -52,10 +52,26 @@ def _register(name: str, sql: str | None):
     return deco
 
 
+#: Per-process TABLE-SCHEMA memo (path -> StructType) — the catalog
+#: role a metastore plays in production. A schema-less
+#: ``spark.read.parquet(path)`` runs a footer-inference job per call
+#: (measured 0.10-0.17 s); ~100 bench entries × 5 runs × 1-3 tables
+#: re-inferred the SAME immutable schema hundreds of times (r14, guide
+#: §6 file-listing/metadata class). Only metadata is memoized: every
+#: invocation still scans the parquet data itself, so this is a
+#: catalog, not a result cache.
+_SCHEMA_MEMO: dict[str, T.StructType] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    st = _SCHEMA_MEMO.get(path)
+    if st is None:
+        st = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[path] = st
+    return spark.read.schema(st).parquet(path)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +80,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     unless read as long) or as TIMESTAMP(MICROS). Normalize both to one
     stable TimestampType column so every consumer sees one schema."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    st = _SCHEMA_MEMO.get(path)
+    if st is None:
+        st = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[path] = st
+    df = spark.read.schema(st).parquet(path)
     if isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: epoch-nanos (~1.7e18) exceed double's 53-bit
         # exact range, so `/ 1000` would round ~12% of rows to a
