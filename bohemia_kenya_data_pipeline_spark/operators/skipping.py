@@ -307,9 +307,10 @@ def build_file_manifest(
         "_file", _canon_col(F.input_file_name())
     )
     listing = _list_data_files(spark, path)
-    _stats_rows(spark, df, stats_cols, listing).coalesce(
-        _stats_out_parts(len(listing))
-    ).write.mode("overwrite").parquet(_stats_path(path))
+    stats = _stats_rows(spark, df, stats_cols, listing)
+    stats.coalesce(_stats_out_parts(len(listing))).write.mode(
+        "overwrite"
+    ).parquet(_stats_path(path))
     if bloom_col is not None:
         _bloom_rows(df, bloom_col, n_bits, n_hashes, seed).coalesce(
             _bloom_out_parts(len(listing), n_bits)
@@ -323,6 +324,11 @@ def build_file_manifest(
             "n_bits": n_bits,
             "n_hashes": n_hashes,
             "seed": seed,
+            # stats/bloom dataset schemas are fixed at build time and
+            # engine-owned: recording them lets every manifest read
+            # (staleness poll, prune, bloom probe) skip a
+            # footer-inference job (r14; ~0.1 s per read)
+            "stats_schema": _json.dumps(stats.schema.jsonValue()),
         },
     )
 
@@ -331,6 +337,24 @@ def read_manifest_params(spark: SparkSession, path: str) -> dict:
     """The parameters a manifest was built with — the single source
     pruned reads must use (same contract as the minhash index)."""
     return _read_json(spark, _params_path(path))
+
+
+#: the bloom word table's schema is static by construction
+_BLOOM_SCHEMA = "_file STRING, word_idx BIGINT, word BIGINT"
+
+
+def _read_stats(spark: SparkSession, path: str, params: dict) -> DataFrame:
+    """Stats dataset read with the schema recorded at build time —
+    no footer-inference job. Manifests written before the schema was
+    recorded degrade to inference."""
+    sj = params.get("stats_schema")
+    if sj is None:
+        return spark.read.parquet(_stats_path(path))
+    from pyspark.sql.types import StructType
+
+    return spark.read.schema(
+        StructType.fromJson(_json.loads(sj))
+    ).parquet(_stats_path(path))
 
 
 #: above this many dropped names the mask stops forcing a broadcast
@@ -381,7 +405,7 @@ def _staleness_diff(spark: SparkSession, path: str):
     safety, asserted by ``tests/test_lifecycle_tmp.py``). Returns
     (stats_df, fresh, drop_names_df, summary) where ``fresh`` is
     [(name, size, mtime)] for new/changed files."""
-    stats = spark.read.parquet(_stats_path(path))
+    stats = _read_stats(spark, path, read_manifest_params(spark, path))
     if "_size" not in stats.columns or "_mtime" not in stats.columns:
         raise ValueError(
             "manifest predates staleness fingerprints: rebuild once "
@@ -575,7 +599,7 @@ def extend_file_manifest(spark: SparkSession, path: str, _diff=None) -> dict:
         spark, kept.coalesce(_stats_out_parts(n_listed)), _stats_path(path)
     )
     if params.get("bloom_col") is not None:
-        words = spark.read.parquet(_bloom_path(path))
+        words = spark.read.schema(_BLOOM_SCHEMA).parquet(_bloom_path(path))
         words = _mask_dropped(words, drop_names, n_drop)
         if new_df is not None:
             words = words.unionByName(
@@ -646,8 +670,8 @@ def prune_files(
     """(files that may match, total files) from the stats manifest.
     The manifest scan is file-count-sized; only the kept NAMES are
     collected (metadata-sized, like the probed-cid collect)."""
-    stats = spark.read.parquet(_stats_path(path))
     params = read_manifest_params(spark, path)
+    stats = _read_stats(spark, path, params)
     for col, _, _ in predicates:
         if col not in params["stats_cols"]:
             raise ValueError(
@@ -701,7 +725,7 @@ def bloom_candidate_files(
             ).alias("mask"),
         )
     )
-    words = spark.read.parquet(_bloom_path(path))
+    words = spark.read.schema(_BLOOM_SCHEMA).parquet(_bloom_path(path))
     hits = (
         words.join(F.broadcast(probe), "word_idx")
         .filter((F.col("word").bitwiseAND(F.col("mask"))) == F.col("mask"))

@@ -260,6 +260,13 @@ def test_extend_manifest_requires_fingerprints(spark, tmp_path):
 
     shutil.rmtree(skp._stats_path(path))
     shutil.copytree(str(tmp_path / "legacy_stats"), skp._stats_path(path))
+    # a legacy manifest predates the recorded stats schema too — strip
+    # it so the read infers from the legacy files (r14: with a stored
+    # schema the guard cannot fire, because the forced schema projects
+    # the missing fingerprint columns as NULLs instead of absent)
+    params = skp.read_manifest_params(spark, path)
+    params.pop("stats_schema", None)
+    skp._write_json(spark, skp._params_path(path), params)
     with pytest.raises(ValueError, match="fingerprints"):
         skp.extend_file_manifest(spark, path)
 
