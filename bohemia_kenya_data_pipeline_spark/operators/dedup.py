@@ -1336,6 +1336,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    plan: str = "window",
 ) -> DataFrame:
     """Exact duplicated-substring detection (the token-level dedup of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -1359,18 +1360,28 @@ def duplicate_spans(
     md5 hex chars 1-15 / 16-30; a single 32-bit key would collide with
     certainty at corpus scale and silently cut spans from unique
     documents, and 2^120 makes a false equality astronomically
-    unlikely at any corpus size) → distinct (key, doc) → key groupBy
-    keeping keys spanning >= min_docs docs → SEMI join back onto the
-    positions (no fan-out: each position matches at most once, so a
-    shingle duplicated across 10^5 docs costs its postings, never the
-    cross product) → per-doc ordered window merging islands. Shuffles:
-    one on the 16-byte key (distinct+count), one on (doc) for the
-    merge window. 100 TB: every stage is linear in corpus token count;
-    hot boilerplate shingles aggregate to one counter row map-side.
+    unlikely at any corpus size) → duplicated positions → per-doc
+    ordered window merging islands.
+
+    ``plan='window'`` (default, r14): ONE position shuffle on the
+    16-byte key, with the distinct-doc count computed in-partition as
+    ``max(dense_rank over (key ORDER BY doc))`` — the gram+md5 pass
+    runs ONCE and there is no second (key, doc)-distinct shuffle or
+    join-back (measured 3.1 → 1.5 s on the bench corpus; identical
+    rows). ``plan='join'`` keeps the prior two-pass shape — distinct
+    (key, doc) → count → SEMI join back onto a second gram pass —
+    whose join side can broadcast when duplicated keys are rare, and
+    whose positions stay spread when ONE shingle recurs in millions of
+    docs (the window plan places a key's every position in one task;
+    prefer 'join' for corpora with single-shingle hot keys). Both
+    plans return identical rows. 100 TB: every stage is linear in
+    corpus token count either way.
 
     Returns (id, span_start, span_end, span_tokens) with 1-based
     token positions, span_end inclusive.
     """
+    if plan not in ("window", "join"):
+        raise ValueError(f"unknown plan {plan!r}: use 'window' or 'join'")
 
     def grams(tk: Column) -> Column:
         return F.transform(
@@ -1389,15 +1400,27 @@ def duplicate_spans(
             F.conv(F.substring(md, 16, 15), 16, 10).cast("bigint").alias("h2"),
         )
     )
-    dup_h = (
-        pos.select("h1", "h2", id_col)
-        .distinct()
-        .groupBy("h1", "h2")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("h1", "h2")
-    )
-    dup_pos = pos.join(dup_h, ["h1", "h2"], "semi")
+    if plan == "window":
+        w_key = Window.partitionBy("h1", "h2").orderBy(id_col)
+        w_all = Window.partitionBy("h1", "h2").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        dup_pos = (
+            pos.withColumn("__dr", F.dense_rank().over(w_key))
+            .withColumn("__nd", F.max("__dr").over(w_all))
+            .filter(F.col("__nd") >= min_docs)
+            .select(id_col, "pos")
+        )
+    else:
+        dup_h = (
+            pos.select("h1", "h2", id_col)
+            .distinct()
+            .groupBy("h1", "h2")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("h1", "h2")
+        )
+        dup_pos = pos.join(dup_h, ["h1", "h2"], "semi")
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")

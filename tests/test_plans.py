@@ -236,13 +236,16 @@ def test_bm25_semi_filters_postings_before_any_shuffle(spark):
     assert "LeftSemi" in phys and "BroadcastHashJoin" in phys
 
 
-def test_duplicate_spans_three_exchanges(spark):
-    # one (hash,doc) distinct+count, one island window on doc — the
-    # semi join back must NOT add a corpus-sized exchange
+def test_duplicate_spans_two_exchanges(spark):
+    # r14 window plan: ONE position shuffle on the shingle key (the
+    # dense_rank/max distinct-doc count rides it), one island window
+    # on doc — no (key, doc)-distinct shuffle, no join-back, and the
+    # gram+md5 scan appears exactly once in the plan
     plan = _plan(QUERIES["duplicate_spans"](spark, SF_DIR))
     phys = plan.split("== Physical Plan ==")[-1]
-    assert phys.count("Exchange hashpartitioning") == 3
+    assert phys.count("Exchange hashpartitioning") == 2
     assert "SortMergeJoin" not in phys
+    assert "Join" not in phys
 
 
 def test_rfm_scalable_no_global_ntile_sort(spark):

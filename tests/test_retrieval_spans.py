@@ -313,3 +313,33 @@ def test_rrf_empty_rankings_raises_value_error(spark):
 
     with pytest.raises(ValueError, match="at least one ranking"):
         sim.rrf_fuse([])
+
+
+def test_duplicate_spans_window_join_plan_parity(spark):
+    # r14: the one-pass window plan and the two-pass join plan are
+    # alternative physical shapes of the SAME contract — every corpus
+    # shape the island goldens above exercise must return identical
+    # rows from both (incl. hot keys shared by many docs, min_docs>2,
+    # and docs with no duplicated shingles)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),      # shares a full run with 2
+            (2, "a b c d e f g h i j"),
+            (3, "x y z a b c d e f g h i j w"),  # partial overlap
+            (4, "unique tokens only here none shared at all ok fine"),
+            (5, "a b c d e f g h i j"),      # 3-way hot shingles
+        ],
+        ["doc_id", "text"],
+    )
+    for md in (2, 3):
+        w = sorted(
+            map(tuple, dd.duplicate_spans(docs, n=4, min_docs=md).collect())
+        )
+        j = sorted(
+            map(
+                tuple,
+                dd.duplicate_spans(docs, n=4, min_docs=md, plan="join").collect(),
+            )
+        )
+        assert w == j
+        assert w  # non-degenerate: the corpus above always yields spans
