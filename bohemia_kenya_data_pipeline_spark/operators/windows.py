@@ -591,6 +591,70 @@ def lex_ge(cols: Sequence[Column], values: Sequence) -> Column:
     return (c0 > v0) | ((c0 == v0) & lex_ge(cols[1:], values[1:]))
 
 
+def _sql_literal(v) -> str:
+    """Exact SQL literal for a boundary value (the driver-collected
+    sample types: ints, floats, strings, dates, timestamps,
+    decimals). Same one-parse rationale as
+    ``similarity._sql_dbl``."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return f"{v}L"
+    if isinstance(v, float):
+        return repr(v) + "D"
+    if isinstance(v, _dec.Decimal):
+        return f"{v}BD"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP'{v}'"
+    if isinstance(v, _dt.date):
+        return f"DATE'{v.isoformat()}'"
+    raise TypeError(f"unsupported boundary literal type {type(v).__name__}")
+
+
+def _lex_ge_sql(col_sqls: list[str], values: Sequence) -> str:
+    c0, v0 = col_sqls[0], _sql_literal(values[0])
+    if len(col_sqls) == 1:
+        return f"({c0} >= {v0})"
+    return (
+        f"(({c0} > {v0}) OR (({c0} = {v0}) AND "
+        f"{_lex_ge_sql(col_sqls[1:], values[1:])}))"
+    )
+
+
+def boundary_bucket(
+    cols: Sequence[str | Column], boundaries: list[tuple]
+) -> Column:
+    """``count of boundaries <= (cols...)`` — the range-bucket
+    assignment of :func:`distributed_global_rank` — emitted as ONE
+    ``F.expr`` SQL parse instead of P × ``lex_ge`` Column chains:
+    composing ~31 boundaries × a 2-column lexicographic compare costs
+    hundreds of py4j round trips per dimension (r14; the rfm entry
+    spent more driver time BUILDING its bucket chains than executing
+    them). Identical expression semantics: the CASE chain is the same
+    flat codegen-friendly boolean/addition shape ``lex_ge`` produces.
+    The one-parse path needs column NAMES; expression Columns keep the
+    per-boundary ``lex_ge`` chain (correct, just slower to build)."""
+    if not boundaries:
+        return F.lit(0)
+    if all(isinstance(c, str) for c in cols):
+        col_sqls = ["`" + c.replace("`", "``") + "`" for c in cols]
+        terms = " + ".join(
+            f"(CASE WHEN {_lex_ge_sql(col_sqls, b)} THEN 1 ELSE 0 END)"
+            for b in boundaries
+        )
+        return F.expr(f"({terms})")
+    cc = [F.col(c) if isinstance(c, str) else c for c in cols]
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(lex_ge(cc, b), 1).otherwise(0)
+    return bucket
+
+
 def pick_boundary_cuts(sample: list[tuple], num_partitions: int) -> list[tuple]:
     """Evenly spaced boundary tuples from a sorted(!) sample — at most
     ``num_partitions - 1`` cuts. Boundary quality only affects balance,
@@ -718,17 +782,13 @@ def distributed_global_rank(
                 sampled.select(key.alias("__k")).collect()
             )
             boundaries = pick_boundary_cuts(sample, num_partitions)
-    if boundaries:
-        # sum-of-whens over lex_ge, NOT an F.aggregate fold over an
-        # array of struct literals: the flat boolean/addition chain
-        # stays inside whole-stage codegen (higher-order folds and
-        # struct comparisons are interpreted — measured ~6x slower on
-        # a 150k-row assign+rank)
-        bucket = F.lit(0)
-        for b in boundaries:
-            bucket = bucket + F.when(lex_ge(cols, b), 1).otherwise(0)
-    else:
-        bucket = F.lit(0)
+    # sum-of-CASEs over lexicographic compares, NOT an F.aggregate fold
+    # over an array of struct literals: the flat boolean/addition chain
+    # stays inside whole-stage codegen (higher-order folds and struct
+    # comparisons are interpreted — measured ~6x slower on a 150k-row
+    # assign+rank); emitted as one SQL parse (see boundary_bucket) —
+    # pass order_by AS GIVEN so string names take the one-parse path
+    bucket = boundary_bucket(list(order_by), boundaries)
     part = df.withColumn("__pid", bucket)
     w_local = Window.partitionBy("__pid").orderBy(*cols)
     loc = part.withColumn("__lrn", F.row_number().over(w_local))

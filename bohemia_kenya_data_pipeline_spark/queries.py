@@ -11901,11 +11901,12 @@ def rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     keycols = [F.col("v"), F.col("o_custkey")]
     bucket = F.lit(0)
     for dname in ("r", "f", "m"):
-        db = F.lit(0)
-        for b in bnds[dname]:
-            db = db + F.when(
-                W.lex_ge(keycols, (enc[dname](b[0]), b[1])), 1
-            ).otherwise(0)
+        # one SQL parse per dimension (W.boundary_bucket), not ~31
+        # lex_ge Column chains — the py4j build cost exceeded the
+        # execution cost of this entry (r14)
+        db = W.boundary_bucket(
+            ["v", "o_custkey"], [(enc[dname](b[0]), b[1]) for b in bnds[dname]]
+        )
         bucket = F.when(F.col("dim") == dname, db).otherwise(bucket)
     part = melted.withColumn("__b", bucket)
     w_local = Window.partitionBy("dim", "__b").orderBy("v", "o_custkey")
