@@ -213,7 +213,18 @@ def _list_parquet_file_infos(spark: SparkSession, path: str) -> list[tuple[str, 
     use THIS, not a createDataFrame/collect round trip — the round
     trip costs a full Spark job per call for data that never left the
     driver (r14 optimization: the zorder/layout ticks paid 6-8 such
-    jobs per maintenance pass)."""
+    jobs per maintenance pass). Local paths walk natively
+    (:func:`skipping._local_root` — the Hadoop iterator costs ~5 py4j
+    round trips per file, pure driver latency)."""
+    from . import skipping as _skp
+
+    local = _skp._local_root(path)
+    if local is not None:
+        return [
+            (f, s)
+            for f, s, _ in _skp._walk_local_files(local)
+            if f.endswith(".parquet")
+        ]
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -254,17 +265,7 @@ def _qualified_uri(spark: SparkSession, path: str) -> str:
 
 def dataset_size_bytes(spark: SparkSession, path: str) -> int:
     """Total data bytes of a parquet dataset (driver-side listing)."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(conf)
-    total = 0
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        st = it.next()
-        if st.getPath().toString().endswith(".parquet"):
-            total += st.getLen()
-    return total
+    return sum(s for _, s in _list_parquet_file_infos(spark, path))
 
 
 def compact(
@@ -354,9 +355,27 @@ def zorder_value(a, b, bits: int = 16):
 
     Callers bucket continuous values first (e.g.
     ``CAST((lat + 90) / 180 * 65535 AS INT)`` for 16-bit lat).
+
+    Column-NAME inputs (every production caller: zorder_write and the
+    extend/fold sidecar replays) emit the whole interleave as ONE
+    ``F.expr`` parse — the value-by-value Column chain costs
+    ~6 x bits py4j round trips of pure driver plan-construction
+    (~0.2 s per call at bits=15, measured r14; guide §7.3 driver
+    work). Column-expression inputs keep the chain (their SQL text is
+    not recoverable from the Column), bit-identical by construction —
+    parity pinned in tests/test_maintenance.py.
     """
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
+    if isinstance(a, str) and isinstance(b, str):
+        terms = []
+        for name, off in ((a, 0), (b, 1)):
+            src = f"CAST(`{name}` AS BIGINT)"
+            terms.extend(
+                f"shiftleft((shiftright({src}, {i}) & CAST(1 AS BIGINT)), {2 * i + off})"
+                for i in range(bits)
+            )
+        return F.expr("(" + " + ".join(terms) + ")")
     ca = a if not isinstance(a, str) else F.col(a)
     cb = b if not isinstance(b, str) else F.col(b)
     ca, cb = ca.cast("bigint"), cb.cast("bigint")

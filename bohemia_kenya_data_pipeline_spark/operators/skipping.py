@@ -31,6 +31,7 @@ into an open-only-what-matches plan without changing the storage.
 from __future__ import annotations
 
 import json as _json
+import os as _os
 import re as _re
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -85,12 +86,58 @@ def _fs(spark: SparkSession, path: str):
     return jvm, p.getFileSystem(conf), p
 
 
+def _local_root(path: str) -> str | None:
+    """Absolute local directory for ``path`` when it names the LOCAL
+    filesystem (no scheme, or an explicit ``file:`` scheme), else
+    ``None``. Gates the native metadata fast paths below: the Hadoop
+    FileSystem round trip costs ~5 py4j socket exchanges PER FILE
+    (hasNext/next/getPath/getLen/getModificationTime), ~0.1-0.15 s per
+    listing of a few dozen files — pure driver-side latency (guide
+    §7.3) that an ``os.scandir`` walk gets for free in-process. Remote
+    schemes (s3a://, hdfs://, ...) keep the Hadoop path unchanged."""
+    if path.startswith("file:"):
+        rest = path[5:]
+        # file:/x, file:///x -> /x ; a non-local authority is not ours
+        stripped = _re.sub(r"^/+", "/", rest)
+        return stripped if stripped.startswith("/") else None
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+        return None  # any other scheme: hadoop handles it
+    return _os.path.abspath(path)
+
+
+def _walk_local_files(root: str) -> list[tuple[str, int, int]]:
+    """Recursive (abs_path, size_bytes, mtime_ms) of every regular
+    file under ``root`` via ``os.scandir`` — the native twin of the
+    Hadoop ``listFiles(recursive=True)`` walk. Raises if ``root`` is
+    missing, matching the Hadoop path's FileNotFoundException."""
+    out: list[tuple[str, int, int]] = []
+    stack = [root]
+    while stack:
+        d = stack.pop()
+        with _os.scandir(d) as it:
+            for e in it:
+                if e.is_dir(follow_symlinks=False):
+                    stack.append(e.path)
+                elif e.is_file(follow_symlinks=False):
+                    st = e.stat()
+                    out.append((e.path, st.st_size, int(st.st_mtime * 1000)))
+    return out
+
+
 def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int, int]]:
     """(canonical name, size_bytes, mtime_ms) of every parquet data
     file under ``path`` — a driver-side metadata walk (no data read),
     the same metadata-sized class as :func:`prune_files`' name
     collect. size+mtime are the staleness fingerprint
     :func:`extend_file_manifest` compares against the manifest."""
+    local = _local_root(path)
+    if local is not None:
+        return sorted(
+            (f, s, m)
+            for f, s, m in _walk_local_files(local)
+            if f.endswith(".parquet")
+            and not _os.path.basename(f).startswith(("_", "."))
+        )
     _, fs, p = _fs(spark, path)
     out = []
     it = fs.listFiles(p, True)
@@ -184,7 +231,30 @@ def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
     sidecar — an in-place overwrite torn by a crash would leave a
     corrupt file with no self-heal path (ADVICE r11), whereas a crash
     here leaves either the old intact file or a stray ``__tmp`` that
-    the next write overwrites."""
+    the next write overwrites.
+
+    Local paths take a native fast path with the SAME create-temp-
+    then-rename shape; ``os.replace`` is atomic on POSIX, strictly
+    stronger than the Hadoop delete+rename pair (no gap in which the
+    sidecar is absent — :func:`_read_json`'s ``__tmp`` self-heal still
+    covers journals written by the Hadoop path)."""
+    local = _local_root(path)
+    if local is not None:
+        tmp = local + "__tmp"
+        with open(tmp, "w") as fh:
+            fh.write(_json.dumps(obj))
+        _os.replace(tmp, local)
+        # Hadoop's ChecksumFileSystem leaves a `.<name>.crc` sibling
+        # next to files IT wrote; after a native overwrite that crc is
+        # stale and a later Hadoop read would fail the checksum —
+        # drop it (and the __tmp one) so both readers stay valid
+        d, n = _os.path.split(local)
+        for stale in (f"{d}/.{n}.crc", f"{d}/.{n}__tmp.crc"):
+            try:
+                _os.unlink(stale)
+            except OSError:
+                pass
+        return
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -204,6 +274,21 @@ def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
 
 
 def _read_json(spark: SparkSession, path: str) -> dict:
+    local = _local_root(path)
+    if local is not None:
+        # same __tmp self-heal as the Hadoop path: a crash in the
+        # Hadoop writer's delete→rename gap leaves only the fully-
+        # written temp sibling — promote it and carry on
+        if not _os.path.exists(local) and _os.path.exists(local + "__tmp"):
+            _os.replace(local + "__tmp", local)
+            d, n = _os.path.split(local)
+            for stale in (f"{d}/.{n}.crc", f"{d}/.{n}__tmp.crc"):
+                try:
+                    _os.unlink(stale)
+                except OSError:
+                    pass
+        with open(local) as fh:
+            return _json.loads(fh.read())
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)

@@ -124,6 +124,28 @@ def test_zorder_value_interleaves_bits(spark):
         mt.zorder_value("a", "b", bits=0)
 
 
+def test_zorder_value_expr_matches_column_chain(spark):
+    # the one-parse SQL path (string inputs) and the Column-chain
+    # fallback (expression inputs) must be bit-identical, including
+    # NULL propagation and the top bit
+    from pyspark.sql import functions as F
+
+    rows = [(i * 977 % (1 << 15), i * 31 % (1 << 15)) for i in range(200)]
+    rows += [(None, 5), (5, None), (None, None), (0, 0), ((1 << 15) - 1, (1 << 15) - 1)]
+    df = spark.createDataFrame(rows, "a INT, b INT")
+    got = df.select(
+        mt.zorder_value("a", "b", bits=15).alias("z_expr"),
+        mt.zorder_value(F.col("a"), F.col("b"), bits=15).alias("z_chain"),
+    ).collect()
+    assert all(r.z_expr == r.z_chain for r in got)
+    # both paths produce BIGINT
+    tps = dict(df.select(
+        mt.zorder_value("a", "b", bits=15).alias("z_expr"),
+        mt.zorder_value(F.col("a"), F.col("b"), bits=15).alias("z_chain"),
+    ).dtypes)
+    assert tps == {"z_expr": "bigint", "z_chain": "bigint"}
+
+
 def test_zorder_write_tiles_both_dimensions(spark, tmp_path):
     """Z-order files must cover far smaller (a, b) boxes than a
     single-column sort, whose files each span the full b range."""

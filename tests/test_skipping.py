@@ -418,3 +418,62 @@ def test_write_json_is_atomic_and_read_self_heals(spark, tmp_path):
     _os.rename(p, p + "__tmp")
     assert skp._read_json(spark, p) == {"v": 2}
     assert _os.path.exists(p) and not _os.path.exists(p + "__tmp")
+
+
+def test_local_fast_path_matches_hadoop_listing(spark, tmp_path, monkeypatch):
+    """The native local-FS metadata walk (r14: ~5 py4j round trips per
+    file removed from every listing) must return exactly what the
+    Hadoop FileSystem branch returns — names, sizes, mtimes — for flat
+    AND partitioned layouts, and the JSON sidecar fast path must
+    interoperate with the Hadoop reader/writer both ways."""
+    import os as _os
+
+    from bohemia_kenya_data_pipeline_spark.operators import maintenance as mt
+
+    p = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id % 3 AS part")
+    df.write.partitionBy("part").parquet(p)
+
+    native = skp._list_data_files(spark, p)
+    monkeypatch.setattr(skp, "_local_root", lambda _path: None)
+    hadoop = skp._list_data_files(spark, p)
+    monkeypatch.undo()
+    assert [(f, s) for f, s, _ in native] == [(f, s) for f, s, _ in hadoop]
+    # mtimes agree to the second (Hadoop reports ms from the same stat)
+    assert all(
+        abs(nm - hm) < 2000
+        for (_, _, nm), (_, _, hm) in zip(native, hadoop)
+    )
+    assert all(f.startswith("/") and f.endswith(".parquet") for f, _, _ in native)
+
+    infos_native = sorted(mt._list_parquet_file_infos(spark, p))
+    monkeypatch.setattr(skp, "_local_root", lambda _path: None)
+    infos_hadoop = sorted(
+        (skp._canon_name(f), s) for f, s in mt._list_parquet_file_infos(spark, p)
+    )
+    monkeypatch.undo()
+    assert infos_native == infos_hadoop
+
+    # scheme dispatch: file: and bare paths go native, remote schemes don't
+    assert skp._local_root(p) == p
+    assert skp._local_root(f"file://{p}") == p
+    assert skp._local_root(f"file:{p}") == p
+    assert skp._local_root("s3a://bucket/k") is None
+    assert skp._local_root("hdfs://nn/x") is None
+
+    # JSON interop: hadoop-written sidecar reads natively and vice versa
+    j = str(tmp_path / "side.json")
+    monkeypatch.setattr(skp, "_local_root", lambda _path: None)
+    skp._write_json(spark, j, {"via": "hadoop"})
+    monkeypatch.undo()
+    assert skp._read_json(spark, j) == {"via": "hadoop"}
+    skp._write_json(spark, j, {"via": "native"})
+    monkeypatch.setattr(skp, "_local_root", lambda _path: None)
+    got = skp._read_json(spark, j)
+    monkeypatch.undo()
+    assert got == {"via": "native"}
+    assert not _os.path.exists(j + "__tmp")
+
+    # missing dir must raise on the native path too (hadoop throws)
+    with pytest.raises(Exception):
+        skp._list_data_files(spark, str(tmp_path / "nope"))
