@@ -260,6 +260,12 @@ def minhash_signatures(
     # reduce mod P *before* the multiply: keeps a*h < 2^62 so the
     # arithmetic is exact int64 in any engine (incl. the DuckDB oracle,
     # which errors on overflow instead of wrapping).
+    # Each permutation's fold is emitted as ONE parsed SQL expression:
+    # the value-by-value Column chain cost ~8-15 py4j round trips per
+    # permutation per call — at num_hashes=16 that is hundreds of
+    # driver round trips of pure plan construction per invocation
+    # (r14, guide §7.3); the parsed trees are identical Catalyst nodes
+    # (same %, same int-literal coercion), so values are unchanged.
     if plan == "agg":
         sh = df.select(
             F.col(id_col).alias("id"),
@@ -267,7 +273,7 @@ def minhash_signatures(
         )
         h = sh.withColumn("h", token_hash64(F.col("shingle")) % MINHASH_PRIME)
         mins = [
-            F.min((F.col("h") * a + b) % MINHASH_PRIME).alias(f"s{i}")
+            F.expr(f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS s{i}")
             for i, (a, b) in enumerate(params)
         ]
         sig = h.groupBy("id").agg(*mins)
@@ -280,7 +286,7 @@ def minhash_signatures(
     )
     staged = df.select(F.col(id_col).alias("id"), hs.alias("_hs"))
     mins = [
-        F.array_min(F.transform(F.col("_hs"), lambda h: (h * a + b) % MINHASH_PRIME))
+        F.expr(f"array_min(transform(_hs, h -> (h * {a} + {b}) % {MINHASH_PRIME}))")
         for a, b in params
     ]
     return staged.select("id", F.array(*mins).alias("sig"))
@@ -304,27 +310,15 @@ def _minhash_band_rows(
     # agg plan: its shuffle exchange is reused across both self-join
     # sides, so signatures compute once (see minhash_signatures).
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed, plan="agg")
+    # one parsed expression for the whole banded-bucket array (same
+    # plan-construction class as the signature folds above)
+    band_structs = ", ".join(
+        f"struct({b} AS band, md5(array_join(transform("
+        f"slice(sig, {b * r + 1}, {r}), x -> CAST(x AS STRING)), ',')) AS bucket)"
+        for b in range(bands)
+    )
     return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * r + 1, r),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", F.expr(f"explode(array({band_structs}))").alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
