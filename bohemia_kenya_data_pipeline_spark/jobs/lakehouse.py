@@ -78,30 +78,48 @@ def maintain_cdc_lakehouse(
       recomputed bit-for-bit.
     """
     keys = list(key_cols)
+    explicit_payload = payload_cols is not None
     if payload_cols is None:
         payload_cols = [c for c in fact.columns if c not in keys]
     payload = list(payload_cols)
-    for df, name in ((fact, "fact"), (dim, "dim"), (view, "view")):
+    # Loud checks "where cheap": asking ``.columns`` of the chained
+    # fact/view plans re-runs the WHOLE analyzer over a lineage that
+    # grows every batch — measured as the dominant cost of a 3-batch
+    # chain (r14, guide §3.3 planning-time class). With an explicit
+    # ``payload_cols`` the caller asserts the fact/view column
+    # contract (fact = keys + payload; view adds the dim payload), so
+    # only the static ``dim`` is analyzed; the default derive-from-
+    # fact path keeps the full checks for casual callers.
+    fact_cols = keys + payload if explicit_payload else list(fact.columns)
+    check_frames = ((dim, "dim"),) if explicit_payload else (
+        (fact, "fact"), (dim, "dim"), (view, "view"))
+    if sign_col in fact_cols:
+        raise ValueError(f"fact must not carry sign column {sign_col!r}")
+    for df, name in check_frames:
         if sign_col in df.columns:
             raise ValueError(
                 f"{name} must not carry sign column {sign_col!r}"
             )
-    clash = (set(fact.columns) & set(dim.columns)) - set(join_on)
+    clash = (set(fact_cols) & set(dim.columns)) - set(join_on)
     if clash:
         raise ValueError(
             f"rename shared non-join columns before maintaining: {sorted(clash)}"
         )
 
+    # signed fact delta needs the same compacted batch the MERGE
+    # replays — compact ONCE and share it (the window subtree was
+    # previously built twice per batch)
+    last = scd.compact_cdc_log(log, keys, seq_cols, op_col)
+
     # 1) snapshot MERGE (broadcast anti join; fact never shuffles)
-    fact_next = scd.apply_cdc_log(
-        fact, log, keys, seq_cols, op_col, payload
+    fact_next = scd._apply_compacted(
+        fact, last, keys, payload, op_col, broadcast_log=True
     )
 
     # 2) signed fact delta from the same compacted batch: -old image
     #    for every touched key present in the snapshot, +new image for
     #    every surviving upsert. An upsert whose payload is unchanged
     #    produces a -row/+row pair that cancels in both folds.
-    last = scd.compact_cdc_log(log, keys, seq_cols, op_col)
     touched = last.select(*keys)
     olds = (
         fact.join(F.broadcast(touched), keys, "left_semi")
@@ -120,7 +138,19 @@ def maintain_cdc_lakehouse(
     #    directly so the empty A_old⋈ΔB term never even plans a fact
     #    scan. Δfact broadcasts; the dim is probed, not shuffled.
     dv = F.broadcast(dfact).join(dim, list(join_on), "inner")
-    view_next = ivm.apply_join_view_delta(view, dv, sign_col)
+    view_next = ivm.apply_join_view_delta(
+        view,
+        dv,
+        sign_col,
+        # with an explicit payload the view's columns follow from the
+        # input contract (fact key+payload + dim payload) — assert
+        # them instead of re-analyzing the growing view lineage
+        view_cols=(
+            fact_cols + [c for c in dim.columns if c not in join_on]
+            if explicit_payload
+            else None
+        ),
+    )
 
     # 4) aggregate fold: signed view-delta rows in apply_delta's
     #    insert/delete change shape (sign +1 -> insert/new images,

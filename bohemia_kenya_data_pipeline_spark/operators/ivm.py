@@ -168,7 +168,10 @@ def join_view_delta(
 
 
 def apply_join_view_delta(
-    view: DataFrame, dv: DataFrame, sign_col: str = "__sign"
+    view: DataFrame,
+    dv: DataFrame,
+    sign_col: str = "__sign",
+    view_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Fold a signed ``ΔV`` into the materialized view: exact multiset
     semantics — group the touched rows by FULL row value, net the
@@ -181,11 +184,19 @@ def apply_join_view_delta(
     net-sign aggregation (semi/anti split on the view); everything
     else passes through untouched — delta-sized work against a
     view-sized scan, no recompute of the join.
+
+    ``view_cols`` lets a chained maintainer assert the view's column
+    list instead of having it derived: ``view.columns`` re-analyzes
+    the whole view lineage, which grows every batch
+    (``jobs.maintain_cdc_lakehouse``, r14 — guide §3.3 planning-time
+    class). Semantics are identical; the reserved-name guard runs
+    against the asserted list.
     """
     if sign_col not in dv.columns:
         raise ValueError(f"delta is missing sign column {sign_col!r}")
+    vcols = list(view_cols) if view_cols is not None else view.columns
     for tmp in ("__net", "__dup"):
-        if tmp in view.columns or tmp in dv.columns:
+        if tmp in vcols or tmp in dv.columns:
             raise ValueError(f"column name {tmp!r} is reserved")
     data_cols = [c for c in dv.columns if c != sign_col]
     touched = dv.select(*data_cols).dropDuplicates()

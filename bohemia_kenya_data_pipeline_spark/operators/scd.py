@@ -279,8 +279,25 @@ def apply_cdc_log(
     keys = list(key_cols)
     if payload_cols is None:
         payload_cols = [c for c in snapshot.columns if c not in keys]
-    payload = list(payload_cols)
     last = compact_cdc_log(log, keys, seq_cols, op_col)
+    return _apply_compacted(
+        snapshot, last, keys, list(payload_cols), op_col, broadcast_log
+    )
+
+
+def _apply_compacted(
+    snapshot: DataFrame,
+    last: DataFrame,
+    keys: list[str],
+    payload: list[str],
+    op_col: str,
+    broadcast_log: bool,
+) -> DataFrame:
+    """MERGE a PRE-COMPACTED log (one row per key) into the snapshot —
+    the second half of :func:`apply_cdc_log`, split out so a caller
+    that already compacted the batch (``jobs.maintain_cdc_lakehouse``
+    needs the compacted image for its signed delta too) applies it
+    without building the window subtree twice per batch."""
     touched = last.select(*keys)
     if broadcast_log:
         touched = F.broadcast(touched)

@@ -12523,6 +12523,10 @@ def lakehouse_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             fact, view, agg, dim, log,
             key_cols=["k"], seq_cols=["seq"], join_on=["ckey"],
             group_cols=["seg"], sum_cols=["cents"],
+            # explicit payload: deriving it re-analyzes the chained
+            # fact/view lineage every batch (r14, guide §3.3) — the
+            # dominant cost of this entry was plan analysis, not data
+            payload_cols=["ckey", "cents"],
         )
     return agg.select(
         "seg", "n_rows", F.col("sum_cents").cast("bigint").alias("sum_cents")
