@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
 from ..operators.skipping import _swap_in
-from ..session import local_df
+from ..session import local_df, parquet_scan, _local_footer_schema
 
 
 def _centroid_sidecar(index_path: str) -> str:
@@ -199,7 +199,9 @@ def query_ann_index(
     )
     cids = sorted(r.cid for r in probed)
     scan = _drop_tombstoned(
-        spark.read.parquet(index_path).filter(F.col("cid").isin(cids)),
+        parquet_scan(spark, index_path, [("cid", "int")]).filter(
+            F.col("cid").isin(cids)
+        ),
         spark, index_path, id_col,
     )
     return sim.ivf_topk(
@@ -305,7 +307,7 @@ def compact_index(
     tomb = _index_tombstones(spark, index_path)
     if tomb is None:
         return
-    scan = spark.read.parquet(index_path)
+    scan = parquet_scan(spark, index_path, [("cid", "int")])
     rows = scan.join(
         F.broadcast(tomb.select(F.col("id").alias(id_col))), id_col, "anti"
     )
@@ -331,7 +333,7 @@ def index_stats(
     metadata-sized frame (C = n_centroids), never over index rows.
     Works on both layouts: plain ANN and IVF-PQ store the same
     (id, cid) spine."""
-    scan = spark.read.parquet(index_path).select(
+    scan = parquet_scan(spark, index_path, [("cid", "int")]).select(
         F.col(id_col).alias("id"), "cid"
     )
     tomb = _index_tombstones(spark, index_path)
@@ -444,7 +446,7 @@ def retrain_index(
         )
     centroids = load_ann_centroids(spark, index_path)
     live = _drop_tombstoned(
-        spark.read.parquet(index_path).select(id_col, vec_col),
+        parquet_scan(spark, index_path, [("cid", "int")]).select(id_col, vec_col),
         spark,
         index_path,
         id_col,
@@ -518,7 +520,7 @@ def maintain_vector_index(
         # delta (tombstoned ids still pass — re-admission is handled
         # by extend_ann_index's compact-first guard)
         live_ids = _drop_tombstoned(
-            spark.read.parquet(index_path).select(id_col),
+            parquet_scan(spark, index_path, [("cid", "int")]).select(id_col),
             spark, index_path, id_col,
         )
         # eager localCheckpoint: the delta's plan READS the index, and
@@ -599,7 +601,7 @@ def maintain_pq_index(
         # maintain_vector_index (the delta's plan reads the index a
         # re-admitting extend may rewrite)
         live_ids = _drop_tombstoned(
-            spark.read.parquet(index_path).select(id_col),
+            parquet_scan(spark, index_path, [("cid", "int")]).select(id_col),
             spark, index_path, id_col,
         )
         delta = new_rows.join(live_ids, id_col, "anti").localCheckpoint(
@@ -771,7 +773,11 @@ def extend_ivfpq_index(
     _compact_if_readmitting(new_rows, index_path, id_col)
     centroids = load_ann_centroids(spark, index_path)
     codebooks = load_pq_codebooks(spark, index_path)
-    store_vec = vec_col in spark.read.parquet(index_path).columns
+    _st = _local_footer_schema(index_path)
+    store_vec = vec_col in (
+        _st.fieldNames() if _st is not None
+        else spark.read.parquet(index_path).columns
+    )
     assigned = _assign_for_index(new_rows, centroids, vec_col, id_col, assign)
     extra = ("cid", vec_col) if store_vec else ("cid",)
     coded = sim.pq_encode(assigned, codebooks, vec_col, id_col, extra_cols=extra)
@@ -830,7 +836,9 @@ def query_ivfpq_index(
     )
     cids = sorted(r.cid for r in probed)
     scan = _drop_tombstoned(
-        spark.read.parquet(index_path).filter(F.col("cid").isin(cids)),
+        parquet_scan(spark, index_path, [("cid", "int")]).filter(
+            F.col("cid").isin(cids)
+        ),
         spark, index_path, id_col,
     )
     codes = scan.select(

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import parquet_scan
 from .text import bind_once, tokens
 
 #: Mersenne prime 2^31-1 — classic universal-hash modulus.
@@ -893,7 +894,7 @@ def minhash_index_compact(spark, index_path: str) -> None:
     tomb = _minhash_tombstones(spark, index_path)
     if tomb is None:
         return
-    rows = spark.read.parquet(index_path).join(
+    rows = parquet_scan(spark, index_path, [("band", "int")]).join(
         F.broadcast(tomb), "id", "anti"
     )
     # partitionBy-preserving staged swap: write to a stage sibling,
@@ -929,7 +930,9 @@ def minhash_index_stats(spark, index_path: str) -> DataFrame:
     (id, band, bucket) rows — text is never stored, so this is always
     index-metadata-sized I/O — two map-side-combined groupBys, and the
     result is B rows (B = bands)."""
-    rows = spark.read.parquet(index_path).select("id", "band", "bucket")
+    rows = parquet_scan(spark, index_path, [("band", "int")]).select(
+        "id", "band", "bucket"
+    )
     tomb = _minhash_tombstones(spark, index_path)
     live = rows if tomb is None else rows.join(F.broadcast(tomb), "id", "anti")
     stored = rows.groupBy("band").agg(F.count(F.lit(1)).alias("stored_rows"))
@@ -991,7 +994,7 @@ def maintain_minhash_index(
         "hot_buckets": 0,
     }
     if new_docs is not None:
-        live_ids = spark.read.parquet(index_path).select(
+        live_ids = parquet_scan(spark, index_path, [("band", "int")]).select(
             F.col("id").alias(id_col)
         )
         tomb = _minhash_tombstones(spark, index_path)
@@ -1060,7 +1063,7 @@ def minhash_index_query(
         params["shingle_n"],
         params["seed"],
     ).select(F.col("id").alias("new_id"), "band", "bucket")
-    index = spark.read.parquet(index_path).select(
+    index = parquet_scan(spark, index_path, [("band", "int")]).select(
         F.col("id").alias("index_id"), "band", "bucket"
     )
     tomb = _minhash_tombstones(spark, index_path)
