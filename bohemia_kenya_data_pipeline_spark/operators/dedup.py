@@ -1241,7 +1241,7 @@ def semantic_dedup_pairs(
     Returns (id_a, id_b, cid, cosine) with id_a < id_b, cosine
     rounded to 4 dp.
     """
-    from .similarity import cosine_prenormed
+    from .similarity import cosine_prenormed_fixed
 
     if anchors is None:
         anchors = semantic_anchor_vectors(emb, vec_col, id_col, n_anchors)
@@ -1253,13 +1253,17 @@ def semantic_dedup_pairs(
     b = assigned.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb"), "cid"
     )
+    # fixed-dim unrolled cosine: bit-identical to the fold (same IEEE
+    # order, guarded fallback for malformed rows) but codegen'd — the
+    # anchors pin the corpus dimension (r14; see cosine_prenormed_fixed)
+    dim = len(anchors[0])
     return (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
             F.round(
-                cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4
+                cosine_prenormed_fixed("va", "vb", F.col("na"), F.col("nb"), dim), 4
             ),
         )
         .filter(F.col("cosine") >= threshold)

@@ -47,6 +47,38 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.when(n > 0, dot(a, b) / n).otherwise(F.lit(0.0))
 
 
+def cosine_prenormed_fixed(
+    a: str, b: str, na: Column, nb: Column, dim: int
+) -> Column:
+    """:func:`cosine_prenormed` with a KNOWN vector dimension: the dot
+    product unrolls to ``(((0.0D + a[0]*b[0]) + a[1]*b[1]) + ...)`` —
+    the same left-to-right IEEE addition order as the ``aggregate``
+    fold (including the leading ``0.0 + x`` term, which differs from
+    bare ``x`` only at ``-0.0``), so values are BIT-IDENTICAL, but the
+    unrolled arithmetic participates in whole-stage codegen while
+    higher-order folds are interpreted (CodegenFallback) — measured
+    4.0 → 2.6 s on the semantic-dedup pair stage at sf0.1 with 0
+    mismatches over all 252,560 pairs (r14, guide §1.2 per-task work).
+
+    A ``size == dim`` guard keeps ANSI index safety and exactness for
+    malformed rows: any vector of a different length falls back to the
+    fold branch (evaluated only when taken), preserving the generic
+    semantics — NULL-poisoned shorter vectors, full-length fold for
+    longer ones. ``a``/``b`` are column NAMES (the unrolled expression
+    is one SQL parse, same plan-construction class as §2/§7)."""
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    terms = "0.0D"
+    for i in range(dim):
+        terms = f"({terms} + (`{a}`[{i}] * `{b}`[{i}]))"
+    guard = (F.size(a) == dim) & (F.size(b) == dim)
+    n = na * nb
+    fast = F.when(n > 0, F.expr(terms) / n).otherwise(F.lit(0.0))
+    return F.when(guard, fast).otherwise(
+        cosine_prenormed(F.col(a), F.col(b), na, nb)
+    )
+
+
 def _as_double(vec_col: str) -> Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 

@@ -722,3 +722,44 @@ def test_mmr_rerank_schema_polymorphic_and_signed_penalty(spark):
     # beating the orthogonal `o` (0.5*0.3 - 0 = 0.15). The old zero-floored
     # penalty gave c only 0.05 and wrongly picked o (ADVICE r10).
     assert [r.neighbor_id for r in rows] == ["a", "c"]
+
+
+def test_cosine_prenormed_fixed_bit_identical(spark):
+    """The unrolled fixed-dim cosine must equal the aggregate-fold
+    cosine BIT-FOR-BIT (same IEEE order incl. the leading 0.0 term)
+    on every well-formed pair, and fall back to the fold's generic
+    semantics for malformed rows (wrong dim, NULL elements, zero
+    norm)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark.operators import similarity as sim
+
+    rows = []
+    for i in range(50):
+        va = [math.sin(i * 7 + j) for j in range(8)]
+        vb = [math.cos(i * 3 + j) for j in range(8)]
+        rows.append((va, vb))
+    rows.append(([0.0] * 8, [1.0] * 8))            # zero norm -> 0.0
+    rows.append(([1.0] * 5, [1.0] * 8))            # short -> fold branch
+    rows.append(([1.0] * 9, [1.0] * 9))            # long + equal -> fold branch
+    rows.append(([1.0, None] + [1.0] * 6, [1.0] * 8))  # NULL element
+    df = spark.createDataFrame(rows, "va ARRAY<DOUBLE>, vb ARRAY<DOUBLE>")
+    df = df.withColumn("na", sim.norm(F.col("va"))).withColumn(
+        "nb", sim.norm(F.col("vb"))
+    )
+    got = df.select(
+        sim.cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("fold"),
+        sim.cosine_prenormed_fixed("va", "vb", F.col("na"), F.col("nb"), 8).alias("fast"),
+    ).collect()
+    for r in got:
+        if r.fold is None:
+            assert r.fast is None
+        else:
+            assert r.fold == r.fast and math.copysign(1, r.fold) == math.copysign(1, r.fast)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sim.cosine_prenormed_fixed("va", "vb", F.col("na"), F.col("nb"), 0)
