@@ -562,6 +562,7 @@ def nearest_neighbor_bucketed(
     cell_m: float = 5000.0,
     lat_ref: float = 0.0,
     levels: int = 3,
+    pin_leftovers: bool = True,
 ) -> DataFrame:
     """J12 at scale: exact nearest facility WITHOUT broadcasting the
     facility side — the grid-bucketed fallback the module docstring
@@ -600,6 +601,20 @@ def nearest_neighbor_bucketed(
     broadcast(everything); run :func:`nearest_bucket_stats` first when
     in doubt — it prices the leftover fraction for a candidate
     ``cell_m`` WITHOUT running the fallback pass.
+
+    ``pin_leftovers`` (default on, r15 — guide §3.3/§5): materialize
+    each level's leftover set with ``localCheckpoint`` so escalation
+    level k reads a TRUNCATED plan instead of re-deriving the whole
+    accept/anti-join chain of levels 0..k-1 — the lazy chain
+    recomputed the level-0 accept pass once per downstream reference
+    (profiled: two ~1.3 s single-task rederivation jobs at sf0.1, the
+    slowest entry in the bench). The pinned frame is the LEFTOVER set
+    only — (id, lat, lon) keys, ~leftover_fraction of the points at
+    level 1 and geometrically less after — never facility payloads or
+    accepted output. Row values are identical (a checkpoint is a
+    materialization barrier, not a transformation); set False to keep
+    the fully-lazy plan (e.g. when executor storage is the scarce
+    resource).
     """
     p, f, accepted = _bucketed_accept(
         points, facilities, point_id, facility_id,
@@ -621,6 +636,8 @@ def nearest_neighbor_bucketed(
         # each escalation stage schedules a handful of tasks, not a
         # full shuffle-width of near-empty ones
         remaining = remaining.coalesce(8)
+        if pin_leftovers:
+            remaining = remaining.localCheckpoint()
         _, _, acc_k = _bucketed_accept(
             remaining, f, "_pid", "_fid",
             "_plat", "_plon", "_flat", "_flon",

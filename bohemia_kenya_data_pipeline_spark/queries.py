@@ -2082,6 +2082,19 @@ def spatial_nearest_hf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J12 at scale: grid-bucketed exact nearest neighbor — no facility
     # broadcast; same oracle as spatial_nearest_hf (results must be
     # identical, only the plan differs).
+    #
+    # cell_m sized to facility density per nearest_bucket_stats'
+    # documented heuristic (r15; was 15000): the study area is
+    # ~108x99 km with 1000 facilities, so 15 km cells held ~20
+    # facilities each and the 3x3 accept block scored ~180 candidates
+    # per point — 2.7M trig-heavy haversine pairs, profiled as two
+    # ~1.3 s single-task jobs (the whole entry's cost). At 5000 m the
+    # stats probe reports leftover_fraction 0.109 / max_cell_fac 10:
+    # ~18x fewer candidate pairs, the ~11% leftovers resolve in the
+    # (now cheap, pinned) escalation levels, and results are
+    # bit-identical because the proof gate + fallback make the plan
+    # exact at ANY cell size (parity-checked against cell_m=15000 and
+    # the brute-force oracle).
     s = _t(spark, sf_dir, "supplier")
     k = F.col("s_suppkey")
     hf = s.select(
@@ -2096,7 +2109,7 @@ def spatial_nearest_hf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(-4.0) + (ck % 999) / 1000.0).alias("lat"),
         (F.lit(39.0) + ((ck * 7) % 999) / 1000.0).alias("lon"),
     )
-    return sp.nearest_neighbor_bucketed(pts, hf, cell_m=15000.0, lat_ref=-3.5)
+    return sp.nearest_neighbor_bucketed(pts, hf, cell_m=5000.0, lat_ref=-3.5)
 
 
 @_register(

@@ -35,7 +35,11 @@ def _api(base: str, path: str):
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bkdp-profile")
+    # the engine session disables the UI (driver overhead); profiling
+    # needs the REST API, so re-enable it for this tool only
+    spark = get_spark(
+        app_name="bkdp-profile", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     base = spark.sparkContext.uiWebUrl

