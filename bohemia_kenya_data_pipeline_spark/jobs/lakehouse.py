@@ -120,16 +120,14 @@ def maintain_cdc_lakehouse(
     #    for every touched key present in the snapshot, +new image for
     #    every surviving upsert. An upsert whose payload is unchanged
     #    produces a -row/+row pair that cancels in both folds.
+    #    (one select per leg, r15: select+withColumn pairs were two
+    #    eager analyses each over the growing fact lineage)
     touched = last.select(*keys)
-    olds = (
-        fact.join(F.broadcast(touched), keys, "left_semi")
-        .select(*keys, *payload)
-        .withColumn(sign_col, F.lit(-1))
+    olds = fact.join(F.broadcast(touched), keys, "left_semi").select(
+        *keys, *payload, F.lit(-1).alias(sign_col)
     )
-    news = (
-        last.filter(F.col(op_col) != "D")
-        .select(*keys, *payload)
-        .withColumn(sign_col, F.lit(1))
+    news = last.filter(F.col(op_col) != "D").select(
+        *keys, *payload, F.lit(1).alias(sign_col)
     )
     dfact = olds.unionByName(news)
 
@@ -138,18 +136,32 @@ def maintain_cdc_lakehouse(
     #    directly so the empty A_old⋈ΔB term never even plans a fact
     #    scan. Δfact broadcasts; the dim is probed, not shuffled.
     dv = F.broadcast(dfact).join(dim, list(join_on), "inner")
-    view_next = ivm.apply_join_view_delta(
-        view,
-        dv,
-        sign_col,
-        # with an explicit payload the view's columns follow from the
-        # input contract (fact key+payload + dim payload) — assert
-        # them instead of re-analyzing the growing view lineage
-        view_cols=(
-            fact_cols + [c for c in dim.columns if c not in join_on]
-            if explicit_payload
-            else None
-        ),
+
+    # 4) view MERGE. This job's own input contract (view == fact ⋈ dim
+    #    with the fact KEY keeping view rows unique) makes the generic
+    #    multiset fold (ivm.apply_join_view_delta: full-row
+    #    dropDuplicates + anti/semi split + net-sign aggregate +
+    #    re-explode, TWO references to the view lineage) reducible to
+    #    MERGE semantics on the fact key:
+    #
+    #        view' = fact' ⋈ dim
+    #              = ((fact ∖ touched) ∪ upserts) ⋈ dim
+    #              = (view ∖ touched-keys) ∪ (ΔV's +1 rows)
+    #
+    #    — the -1 rows of ΔV are by construction exactly the view rows
+    #    with touched keys (olds = fact ⋈ touched ⋈ dim), so dropping
+    #    touched keys and appending the +new images IS the multiset
+    #    fold's fixed point. One broadcast anti-join (the view is
+    #    never shuffled) + one union: the view lineage is referenced
+    #    ONCE per batch instead of twice, so the chained plan grows
+    #    linearly in batches instead of doubling (r14/r15: eager
+    #    per-op analysis of that doubling tree was the dominant cost
+    #    of this job — guide §3.3 planning-time class). Equality with
+    #    the generic fold is pinned by the differential golden
+    #    (maintained == recomputed after every batch) and the
+    #    lakehouse_cdc_e2e oracle.
+    view_next = view.join(F.broadcast(touched), keys, "left_anti").unionByName(
+        dv.filter(F.col(sign_col) > 0).drop(sign_col)
     )
 
     # 4) aggregate fold: signed view-delta rows in apply_delta's
