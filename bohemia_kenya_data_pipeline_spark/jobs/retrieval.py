@@ -66,11 +66,20 @@ def _assign_for_index(
         raise ValueError(
             f"assign must be 'auto', 'fold' or 'arrow', got {assign!r}"
         )
-    cents = sim._centroid_literal(centroids)
+    # one SQL parse for literal + cast + argmax fold (r15; same tree,
+    # same interpreted execution — only plan construction changes)
+    vec_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     return (
         sim._drop_null_vecs(corpus, vec_col)
         .select(id_col, vec_col)
-        .withColumn("cid", sim._nearest_cid(sim._as_double(vec_col), cents))
+        .withColumn(
+            "cid",
+            F.expr(
+                sim._nearest_cid_sql(
+                    vec_sql, sim._centroid_literal_sql(centroids)
+                )
+            ),
+        )
     )
 
 

@@ -259,6 +259,19 @@ def _sql_dbl(v: float) -> str:
     return repr(float(v)) + "D"
 
 
+def _centroid_literal_sql(centroids: list[list[float]]) -> str:
+    """The SQL text of :func:`_centroid_literal` — exposed so callers
+    that compose the literal into a LARGER one-parse expression
+    (:func:`_nearest_cid_sql`, :func:`_probe_cids_sql`) splice the
+    string instead of paying a py4j round trip per composition step."""
+    return "array(" + ",".join(
+        "named_struct('cid', {}, 'cv', array({}))".format(
+            i, ",".join(_sql_dbl(v) for v in _unit(c))
+        )
+        for i, c in enumerate(centroids)
+    ) + ")"
+
+
 def _centroid_literal(centroids: list[list[float]]) -> Column:
     """Centroids as a literal, with each vector UNIT-NORMALIZED
     driver-side: argmax over centroids of cosine(v, c) equals argmax
@@ -272,20 +285,59 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
     0.32 s of pure driver time per build at 8×64 vs 0.002 s for the
     parsed string (r14; schema and values bit-identical, pinned by
     ``tests/test_similarity.py``)."""
-    parts = [
-        "named_struct('cid', {}, 'cv', array({}))".format(
-            i, ",".join(_sql_dbl(v) for v in _unit(c))
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return F.expr("array(" + ",".join(parts) + ")")
+    return F.expr(_centroid_literal_sql(centroids))
+
+
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of :func:`dot` — the identical left-to-right
+    ``aggregate(zip_with(...))`` fold (same Catalyst nodes, same IEEE
+    order), emitted as a string for one-parse composition."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _nearest_cid_sql(vec_sql: str, cents_sql: str) -> str:
+    """SQL text of :func:`_nearest_cid` over a spliced centroid
+    literal: parsing the whole argmax as ONE ``F.expr`` replaces the
+    per-call lambda-composition py4j traffic (r15 — the same §7.3
+    one-parse class as the literal itself; ivf_topk built this fold
+    once per Lloyd round plus once per side). The parsed tree is the
+    same aggregate/transform/CASE chain, so runtime values (and the
+    deliberately-interpreted fold execution) are unchanged."""
+    dot_s = _dot_sql(vec_sql, "c.cv")
+    return (
+        "aggregate("
+        f"transform({cents_sql}, c -> named_struct('s', {dot_s}, 'cid', c.cid)), "
+        "named_struct('best', CAST('-Infinity' AS DOUBLE), 'cid', -1), "
+        "(acc, x) -> CASE WHEN x.s > acc.best "
+        "THEN named_struct('best', x.s, 'cid', x.cid) ELSE acc END"
+        ").cid"
+    )
+
+
+def _probe_cids_sql(qv_sql: str, cents_sql: str, n_probe: int) -> str:
+    """SQL text of the per-query probe-cid array (sort (neg-dot, cid)
+    structs, slice ``n_probe``, project cid) — one parse for the whole
+    probe-selection expression (r15, same class as
+    :func:`_nearest_cid_sql`)."""
+    dot_s = _dot_sql(qv_sql, "ce.cv")
+    return (
+        "transform(slice(sort_array(transform("
+        f"{cents_sql}, ce -> named_struct('d', -({dot_s}), 'cid', ce.cid)"
+        f")), 1, {int(n_probe)}), p -> p.cid)"
+    )
 
 
 def _nearest_cid(vec: Column, cents: Column) -> Column:
     """argmax-similarity centroid id (ties -> smaller cid,
     deterministic). ``cents`` comes from :func:`_centroid_literal`
     (unit-normalized); the per-centroid dot is staged via transform so
-    it evaluates once, then a cheap struct fold picks the argmax."""
+    it evaluates once, then a cheap struct fold picks the argmax.
+    Column-composition twin of :func:`_nearest_cid_sql` (same tree,
+    value-parity pinned in tests) for callers holding arbitrary
+    ``Column`` inputs."""
     sims = F.transform(
         cents,
         lambda c: F.struct(dot(vec, c["cv"]).alias("s"), c["cid"].alias("cid")),
@@ -398,8 +450,12 @@ def _lloyd_round_fold(
     of dim avg expressions — codegen compiles in milliseconds, and the
     plan is dimension-independent. Empty clusters keep their previous
     centroid."""
-    cents = _centroid_literal(centroids)
-    assigned = base.withColumn("cid", _nearest_cid(F.col("v"), cents))
+    assigned = base.withColumn(
+        "cid",
+        # one SQL parse per round (r15): the lambda-composed fold cost
+        # ~0.08 s of py4j traffic per build x (n_iters + assigns)
+        F.expr(_nearest_cid_sql("`v`", _centroid_literal_sql(centroids))),
+    )
     means = (
         assigned.select("cid", F.posexplode("v").alias("pos", "x"))
         .groupBy("cid", "pos")
@@ -606,32 +662,25 @@ def ivf_topk(
         centroids = ivf_train_centroids(
             corpus, vec_col, id_col, n_centroids, n_iters, train_fraction
         )
-    cents = _centroid_literal(centroids)
+    cents_sql = _centroid_literal_sql(centroids)
     c = (
         _drop_null_vecs(corpus, vec_col)
         .select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
         .withColumn("cn", norm(F.col("cv")))
-        .withColumn("cid", _nearest_cid(F.col("cv"), cents))
+        .withColumn("cid", F.expr(_nearest_cid_sql("`cv`", cents_sql)))
     )
     # per-query probe list: sort (neg-sim, cid) structs, slice n_probe
-    # (unit-normalized centroids: dot order == cosine order per query)
-    probes = F.slice(
-        F.sort_array(
-            F.transform(
-                cents,
-                lambda ce: F.struct(
-                    (-dot(F.col("qv"), ce["cv"])).alias("d"), ce["cid"].alias("cid")
-                ),
-            )
-        ),
-        1,
-        n_probe,
-    )
+    # (unit-normalized centroids: dot order == cosine order per query);
+    # assignment + probe selection are ONE SQL parse each (r15 — the
+    # lambda composition was ~0.4 s of the entry's driver time)
     q = (
         _drop_null_vecs(queries, vec_col)
         .select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
         .withColumn("qn", norm(F.col("qv")))
-        .withColumn("cid", F.explode(F.transform(probes, lambda p: p["cid"])))
+        .withColumn(
+            "cid",
+            F.explode(F.expr(_probe_cids_sql("`qv`", cents_sql, n_probe))),
+        )
     )
     cand = q.join(c, "cid").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.withColumn(

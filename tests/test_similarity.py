@@ -763,3 +763,42 @@ def test_cosine_prenormed_fixed_bit_identical(spark):
 
     with _pytest.raises(ValueError):
         sim.cosine_prenormed_fixed("va", "vb", F.col("na"), F.col("nb"), 0)
+
+
+def test_nearest_cid_sql_matches_column_path(spark):
+    # r15 one-parse class: the SQL-built argmax/probe expressions must
+    # be value-identical to the Column-composed twins, including exact
+    # dot ties (argmax keeps the SMALLER cid in both) and negatives.
+    cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]  # cid 2 duplicates cid 0
+    rows = [
+        (1, [0.9, 0.1]),
+        (2, [0.1, 0.9]),
+        (3, [0.5, 0.5]),      # exact tie between cid 0/1/2 -> cid 0
+        (4, [-1.0, -2.0]),    # all dots negative
+        (5, [0.0, 0.0]),      # zero vector: dot 0 everywhere -> cid 0
+    ]
+    df = spark.createDataFrame(rows, "id INT, v ARRAY<DOUBLE>")
+    col_cid = sim._nearest_cid(F.col("v"), sim._centroid_literal(cents))
+    sql_cid = F.expr(sim._nearest_cid_sql("`v`", sim._centroid_literal_sql(cents)))
+    got = df.select("id", col_cid.alias("a"), sql_cid.alias("b")).collect()
+    for r in got:
+        assert r.a == r.b, (r.id, r.a, r.b)
+    assert {r.id: r.a for r in got}[3] == 0  # tie -> smallest cid
+
+    probes_col = F.slice(
+        F.sort_array(
+            F.transform(
+                sim._centroid_literal(cents),
+                lambda ce: F.struct(
+                    (-sim.dot(F.col("v"), ce["cv"])).alias("d"),
+                    ce["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        2,
+    )
+    pc = F.transform(probes_col, lambda p: p["cid"])
+    ps = F.expr(sim._probe_cids_sql("`v`", sim._centroid_literal_sql(cents), 2))
+    for r in df.select(pc.alias("a"), ps.alias("b")).collect():
+        assert list(r.a) == list(r.b)
