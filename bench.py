@@ -253,9 +253,16 @@ def _cleaning_dag_e2e(spark, sf_dir: str) -> None:
                 lambda: ql.detect_duplication(keyed, "hhid", "bench", "dup_hhid"),
             ]
         )
-        _noop(sanitized)
-        _noop(final)
-        _noop(summary)
+        # summary is a rollup OF final: persist final so the summary
+        # sink folds the cached anomaly rows instead of re-running the
+        # detectors (same multi-output pattern as `clean` above)
+        final = final.persist()
+        try:
+            _noop(sanitized)
+            _noop(final)
+            _noop(summary)
+        finally:
+            final.unpersist()
     finally:
         clean.unpersist()
 

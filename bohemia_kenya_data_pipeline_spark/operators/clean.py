@@ -211,20 +211,22 @@ def apply_sets(
             "left",
         )
 
+    # one selectExpr parse for the whole typed-coalesce projection
+    # (r15, §7.3 one-parse class): the Column-composed loop cost ~5
+    # py4j round trips per column on every clean_form build.
+    # try_cast, not cast: a malformed human-entered value must degrade
+    # to NULL -> coalesce keeps the old value (matches R's
+    # as.numeric->NA->coalesce), not abort the job under ANSI mode.
     exprs = []
     for c in data.columns:
         if c in target_cols:
-            typ = data.schema[c].dataType
-            # try_cast, not cast: a malformed human-entered value must
-            # degrade to NULL -> coalesce keeps the old value (matches
-            # R's as.numeric->NA->coalesce), not abort the job under
-            # ANSI mode.
+            typ = data.schema[c].dataType.simpleString()
             exprs.append(
-                F.coalesce(F.col(f"p.`{c}`").try_cast(typ), F.col(f"d.`{c}`")).alias(c)
+                f"coalesce(try_cast(p.`{c}` AS {typ}), d.`{c}`) AS `{c}`"
             )
         else:
-            exprs.append(F.col(f"d.`{c}`").alias(c))
-    return joined.select(*exprs)
+            exprs.append(f"d.`{c}` AS `{c}`")
+    return joined.selectExpr(*exprs)
 
 
 # ---------------------------------------------------------------------------
@@ -293,13 +295,20 @@ def expand_resolution(
         .withColumn("Column", F.col("cascade_to"))
         .drop("source", "cascade_to")
     )
-    recode = F.col("Set To")
-    for col, val in EFFICACY_ABSENT_RECODE.items():
-        recode = F.when(
-            (F.col("Set To") == "Absent") & (F.col("Column") == col) & (F.col("Form") == "efficacy"),
-            F.lit(val),
-        ).otherwise(recode)
-    expanded = expanded.withColumn("Set To", recode).select(*resolution.columns)
+    # the efficacy-absence recode as ONE parsed CASE chain (r15, §7.3
+    # one-parse class — the nested F.when loop cost a py4j round trip
+    # per map entry on every expansion build). Same CaseWhen tree,
+    # innermost-first order preserved: iteration k wraps the previous
+    # chain as its ELSE, so the LAST map entry is the outermost WHEN —
+    # the string renders the entries reversed to match exactly.
+    arms = "".join(
+        "WHEN `Set To` = 'Absent' AND `Column` = '{}' AND `Form` = 'efficacy' "
+        "THEN '{}' ".format(col, val)
+        for col, val in reversed(list(EFFICACY_ABSENT_RECODE.items()))
+    )
+    expanded = expanded.withColumn(
+        "Set To", F.expr(f"CASE {arms}ELSE `Set To` END")
+    ).select(*resolution.columns)
     return resolution.unionByName(expanded)
 
 
