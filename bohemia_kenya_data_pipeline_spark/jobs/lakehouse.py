@@ -60,8 +60,22 @@ def maintain_cdc_lakehouse(
     op_col: str = "op",
     payload_cols: Sequence[str] | None = None,
     sign_col: str = "__sign",
+    check_contract: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Apply one CDC batch; returns ``(fact', view', agg')``.
+
+    WARNING (explicit ``payload_cols``): passing ``payload_cols``
+    ASSERTS the fact/view column contract — the sign-column and
+    column-clash checks then run against the asserted list only, and
+    payloads that do not match the real fact schema produce silent
+    corruption in the view/aggregate fold instead of a loud error
+    (that is the point: deriving the contract re-analyzes the chained
+    lineage, the dominant cost of a batch chain — ADVICE r14). Pass
+    ``check_contract=True`` on the FIRST batch of a chain (its lineage
+    is still cheap to analyze) to validate the assertion once —
+    ``set(fact.columns) == keys+payload`` and the view carrying
+    keys+payload+dim-payload — and leave it off on subsequent batches
+    where the growing lineage makes ``.columns`` expensive.
 
     Input contracts (all loud-checked where cheap):
     - ``view`` == ``fact ⋈ dim`` on ``join_on`` (inner), carrying the
@@ -93,6 +107,20 @@ def maintain_cdc_lakehouse(
     fact_cols = keys + payload if explicit_payload else list(fact.columns)
     check_frames = ((dim, "dim"),) if explicit_payload else (
         (fact, "fact"), (dim, "dim"), (view, "view"))
+    if explicit_payload and check_contract:
+        # one-shot validation of the asserted contract (see WARNING):
+        # pays the two .columns analyses the assertion normally skips
+        if set(fact.columns) != set(fact_cols):
+            raise ValueError(
+                f"payload_cols contract violated: fact columns "
+                f"{sorted(fact.columns)} != keys+payload {sorted(fact_cols)}"
+            )
+        want_view = set(fact_cols) | (set(dim.columns) - set(join_on)) | set(join_on)
+        if set(view.columns) != want_view:
+            raise ValueError(
+                f"payload_cols contract violated: view columns "
+                f"{sorted(view.columns)} != fact+dim payload {sorted(want_view)}"
+            )
     if sign_col in fact_cols:
         raise ValueError(f"fact must not carry sign column {sign_col!r}")
     for df, name in check_frames:

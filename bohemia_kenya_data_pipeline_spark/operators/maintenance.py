@@ -218,7 +218,7 @@ def _list_parquet_file_infos(spark: SparkSession, path: str) -> list[tuple[str, 
     round trips per file, pure driver latency)."""
     from . import skipping as _skp
 
-    local = _skp._local_root(path)
+    local = _skp._local_root(path, spark)
     if local is not None:
         return [
             (f, s)

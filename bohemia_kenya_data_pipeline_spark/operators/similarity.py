@@ -47,6 +47,13 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.when(n > 0, dot(a, b) / n).otherwise(F.lit(0.0))
 
 
+#: Unrolled-dot dim ceiling: above this the fixed-dim cosine falls
+#: back to the generic fold (ADVICE r14 — measured in r15: a 184 KB
+#: unrolled expression defeats codegen and runs 14x SLOWER than the
+#: interpreted fold, so big unrolls are a pathology, not a win).
+UNROLL_MAX_DIM = 256
+
+
 def cosine_prenormed_fixed(
     a: str, b: str, na: Column, nb: Column, dim: int
 ) -> Column:
@@ -65,9 +72,17 @@ def cosine_prenormed_fixed(
     fold branch (evaluated only when taken), preserving the generic
     semantics — NULL-poisoned shorter vectors, full-length fold for
     longer ones. ``a``/``b`` are column NAMES (the unrolled expression
-    is one SQL parse, same plan-construction class as §2/§7)."""
+    is one SQL parse, same plan-construction class as §2/§7).
+
+    Dims above ``UNROLL_MAX_DIM`` fall back to the generic fold
+    (ADVICE r14): a left-nested chain thousands of terms deep risks
+    parser/codegen pathologies (deep recursion, the 64 KB method
+    split back to interpreted) — and past the split point the unroll
+    loses its reason to exist anyway."""
     if dim <= 0:
         raise ValueError(f"dim must be positive, got {dim}")
+    if dim > UNROLL_MAX_DIM:
+        return cosine_prenormed(F.col(a), F.col(b), na, nb)
     terms = "0.0D"
     for i in range(dim):
         terms = f"({terms} + (`{a}`[{i}] * `{b}`[{i}]))"

@@ -86,22 +86,64 @@ def _fs(spark: SparkSession, path: str):
     return jvm, p.getFileSystem(conf), p
 
 
-def _local_root(path: str) -> str | None:
-    """Absolute local directory for ``path`` when it names the LOCAL
-    filesystem (no scheme, or an explicit ``file:`` scheme), else
-    ``None``. Gates the native metadata fast paths below: the Hadoop
-    FileSystem round trip costs ~5 py4j socket exchanges PER FILE
-    (hasNext/next/getPath/getLen/getModificationTime), ~0.1-0.15 s per
-    listing of a few dozen files — pure driver-side latency (guide
-    §7.3) that an ``os.scandir`` walk gets for free in-process. Remote
-    schemes (s3a://, hdfs://, ...) keep the Hadoop path unchanged."""
+#: per-process memo of "is fs.defaultFS the local filesystem" — the
+#: Hadoop conf is immutable for the life of the session, so one check
+#: suffices (ADVICE r14).
+_DEFAULT_FS_LOCAL: bool | None = None
+
+
+def _default_fs_is_local(spark: SparkSession | None = None) -> bool:
+    """True iff the Hadoop conf's ``fs.defaultFS`` scheme is ``file``
+    — the gate for treating SCHEME-LESS paths as driver-local. On a
+    cluster whose defaultFS is hdfs:// or s3a://, a scheme-less path
+    names the REMOTE filesystem; taking the native branch there would
+    silently redirect sidecar writes/listings to driver-local disk
+    (ADVICE r14, medium). Checked once and memoized; with no session
+    to consult, answers False (keep the Hadoop path — correct for any
+    defaultFS, just slower)."""
+    global _DEFAULT_FS_LOCAL
+    if _DEFAULT_FS_LOCAL is None:
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        fs = (
+            spark.sparkContext._jsc.hadoopConfiguration().get(
+                "fs.defaultFS", "file:///"
+            )
+            or "file:///"
+        )
+        _DEFAULT_FS_LOCAL = fs.startswith("file:")
+    return _DEFAULT_FS_LOCAL
+
+
+def _local_root(path: str, spark: SparkSession | None = None) -> str | None:
+    """Absolute local directory for ``path`` when it provably names
+    the LOCAL filesystem, else ``None``. Gates the native metadata
+    fast paths below: the Hadoop FileSystem round trip costs ~5 py4j
+    socket exchanges PER FILE (hasNext/next/getPath/getLen/
+    getModificationTime), ~0.1-0.15 s per listing of a few dozen
+    files — pure driver-side latency (guide §7.3) that an
+    ``os.scandir`` walk gets for free in-process. Remote schemes
+    (s3a://, hdfs://, ...) keep the Hadoop path unchanged; an explicit
+    ``file://<authority>`` with a non-local authority is rejected
+    rather than folded into the path (ADVICE r14); scheme-less paths
+    are local only when ``fs.defaultFS`` says so."""
     if path.startswith("file:"):
         rest = path[5:]
-        # file:/x, file:///x -> /x ; a non-local authority is not ours
-        stripped = _re.sub(r"^/+", "/", rest)
-        return stripped if stripped.startswith("/") else None
+        if rest.startswith("//"):
+            # file://<authority>/<path>: only an empty or localhost
+            # authority is ours — never merge a hostname into the path
+            auth, _, tail = rest[2:].partition("/")
+            if auth not in ("", "localhost"):
+                return None
+            return "/" + tail
+        # file:/x — no authority component
+        return rest if rest.startswith("/") else None
     if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
         return None  # any other scheme: hadoop handles it
+    if not _default_fs_is_local(spark):
+        return None  # scheme-less on a remote defaultFS: not ours
     return _os.path.abspath(path)
 
 
@@ -109,17 +151,29 @@ def _walk_local_files(root: str) -> list[tuple[str, int, int]]:
     """Recursive (abs_path, size_bytes, mtime_ms) of every regular
     file under ``root`` via ``os.scandir`` — the native twin of the
     Hadoop ``listFiles(recursive=True)`` walk. Raises if ``root`` is
-    missing, matching the Hadoop path's FileNotFoundException."""
+    missing, matching the Hadoop path's FileNotFoundException.
+
+    Follows symlinks like Hadoop's LocalFileSystem listing does
+    (ADVICE r14 — a symlinked partition directory must not silently
+    vanish from manifests on the native path), with a visited-inode
+    guard so a symlink cycle terminates instead of recursing forever;
+    broken symlinks are skipped (neither file nor dir)."""
     out: list[tuple[str, int, int]] = []
+    seen: set[tuple[int, int]] = set()
     stack = [root]
     while stack:
         d = stack.pop()
+        st = _os.stat(d)  # follows a symlinked dir; raises if missing
+        key = (st.st_dev, st.st_ino)
+        if key in seen:
+            continue
+        seen.add(key)
         with _os.scandir(d) as it:
             for e in it:
-                if e.is_dir(follow_symlinks=False):
+                if e.is_dir(follow_symlinks=True):
                     stack.append(e.path)
-                elif e.is_file(follow_symlinks=False):
-                    st = e.stat()
+                elif e.is_file(follow_symlinks=True):
+                    st = e.stat(follow_symlinks=True)
                     out.append((e.path, st.st_size, int(st.st_mtime * 1000)))
     return out
 
@@ -130,7 +184,7 @@ def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int, int
     the same metadata-sized class as :func:`prune_files`' name
     collect. size+mtime are the staleness fingerprint
     :func:`extend_file_manifest` compares against the manifest."""
-    local = _local_root(path)
+    local = _local_root(path, spark)
     if local is not None:
         return sorted(
             (f, s, m)
@@ -238,7 +292,7 @@ def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
     stronger than the Hadoop delete+rename pair (no gap in which the
     sidecar is absent — :func:`_read_json`'s ``__tmp`` self-heal still
     covers journals written by the Hadoop path)."""
-    local = _local_root(path)
+    local = _local_root(path, spark)
     if local is not None:
         tmp = local + "__tmp"
         with open(tmp, "w") as fh:
@@ -274,7 +328,7 @@ def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
 
 
 def _read_json(spark: SparkSession, path: str) -> dict:
-    local = _local_root(path)
+    local = _local_root(path, spark)
     if local is not None:
         # same __tmp self-heal as the Hadoop path: a crash in the
         # Hadoop writer's delete→rename gap leaves only the fully-

@@ -12531,15 +12531,18 @@ def lakehouse_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = base
     view = fact.join(dim, ["ckey"])
     agg = ivm.aggregate_state(view, ["seg"], ["cents"])
-    for log in batches:
+    for i, log in enumerate(batches):
         fact, view, agg = jobs.maintain_cdc_lakehouse(
             fact, view, agg, dim, log,
             key_cols=["k"], seq_cols=["seq"], join_on=["ckey"],
             group_cols=["seg"], sum_cols=["cents"],
             # explicit payload: deriving it re-analyzes the chained
             # fact/view lineage every batch (r14, guide §3.3) — the
-            # dominant cost of this entry was plan analysis, not data
+            # dominant cost of this entry was plan analysis, not data.
+            # The assertion is validated ONCE on the first batch
+            # (cheap lineage) per the documented contract (ADVICE r14)
             payload_cols=["ckey", "cents"],
+            check_contract=(i == 0),
         )
     return agg.select(
         "seg", "n_rows", F.col("sum_cents").cast("bigint").alias("sum_cents")

@@ -79,16 +79,16 @@ def parquet_scan(spark: SparkSession, path: str, partition_cols=()) -> DataFrame
     any pyarrow hiccup. Not for timestamp-bearing EXTERNAL data —
     arrow→Spark timestamp mapping is reader-config-dependent; engine
     indexes store only ints/doubles/strings/arrays."""
-    st = _local_footer_schema(path, partition_cols)
+    st = _local_footer_schema(path, partition_cols, spark)
     if st is None:
         return spark.read.parquet(path)
     return spark.read.schema(st).parquet(path)
 
 
-def _local_footer_schema(path: str, partition_cols=()):
+def _local_footer_schema(path: str, partition_cols=(), spark=None):
     from .operators.skipping import _local_root, _walk_local_files
 
-    local = _local_root(path)
+    local = _local_root(path, spark)
     if local is None:
         return None
     try:

@@ -115,3 +115,43 @@ def test_lakehouse_guards(spark, world):
         jobs.maintain_cdc_lakehouse(
             fact.withColumn("seg", F.lit("X")), view, agg, dim, log, **kw
         )
+
+
+def test_check_contract_validates_asserted_payload(spark):
+    # ADVICE r14: an explicit payload_cols that does not match the real
+    # fact/view schema must fail LOUDLY when check_contract is on.
+    from pyspark.sql import functions as F
+
+    from bohemia_kenya_data_pipeline_spark import jobs
+    from bohemia_kenya_data_pipeline_spark.operators import ivm
+
+    fact = spark.createDataFrame([(1, 10, 5)], "k INT, ckey INT, cents INT")
+    dim = spark.createDataFrame([(10, "A")], "ckey INT, seg STRING")
+    view = fact.join(dim, ["ckey"])
+    agg = ivm.aggregate_state(view, ["seg"], ["cents"])
+    log = spark.createDataFrame(
+        [(1, 10, 7, 1, "U")], "k INT, ckey INT, cents INT, seq INT, op STRING"
+    )
+    kw = dict(
+        key_cols=["k"], seq_cols=["seq"], join_on=["ckey"],
+        group_cols=["seg"], sum_cols=["cents"],
+    )
+    # correct assertion passes
+    jobs.maintain_cdc_lakehouse(
+        fact, view, agg, dim, log, payload_cols=["ckey", "cents"],
+        check_contract=True, **kw,
+    )
+    # wrong payload fails loudly instead of corrupting the folds
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="contract violated"):
+        jobs.maintain_cdc_lakehouse(
+            fact, view, agg, dim, log, payload_cols=["ckey"],
+            check_contract=True, **kw,
+        )
+    # view not matching the asserted fact+dim payload also fails
+    with _pytest.raises(ValueError, match="contract violated"):
+        jobs.maintain_cdc_lakehouse(
+            fact, view.drop("seg"), agg, dim, log,
+            payload_cols=["ckey", "cents"], check_contract=True, **kw,
+        )

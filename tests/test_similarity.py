@@ -802,3 +802,20 @@ def test_nearest_cid_sql_matches_column_path(spark):
     ps = F.expr(sim._probe_cids_sql("`v`", sim._centroid_literal_sql(cents), 2))
     for r in df.select(pc.alias("a"), ps.alias("b")).collect():
         assert list(r.a) == list(r.b)
+
+
+def test_cosine_fixed_dim_cap_falls_back_to_fold(spark):
+    # ADVICE r14: dims above UNROLL_MAX_DIM must use the generic fold
+    # (no giant unrolled chain), with identical values.
+    dim = sim.UNROLL_MAX_DIM + 8
+    rows = [([1.0] * dim, [0.5] * dim)]
+    df = spark.createDataFrame(rows, "va ARRAY<DOUBLE>, vb ARRAY<DOUBLE>")
+    df = df.withColumn("na", sim.norm(F.col("va"))).withColumn(
+        "nb", sim.norm(F.col("vb"))
+    )
+    fast = sim.cosine_prenormed_fixed("va", "vb", F.col("na"), F.col("nb"), dim)
+    fold = sim.cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    got = df.select(fast.alias("fast"), fold.alias("fold")).collect()[0]
+    assert got.fast == got.fold
+    # the capped expression must not contain an unrolled element chain
+    assert "[255]" not in repr(fast)

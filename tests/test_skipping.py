@@ -435,7 +435,7 @@ def test_local_fast_path_matches_hadoop_listing(spark, tmp_path, monkeypatch):
     df.write.partitionBy("part").parquet(p)
 
     native = skp._list_data_files(spark, p)
-    monkeypatch.setattr(skp, "_local_root", lambda _path: None)
+    monkeypatch.setattr(skp, "_local_root", lambda *_a, **_k: None)
     hadoop = skp._list_data_files(spark, p)
     monkeypatch.undo()
     assert [(f, s) for f, s, _ in native] == [(f, s) for f, s, _ in hadoop]
@@ -447,7 +447,7 @@ def test_local_fast_path_matches_hadoop_listing(spark, tmp_path, monkeypatch):
     assert all(f.startswith("/") and f.endswith(".parquet") for f, _, _ in native)
 
     infos_native = sorted(mt._list_parquet_file_infos(spark, p))
-    monkeypatch.setattr(skp, "_local_root", lambda _path: None)
+    monkeypatch.setattr(skp, "_local_root", lambda *_a, **_k: None)
     infos_hadoop = sorted(
         (skp._canon_name(f), s) for f, s in mt._list_parquet_file_infos(spark, p)
     )
@@ -463,12 +463,12 @@ def test_local_fast_path_matches_hadoop_listing(spark, tmp_path, monkeypatch):
 
     # JSON interop: hadoop-written sidecar reads natively and vice versa
     j = str(tmp_path / "side.json")
-    monkeypatch.setattr(skp, "_local_root", lambda _path: None)
+    monkeypatch.setattr(skp, "_local_root", lambda *_a, **_k: None)
     skp._write_json(spark, j, {"via": "hadoop"})
     monkeypatch.undo()
     assert skp._read_json(spark, j) == {"via": "hadoop"}
     skp._write_json(spark, j, {"via": "native"})
-    monkeypatch.setattr(skp, "_local_root", lambda _path: None)
+    monkeypatch.setattr(skp, "_local_root", lambda *_a, **_k: None)
     got = skp._read_json(spark, j)
     monkeypatch.undo()
     assert got == {"via": "native"}
@@ -477,3 +477,62 @@ def test_local_fast_path_matches_hadoop_listing(spark, tmp_path, monkeypatch):
     # missing dir must raise on the native path too (hadoop throws)
     with pytest.raises(Exception):
         skp._list_data_files(spark, str(tmp_path / "nope"))
+
+
+def test_local_root_authority_and_default_fs(spark, monkeypatch):
+    """ADVICE r14: (1) a file:// URI with a non-local authority must be
+    REJECTED, never folded into the path; (2) scheme-less paths are
+    local only when fs.defaultFS is the local filesystem."""
+    # authority parsing
+    assert skp._local_root("file:///data/x", spark) == "/data/x"
+    assert skp._local_root("file:/data/x", spark) == "/data/x"
+    assert skp._local_root("file://localhost/data/x", spark) == "/data/x"
+    assert skp._local_root("file://host/data", spark) is None
+    assert skp._local_root("file://nn:8020/data", spark) is None
+    # scheme-less: local session's defaultFS is file:/// -> native
+    assert skp._local_root("/data/x", spark) == "/data/x"
+    # simulate a remote defaultFS: the memo answers for the process, so
+    # patch it rather than the immutable Hadoop conf
+    monkeypatch.setattr(skp, "_DEFAULT_FS_LOCAL", False)
+    assert skp._local_root("/data/x", spark) is None
+    assert skp._local_root("relative/x", spark) is None
+    # an explicit file: scheme stays native regardless of defaultFS
+    assert skp._local_root("file:///data/x", spark) == "/data/x"
+    monkeypatch.setattr(skp, "_DEFAULT_FS_LOCAL", True)
+    assert skp._local_root("/data/x", spark) == "/data/x"
+
+
+def test_walk_local_files_follows_symlinks_like_hadoop(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14: Hadoop's LocalFileSystem listing follows symlinks;
+    the native walk must too (a symlinked partition dir must not
+    vanish from manifests), with a cycle guard."""
+    import os as _os
+
+    real = tmp_path / "real"
+    real.mkdir()
+    spark.range(10).write.parquet(str(real / "part=0"))
+    root = tmp_path / "table"
+    root.mkdir()
+    _os.symlink(str(real / "part=0"), str(root / "part=0"))
+    # also a symlinked single file
+    data_files = [f for f in _os.listdir(real / "part=0") if f.endswith(".parquet")]
+    _os.symlink(
+        str(real / "part=0" / data_files[0]), str(root / "extra.parquet")
+    )
+    # cycle: a symlink back to the root must terminate, not recurse
+    _os.symlink(str(root), str(root / "loop"))
+
+    native = skp._list_data_files(spark, str(root))
+    assert any("/part=0/" in f for f, _, _ in native), "symlinked dir lost"
+    assert any(f.endswith("extra.parquet") for f, _, _ in native)
+    # parity with the Hadoop branch on the acyclic part: same names
+    acyclic = tmp_path / "table2"
+    acyclic.mkdir()
+    _os.symlink(str(real / "part=0"), str(acyclic / "part=0"))
+    native2 = {f.replace(str(acyclic), "") for f, _, _ in skp._list_data_files(spark, str(acyclic))}
+    monkeypatch.setattr(skp, "_local_root", lambda *_a, **_k: None)
+    hadoop2 = {f.replace(str(acyclic), "") for f, _, _ in skp._list_data_files(spark, str(acyclic))}
+    monkeypatch.undo()
+    assert native2 == hadoop2
