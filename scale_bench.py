@@ -462,7 +462,71 @@ def _time(fn, runs: int = 2) -> float:
     return round(t, 3)
 
 
+#: heavy-entry set for the CORE-scaling pair (VERDICT r14 ask 5): at
+#: sf0.1 every bench entry is overhead-bound and 8-vs-32-core ratios
+#: sit at ~1, so parallelism claims rested on plan shapes alone; at
+#: the 10x replica these entries carry enough compute to show a real
+#: ratio. Registered names run as-is; the two *_scaled/_capped names
+#: use the FIXEDQ density-correct variants (the registered twins are
+#: quadratic-by-replica-construction, see QUADRATIC).
+CORESCALE = [
+    "zorder_fold_scan",
+    "incremental_zorder_scan",
+    "incremental_manifest_extend",
+    "pretrain_mix_spans",
+    "incremental_minhash_dedup",
+    "minhash_index_delete_probe",
+    "lakehouse_cdc_e2e",
+    "incremental_ivfpq_ann",
+    "ann_ivfpq_fixedq",
+    "semantic_dedup_capped",
+    "spatial_nearest_area_scaled",
+    "curation_release_e2e",
+]
+
+
+def corescale_main() -> None:
+    """SCALE_MODE=cores: time the CORESCALE entries at the 10x replica
+    on local[$SPARK_GRAFT_CPUS] and print one JSON record line — run
+    twice (SPARK_GRAFT_CPUS=32 and =8) for the core-scaling pair. The
+    noop sink + warm-then-steady methodology matches bench.py."""
+    big = int(os.environ.get("SCALE_FACTOR", "10"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = get_spark(app_name="bkdp-corescale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    d = build_replica(spark, big)
+    n1_max = (
+        spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+        .agg(F.max("vec_id"))
+        .collect()[0][0]
+    )
+    only = os.environ.get("SCALE_ENTRIES")
+    names = [n for n in CORESCALE if not only or n in set(only.split(","))]
+    out: dict[str, float] = {}
+    for name in names:
+        if name in FIXEDQ:
+            make = lambda f=FIXEDQ[name]: _noop(f(spark, d, n1_max))
+        else:
+            make = lambda q=QUERIES[name]: _noop(q(spark, d))
+        spark.sparkContext.setJobDescription(f"corescale:{name}")
+        out[name] = _time(make, runs=3)  # warm + 2, keep the last
+        spark.sparkContext.setJobDescription(None)
+        print(f"{name}: {out[name]}s", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "corescale_heavy_10x",
+        "cpus": cpus,
+        "factor": big,
+        "queries": out,
+        "value": round(sum(out.values()), 3),
+        "unit": "sec",
+    }), flush=True)
+
+
 def main() -> None:
+    if os.environ.get("SCALE_MODE") == "cores":
+        corescale_main()
+        return
     big = int(os.environ.get("SCALE_FACTOR", "10"))
     small = int(os.environ.get("SCALE_FACTOR_QUAD", "4"))
     spark = get_spark(app_name="bkdp-scale-bench")
