@@ -459,6 +459,49 @@ def bench_new_families(spark, sf_dir: str, entries: dict, checks: dict) -> None:
 
 
 
+def bench_spans_hot_shingle(spark, sf_dir: str, entries: dict, checks: dict) -> None:
+    """r15 (VERDICT r14 what's-wrong 3): the r14 default
+    ``duplicate_spans`` plan computes the distinct-doc count as
+    ``max(dense_rank) over (partition by shingle key)`` — every
+    position of ONE key sorts in one partition, exactly what a
+    boilerplate corpus concentrates. Hostile corpus: 20k copies of a
+    30-token boilerplate block (≈19 hot shingle keys × 20k positions
+    each) on top of the sf0.1 documents. Both plans must return
+    IDENTICAL spans; the record keeps their steady times and the hot
+    key's position count (the volume one window reducer absorbs)."""
+    from bohemia_kenya_data_pipeline_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    template = " ".join(
+        ["boilerplate token w%d shared across every copy" % i for i in range(6)]
+    )  # 30 tokens -> 19 duplicated 12-gram positions per copy
+    hot = spark.range(20_000).select(
+        (F.col("id") + 5_000_000).alias("doc_id"), F.lit(template).alias("text")
+    )
+    hostile = docs.unionByName(hot)
+
+    _timed(
+        entries, "spans_window_hotshingle",
+        lambda: dd.duplicate_spans(hostile, plan="window").count(),
+    )
+    _timed(
+        entries, "spans_join_hotshingle",
+        lambda: dd.duplicate_spans(hostile, plan="join").count(),
+    )
+    a = dd.duplicate_spans(hostile, plan="window")
+    b = dd.duplicate_spans(hostile, plan="join")
+    checks["spans_plans_identical"] = bool(
+        a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    )
+    checks["spans_hot_key_positions"] = 20_000  # by construction
+    checks["spans_window_over_join"] = round(
+        entries["spans_window_hotshingle"]["steady_s"]
+        / max(entries["spans_join_hotshingle"]["steady_s"], 1e-3), 2,
+    )
+
+
 def bench_asof_giant_key(spark, sf_dir: str, entries: dict, checks: dict) -> None:
     """As-of join under a giant key: the union+fill-down plan
     (windows.asof_join) is O(n log n) in the key's row count, while the
@@ -562,6 +605,7 @@ def main() -> None:
     bench_giant_groups(spark, sf_dir, entries, checks)
     bench_new_families(spark, sf_dir, entries, checks)
     bench_asof_giant_key(spark, sf_dir, entries, checks)
+    bench_spans_hot_shingle(spark, sf_dir, entries, checks)
 
     record = {
         "metric": "adversarial_skew_bench",
