@@ -562,7 +562,7 @@ def nearest_neighbor_bucketed(
     cell_m: float = 5000.0,
     lat_ref: float = 0.0,
     levels: int = 3,
-    pin_leftovers: bool = True,
+    pin_leftovers: bool = False,
 ) -> DataFrame:
     """J12 at scale: exact nearest facility WITHOUT broadcasting the
     facility side — the grid-bucketed fallback the module docstring
@@ -602,19 +602,24 @@ def nearest_neighbor_bucketed(
     in doubt — it prices the leftover fraction for a candidate
     ``cell_m`` WITHOUT running the fallback pass.
 
-    ``pin_leftovers`` (default on, r15 — guide §3.3/§5): materialize
-    each level's leftover set with ``localCheckpoint`` so escalation
-    level k reads a TRUNCATED plan instead of re-deriving the whole
-    accept/anti-join chain of levels 0..k-1 — the lazy chain
-    recomputed the level-0 accept pass once per downstream reference
-    (profiled: two ~1.3 s single-task rederivation jobs at sf0.1, the
+    ``pin_leftovers`` (r15 — guide §3.3/§5): materialize each level's
+    leftover set with ``localCheckpoint`` so escalation level k reads
+    a TRUNCATED plan instead of re-deriving the whole accept/anti-join
+    chain of levels 0..k-1 — the lazy chain recomputes the level-0
+    accept pass once per downstream reference (profiled: two ~1.3 s
+    single-task rederivation jobs on the dense bench shape, then the
     slowest entry in the bench). The pinned frame is the LEFTOVER set
     only — (id, lat, lon) keys, ~leftover_fraction of the points at
     level 1 and geometrically less after — never facility payloads or
     accepted output. Row values are identical (a checkpoint is a
-    materialization barrier, not a transformation); set False to keep
-    the fully-lazy plan (e.g. when executor storage is the scarce
-    resource).
+    materialization barrier, not a transformation).
+
+    Default OFF: pinning pays levels-1 eager checkpoint jobs, which
+    only wins when the accept pass is expensive per reference (dense
+    cells — the fixed-area bench shape: 2.12 → 1.89 s). On the
+    constant-density area-scaled replica it REGRESSED the 10× time
+    5.7 → 7.6 s (slope 0.30 → 0.51), so the lazy chain stays the
+    default and dense-shape callers opt in.
     """
     p, f, accepted = _bucketed_accept(
         points, facilities, point_id, facility_id,
