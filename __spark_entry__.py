@@ -158,6 +158,7 @@ _PANEL_RETRY = frozenset({
     # in CORRECTNESS_r14.json and rotated into _PANEL_SEEN.
     "spatial_nearest_hf_bucketed",  # per-level leftover pinning
     "lakehouse_cdc_e2e",            # batch-chain op fusion
+    "semantic_dedup_pairs",         # conditional probe-side spread
 })
 
 
